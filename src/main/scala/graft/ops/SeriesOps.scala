@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series primitives over long-format `(user, timestamp, value)` data
+  * (SURVEY.md §2.1 S2/S4, §2.2 P9–P11, §2.4 A7, §2.7 U4).
+  *
+  * All operators are pure `DataFrame => DataFrame` transforms built from
+  * codegen'd built-ins; every predicate is Catalyst-pushable.
+  */
+object SeriesOps {
+
+  /** S2: day-granularity date-range scan — the reference casts BOTH sides to
+    * Date (`viz.py:140-148`: `Date(timestamp) >= Date(%s)`), so the bounds
+    * are inclusive whole days.
+    */
+  def dateRange(df: DataFrame, tsCol: String, startDate: String, endDate: String): DataFrame =
+    df.filter(to_date(col(tsCol)).between(lit(startDate), lit(endDate)))
+
+  /** P10/S4: event-time ≥ cursor scan (`stream_sim.py:136-137`). */
+  def fromTime(df: DataFrame, tsCol: String, t0: String): DataFrame =
+    df.filter(col(tsCol) >= lit(t0).cast("timestamp"))
+
+  /** P9: positive-value cleanse (`data_preproc.ipynb` cells 6, 11). */
+  def cleansePositive(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol) > 0)
+
+  /** P11: time-of-day slice with midnight wrap-around — pandas
+    * `.loc[time(20,0):time(4,45)]` selects rows whose time-of-day is in the
+    * wrapping range (`viz.py:542-547`, `viz.py:1069-1080`).
+    * `start`/`end` are "HH:mm:ss" strings.
+    */
+  def timeOfDayPredicate(tsCol: String, start: String, end: String): Column = {
+    val tod = date_format(col(tsCol), "HH:mm:ss")
+    if (start <= end) tod.between(lit(start), lit(end))
+    else tod >= lit(start) || tod <= lit(end)
+  }
+
+  def timeOfDayRange(df: DataFrame, tsCol: String, start: String, end: String): DataFrame =
+    df.filter(timeOfDayPredicate(tsCol, start, end))
+
+  /** U4: dedup on key columns, keeping the row with the smallest tiebreak
+    * value (the reference's `drop_duplicates` keeps first-in-file order,
+    * `w4h_db_utils.py:192`; a deterministic tiebreak replaces file order).
+    * Implemented as max_by/min_by-style aggregation — one shuffle on the
+    * dedup keys, no window sort.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], tiebreak: String): DataFrame = {
+    val others = df.columns.filterNot(c => keys.contains(c) || c == tiebreak)
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        min(col(tiebreak)).as(tiebreak),
+        others.map(c => min_by(col(c), col(tiebreak)).as(c)): _*
+      )
+  }
+
+  /** A7: tumbling-window downsample — per-user fixed-interval mean
+    * (`data_preproc.ipynb` cell 7: `.resample('1T').mean()`).
+    * Emits the bucket start as a timestamp column named `bucket_start`.
+    */
+  def resample(df: DataFrame, userCol: String, tsCol: String, valueCol: String,
+               interval: String): DataFrame =
+    df.groupBy(col(userCol), window(col(tsCol), interval).getField("start").as("bucket_start"))
+      .agg(avg(col(valueCol)).as("avg_value"))
+
+  /** A4: per-user observed span (`viz.py:765-766`). */
+  def userSpan(df: DataFrame, userCol: String, tsCol: String): DataFrame =
+    df.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("start"), max(col(tsCol)).as("end"), count(lit(1)).as("n"))
+
+  /** W6/A3: trailing window anchored at the LATEST EVENT TIME (not wall
+    * clock) — the reference anchors at `df.index[-1]` (`viz.py:783-789`).
+    * Computes max(ts) as a 1-row broadcast join, then filters.
+    */
+  def trailingWindow(df: DataFrame, tsCol: String, seconds: Long): DataFrame = {
+    val maxTs = df.agg(max(col(tsCol)).as("__max_ts"))
+    df.join(broadcast(maxTs))
+      .filter(col(tsCol) >= col("__max_ts") - expr(s"INTERVAL $seconds SECONDS"))
+      .drop("__max_ts")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** KPI / statistics aggregations (SURVEY.md §2.4 A1–A6, A10).
+  *
+  * All are single hash-aggregations with map-side partial aggregation —
+  * the shape that scales: the shuffle carries one row per group, not the
+  * data.
+  */
+object Stats {
+
+  /** A1: global KPIs — mean/min/max over a (cohort-filtered) series
+    * (`viz.py:768-780`).
+    */
+  def kpis(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(
+      avg(col(valueCol)).as("avg_value"),
+      min(col(valueCol)).as("min_value"),
+      max(col(valueCol)).as("max_value"),
+      count(lit(1)).as("n")
+    )
+
+  /** A2: per-group stats incl. SAMPLE stddev — pandas `.std()` is ddof=1
+    * (`viz.py:165-176`), hence `stddev_samp`, never `stddev_pop`.
+    */
+  def groupStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        max(col(valueCol)).as("max_value"),
+        min(col(valueCol)).as("min_value"),
+        avg(col(valueCol)).as("avg_value"),
+        stddev_samp(col(valueCol)).as("std_value"),
+        count(lit(1)).as("n")
+      )
+
+  /** A5: column bounds for widget seeding (`viz.py:344-357`). */
+  def bounds(df: DataFrame, c: String): DataFrame =
+    df.agg(min(col(c)).as("min_value"), max(col(c)).as("max_value"))
+
+  /** A6: distinct values of an attribute (`viz.py:354, 449`). */
+  def distinctValues(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).distinct()
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CohortFilter, Mets, SafeBand, SeriesOps, Stats}
+import graft.sources.Tables
+
+/** GeoMTS-semantics queries (SURVEY.md §2) mapped onto the driver's `events`
+  * table as the long-format time series (`user_id`, `ts`, `value`) and
+  * `customer` as the subjects table.
+  *
+  * Timestamps are emitted as epoch-µs BIGINT (`unix_micros` / DuckDB
+  * `epoch_us`) so the oracle compare is precision-unambiguous.
+  */
+object TimeSeriesQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val cohortIds = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L)
+
+  def defs: Map[String, Q] = Map(
+    // S2: day-granularity date-range scan (both sides cast to Date).
+    "s2_date_range_scan" -> { (s, dir) =>
+      SeriesOps.dateRange(Tables.events(s, dir), "ts", "2024-01-05", "2024-01-10")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+    },
+
+    // P3/J1: cohort semi-join (broadcast left-semi).
+    "p3_semi_join_cohort" -> { (s, dir) =>
+      val cohort = Tables.customer(s, dir).filter(col("c_custkey").isin(cohortIds: _*))
+        .withColumnRenamed("c_custkey", "user_id")
+      CohortFilter.semiJoin(Tables.events(s, dir), cohort, "user_id")
+        .select(col("event_id"), col("user_id"), col("value"))
+    },
+
+    // P4+P5+P2/P8: composable null-tolerant attribute cohort filter.
+    "p8_attribute_cohort" -> { (s, dir) =>
+      import CohortFilter._
+      CohortFilter(Tables.customer(s, dir), Seq(
+        NumericRange("c_acctbal", 0.0, 5000.0),
+        CategoricalIn("c_mktsegment", Seq("BUILDING", "AUTOMOBILE")),
+        Contains("c_name", "1")
+      )).select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    },
+
+    // P11: time-of-day slice crossing midnight (sleep 20:00–04:45).
+    "p11_time_of_day_wrap" -> { (s, dir) =>
+      SeriesOps.timeOfDayRange(Tables.events(s, dir), "ts", "20:00:00", "04:45:00")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"))
+    },
+
+    // A1: global KPIs over a cohort-filtered series.
+    "a1_kpis" -> { (s, dir) =>
+      val clicks = Tables.events(s, dir).filter(col("event_type") === "click")
+      Stats.kpis(clicks, "value")
+        .select(round(col("avg_value"), 4).as("avg_value"),
+          col("min_value"), col("max_value"), col("n"))
+    },
+
+    // A2: per-group stats with SAMPLE stddev (pandas ddof=1 parity).
+    "a2_group_stats" -> { (s, dir) =>
+      Stats.groupStats(Tables.events(s, dir), "event_type", "value")
+        .select(col("event_type"), col("max_value"), col("min_value"),
+          round(col("avg_value"), 4).as("avg_value"),
+          round(col("std_value"), 4).as("std_value"), col("n"))
+    },
+
+    // A4: per-user observed span.
+    "a4_user_span" -> { (s, dir) =>
+      SeriesOps.userSpan(Tables.events(s, dir), "user_id", "ts")
+        .select(col("user_id"), unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"), col("n"))
+    },
+
+    // A7: tumbling-window downsample (per-user hourly mean).
+    "a7_resample_hourly" -> { (s, dir) =>
+      SeriesOps.resample(Tables.events(s, dir), "user_id", "ts", "value", "1 hour")
+        .select(col("user_id"), unix_micros(col("bucket_start")).as("bucket_us"),
+          round(col("avg_value"), 6).as("avg_value"))
+    },
+
+    // W5+A8: safe-band (mean ± 2·stddev_samp) anomaly-density buckets.
+    "a8_safe_band_density" -> { (s, dir) =>
+      val clicks = Tables.events(s, dir).filter(col("event_type") === "click")
+      SafeBand.densityBuckets(clicks, "ts", "value")
+    },
+
+    // J2+W1–W4: the full METs pipeline (weight join with 70 kg default,
+    // unit conversion, per-user mean calibration, forward-gap nulling).
+    "mets_pipeline" -> { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val weights = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"),
+          (lit(40.0) + (col("c_custkey") % 60).cast("double")).as("weight"))
+      Mets.calculate(events, weights, "user_id", "ts", "value",
+          tiebreak = Some("event_id"))
+        .select(col("event_id"), col("user_id"),
+          round(col("days_since_start"), 6).as("days_since_start"),
+          round(col("mets"), 6).as("mets"))
+    },
+
+    // U3/S12: anti-join — subjects with no series data (and, symmetrically,
+    // the import-time "insert only new users" upsert, `w4h_db_utils.py:161-166`).
+    "u3_anti_join_new_users" -> { (s, dir) =>
+      val subjects = Tables.customer(s, dir).select(col("c_custkey").as("user_id"))
+      val seriesUsers = Tables.events(s, dir).select(col("user_id"))
+      CohortFilter.antiJoin(subjects, seriesUsers, "user_id")
+    },
+
+    // U4: dedup keep-first on (user, minute-bucket) with deterministic tiebreak.
+    "u4_dedup_keep_first" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("minute_us", unix_micros(date_trunc("minute", col("ts"))))
+        .select(col("user_id"), col("minute_us"), col("event_id"), col("value"))
+      SeriesOps.dedupKeepFirst(ev, Seq("user_id", "minute_us"), "event_id")
+    },
+
+    // W6/A3: trailing window anchored at latest EVENT time (not wall clock).
+    "w6_trailing_window_kpis" -> { (s, dir) =>
+      val ev = SeriesOps.trailingWindow(Tables.events(s, dir), "ts", 86400L)
+      Stats.kpis(ev, "value")
+        .select(round(col("avg_value"), 4).as("avg_value"),
+          col("min_value"), col("max_value"), col("n"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s2_date_range_scan" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'""".stripMargin,
+
+    "p3_semi_join_cohort" ->
+      s"""SELECT event_id, user_id, value FROM events
+         |WHERE user_id IN (SELECT c_custkey FROM customer
+         |                  WHERE c_custkey IN (${cohortIds.mkString(",")}))""".stripMargin,
+
+    "p8_attribute_cohort" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE (c_acctbal BETWEEN 0.0 AND 5000.0 OR c_acctbal IS NULL)
+        |  AND (c_mktsegment IN ('BUILDING','AUTOMOBILE') OR c_mktsegment IS NULL)
+        |  AND c_name LIKE '%1%'""".stripMargin,
+
+    "p11_time_of_day_wrap" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id FROM events
+        |WHERE strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') >= '20:00:00'
+        |   OR strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') <= '04:45:00'""".stripMargin,
+
+    "a1_kpis" ->
+      """SELECT round(avg(value), 4) AS avg_value, min(value) AS min_value,
+        |  max(value) AS max_value, count(*) AS n
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "a2_group_stats" ->
+      """SELECT event_type, max(value) AS max_value, min(value) AS min_value,
+        |  round(avg(value), 4) AS avg_value, round(stddev_samp(value), 4) AS std_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a4_user_span" ->
+      """SELECT user_id, epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+        |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us, count(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a7_resample_hourly" ->
+      """SELECT user_id, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a8_safe_band_density" ->
+      """WITH s AS (
+        |  SELECT avg(value) AS m, stddev_samp(value) AS sd,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS mn,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+        |  FROM events WHERE event_type = 'click')
+        |SELECT CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - s.mn)
+        |         / greatest((s.mx - s.mn) / 600.0, 30000000.0)) AS BIGINT) AS bucket,
+        |  CAST(sum(CASE WHEN value < s.m - 2.0*s.sd OR value > s.m + 2.0*s.sd
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS unsafe_rows,
+        |  count(*) AS total_rows
+        |FROM events, s WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
+
+    "mets_pipeline" ->
+      """WITH w AS (
+        |  SELECT c_custkey AS user_id,
+        |         40.0 + CAST(c_custkey % 60 AS DOUBLE) AS weight
+        |  FROM customer),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |         e.value * 4.186 / COALESCE(w.weight, 70.0) AS raw
+        |  FROM events e LEFT JOIN w ON e.user_id = w.user_id),
+        |c AS (
+        |  SELECT *, raw / avg(raw) OVER (PARTITION BY user_id) AS cal,
+        |         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) / 86400000000.0 AS days
+        |  FROM j)
+        |SELECT event_id, user_id, round(days, 6) AS days_since_start,
+        |  round(CASE WHEN lead(days) OVER (PARTITION BY user_id ORDER BY ts, event_id) - days > 0.5
+        |        THEN NULL ELSE cal END, 6) AS mets
+        |FROM c""".stripMargin,
+
+    "u3_anti_join_new_users" ->
+      """SELECT DISTINCT c_custkey AS user_id FROM customer
+        |WHERE c_custkey NOT IN (SELECT user_id FROM events)""".stripMargin,
+
+    "u4_dedup_keep_first" ->
+      """SELECT user_id,
+        |  epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS minute_us,
+        |  min(event_id) AS event_id, arg_min(value, event_id) AS value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "w6_trailing_window_kpis" ->
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
+        |SELECT round(avg(value), 4) AS avg_value, min(value) AS min_value,
+        |  max(value) AS max_value, count(*) AS n
+        |FROM events, mx
+        |WHERE CAST(ts AS TIMESTAMP) >= m - INTERVAL 86400 SECOND""".stripMargin
+  )
+}

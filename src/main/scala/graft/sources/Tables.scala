@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical-table access layer over the driver's parquet testdata.
+  *
+  * One place that knows physical quirks (the events table's nanosecond
+  * timestamps) so operators never do. At cluster scale this is where
+  * bucketing/partitioning metadata would live; locally it is a plain
+  * parquet scan that Catalyst pushes filters/projections into.
+  */
+object Tables {
+
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
+
+  /** Load one canonical table from a scale-factor directory. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Session-level escape hatch for TIMESTAMP(NANOS) parquet (events table);
+    // must be set before schema conversion, i.e. before the read below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      case "events" =>
+        // ts arrives as epoch-nanos Long (see GraftSession); convert to a
+        // proper µs TimestampType with integral division — a double round-trip
+        // would lose precision above 2^53 ns. Source values are µs-precision.
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
