@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline operators
+  * (tokenization, shingling, hashing). Everything is built from codegen'd
+  * built-ins — no UDFs — so whole-stage codegen spans the hot path and the
+  * same semantics are expressible in the DuckDB oracle SQL.
+  *
+  * Hash convention: deterministic cross-engine hashes are derived from md5
+  * hex substrings (`conv(hex,16,10)` in Spark ≡ `('0x'||hex)::BIGINT` in
+  * DuckDB); Spark's native murmur/xxhash are NOT portable to other engines.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (single-space corpus; trim first). */
+  def words(text: Column): Column = split(trim(text), " ")
+
+  /** n-word shingles, 1 per starting position; empty array when the doc is
+    * shorter than n (guard needed: Spark's `sequence(1,0)` DESCENDS).
+    */
+  def wordShingles(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** First 24 bits of md5 as a BIGINT — the portable word hash. */
+  def wordCode24(w: Column): Column =
+    conv(substring(md5(w), 1, 6), 16, 10).cast("long")
+
+  /** First 16 bits of md5 — per-token hash for simhash. */
+  def wordCode16(w: Column): Column =
+    conv(substring(md5(w), 1, 4), 16, 10).cast("long")
+
+  /** Banded minhash value for one shingle: lexicographic min over the md5 of
+    * the band-salted shingle is a valid uniform minhash permutation.
+    */
+  def bandedHash(band: Column, shingle: Column): Column =
+    md5(concat(band.cast("string"), lit("|"), shingle))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  def stopwordCount(ws: Column): Column =
+    size(filter(ws, w => w.isin(Stopwords: _*)))
+
+  /** Total characters across tokens (word-length sum). */
+  def wordCharSum(ws: Column): Column =
+    aggregate(ws, lit(0), (acc, w) => acc + length(w))
+}

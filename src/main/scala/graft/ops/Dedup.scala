@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH banding, n-gram Jaccard verification,
+  * and SimHash signatures.
+  *
+  * Scale design:
+  *   - exact dedup: one shuffle keyed by content hash; the md5 is computed
+  *     map-side so the shuffle carries (hash, id), not document bodies.
+  *   - MinHash LSH: shingle explode → per-(doc, band) min-aggregation
+  *     (partial aggregation collapses each doc's shingles map-side) →
+  *     self-equi-join on (band, minhash). The join key is the bucket, so
+  *     only candidate pairs materialize — never the O(N²) pair space.
+  *   - Jaccard verify: restricted to candidate pairs; the shingle-set join
+  *     is an equi-join on the shingle string, skew-safe under AQE.
+  *   - SimHash: explode tokens × bits, two hash-aggregations; no joins.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: one row per distinct text with the
+    * canonical (minimum) id and the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs — the shingle-set representation. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(wordShingles(words(col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** Per-(doc, band) minhash signature; `bands` independent permutations. */
+  def minhashSignatures(shingles: DataFrame, idCol: String, bands: Int = 8): DataFrame =
+    shingles
+      .select(col(idCol), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("shingle"))
+      .groupBy(col(idCol), col("band"))
+      .agg(min(bandedHash(col("band"), col("shingle"))).as("minhash"))
+
+  /** Candidate pairs: docs sharing any (band, minhash) bucket; a < b. */
+  def lshCandidates(signatures: DataFrame, idCol: String): DataFrame = {
+    val a = signatures.select(col(idCol).as("doc_a"), col("band"), col("minhash"))
+    val b = signatures.select(col(idCol).as("doc_b"), col("band"), col("minhash"))
+    a.join(b, Seq("band", "minhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard via shingle-set equi-join, keeping pairs
+    * with similarity ≥ `minJaccard`. Ground-truth op — at scale, restrict
+    * with [[lshCandidates]] first (see [[nearDuplicates]]).
+    */
+  def jaccardPairs(shingles: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = shingles.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = shingles.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** The scale path: LSH candidates verified by exact Jaccard ≥ threshold. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     minJaccard: Double = 0.8, bands: Int = 8, n: Int = 3): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+    val candidates = lshCandidates(minhashSignatures(sh, idCol, bands), idCol)
+    jaccardPairs(sh, idCol, minJaccard)
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+  }
+
+  /** SimHash signature (default 16 bits from the top of each token's md5).
+    * Bit b is set when sum over tokens of ±1 (per-token bit b) is ≥ 0.
+    * Token multiplicity counts, matching the classic definition.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .select(col(idCol), wordCode16(col("w")).as("h"))
+      .select(col(idCol), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .withColumn("bit", expr("shiftright(h, CAST(b AS INT)) & 1"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") >= 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0L))
+        .as("simhash"))
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, marker-based language ID, and document fingerprinting.
+  * All single-pass, no joins; per-doc work is array-lambda expressions that
+  * stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count plus a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(words(col(textCol))).cast("long").as("n_tokens_ws"),
+      regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+        .as("n_tokens_re"))
+
+  /** Quality metrics: doc length, word count, mean word length, stopword
+    * ratio, and a bounded composite score.
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(ws).cast("long").as("n_words"),
+      (wordCharSum(ws).cast("double") / size(ws)).as("avg_word_len"),
+      (stopwordCount(ws).cast("double") / size(ws)).as("stopword_ratio"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_words") / lit(50.0)) * (lit(1.0) - col("stopword_ratio")))
+  }
+
+  /** Marker-word language ID with deterministic priority tie-breaking.
+    * `markers` maps language → marker words; priority = insertion order.
+    */
+  val DefaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "de", "et", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             markers: Seq[(String, Seq[String])] = DefaultMarkers): DataFrame = {
+    val ws = words(col(textCol))
+    val scored = markers.foldLeft(docs.select(col(idCol), ws.as("__ws"))) {
+      case (df, (lang, mks)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("__ws"), w => w.isin(mks: _*))).cast("long"))
+    }
+    val langs = markers.map(_._1)
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    // First language (in priority order) achieving the max score; 'und' when
+    // no marker hit at all.
+    val predicted = langs.foldRight(lit("und")) { (l, rest) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted_lang", predicted)
+      .select(col(idCol) +: langs.map(l => col(s"score_$l")) :+ col("predicted_lang"): _*)
+  }
+
+  /** Position-weighted rolling-hash fingerprint: sum over tokens of
+    * hash24(token) · ((pos mod 8)+1). Order-sensitive (cyclic weights),
+    * overflow-safe in 64 bits, and portable (md5-derived hash).
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), posexplode(words(col(textCol))))
+      .select(col(idCol),
+        (wordCode24(col("col")) * ((col("pos") % 8) + 1)).as("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("term")).as("fingerprint"))
+}

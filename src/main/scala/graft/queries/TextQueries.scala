@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * token counting, quality scoring, language ID, fingerprinting, and the
+  * dedup family (exact, MinHash+LSH, n-gram Jaccard, SimHash).
+  *
+  * Oracle portability: all hashes derive from md5 hex substrings
+  * (Spark `conv(hex,16,10)` ≡ DuckDB `('0x'||hex)::BIGINT`).
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // Shared DuckDB CTE: whitespace tokenization + distinct 3-word shingles.
+  private val wordsCte =
+    "words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)"
+  private val shinglesCte =
+    """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(ws)-2, 0)),
+      |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words)""".stripMargin
+  private val sigCte =
+    """sig AS (SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || '|' || shingle)) AS minhash
+      |  FROM sh, (SELECT unnest(range(8)) AS b) bands GROUP BY doc_id, b)""".stripMargin
+  private val candCte =
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.b = b.b AND a.minhash = b.minhash
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+  private val interCte =
+    """sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "text_token_count" -> { (s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    "text_quality_score" -> { (s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"), col("n_words"),
+          round(col("avg_word_len"), 6).as("avg_word_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))
+    },
+
+    "text_langid" -> { (s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // Exact dedup over a doubled corpus (simulated re-ingest): every text
+    // collapses to one canonical row with n_copies = 2.
+    "dedup_exact" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.exact(docs.unionByName(docs), "doc_id", "text")
+    },
+
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.lshCandidates(Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
+    },
+
+    "dedup_near_duplicates" -> { (s, dir) =>
+      Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.8)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    "dedup_jaccard_exact" -> { (s, dir) =>
+      val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.jaccardPairs(sh, "doc_id", minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_re
+        |FROM documents""".stripMargin,
+
+    "text_quality_score" ->
+      s"""WITH $wordsCte,
+         |m AS (SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) AS awl,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+         |    / len(ws) AS sr
+         |  FROM documents d JOIN words USING (doc_id))
+         |SELECT doc_id, n_chars, n_words, round(awl, 6) AS avg_word_len,
+         |  round(sr, 6) AS stopword_ratio,
+         |  round(least(1.0, n_words / 50.0) * (1.0 - sr), 6) AS quality_score
+         |FROM m""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $wordsCte,
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(ws, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS score_es,
+         |  CAST(len(list_filter(ws, x -> x IN ('le','les','de','et','un'))) AS BIGINT) AS score_fr,
+         |  CAST(len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS score_de
+         |  FROM words)
+         |SELECT doc_id, score_en, score_es, score_fr, score_de,
+         |  CASE WHEN score_en = g AND g > 0 THEN 'en'
+         |       WHEN score_es = g AND g > 0 THEN 'es'
+         |       WHEN score_fr = g AND g > 0 THEN 'fr'
+         |       WHEN score_de = g AND g > 0 THEN 'de'
+         |       ELSE 'und' END AS predicted_lang
+         |FROM (SELECT *, greatest(score_en, score_es, score_fr, score_de) AS g FROM s)""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH $wordsCte
+         |SELECT doc_id, CAST(list_sum(list_transform(range(len(ws)),
+         |  i -> ('0x' || substr(md5(ws[i+1]), 1, 6))::BIGINT * ((i % 8) + 1))) AS BIGINT)
+         |  AS fingerprint
+         |FROM words""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM doubled GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |$sigCte
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sig a JOIN sig b ON a.b = b.b AND a.minhash = b.minhash
+         |  AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_near_duplicates" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |$sigCte,
+         |$candCte,
+         |$interCte
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8""".stripMargin,
+
+    "dedup_jaccard_exact" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |$interCte
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS word FROM words),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h16 FROM tok),
+         |bits AS (SELECT doc_id, b, sum(((h16 >> CAST(b AS INTEGER)) & 1) * 2 - 1) AS s
+         |  FROM h, (SELECT unnest(range(16)) AS b) bb GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, b) AS BIGINT)
+         |  ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin
+  )
+}
