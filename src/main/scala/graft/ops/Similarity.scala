@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - [[bruteForceKnn]]: exact cosine top-k. The QUERY side broadcasts
+  *     (small set of probe vectors); the corpus streams through — at 100 TB
+  *     this is one scan, no shuffle of the corpus, and the per-query top-k
+  *     is a windowed rank over (query, candidate) scores whose cardinality
+  *     is |queries| × |corpus| — use only when |queries| is small.
+  *   - [[lshKnn]]: signed-random-projection LSH. Bucket ids are computed
+  *     map-side from deterministic md5-derived hyperplanes; the join is an
+  *     equi-join on the bucket, so each query scores only its bucket's
+  *     candidates (recall < 1, tunable by `planes`; multi-probe = union
+  *     over neighboring buckets would be the next step).
+  *
+  * Ranking is by cosine ROUNDED to 6 decimals with id tie-break, making
+  * top-k deterministic and portable across engines.
+  */
+object Similarity {
+
+  /** Exact cosine top-k of `corpus` for each row of `queries`.
+    * Both frames must expose (`idCol`, `vecCol`).
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
+  }
+
+  /** LSH-bucketed cosine top-k: candidates limited to the query's bucket. */
+  def lshKnn(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, planes: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("bucket"), col("cand_id"), col("cosine"), col("rn"))
+  }
+
+  /** Per-label norm statistics (sanity profile of an embedding corpus). */
+  def normStats(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb.select(col(labelCol), normD(col(vecCol)).as("__n"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("__n")), 6).as("avg_norm"),
+        round(min(col("__n")), 6).as("min_norm"),
+        round(max(col("__n")), 6).as("max_norm"))
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.sources.Tables
+
+/** Similarity-search queries over the `embeddings` table (64-dim float
+  * vectors): exact brute-force cosine top-k as the baseline and
+  * hyperplane-LSH-bucketed top-k as the scale path.
+  *
+  * Cross-engine determinism: all reductions are sequential left folds in
+  * double precision; ranking uses cosine rounded to 6 decimals with id
+  * tie-break (see VectorFunctions / Similarity scaladoc).
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Planes = 4
+  private val QueryPred = "vec_id < 10"
+
+  // DuckDB: sequential-fold dot product of two list columns in double.
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
+
+  private def lshBucketSql(v: String): String =
+    s"""CAST(list_sum(list_transform(range($Planes), p ->
+       |  CASE WHEN list_sum(list_transform(range(len($v)), j ->
+       |    (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 4))::BIGINT
+       |      - 32768) * CAST($v[j+1] AS DOUBLE))) >= 0
+       |  THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "knn_cosine_bruteforce" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceKnn(emb, emb.filter(expr(QueryPred)), "vec_id", "embedding", k = 5)
+    },
+
+    "ann_lsh_bucketed" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshKnn(emb, emb.filter(expr(QueryPred)), "vec_id", "embedding",
+        k = 3, planes = Planes)
+    },
+
+    "embedding_norm_stats" -> { (s, dir) =>
+      Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "knn_cosine_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $QueryPred),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |p AS (SELECT query_id, cand_id,
+         |  round(${dotSql("qv", "cv")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
+         |  FROM q, c WHERE query_id <> cand_id),
+         |r AS (SELECT query_id, cand_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+         |  FROM p)
+         |SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "ann_lsh_bucketed" ->
+      s"""WITH sig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig WHERE $QueryPred),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, bucket FROM sig),
+         |p AS (SELECT query_id, c.bucket, cand_id,
+         |  round(${dotSql("qv", "cv")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
+         |  FROM q JOIN c ON q.bucket = c.bucket AND query_id <> cand_id),
+         |r AS (SELECT query_id, bucket, cand_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+         |  FROM p)
+         |SELECT query_id, bucket, cand_id, cosine, CAST(rn AS INTEGER) AS rn
+         |FROM r WHERE rn <= 3""".stripMargin,
+
+    "embedding_norm_stats" ->
+      s"""WITH n AS (SELECT label, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vectors, round(avg(nrm), 6) AS avg_norm,
+         |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+         |FROM n GROUP BY label""".stripMargin
+  )
+}
