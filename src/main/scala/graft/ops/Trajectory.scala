@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions.pointString
+
+/** Trajectory assembly (SURVEY.md §2.5 W7, §2.9 G3–G4; reference
+  * `viz.py:814-821`): per-user time-ordered point paths and start/end
+  * extraction.
+  *
+  * Scale shape: `collect_list` of (ts, vertex) structs per user — one
+  * shuffle keyed by user, sort happens per-group via `array_sort` on the
+  * collected array (bounded by per-user trajectory length), NOT a global
+  * sort. Endpoints avoid collection entirely (min_by/max_by aggregates).
+  */
+object Trajectory {
+
+  /** Per-user path as "lon lat;lon lat;..." ordered by (ts, tiebreak). */
+  def assemble(df: DataFrame, userCol: String, tsCol: String,
+               lonCol: String, latCol: String, tiebreak: String): DataFrame =
+    df.select(col(userCol),
+      struct(col(tsCol), col(tiebreak),
+        pointString(col(lonCol), col(latCol)).as("pt")).as("__v"))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(col("__v"))).as("__path"))
+      .select(col(userCol),
+        array_join(transform(col("__path"), v => v.getField("pt")), ";").as("path"),
+        size(col("__path")).as("n_points"))
+
+  /** G4: first/last vertex per user (no per-group ordering pass needed). */
+  def endpoints(df: DataFrame, userCol: String, tsCol: String,
+                lonCol: String, latCol: String): DataFrame =
+    df.select(col(userCol), col(tsCol),
+      pointString(col(lonCol), col(latCol)).as("__pt"))
+      .groupBy(col(userCol))
+      .agg(
+        min_by(col("__pt"), col(tsCol)).as("start_point"),
+        max_by(col("__pt"), col(tsCol)).as("end_point"),
+        unix_micros(min(col(tsCol))).as("start_us"),
+        unix_micros(max(col(tsCol))).as("end_us"))
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+import graft.ops.Trajectory
+import graft.sources.Tables
+
+/** Geospatial queries (SURVEY.md §2.9). Points are synthesized
+  * deterministically from the events table (lon from `value`, lat from the
+  * JSON `props.k`) — the testdata has no native geo column, and this also
+  * exercises the JSON-extraction path (stream payload decode, §2.8).
+  *
+  * Vertex strings use fixed 6-decimal formatting; the derivations keep ≤4
+  * decimal digits so Java's HALF_UP and C's half-even formatting agree.
+  */
+object GeoQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withPoints(ev: DataFrame): DataFrame =
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("lon", lit(-118.0) + col("value") / lit(100))
+      .withColumn("lat", lit(34.0) + col("k").cast("double") / lit(100.0))
+
+  private val ptsCte =
+    """pts AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  -118.0 + value/100 AS lon,
+      |  34.0 + CAST(json_extract_string(props, '$.k') AS BIGINT)/100.0 AS lat
+      |  FROM events)""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    // W7/G3: per-user time-ordered trajectory assembly.
+    "g3_trajectory_assembly" -> { (s, dir) =>
+      Trajectory.assemble(withPoints(Tables.events(s, dir)),
+        "user_id", "ts", "lon", "lat", tiebreak = "event_id")
+    },
+
+    // G4: start/end vertex per user.
+    "g4_trajectory_endpoints" -> { (s, dir) =>
+      Trajectory.endpoints(withPoints(Tables.events(s, dir)),
+        "user_id", "ts", "lon", "lat")
+    },
+
+    // F11/G2: WKT POINT encoding.
+    "g2_wkt_encode" -> { (s, dir) =>
+      withPoints(Tables.events(s, dir))
+        .select(col("event_id"), wktPoint(col("lon"), col("lat")).as("wkt"))
+    },
+
+    // F10/G2: WKB hex round-trip through the custom Catalyst expressions.
+    // Not SQL-expressible in DuckDB (no IEEE754 bit functions) — rows-only
+    // check; correctness is asserted by GeoFunctionsSpec.
+    "g2_wkb_roundtrip" -> { (s, dir) =>
+      withPoints(Tables.events(s, dir))
+        .withColumn("wkb_hex", wkbPointEncode(col("lon"), col("lat")))
+        .withColumn("decoded", wkbPointDecode(col("wkb_hex")))
+        .select(col("event_id"), col("lon"), col("lat"), col("wkb_hex"),
+          col("decoded").getField("lon").as("decoded_lon"),
+          col("decoded").getField("lat").as("decoded_lat"),
+          (col("decoded.lon") === col("lon") && col("decoded.lat") === col("lat"))
+            .as("roundtrip_ok"))
+    },
+
+    // F16/JSON: stream-payload style JSON field extraction.
+    "f_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          (col("value") * get_json_object(col("props"), "$.k").cast("long"))
+            .as("weighted"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "g3_trajectory_assembly" ->
+      s"""WITH $ptsCte
+         |SELECT user_id,
+         |  string_agg(printf('%.6f', lon) || ' ' || printf('%.6f', lat), ';'
+         |    ORDER BY ts, event_id) AS path,
+         |  CAST(count(*) AS INTEGER) AS n_points
+         |FROM pts GROUP BY user_id""".stripMargin,
+
+    "g4_trajectory_endpoints" ->
+      s"""WITH $ptsCte
+         |SELECT user_id,
+         |  arg_min(printf('%.6f', lon) || ' ' || printf('%.6f', lat), ts) AS start_point,
+         |  arg_max(printf('%.6f', lon) || ' ' || printf('%.6f', lat), ts) AS end_point,
+         |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+         |FROM pts GROUP BY user_id""".stripMargin,
+
+    "g2_wkt_encode" ->
+      s"""WITH $ptsCte
+         |SELECT event_id,
+         |  'POINT(' || printf('%.6f', lon) || ' ' || printf('%.6f', lat) || ')' AS wkt
+         |FROM pts""".stripMargin,
+
+    "f_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  value * CAST(json_extract_string(props, '$.k') AS BIGINT) AS weighted
+        |FROM events""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Melt
+import graft.sources.Tables
+
+/** Scalar-function, melt, top-k, and widget-seeding queries (SURVEY.md
+  * §2.1 S1/S10, §2.4 A5–A6, §2.5 W2, §2.6 O-series, §2.8 F-series).
+  */
+object ScalarQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    // S1: full projection scan (ts normalized to epoch-µs).
+    "s1_full_scan" -> { (s, dir) =>
+      Tables.events(s, dir).select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    },
+
+    // S10: wide→long melt of measure columns via the stack generator.
+    "s10_melt_wide_to_long" -> { (s, dir) =>
+      Melt(Tables.lineitem(s, dir).filter(col("l_orderkey") < 100),
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        valueCols = Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
+
+    // A5: column bounds for widget seeding.
+    "a5_column_bounds" -> { (s, dir) =>
+      Tables.orders(s, dir).agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        // o_orderdate arrives as TIMESTAMP_NTZ (parquet ms, not UTC-adjusted);
+        // cast is identity under the UTC session zone.
+        unix_micros(min(col("o_orderdate")).cast("timestamp")).as("min_date_us"),
+        unix_micros(max(col("o_orderdate")).cast("timestamp")).as("max_date_us"))
+    },
+
+    // A6: distinct attribute values.
+    "a6_distinct_values" -> { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_mktsegment")).distinct()
+    },
+
+    // W2: standalone per-user mean calibration.
+    "w2_mean_calibration" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          round(col("value") / avg(col("value")).over(w), 6).as("calibrated"))
+    },
+
+    // O3: deterministic top-k per group (rank + tie-break).
+    "o3_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir).filter(col("o_custkey") <= 100)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+
+    // F13: salted sha256 (login-hash parity, reference viz.py:1209-1212).
+    "f13_sha256" -> { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"),
+        sha2(concat(lit("salt42|"), col("c_name")), 256).as("pwd_hash"))
+    },
+
+    // F15: age-in-years from a date-of-birth stand-in vs a fixed reference
+    // date (explicit calendar arithmetic — portable, unlike months_between).
+    "f15_age_years" -> { (s, dir) =>
+      val dob = col("o_orderdate")
+      Tables.orders(s, dir).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          (lit(2026) - year(dob) -
+            when(month(dob) > 1 || (month(dob) === 1 && dayofmonth(dob) > 1), 1)
+              .otherwise(0)).cast("long").as("age_years"))
+    },
+
+    // F7: string normalization pipeline (lower/replace/split_part/regexp).
+    "f7_string_normalize" -> { (s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        lower(col("p_type")).as("type_lc"),
+        regexp_replace(lower(col("p_name")), " ", "_").as("name_snake"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_first"),
+        regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s1_full_scan" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id,
+        |  event_type, value, props FROM events""".stripMargin,
+
+    "s10_melt_wide_to_long" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  CAST(l_quantity AS DOUBLE) AS value FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+
+    "a5_column_bounds" ->
+      """SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  epoch_us(CAST(min(o_orderdate) AS TIMESTAMP)) AS min_date_us,
+        |  epoch_us(CAST(max(o_orderdate) AS TIMESTAMP)) AS max_date_us
+        |FROM orders""".stripMargin,
+
+    "a6_distinct_values" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+
+    "w2_mean_calibration" ->
+      """SELECT event_id,
+        |  round(value / avg(value) OVER (PARTITION BY user_id), 6) AS calibrated
+        |FROM events""".stripMargin,
+
+    "o3_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey <= 100)
+        |WHERE rn <= 3""".stripMargin,
+
+    "f13_sha256" ->
+      "SELECT c_custkey, sha256('salt42|' || c_name) AS pwd_hash FROM customer",
+
+    "f15_age_years" ->
+      """SELECT o_orderkey,
+        |  CAST(2026 - year(o_orderdate)
+        |    - CASE WHEN month(o_orderdate) > 1
+        |           OR (month(o_orderdate) = 1 AND day(o_orderdate) > 1)
+        |      THEN 1 ELSE 0 END AS BIGINT) AS age_years
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+
+    "f7_string_normalize" ->
+      """SELECT p_partkey, lower(p_type) AS type_lc,
+        |  replace(lower(p_name), ' ', '_') AS name_snake,
+        |  split_part(p_type, ' ', 1) AS type_first,
+        |  regexp_extract(p_name, '[a-z]+') AS first_word
+        |FROM part""".stripMargin
+  )
+}
