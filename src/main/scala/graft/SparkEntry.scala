@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GeoQueries, ScalarQueries, SimilarityQueries, TextQueries, TimeSeriesQueries, TpchQueries}
+import graft.queries.{EngineQueries, GeoQueries, ScalarQueries, SimilarityQueries, TextQueries, TimeSeriesQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.defs ++ TimeSeriesQueries.defs ++ TextQueries.defs ++
-      SimilarityQueries.defs ++ GeoQueries.defs ++ ScalarQueries.defs
+      SimilarityQueries.defs ++ GeoQueries.defs ++ ScalarQueries.defs ++
+      EngineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ TimeSeriesQueries.oracles ++ TextQueries.oracles ++
-      SimilarityQueries.oracles ++ GeoQueries.oracles ++ ScalarQueries.oracles
+      SimilarityQueries.oracles ++ GeoQueries.oracles ++ ScalarQueries.oracles ++
+      EngineQueries.oracles
 }

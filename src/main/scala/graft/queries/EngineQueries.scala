@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.ops.{CohortFilter, Multimodal}
+import graft.query.QueryEngine
+import graft.sources.Tables
+
+/** Whole-lifecycle queries: the full SURVEY.md §3.1 cohort analysis driven
+  * by a serialized QuerySpec (parse → cohort resolution → windowed scan →
+  * semi-join → KPI/delta aggregation), and the multimodal-column pipeline.
+  */
+object EngineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The QuerySpec under test — built, serialized to JSON, and re-parsed on
+    * every run, so the query exercises the spec round-trip too.
+    */
+  private def spec: QuerySpec = QuerySpec.fromJson(QuerySpec(
+    subjectSelection = ByAttributes(Seq(
+      CohortFilter.NumericRange("c_acctbal", 1000.0, 9000.0),
+      CohortFilter.CategoricalIn("c_mktsegment", Seq("BUILDING", "MACHINERY")))),
+    controlSelection = AllUsers,
+    startDate = "2024-01-03",
+    endDate = "2024-01-20").toJson)
+
+  private def runEngine(s: SparkSession, dir: String): QueryEngine.ResultBundle = {
+    val subjects = Tables.customer(s, dir).withColumnRenamed("c_custkey", "user_id")
+    QueryEngine.run(spec, subjects, Tables.events(s, dir), "user_id", "ts", "value")
+  }
+
+  def defs: Map[String, Q] = Map(
+    "cohort_analysis_e2e" -> { (s, dir) =>
+      runEngine(s, dir).kpis.select(
+        round(col("subj_avg"), 4).as("subj_avg"),
+        col("subj_min"), col("subj_max"), col("subj_rows"),
+        round(col("ctrl_avg"), 4).as("ctrl_avg"),
+        round(col("ctrl_std"), 4).as("ctrl_std"), col("ctrl_rows"),
+        round(col("delta_avg"), 4).as("delta_avg"))
+    },
+
+    "cohort_tod_ranges" -> { (s, dir) =>
+      runEngine(s, dir).todKpis.select(col("range_label"),
+        round(col("avg_value"), 4).as("avg_value"),
+        col("min_value"), col("max_value"), col("n"))
+    },
+
+    "mm_image_metadata" -> { (s, dir) =>
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "utf-8").as("payload"),
+        lit("image/fake").as("mime"))
+      Multimodal.decodeImageMeta(media)
+    },
+
+    "mm_frame_sample" -> { (s, dir) =>
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 50).select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "utf-8").as("payload"))
+      Multimodal.frameSample(media, fps = 30, everyNthFrame = 10)
+    }
+  )
+
+  private val subjCte =
+    """subj AS (SELECT c_custkey AS user_id FROM customer
+      |  WHERE (c_acctbal BETWEEN 1000.0 AND 9000.0 OR c_acctbal IS NULL)
+      |    AND (c_mktsegment IN ('BUILDING','MACHINERY') OR c_mktsegment IS NULL)),
+      |win AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-20'),
+      |sw AS (SELECT * FROM win WHERE user_id IN (SELECT user_id FROM subj))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "cohort_analysis_e2e" ->
+      s"""WITH $subjCte,
+         |s AS (SELECT avg(value) AS a, min(value) AS mn, max(value) AS mx,
+         |  count(*) AS n FROM sw),
+         |c AS (SELECT avg(value) AS a, stddev_samp(value) AS sd, count(*) AS n
+         |  FROM win WHERE user_id IN (SELECT c_custkey FROM customer))
+         |SELECT round(s.a, 4) AS subj_avg, s.mn AS subj_min, s.mx AS subj_max,
+         |  s.n AS subj_rows, round(c.a, 4) AS ctrl_avg, round(c.sd, 4) AS ctrl_std,
+         |  c.n AS ctrl_rows, round(s.a - c.a, 4) AS delta_avg
+         |FROM s, c""".stripMargin,
+
+    "cohort_tod_ranges" ->
+      s"""WITH $subjCte,
+         |tagged AS (
+         |  SELECT 'Workout' AS range_label, value FROM sw
+         |    WHERE strftime(ts, '%H:%M:%S') BETWEEN '06:45:00' AND '09:30:00'
+         |  UNION ALL
+         |  SELECT 'Afternoon', value FROM sw
+         |    WHERE strftime(ts, '%H:%M:%S') BETWEEN '12:30:00' AND '16:00:00'
+         |  UNION ALL
+         |  SELECT 'Sleep', value FROM sw
+         |    WHERE strftime(ts, '%H:%M:%S') >= '20:00:00'
+         |       OR strftime(ts, '%H:%M:%S') <= '04:45:00')
+         |SELECT range_label, round(avg(value), 4) AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value, count(*) AS n
+         |FROM tagged GROUP BY range_label""".stripMargin,
+
+    "mm_image_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |  CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INTEGER) AS height,
+        |  3 AS channels
+        |FROM documents""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) % 1000 + 1 AS n_frames
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(f AS DOUBLE) / 30 AS ts_sec
+        |FROM m, unnest(range(0, n_frames, 10)) AS t(f)""".stripMargin
+  )
+}

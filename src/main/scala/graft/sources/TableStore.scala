@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical persistent store (SURVEY.md §2.1 S7–S9, S11; §4 shuffle note).
+  *
+  * Layout strategy for the 100 TB target:
+  *   - series tables are date-partitioned (`partitionBy(date)`) so S2
+  *     day-granularity scans prune partitions, and BUCKETED by user so the
+  *     per-user window pipelines (W1–W7, A4, A9) and cohort semi-joins read
+  *     co-located data without a shuffle;
+  *   - subjects tables are small → single unbucketed table, broadcast at
+  *     join time.
+  */
+object TableStore {
+
+  /** S7: create a database (catalog namespace). */
+  def createDatabase(spark: SparkSession, name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+
+  /** S8: catalog listing. */
+  def listDatabases(spark: SparkSession): Seq[String] =
+    spark.catalog.listDatabases().collect().map(_.name).toSeq
+
+  def listTables(spark: SparkSession, db: String): Seq[String] =
+    spark.catalog.listTables(db).collect().map(_.name).toSeq
+
+  /** S9/S10 sink: append a long-format series frame, date-partitioned and
+    * user-bucketed. One-time shuffle at write; every later per-user
+    * operator reads pre-clustered buckets.
+    */
+  def appendSeries(df: DataFrame, table: String, userCol: String, tsCol: String,
+                   buckets: Int = 64): Unit =
+    df.withColumn("date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("date")
+      .bucketBy(buckets, userCol)
+      .sortBy(userCol, tsCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** S9 sink: subjects append (small table, no bucketing). */
+  def appendSubjects(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+
+  /** S11: CSV export sink. */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+}

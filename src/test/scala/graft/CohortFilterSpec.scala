@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CohortFilter
+import graft.ops.CohortFilter._
+
+class CohortFilterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def subjects = Seq(
+    ("u1", Some(25L), Some("CA"), Some(true)),
+    ("u2", Some(40L), Some("NY"), Some(false)),
+    ("u3", None, Some("CA"), None),        // null age / consent
+    ("u4", Some(70L), None, Some(true))    // null state
+  ).toDF("user_id", "age", "state", "consent")
+
+  test("empty categorical selection allows all (P5)") {
+    assert(CohortFilter(subjects, Seq(CategoricalIn("state", Seq.empty))).count() == 4)
+  }
+
+  test("null-tolerant numeric range keeps null rows (P4)") {
+    val got = CohortFilter(subjects, Seq(NumericRange("age", 20, 50)))
+      .select("user_id").as[String].collect().toSet
+    assert(got == Set("u1", "u2", "u3")) // u3 via null, u4 out of range
+  }
+
+  test("strict numeric range drops null rows") {
+    val got = CohortFilter(subjects, Seq(NumericRange("age", 20, 50, nullOk = false)))
+      .select("user_id").as[String].collect().toSet
+    assert(got == Set("u1", "u2"))
+  }
+
+  test("filters conjoin (P8)") {
+    val got = CohortFilter(subjects, Seq(
+      NumericRange("age", 20, 80),
+      CategoricalIn("state", Seq("CA")),
+      BooleanEq("consent", value = true)))
+      .select("user_id").as[String].collect().toSet
+    assert(got == Set("u1", "u3", "u4")) // u3: nulls pass; u4: null state passes
+  }
+
+  test("no filters means all users") {
+    assert(CohortFilter(subjects, Seq.empty).count() == 4)
+  }
+
+  test("semi/anti join split a series exactly (J1/J3)") {
+    val series = Seq(("u1", 1.0), ("u2", 2.0), ("u9", 9.0)).toDF("user_id", "value")
+    val cohort = subjects.select("user_id")
+    assert(CohortFilter.semiJoin(series, cohort, "user_id").count() == 2)
+    val anti = CohortFilter.antiJoin(series, cohort, "user_id")
+      .select("user_id").as[String].collect().toSeq
+    assert(anti == Seq("u9"))
+  }
+}

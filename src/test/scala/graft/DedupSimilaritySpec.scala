@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts (keep-min id)") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("canonical_id", "n_copies")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("near-duplicate pipeline finds the planted pair and not the distinct doc") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical → jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // one word差
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of identical docs is identical; near-dups are hamming-close") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming <= hammingFar)
+  }
+
+  test("language ID picks the marker-rich language") {
+    val d = Seq((1L, "the cat and the dog is a pet"),
+      (2L, "el la de que y el la"), (3L, "xyz qqq zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(d, "doc_id", "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
+  }
+
+  test("brute-force kNN ranks an identical vector first") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),   // identical to 1
+      (3L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (4L, Array(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceKnn(emb, emb.filter($"vec_id" === 1), "vec_id",
+      "embedding", k = 3)
+      .orderBy("rn").select("cand_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 4L))
+  }
+
+  test("LSH buckets put identical vectors together") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.5f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lshKnn(emb, emb.filter($"vec_id" === 1), "vec_id",
+      "embedding", k = 5, planes = 4)
+      .select("cand_id").as[Long].collect().toSet
+    assert(got.contains(2L)) // same bucket guaranteed for identical vectors
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoFunctions._
+
+class GeoFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("WKB encode matches the known little-endian POINT(1 2) vector") {
+    // 01 (LE) + 01000000 (point) + 1.0d + 2.0d, all little-endian.
+    val expected = "0101000000000000000000f03f0000000000000040"
+    val got = Seq((1.0, 2.0)).toDF("lon", "lat")
+      .select(wkbPointEncode(col("lon"), col("lat")).as("h"))
+      .head().getString(0)
+    assert(got == expected)
+  }
+
+  test("WKB decode inverts encode exactly (incl. negatives)") {
+    val df = Seq((-118.2851, 34.0224), (0.0, -90.0), (179.999999, 0.000001))
+      .toDF("lon", "lat")
+    val bad = df.withColumn("hex", wkbPointEncode(col("lon"), col("lat")))
+      .withColumn("pt", wkbPointDecode(col("hex")))
+      .filter(col("pt.lon") =!= col("lon") || col("pt.lat") =!= col("lat"))
+    assert(bad.count() == 0)
+  }
+
+  test("WKB decode returns null for malformed / non-point input") {
+    val rows = Seq("zz", "", "0101000000ffff", // too short / junk
+      "0102000000000000000000f03f0000000000000040") // type 2 = LINESTRING
+      .toDF("hex")
+      .select(wkbPointDecode(col("hex")).as("pt"))
+      .collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
+  test("decode handles big-endian WKB") {
+    // 00 (BE) + 00000001 + BE doubles for (1.0, 2.0)
+    val hex = "00000000013ff00000000000004000000000000000"
+    val r = Seq(hex).toDF("hex").select(wkbPointDecode(col("hex")).as("pt")).head()
+    val pt = r.getStruct(0)
+    assert(pt.getDouble(0) == 1.0 && pt.getDouble(1) == 2.0)
+  }
+
+  test("SQL registration works") {
+    register(spark)
+    val r = spark.sql(
+      "SELECT wkb_point_decode(wkb_point_encode(3.5d, -7.25d)) AS pt")
+      .select(col("pt.lon"), col("pt.lat")).head()
+    assert(r.getDouble(0) == 3.5 && r.getDouble(1) == -7.25)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SeriesOps
+
+class SeriesOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("date range is day-granular and inclusive on both bounds (S2)") {
+    val df = Seq(
+      ("a", ts("2024-01-04 23:59:59")), // before
+      ("b", ts("2024-01-05 00:00:00")), // first instant of start day
+      ("c", ts("2024-01-06 12:00:00")),
+      ("d", ts("2024-01-07 23:59:59")), // last instant of end day
+      ("e", ts("2024-01-08 00:00:00"))  // after
+    ).toDF("id", "t")
+    val got = SeriesOps.dateRange(df, "t", "2024-01-05", "2024-01-07")
+      .select("id").as[String].collect().sorted
+    assert(got.toSeq == Seq("b", "c", "d"))
+  }
+
+  test("time-of-day slice crosses midnight (P11, sleep 20:00-04:45)") {
+    val df = Seq(
+      ("evening", ts("2024-01-05 20:00:00")),
+      ("midnight", ts("2024-01-06 00:00:00")),
+      ("early", ts("2024-01-06 04:45:00")),
+      ("late_morning", ts("2024-01-06 04:45:01")),
+      ("noon", ts("2024-01-06 12:00:00")),
+      ("pre_evening", ts("2024-01-06 19:59:59"))
+    ).toDF("id", "t")
+    val got = SeriesOps.timeOfDayRange(df, "t", "20:00:00", "04:45:00")
+      .select("id").as[String].collect().toSet
+    assert(got == Set("evening", "midnight", "early"))
+  }
+
+  test("non-wrapping time-of-day slice behaves as plain between") {
+    val df = Seq(("in", ts("2024-01-05 07:00:00")), ("out", ts("2024-01-05 10:00:00")))
+      .toDF("id", "t")
+    val got = SeriesOps.timeOfDayRange(df, "t", "06:45:00", "09:30:00")
+      .select("id").as[String].collect().toSeq
+    assert(got == Seq("in"))
+  }
+
+  test("dedup keeps the first row by tiebreak (U4 keep-first)") {
+    val df = Seq(
+      ("u1", 100L, 1L, 10.0), // dup group: keep tiebreak 1
+      ("u1", 100L, 2L, 20.0),
+      ("u1", 200L, 3L, 30.0),
+      ("u2", 100L, 4L, 40.0)
+    ).toDF("user_id", "bucket", "seq", "value")
+    val got = SeriesOps.dedupKeepFirst(df, Seq("user_id", "bucket"), "seq")
+      .orderBy("user_id", "bucket")
+      .select("user_id", "bucket", "seq", "value")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("u1", 100L, 1L, 10.0), ("u1", 200L, 3L, 30.0), ("u2", 100L, 4L, 40.0)))
+  }
+
+  test("trailing window anchors at the latest event time, not wall clock (W6)") {
+    val df = Seq(
+      ("old", ts("2024-01-01 00:00:00")),
+      ("edge", ts("2024-01-02 00:00:00")), // exactly max-86400s
+      ("new", ts("2024-01-03 00:00:00"))
+    ).toDF("id", "t")
+    val got = SeriesOps.trailingWindow(df, "t", 86400L)
+      .select("id").as[String].collect().toSet
+    assert(got == Set("edge", "new"))
+  }
+}

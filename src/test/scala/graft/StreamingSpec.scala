@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamKpis
+import graft.streaming.StreamKpis.{Point, TrailingKpi, TrailingState}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def us(min: Long): Long = min * 60L * 1000000L
+
+  private val batches: Seq[Seq[Point]] = Seq(
+    Seq(Point(1, us(0), 10.0), Point(1, us(1), 20.0), Point(2, us(0), 5.0)),
+    Seq(Point(1, us(2), 30.0), Point(2, us(90), 7.0)),
+    Seq(Point(1, us(200), 40.0)) // far jump: only this point stays in window
+  )
+
+  test("running KPIs after each micro-batch equal batch recomputation") {
+    val input = MemoryStream[Point](implicitly[org.apache.spark.sql.Encoder[Point]], spark)
+    val q = StreamKpis.running(input.toDF(), "userId", "value")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("running_kpis").start()
+    try {
+      var seen = Seq.empty[Point]
+      batches.foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+        seen = seen ++ b
+        val got = spark.table("running_kpis")
+          .select("userId", "avg_value", "min_value", "max_value", "n")
+          .as[(Long, Double, Double, Double, Long)].collect()
+          .map(t => t._1 -> t).toMap
+        val expect = seen.groupBy(_.userId)
+        expect.foreach { case (u, ps) =>
+          val vs = ps.map(_.value)
+          val g = got(u)
+          assert(math.abs(g._2 - vs.sum / vs.size) < 1e-12, s"user $u avg")
+          assert(g._3 == vs.min && g._4 == vs.max && g._5 == vs.size)
+        }
+      }
+    } finally q.stop()
+  }
+
+  test("per-user trailing window anchors at the user's latest event (W6)") {
+    val input = MemoryStream[Point](implicitly[org.apache.spark.sql.Encoder[Point]], spark)
+    val q = StreamKpis.trailingPerUser(input.toDS(), windowSec = 3600)(
+      implicitly, implicitly)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("trailing_kpis").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val last = spark.table("trailing_kpis")
+        .groupBy("userId").agg(max(struct(col("lastTsUs"), col("avgValue"),
+          col("minValue"), col("maxValue"), col("n"))).as("s"))
+        .select("userId", "s.*")
+        .as[(Long, Long, Double, Double, Double, Long)]
+        .collect().map(t => t._1 -> t).toMap
+
+      // user 1: last ts = 200 min; window [140, 200] min → only the 40.0 point.
+      assert(last(1L)._6 == 1 && last(1L)._3 == 40.0)
+      // user 2: last ts = 90 min; window [30, 90] → only the 7.0 point.
+      assert(last(2L)._6 == 1 && last(2L)._3 == 7.0)
+    } finally q.stop()
+  }
+
+  test("cursor replay mirrors the simulator's distinct-timestamp batches (O3)") {
+    val df = batches.flatten.toDF("userId", "tsUs", "value")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+    val got = graft.streaming.Replay.cursorBatches(df, "ts", batchSize = 2).toSeq
+    // 5 distinct timestamps → 3 batches (2+2+1).
+    assert(got.map(_.count()).sum == df.count())
+    assert(got.size == 3)
+    // Seek: start at minute 2 → timestamps {2, 90, 200} min → 2 batches.
+    val sought = graft.streaming.Replay.cursorBatches(df, "ts", batchSize = 2,
+      startTime = Some("1970-01-01 00:02:00")).toSeq
+    assert(sought.size == 2 && sought.map(_.count()).sum == 3)
+  }
+}
