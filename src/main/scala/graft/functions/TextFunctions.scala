@@ -34,12 +34,6 @@ object TextFunctions {
   def wordCode16(w: Column): Column =
     conv(substring(md5(w), 1, 4), 16, 10).cast("long")
 
-  /** Banded minhash value for one shingle: lexicographic min over the md5 of
-    * the band-salted shingle is a valid uniform minhash permutation.
-    */
-  def bandedHash(band: Column, shingle: Column): Column =
-    md5(concat(band.cast("string"), lit("|"), shingle))
-
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
   def stopwordCount(ws: Column): Column =

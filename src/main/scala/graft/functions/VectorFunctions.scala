@@ -23,21 +23,34 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
-    * 16 md5 bits shifted to [-32768, 32767]. Portable: DuckDB
+    * 16 md5 bits shifted to [-32768, 32767]. Computed DRIVER-side at
+    * plan-build time — the coefficients are row-invariant, so embedding
+    * them as literals removes 2×planes×dims md5 evaluations PER ROW.
+    * Value-identical to DuckDB
     * `('0x'||substr(md5(p||'_'||j),1,4))::BIGINT - 32768`.
     */
-  def planeCoeff(p: Column, j: Column): Column =
-    (conv(substring(md5(concat(p.cast("string"), lit("_"), j.cast("string"))), 1, 4), 16, 10)
-      .cast("long") - 32768).cast("double")
+  def planeCoeffValue(p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$j".getBytes("UTF-8"))
+      .take(2).map(b => f"${b & 0xff}%02x").mkString
+    (Integer.parseInt(hex, 16) - 32768).toDouble
+  }
 
-  /** Signed projection of `v` onto deterministic hyperplane `p`. */
-  def planeDot(v: Column, p: Column): Column =
-    aggregate(sequence(lit(0), size(v) - 1), lit(0.0),
-      (acc, j) => acc + planeCoeff(p, j) * element_at(v, j + 1).cast("double"))
+  /** Signed projection of `v` onto deterministic hyperplane `p` (left fold,
+    * same order as the element-indexed SQL formulation).
+    */
+  def planeDot(v: Column, p: Int, dims: Int): Column = {
+    val coeffs = typedlit((0 until dims).map(planeCoeffValue(p, _)))
+    aggregate(zip_with(v, coeffs, (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, t) => acc + t)
+  }
 
-  /** Signed-random-projection LSH bucket id over `planes` hyperplanes. */
-  def lshBucket(v: Column, planes: Int): Column =
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
-      (acc, p) => acc + when(planeDot(v, p) >= 0, pow(lit(2.0), p).cast("long"))
-        .otherwise(lit(0L)))
+  /** Signed-random-projection LSH bucket id over `planes` hyperplanes.
+    * `dims` must match the embedding length (coefficients are plan-time
+    * literals).
+    */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      when(planeDot(v, p, dims) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

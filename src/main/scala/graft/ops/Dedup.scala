@@ -35,18 +35,30 @@ object Dedup {
     docs.select(col(idCol), explode(wordShingles(words(col(textCol)), n)).as("shingle"))
       .distinct()
 
-  /** Per-(doc, band) minhash signature; `bands` independent permutations. */
-  def minhashSignatures(shingles: DataFrame, idCol: String, bands: Int = 8): DataFrame =
+  /** Per-(doc, band) minhash signature. ONE md5 per shingle; band b's hash
+    * is hex chars [8b, 8b+8) of it (4 independent 32-bit permutations from
+    * 128 md5 bits) — 8× fewer hash computations than hashing per band, and
+    * the min over a 32-bit space keeps random-collision candidates
+    * negligible. Max 4 bands per md5.
+    */
+  def minhashSignatures(shingles: DataFrame, idCol: String, bands: Int = 4): DataFrame = {
+    require(bands <= 4, "one 128-bit md5 yields at most 4×32-bit bands")
     shingles
+      .withColumn("__md5", md5(col("shingle")))
       .select(col(idCol), explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("shingle"))
+        col("__md5"))
       .groupBy(col(idCol), col("band"))
-      .agg(min(bandedHash(col("band"), col("shingle"))).as("minhash"))
+      .agg(min(expr("substring(__md5, 1 + 8*band, 8)")).as("minhash"))
+  }
 
-  /** Candidate pairs: docs sharing any (band, minhash) bucket; a < b. */
+  /** Candidate pairs: docs sharing any (band, minhash) bucket; a < b.
+    * The signature frame is cached — both join sides reference it, and at
+    * scale it is the small derived sketch (bands × docs), not the corpus.
+    */
   def lshCandidates(signatures: DataFrame, idCol: String): DataFrame = {
-    val a = signatures.select(col(idCol).as("doc_a"), col("band"), col("minhash"))
-    val b = signatures.select(col(idCol).as("doc_b"), col("band"), col("minhash"))
+    val sig = signatures.cache()
+    val a = sig.select(col(idCol).as("doc_a"), col("band"), col("minhash"))
+    val b = sig.select(col(idCol).as("doc_b"), col("band"), col("minhash"))
     a.join(b, Seq("band", "minhash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -57,7 +69,8 @@ object Dedup {
     * with similarity ≥ `minJaccard`. Ground-truth op — at scale, restrict
     * with [[lshCandidates]] first (see [[nearDuplicates]]).
     */
-  def jaccardPairs(shingles: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
+  def jaccardPairs(shinglesIn: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
+    val shingles = shinglesIn.cache() // feeds sizes + both join sides
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = shingles.select(col(idCol).as("doc_a"), col("shingle"))
     val b = shingles.select(col(idCol).as("doc_b"), col("shingle"))
@@ -74,13 +87,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
-  /** The scale path: LSH candidates verified by exact Jaccard ≥ threshold. */
+  /** The scale path: LSH candidates verified by exact Jaccard ≥ threshold.
+    *
+    * Jaccard is computed ONLY for candidate pairs (candidates → doc_a's
+    * shingles → equi-join doc_b's shingles) — never over the O(N²) pair
+    * space. The shingle set is cached: it feeds the signatures, the sizes,
+    * and both verification sides.
+    */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     minJaccard: Double = 0.8, bands: Int = 8, n: Int = 3): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n)
+                     minJaccard: Double = 0.8, bands: Int = 4, n: Int = 3): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val candidates = lshCandidates(minhashSignatures(sh, idCol, bands), idCol)
-    jaccardPairs(sh, idCol, minJaccard)
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+
+    val sa = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = candidates
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
   /** SimHash signature (default 16 bits from the top of each token's md5).

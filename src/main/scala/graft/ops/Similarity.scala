@@ -42,13 +42,16 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
   }
 
-  /** LSH-bucketed cosine top-k: candidates limited to the query's bucket. */
+  /** LSH-bucketed cosine top-k: candidates limited to the query's bucket.
+    * `dims` = embedding length (hyperplane coefficients are plan-time
+    * literals, see VectorFunctions.planeCoeffValue).
+    */
   def lshKnn(corpus: DataFrame, queries: DataFrame,
-             idCol: String, vecCol: String, k: Int, planes: Int): DataFrame = {
+             idCol: String, vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))

@@ -41,7 +41,7 @@ object SimilarityQueries {
     "ann_lsh_bucketed" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.lshKnn(emb, emb.filter(expr(QueryPred)), "vec_id", "embedding",
-        k = 3, planes = Planes)
+        k = 3, planes = Planes, dims = 64)
     },
 
     "embedding_norm_stats" -> { (s, dir) =>

@@ -24,8 +24,8 @@ object TextQueries {
     """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(ws)-2, 0)),
       |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words)""".stripMargin
   private val sigCte =
-    """sig AS (SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || '|' || shingle)) AS minhash
-      |  FROM sh, (SELECT unnest(range(8)) AS b) bands GROUP BY doc_id, b)""".stripMargin
+    """sig AS (SELECT doc_id, b, min(substr(md5(shingle), 1 + 8*b, 8)) AS minhash
+      |  FROM sh, (SELECT unnest(range(4)) AS b) bands GROUP BY doc_id, b)""".stripMargin
   private val candCte =
     """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sig a JOIN sig b ON a.b = b.b AND a.minhash = b.minhash

@@ -67,7 +67,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, Array(-1.0f, 0.5f, 0.2f))
     ).toDF("vec_id", "embedding")
     val got = Similarity.lshKnn(emb, emb.filter($"vec_id" === 1), "vec_id",
-      "embedding", k = 5, planes = 4)
+      "embedding", k = 5, planes = 4, dims = 3)
       .select("cand_id").as[Long].collect().toSet
     assert(got.contains(2L)) // same bucket guaranteed for identical vectors
   }
