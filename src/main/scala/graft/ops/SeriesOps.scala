@@ -70,6 +70,21 @@ object SeriesOps {
     df.groupBy(col(userCol))
       .agg(min(col(tsCol)).as("start"), max(col(tsCol)).as("end"), count(lit(1)).as("n"))
 
+  /** J4: exact-timestamp feature alignment — the reference's stream payload
+    * groups heart-rate/calories/locations rows sharing one timestamp
+    * (`stream_sim.py:52-58`) and the dashboard aligns them by index
+    * (`viz.py:742-747`). Spark form: pivot the long frame to one row per
+    * (user, ts) with one column per feature; `min` resolves duplicate
+    * readings deterministically. Explicit `features` list keeps the pivot a
+    * single pass (no distinct-values pre-scan).
+    */
+  def alignFeatures(df: DataFrame, userCol: String, tsCol: String,
+                    featureCol: String, valueCol: String,
+                    features: Seq[String]): DataFrame =
+    df.groupBy(col(userCol), col(tsCol))
+      .pivot(featureCol, features)
+      .agg(min(col(valueCol)))
+
   /** W6/A3: trailing window anchored at the LATEST EVENT TIME (not wall
     * clock) — the reference anchors at `df.index[-1]` (`viz.py:783-789`).
     * Computes max(ts) as a 1-row broadcast join, then filters.

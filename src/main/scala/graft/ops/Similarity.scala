@@ -62,6 +62,25 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("cand_id"), col("cosine"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate mining (the 5th dedup modality): pairs
+    * whose cosine ≥ `threshold`, candidate-limited to LSH co-bucketed
+    * vectors — the corpus is never self-joined at large, only within
+    * buckets. Recall is tunable via `planes` (fewer planes → bigger buckets
+    * → higher recall, more work).
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double, planes: Int, dims: Int): DataFrame = {
+    val withBucket = emb.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes, dims).as("bucket")).cache()
+    val a = withBucket.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("bucket"))
+    val b = withBucket.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
+  }
+
   /** Per-label norm statistics (sanity profile of an embedding corpus). */
   def normStats(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
     emb.select(col(labelCol), normD(col(vecCol)).as("__n"))

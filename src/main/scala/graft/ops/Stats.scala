@@ -39,6 +39,16 @@ object Stats {
   def bounds(df: DataFrame, c: String): DataFrame =
     df.agg(min(col(c)).as("min_value"), max(col(c)).as("max_value"))
 
+  /** A10: row and cardinality counts. `approx_count_distinct` (HLL) is the
+    * 100 TB path — exact distinct shuffles every key; the sketch merges
+    * map-side. (Only exact counts are oracle-comparable across engines.)
+    */
+  def counts(df: DataFrame, keyCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(keyCol)).as("n_distinct"),
+      approx_count_distinct(col(keyCol)).as("n_distinct_approx"))
+
   /** A6: distinct values of an attribute (`viz.py:354, 449`). */
   def distinctValues(df: DataFrame, c: String): DataFrame =
     df.select(col(c)).distinct()

@@ -46,6 +46,14 @@ object SimilarityQueries {
 
     "embedding_norm_stats" -> { (s, dir) =>
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
+    },
+
+    // Embedding-cosine near-duplicate mining, LSH-candidate-limited.
+    // (This corpus has no planted vector dups, so the threshold is low
+    // enough to yield pairs; SimilaritySpec covers the ≥0.95 dup case.)
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3, planes = Planes, dims = 64)
     }
   )
 
@@ -82,6 +90,17 @@ object SimilarityQueries {
          |  FROM embeddings)
          |SELECT label, count(*) AS n_vectors, round(avg(nrm), 6) AS avg_norm,
          |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
-         |FROM n GROUP BY label""".stripMargin
+         |FROM n GROUP BY label""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH sig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |a AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM sig),
+         |b AS (SELECT vec_id AS id_b, embedding AS cv, bucket FROM sig),
+         |p AS (SELECT id_a, id_b, a.bucket,
+         |  round(${dotSql("qv", "cv")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
+         |  FROM a JOIN b ON a.bucket = b.bucket AND id_a < id_b)
+         |SELECT id_a, id_b, bucket, cosine FROM p WHERE cosine >= 0.3""".stripMargin
   )
 }

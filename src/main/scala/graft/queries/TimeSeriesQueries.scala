@@ -117,6 +117,22 @@ object TimeSeriesQueries {
       SeriesOps.dedupKeepFirst(ev, Seq("user_id", "minute_us"), "event_id")
     },
 
+    // J4: exact-timestamp feature alignment (pivot to one row per user+bucket).
+    "j4_feature_alignment" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("minute_us", unix_micros(date_trunc("minute", col("ts"))))
+      SeriesOps.alignFeatures(ev, "user_id", "minute_us", "event_type", "value",
+          features = Seq("click", "view"))
+        .withColumnRenamed("click", "f_click")
+        .withColumnRenamed("view", "f_view")
+    },
+
+    // A10: row count + exact distinct cardinality.
+    "a10_counts" -> { (s, dir) =>
+      Stats.counts(Tables.events(s, dir), "user_id")
+        .select(col("n_rows"), col("n_distinct"))
+    },
+
     // W6/A3: trailing window anchored at latest EVENT time (not wall clock).
     "w6_trailing_window_kpis" -> { (s, dir) =>
       val ev = SeriesOps.trailingWindow(Tables.events(s, dir), "ts", 86400L)
@@ -210,6 +226,17 @@ object TimeSeriesQueries {
         |  epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS minute_us,
         |  min(event_id) AS event_id, arg_min(value, event_id) AS value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "j4_feature_alignment" ->
+      """SELECT user_id,
+        |  epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS minute_us,
+        |  min(CASE WHEN event_type = 'click' THEN value END) AS f_click,
+        |  min(CASE WHEN event_type = 'view' THEN value END) AS f_view
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a10_counts" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_distinct
+        |FROM events""".stripMargin,
 
     "w6_trailing_window_kpis" ->
       """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
