@@ -15,9 +15,17 @@ object SeriesOps {
   /** S2: day-granularity date-range scan — the reference casts BOTH sides to
     * Date (`viz.py:140-148`: `Date(timestamp) >= Date(%s)`), so the bounds
     * are inclusive whole days.
+    *
+    * Written as raw timestamp bounds (`ts >= d0 && ts < d1+1d`), NOT
+    * `to_date(ts).between(...)`: semantically identical for non-null ts,
+    * but a bare-column comparison reaches the parquet scan (PushedFilters +
+    * row-group skipping) and prunes date partitions, while a function-
+    * wrapped column defeats both.
     */
   def dateRange(df: DataFrame, tsCol: String, startDate: String, endDate: String): DataFrame =
-    df.filter(to_date(col(tsCol)).between(lit(startDate), lit(endDate)))
+    df.filter(
+      col(tsCol) >= lit(startDate).cast("timestamp") &&
+        col(tsCol) < date_add(lit(endDate).cast("date"), 1).cast("timestamp"))
 
   /** P10/S4: event-time ≥ cursor scan (`stream_sim.py:136-137`). */
   def fromTime(df: DataFrame, tsCol: String, t0: String): DataFrame =
