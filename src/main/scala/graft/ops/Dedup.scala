@@ -51,6 +51,21 @@ object Dedup {
       .agg(min(expr("substring(__md5, 1 + 8*band, 8)")).as("minhash"))
   }
 
+  /** One-pass k-permutation signature via the typed [[graft.functions.MinHashAgg]]
+    * Aggregator: no band explode — one partial-aggregation pass, shuffle
+    * carries k longs per doc. Complements [[minhashSignatures]] (the
+    * relational/oracle-portable path).
+    */
+  def minhashSignaturesOnePass(shingles: DataFrame, idCol: String, k: Int): DataFrame = {
+    val spark = shingles.sparkSession
+    import spark.implicits._
+    shingles.select(col(idCol).cast("long"), col("shingle")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.MinHashAgg(k).toColumn.name("signature"))
+      .toDF(idCol, "signature")
+  }
+
   /** Candidate pairs: docs sharing any (band, minhash) bucket; a < b.
     * The signature frame is cached — both join sides reference it, and at
     * scale it is the small derived sketch (bands × docs), not the corpus.

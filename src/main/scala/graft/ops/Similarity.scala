@@ -62,6 +62,46 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("cand_id"), col("cosine"), col("rn"))
   }
 
+  /** IVF-style ANN: coarse quantization by an existing cluster column —
+    * centroids are the per-cluster component-wise means; each query probes
+    * ONLY its nearest centroid's cluster (nprobe=1). At 100 TB the corpus
+    * is read cluster-pruned (centroids broadcast, cluster column
+    * partition-prunable); recall improves by probing more clusters.
+    * Centroid components are rounded to 6 decimals so assignment is
+    * deterministic across engines.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, clusterCol: String, k: Int): DataFrame = {
+    val comp = corpus.select(col(clusterCol), posexplode(col(vecCol)))
+      .groupBy(col(clusterCol), col("pos"))
+      .agg(avg(col("col").cast("double")).as("c"))
+    val centroids = comp.groupBy(col(clusterCol))
+      .agg(array_sort(collect_list(struct(col("pos"), round(col("c"), 6).as("c"))))
+        .as("__s"))
+      .select(col(clusterCol).as("__clabel"),
+        transform(col("__s"), s => s.getField("c")).as("__centroid"))
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wAssign = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("__clabel"))
+    val assigned = q.crossJoin(broadcast(centroids))
+      .withColumn("__ccos", round(cosine(col("__qv"), col("__centroid")), 6))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__qv"), col("__clabel").as("cluster"))
+
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+      col(clusterCol).as("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    c.join(broadcast(assigned), Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cluster"), col("cand_id"), col("cosine"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate mining (the 5th dedup modality): pairs
     * whose cosine ≥ `threshold`, candidate-limited to LSH co-bucketed
     * vectors — the corpus is never self-joined at large, only within

@@ -48,6 +48,13 @@ object SimilarityQueries {
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
     },
 
+    // IVF-style ANN: nearest-centroid cluster probe (nprobe=1).
+    "ann_ivf_cosine" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfKnn(emb, emb.filter(expr(QueryPred)), "vec_id", "embedding",
+        clusterCol = "label", k = 3)
+    },
+
     // Embedding-cosine near-duplicate mining, LSH-candidate-limited.
     // (This corpus has no planted vector dups, so the threshold is low
     // enough to yield pairs; SimilaritySpec covers the ≥0.95 dup case.)
@@ -91,6 +98,31 @@ object SimilarityQueries {
          |SELECT label, count(*) AS n_vectors, round(avg(nrm), 6) AS avg_norm,
          |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
          |FROM n GROUP BY label""".stripMargin,
+
+    "ann_ivf_cosine" ->
+      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS v FROM embeddings),
+         |cent AS (SELECT label, list(cr ORDER BY pos) AS centroid
+         |  FROM (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+         |        FROM comp GROUP BY 1, 2)
+         |  GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $QueryPred),
+         |qa AS (SELECT query_id, qv, label,
+         |  round(${dotSql("qv", "centroid")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("centroid", "centroid")})), 6) AS ccos
+         |  FROM q, cent),
+         |assigned AS (SELECT query_id, qv, label AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ccos DESC, label) AS rn FROM qa) WHERE rn = 1),
+         |scored AS (SELECT query_id, cluster, e.vec_id AS cand_id,
+         |  round(${dotSql("qv", "e.embedding")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS cosine
+         |  FROM assigned JOIN embeddings e
+         |    ON e.label = assigned.cluster AND e.vec_id <> assigned.query_id)
+         |SELECT query_id, cluster, cand_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) AS rn FROM scored)
+         |WHERE rn <= 3""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH sig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket

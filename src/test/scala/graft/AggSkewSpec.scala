@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinHashAgg
+import graft.ops.{Dedup, Similarity, Skew}
+
+class AggSkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight today"), // near-dup
+    (3L, "all work and no play makes jack a dull boy indeed"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight again")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("one-pass MinHash Aggregator: identical docs → identical signatures; " +
+    "estimated jaccard orders near-dup above unrelated") {
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val sig = Dedup.minhashSignaturesOnePass(sh, "doc_id", k = 64)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(sig(1L).toSeq == sig(4L).toSeq)
+    val near = MinHashAgg.estimateJaccard(sig(1L), sig(2L))
+    val far = MinHashAgg.estimateJaccard(sig(1L), sig(3L))
+    assert(near > far)
+    assert(near > 0.5) // 9 of 11 shared shingles (true j ≈ 0.69)
+    assert(far == 0.0)
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
+      .toDF("k", "v") // 90% of rows share one key
+    val small = Seq(("HOT", 1.0), ("cold10", 2.0), ("missing", 3.0)).toDF("k", "w")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum("v"), sum("w"))
+      .as[(Long, Long, Double)].head()
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 8)
+      .agg(count(lit(1)), sum("v"), sum("w")).as[(Long, Long, Double)].head()
+    assert(salted == plain)
+  }
+
+  test("salted two-phase aggregation matches direct aggregation") {
+    val df = (1 to 500).map(i => ("HOT", i.toDouble)).toDF("k", "v")
+    val got = Skew.saltedSumCount(df, Seq("k"), "v", salts = 4)
+      .as[(String, Double, Long)].head()
+    assert(got == (("HOT", 500.0 * 501 / 2, 500L)))
+  }
+
+  test("IVF kNN searches only the assigned cluster") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 0),
+      (10L, Array(0.0f, 1.0f), 1), (11L, Array(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfKnn(emb, emb.filter($"vec_id" === 1), "vec_id",
+      "embedding", "label", k = 5)
+      .select("cand_id", "cluster").as[(Long, Int)].collect()
+    assert(got.forall(_._2 == 0))              // never leaves cluster 0
+    assert(got.map(_._1).toSet == Set(2L, 3L)) // all cluster-0 candidates, no self
+  }
+}
