@@ -38,4 +38,11 @@ object Replay {
       df.filter(col(tsCol).isin(group: _*))
     }
   }
+
+  /** Fast-forward pacing (reference `viz.py:583`: "1 simulated hour per N
+    * wall seconds"): wall-clock delay before serving a batch whose event
+    * time advanced by `simulatedAdvanceSec` over its predecessor.
+    */
+  def paceMillis(simulatedAdvanceSec: Double, wallSecondsPerSimHour: Double): Long =
+    math.max(0L, math.round(simulatedAdvanceSec / 3600.0 * wallSecondsPerSimHour * 1000.0))
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.ops.CohortFilter
+import graft.query.QueryEngine
+
+/** Golden end-to-end test (SURVEY.md §5 item 5): the full §3.1 lifecycle on
+  * reference-shaped GeoMTS fixtures, with every expected number computed
+  * INDEPENDENTLY from the in-memory fixture sequences (a second
+  * implementation as oracle, like the reference's pandas recompute).
+  */
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val subjectsDf = Fixtures.users.toDF()
+  private lazy val hrDf = Fixtures.heartRates.toDF("user_id", "timestamp", "value")
+
+  private val spec = QuerySpec(
+    subjectSelection = ByAttributes(Seq(
+      CohortFilter.NumericRange("age", 30, 60, nullOk = false),
+      CohortFilter.BooleanEq("consent", value = true, nullOk = false))),
+    controlSelection = AllUsers,
+    startDate = "2016-08-02", endDate = "2016-08-03")
+
+  test("cohort-analysis lifecycle matches an independent recomputation") {
+    val bundle = QueryEngine.run(spec, subjectsDf, hrDf, "user_id", "timestamp", "value")
+
+    // Independent recomputation from the raw sequences:
+    val cohortIds = Fixtures.users.filter(u =>
+      u.age.exists(a => a >= 30 && a <= 60) && u.consent.contains(true))
+      .map(_.user_id).toSet
+    assert(cohortIds.nonEmpty, "fixture must yield a non-trivial cohort")
+    val d0 = java.sql.Timestamp.valueOf("2016-08-02 00:00:00").getTime
+    val d1 = java.sql.Timestamp.valueOf("2016-08-04 00:00:00").getTime // exclusive
+    val windowRows = Fixtures.heartRates.filter { case (_, ts, _) =>
+      ts.getTime >= d0 && ts.getTime < d1
+    }
+    val subjRows = windowRows.filter(r => cohortIds.contains(r._1))
+
+    val got = bundle.kpis.head()
+    assert(got.getAs[Long]("subj_rows") == subjRows.size)
+    assert(got.getAs[Long]("ctrl_rows") == windowRows.size)
+    val expAvg = subjRows.map(_._3).sum / subjRows.size
+    assert(math.abs(got.getAs[Double]("subj_avg") - expAvg) < 1e-9)
+    assert(got.getAs[Double]("subj_min") == subjRows.map(_._3).min)
+    assert(got.getAs[Double]("subj_max") == subjRows.map(_._3).max)
+    val expCtrlAvg = windowRows.map(_._3).sum / windowRows.size
+    assert(math.abs(got.getAs[Double]("delta_avg") - (expAvg - expCtrlAvg)) < 1e-9)
+
+    // Per-user spans: every cohort user present, span bounds exact.
+    val spans = bundle.userSpans.collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    assert(spans.keySet == cohortIds.filter(id => subjRows.exists(_._1 == id)))
+    val u = spans.keySet.head
+    val uRows = subjRows.filter(_._1 == u).map(_._2.getTime)
+    assert(spans(u)._1.getTime == uRows.min && spans(u)._2.getTime == uRows.max)
+
+    // Time-of-day ranges: counts match a direct recompute (incl. Sleep wrap).
+    val todCounts = bundle.todKpis.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    def tod(ts: java.sql.Timestamp): String =
+      new java.text.SimpleDateFormat("HH:mm:ss").format(ts)
+    val sleepExpected = subjRows.count { case (_, ts, _) =>
+      val t = tod(ts); t >= "20:00:00" || t <= "04:45:00"
+    }
+    val workoutExpected = subjRows.count { case (_, ts, _) =>
+      val t = tod(ts); t >= "06:45:00" && t <= "09:30:00"
+    }
+    assert(todCounts("Sleep") == sleepExpected)
+    assert(todCounts("Workout") == workoutExpected)
+  }
+
+  test("trajectory endpoints match the raw walk's first/last points") {
+    val locDf = Fixtures.locations.toDF("user_id", "timestamp", "lon", "lat")
+    val got = graft.ops.Trajectory.endpoints(locDf, "user_id", "timestamp", "lon", "lat")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    val raw = Fixtures.locations.groupBy(_._1)
+    raw.foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      def fmt(p: (String, java.sql.Timestamp, Double, Double)) =
+        f"${p._3}%.6f ${p._4}%.6f"
+      assert(got(uid)._1 == fmt(sorted.head), s"start of $uid")
+      assert(got(uid)._2 == fmt(sorted.last), s"end of $uid")
+    }
+  }
+
+  test("query history round-trips specs through the catalog (§1.1)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_hist")
+    spark.sql("DROP TABLE IF EXISTS graft_hist.history")
+    QueryHistory.append(spark, "graft_hist.history", "alice", spec)
+    QueryHistory.append(spark, "graft_hist.history", "alice",
+      spec.copy(startDate = "2016-08-05"))
+    QueryHistory.append(spark, "graft_hist.history", "bob", spec)
+    val alice = QueryHistory.list(spark, "graft_hist.history", "alice")
+    assert(alice.map(_._1) == Seq(1L, 0L)) // newest first
+    assert(alice.head._2.startDate == "2016-08-05")
+    assert(alice(1)._2 == spec)
+    assert(QueryHistory.list(spark, "graft_hist.history", "bob").size == 1)
+  }
+}
