@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.ops.{CohortFilter, SafeBand, SeriesOps}
+
+/** Property-based invariants (SURVEY.md §5 item 3), evaluated against an
+  * in-memory re-implementation of the predicate semantics.
+  */
+object GraftProperties extends Properties("graft") {
+
+  // Spark jobs per sample are ~100 ms; keep the sample count bounded.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val genRow: Gen[(String, Option[Double], Option[String])] = for {
+    id <- Gen.identifier.map(_.take(6))
+    age <- Gen.option(Gen.choose(0.0, 100.0))
+    state <- Gen.option(Gen.oneOf("CA", "NY", "TX"))
+  } yield (id, age, state)
+
+  property("filter builder equals row-wise predicate evaluation (P4/P5/P8)") =
+    forAll(Gen.listOfN(40, genRow), Gen.choose(0.0, 50.0), Gen.choose(50.0, 100.0),
+      Gen.someOf("CA", "NY")) { (rows, lo, hi, states) =>
+      val df = rows.toDF("user_id", "age", "state")
+      val filters = Seq(
+        CohortFilter.NumericRange("age", lo, hi),
+        CohortFilter.CategoricalIn("state", states.toSeq))
+      val got = CohortFilter(df, filters).select("user_id").as[String]
+        .collect().sorted.toSeq
+      val expect = rows.filter { case (_, age, state) =>
+        val p4 = age.forall(a => a >= lo && a <= hi) // null-tolerant
+        val p5 = states.isEmpty || state.forall(states.contains)
+        p4 && p5
+      }.map(_._1).sorted
+      got == expect
+    }
+
+  private val genSeries: Gen[List[(Long, Double)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0L, versionedSpanUs), Gen.choose(0.0, 200.0)))
+  private val versionedSpanUs = 40L * 86400L * 1000000L
+
+  property("density buckets partition the series: sum(total)==n, unsafe<=total (A8)") =
+    forAll(genSeries) { rows =>
+      (rows.size > 1) ==> {
+        val df = rows.map { case (us, v) => (new java.sql.Timestamp(us / 1000), v) }
+          .toDF("ts", "value")
+        val buckets = SafeBand.densityBuckets(df, "ts", "value", minBuckets = 10,
+          minBucketSeconds = 60).collect()
+        val totalOk = buckets.map(_.getAs[Long]("total_rows")).sum == rows.size
+        val boundOk = buckets.forall(b =>
+          b.getAs[Long]("unsafe_rows") <= b.getAs[Long]("total_rows"))
+        Prop(totalOk && boundOk)
+      }
+    }
+
+  private val genTod: Gen[String] = for {
+    h <- Gen.choose(0, 23); m <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+  } yield f"$h%02d:$m%02d:$s%02d"
+
+  property("time-of-day wrap predicate equals direct comparison (P11)") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 3L * 86400 - 1)), genTod, genTod) {
+      (secs, start, end) =>
+        val df = secs.map(s => new java.sql.Timestamp(s * 1000L)).toDF("ts")
+        val got = SeriesOps.timeOfDayRange(df, "ts", start, end).count()
+        val expect = secs.count { s =>
+          val tod = f"${s / 3600 % 24}%02d:${s / 60 % 60}%02d:${s % 60}%02d"
+          if (start <= end) tod >= start && tod <= end
+          else tod >= start || tod <= end
+        }
+        got == expect.toLong
+    }
+
+  property("dedup keep-first: one row per key, minimal tiebreak (U4)") =
+    forAll(Gen.listOfN(50, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L)))) { rows =>
+      (rows.nonEmpty && rows.map(_._2).distinct.size == rows.size) ==> {
+        val df = rows.map { case (k, tb) => (k.toString, tb, tb * 2.0) }
+          .toDF("key", "seq", "value")
+        val got = SeriesOps.dedupKeepFirst(df, Seq("key"), "seq")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val expect = rows.groupBy(_._1.toString).map { case (k, g) => k -> g.map(_._2).min }
+        Prop(got == expect)
+      }
+    }
+}
