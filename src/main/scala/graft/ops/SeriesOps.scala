@@ -78,6 +78,28 @@ object SeriesOps {
     df.groupBy(col(userCol))
       .agg(min(col(tsCol)).as("start"), max(col(tsCol)).as("end"), count(lit(1)).as("n"))
 
+  /** Gap-based sessionization (beyond-reference, training-pipeline staple):
+    * a new session starts when the gap from the previous event exceeds
+    * `gapSeconds`. Two windows over ONE user-keyed exchange: a lag to flag
+    * session starts, a running sum to number them. Emits per-event session
+    * ids; aggregate downstream for per-session stats.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 gapSeconds: Long, tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreak))
+    val gapUs = gapSeconds * 1000000L
+    df.withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(ordered))
+      .withColumn("__new_session",
+        when(col("__prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("__prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_us", "__new_session")
+  }
+
   /** J4: exact-timestamp feature alignment — the reference's stream payload
     * groups heart-rate/calories/locations rows sharing one timestamp
     * (`stream_sim.py:52-58`) and the dashboard aligns them by index

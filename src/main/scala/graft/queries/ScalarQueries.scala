@@ -79,6 +79,21 @@ object ScalarQueries {
               .otherwise(0)).cast("long").as("age_years"))
     },
 
+    // F3: date + time-of-day → timestamp (stream start composition).
+    "f3_datetime_combine" -> { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          unix_micros(to_timestamp(concat(
+            date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(" 08:30:00"))))
+            .as("start_us"))
+    },
+
+    // A11: value-counts probe.
+    "a11_value_counts" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // F7: string normalization pipeline (lower/replace/split_part/regexp).
     "f7_string_normalize" -> { (s, dir) =>
       Tables.part(s, dir).select(col("p_partkey"),
@@ -136,6 +151,15 @@ object ScalarQueries {
         |           OR (month(o_orderdate) = 1 AND day(o_orderdate) > 1)
         |      THEN 1 ELSE 0 END AS BIGINT) AS age_years
         |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+
+    "f3_datetime_combine" ->
+      """SELECT o_orderkey,
+        |  epoch_us(CAST(strftime(o_orderdate, '%Y-%m-%d') || ' 08:30:00' AS TIMESTAMP))
+        |    AS start_us
+        |FROM orders WHERE o_orderkey < 500""".stripMargin,
+
+    "a11_value_counts" ->
+      """SELECT event_type, value, count(*) AS n FROM events GROUP BY 1, 2""".stripMargin,
 
     "f7_string_normalize" ->
       """SELECT p_partkey, lower(p_type) AS type_lc,

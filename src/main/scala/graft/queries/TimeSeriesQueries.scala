@@ -127,6 +127,17 @@ object TimeSeriesQueries {
         .withColumnRenamed("view", "f_view")
     },
 
+    // Sessionization: per-user gap-based sessions (30 min), session stats.
+    "w8_sessionize" -> { (s, dir) =>
+      SeriesOps.sessionize(Tables.events(s, dir), "user_id", "ts",
+          gapSeconds = 1800, tiebreak = "event_id")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"),
+          round(sum(col("value")), 4).as("sum_value"))
+    },
+
     // A10: row count + exact distinct cardinality.
     "a10_counts" -> { (s, dir) =>
       Stats.counts(Tables.events(s, dir), "user_id")
@@ -237,6 +248,22 @@ object TimeSeriesQueries {
     "a10_counts" ->
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_distinct
         |FROM events""".stripMargin,
+
+    "w8_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |  lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+        |    OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |  round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "w6_trailing_window_kpis" ->
       """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
