@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DateType, TimestampType}
+
+/** Optimizer rule: rewrite day-granularity comparisons of the form
+  * `CAST(ts AS DATE) <op> DATE 'd'` into raw-timestamp bounds
+  * (SURVEY.md §4 "custom rules"; the reference's own SQL idiom is
+  * `Date(timestamp) >= Date(%s)`, `viz.py:140-148`).
+  *
+  * `to_date(ts) >= d`  ⇒ `ts >= d 00:00:00`
+  * `to_date(ts) <= d`  ⇒ `ts <  (d+1) 00:00:00`
+  * `to_date(ts) = d`   ⇒ conjunction of both
+  * (and the mirrored literal-on-the-left forms)
+  *
+  * Why: a function-wrapped column defeats parquet predicate pushdown,
+  * row-group skipping, and date partition pruning; the rewritten bare-column
+  * bounds reach the scan. Semantics are identical for non-null `ts` under
+  * the engine's fixed UTC session zone (GraftSession) — the rule only fires
+  * for UTC-or-unset cast time zones.
+  */
+object DateCastRewrite extends Rule[LogicalPlan] {
+
+  private val MicrosPerDay = 86400000000L
+
+  private def utcZone(tz: Option[String]): Boolean =
+    tz.forall(z => z == "UTC" || z == "Etc/UTC" || z == "Z")
+
+  /** Matches CAST(ts AS DATE) where ts is a TIMESTAMP column/expr. */
+  private object DayCast {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case c @ Cast(ts, DateType, _, _)
+          if ts.dataType == TimestampType && utcZone(c.timeZoneId) => Some(ts)
+      case _ => None
+    }
+  }
+
+  private def tsLit(days: Int): Literal =
+    Literal(days.toLong * MicrosPerDay, TimestampType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      f.copy(condition = cond.transformUp {
+        case GreaterThanOrEqual(DayCast(ts), Literal(d: Int, DateType)) =>
+          GreaterThanOrEqual(ts, tsLit(d))
+        case LessThanOrEqual(DayCast(ts), Literal(d: Int, DateType)) =>
+          LessThan(ts, tsLit(d + 1))
+        case GreaterThan(DayCast(ts), Literal(d: Int, DateType)) =>
+          GreaterThanOrEqual(ts, tsLit(d + 1))
+        case LessThan(DayCast(ts), Literal(d: Int, DateType)) =>
+          LessThan(ts, tsLit(d))
+        case EqualTo(DayCast(ts), Literal(d: Int, DateType)) =>
+          And(GreaterThanOrEqual(ts, tsLit(d)), LessThan(ts, tsLit(d + 1)))
+        // mirrored literal-first forms
+        case GreaterThanOrEqual(Literal(d: Int, DateType), DayCast(ts)) =>
+          LessThan(ts, tsLit(d + 1))
+        case LessThanOrEqual(Literal(d: Int, DateType), DayCast(ts)) =>
+          GreaterThanOrEqual(ts, tsLit(d))
+        case GreaterThan(Literal(d: Int, DateType), DayCast(ts)) =>
+          LessThan(ts, tsLit(d))
+        case LessThan(Literal(d: Int, DateType), DayCast(ts)) =>
+          GreaterThanOrEqual(ts, tsLit(d + 1))
+        case EqualTo(Literal(d: Int, DateType), DayCast(ts)) =>
+          And(GreaterThanOrEqual(ts, tsLit(d)), LessThan(ts, tsLit(d + 1)))
+      })
+  }
+}
+
+/** `SparkSessionExtensions` entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => DateCastRewrite)
+  }
+}
