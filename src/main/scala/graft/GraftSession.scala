@@ -12,9 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Configs every Graft session needs regardless of master. */
+  /** Configs every Graft session needs regardless of master. Installs the
+    * engine's Catalyst extensions (DateCastRewrite) — a no-op when an
+    * existing session is reused by getOrCreate.
+    */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

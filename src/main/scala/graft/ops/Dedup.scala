@@ -132,6 +132,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph → one cluster id
+    * (the minimum member) per document — the final dedup step: keep one doc
+    * per cluster.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum label in its neighborhood; converges in O(diameter) rounds
+    * (near-dup clusters are tiny, so a handful). Each round is one
+    * edge-join + aggregation; lineage is truncated per round via
+    * localCheckpoint so the loop doesn't accumulate a mega-plan.
+    */
+  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("doc_id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash signature (default 16 bits from the top of each token's md5).
     * Bit b is set when sum over tokens of ±1 (per-token bit b) is ≥ 0.
     * Token multiplicity counts, matching the classic definition.

@@ -84,6 +84,13 @@ object TextQueries {
 
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // Near-dup clusters: pairs → connected components → cluster ids.
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        minJaccard = 0.8)
+      Dedup.clusters(pairs)
     }
   )
 
@@ -166,6 +173,25 @@ object TextQueries {
          |FROM inter i
          |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |$shinglesCte,
+         |$sigCte,
+         |$candCte,
+         |$interCte,
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $wordsCte,

@@ -39,6 +39,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hamming <= hammingFar)
   }
 
+  test("connected components collapse transitive near-dup chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("language ID picks the marker-rich language") {
     val d = Seq((1L, "the cat and the dog is a pet"),
       (2L, "el la de que y el la"), (3L, "xyz qqq zzz")).toDF("doc_id", "text")
