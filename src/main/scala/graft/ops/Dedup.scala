@@ -142,9 +142,17 @@ object Dedup {
     * edge-join + aggregation; lineage is truncated per round via
     * localCheckpoint so the loop doesn't accumulate a mega-plan.
     */
-  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  def clusters(pairs: DataFrame, maxIterations: Int = 20,
+               driverPairLimit: Long = 2000000L): DataFrame = {
+    val p = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long")).cache()
+    val nPairs = p.count()
+    // Small-graph fast path: the near-dup pair graph is orders of magnitude
+    // smaller than the corpus; below the limit a driver-side union-find
+    // replaces an iterative job sequence. Above it, distributed min-label
+    // propagation (the scale path) takes over.
+    if (nPairs <= driverPairLimit) return clustersLocal(p)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -169,6 +177,29 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Driver-side union-find over a collected pair list (path compression +
+    * union by root order, so every root is its component's minimum id).
+    */
+  private def clustersLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
   }
 
   /** SimHash signature (default 16 bits from the top of each token's md5).

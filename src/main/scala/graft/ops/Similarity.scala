@@ -30,11 +30,16 @@ object Similarity {
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+    // Norms are hoisted to one pass per side; each pair then costs a single
+    // array fold (dot) instead of three.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      normD(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+      normD(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cosine",
+        round(dotD(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -49,12 +54,15 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      normD(col(vecCol)).as("__qn"),
       lshBucket(col(vecCol), planes, dims).as("bucket"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+      normD(col(vecCol)).as("__cn"),
       lshBucket(col(vecCol), planes, dims).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cosine",
+        round(dotD(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -91,12 +99,13 @@ object Similarity {
       .select(col("query_id"), col("__qv"), col("__clabel").as("cluster"))
 
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
-      col(clusterCol).as("cluster"))
+      normD(col(vecCol)).as("__cn"), col(clusterCol).as("cluster"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    c.join(broadcast(assigned), Seq("cluster"))
+    c.join(broadcast(assigned.withColumn("__qn", normD(col("__qv")))), Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cosine",
+        round(dotD(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("cluster"), col("cand_id"), col("cosine"), col("rn"))
@@ -111,12 +120,16 @@ object Similarity {
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, planes: Int, dims: Int): DataFrame = {
     val withBucket = emb.select(col(idCol), col(vecCol),
+      normD(col(vecCol)).as("__n"),
       lshBucket(col(vecCol), planes, dims).as("bucket")).cache()
-    val a = withBucket.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("bucket"))
-    val b = withBucket.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("bucket"))
+    val a = withBucket.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("__n").as("__na"), col("bucket"))
+    val b = withBucket.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("__n").as("__nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("cosine",
+        round(dotD(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
   }

@@ -39,11 +39,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hamming <= hammingFar)
   }
 
-  test("connected components collapse transitive near-dup chains") {
+  test("connected components collapse transitive near-dup chains (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
-    val got = Dedup.clusters(pairs)
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    val local = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(local == expect)
+    // driverPairLimit=0 forces the distributed propagation path
+    val dist = Dedup.clusters(pairs, driverPairLimit = 0)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(dist == expect)
   }
 
   test("language ID picks the marker-rich language") {
