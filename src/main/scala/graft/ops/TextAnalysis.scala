@@ -65,6 +65,36 @@ object TextAnalysis {
       .select(col(idCol) +: langs.map(l => col(s"score_$l")) :+ col("predicted_lang"): _*)
   }
 
+  /** Corpus-level top-k n-grams (frequency profile — the standard first
+    * look at a training corpus). One explode + one hash-agg + rank.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("freq").desc, col("ngram"))
+    docs.select(explode(wordShingles(words(col(textCol)), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Unigram language-model scoring: p(w) from corpus counts; each doc gets
+    * mean negative log-probability (lower = more typical). Two passes:
+    * corpus vocabulary stats (small: one row per word) broadcast back to a
+    * per-token explode. This is the perplexity-style quality signal.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    tokens
+      .join(broadcast(vocab), Seq("w"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log(col("cnt").cast("double") / col("total"))).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(avg(col("__nll")).as("mean_nll"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Position-weighted rolling-hash fingerprint: sum over tokens of
     * hash24(token) · ((pos mod 8)+1). Order-sensitive (cyclic weights),
     * overflow-safe in 64 bits, and portable (md5-derived hash).

@@ -86,6 +86,19 @@ object TextQueries {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // Corpus frequency profile: top-20 word bigrams.
+    "text_top_ngrams" -> { (s, dir) =>
+      TextAnalysis.topNgrams(Tables.documents(s, dir), "text", n = 2, k = 20)
+        .select(col("ngram"), col("freq"), col("rank"))
+    },
+
+    // Unigram-LM quality signal: per-doc mean negative log-probability.
+    "text_unigram_logprob" -> { (s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("mean_nll"), 6).as("mean_nll"),
+          col("n_tokens"))
+    },
+
     // Near-dup clusters: pairs → connected components → cluster ids.
     "dedup_clusters" -> { (s, dir) =>
       val pairs = Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
@@ -173,6 +186,24 @@ object TextQueries {
          |FROM inter i
          |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5""".stripMargin,
+
+    "text_top_ngrams" ->
+      s"""WITH $wordsCte,
+         |ng AS (SELECT unnest(list_transform(range(greatest(len(ws)-1, 0)),
+         |  i -> ws[i+1] || ' ' || ws[i+2])) AS ngram FROM words),
+         |f AS (SELECT ngram, count(*) AS freq FROM ng GROUP BY 1)
+         |SELECT ngram, freq, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY freq DESC, ngram) AS rank FROM f)
+         |WHERE rank <= 20""".stripMargin,
+
+    "text_unigram_logprob" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+         |vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+         |SELECT doc_id, round(avg(-ln(cnt / total)), 6) AS mean_nll,
+         |  count(*) AS n_tokens
+         |FROM tok JOIN vocab USING (w), tot GROUP BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $wordsCte,
