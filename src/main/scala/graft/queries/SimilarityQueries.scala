@@ -48,6 +48,23 @@ object SimilarityQueries {
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
     },
 
+    // Multi-probe LSH: home bucket + all Hamming-1 buckets.
+    "ann_lsh_multiprobe" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshKnnMultiProbe(emb, emb.filter(expr(QueryPred)), "vec_id",
+        "embedding", k = 3, planes = Planes, dims = 64)
+    },
+
+    // Recall@3 of single-probe LSH vs brute-force ground truth.
+    "ann_recall_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(expr(QueryPred))
+      val truth = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 3)
+      val ann = Similarity.lshKnn(emb, queries, "vec_id", "embedding",
+        k = 3, planes = Planes, dims = 64)
+      Similarity.recallAtK(ann, truth, k = 3)
+    },
+
     // IVF-style ANN: nearest-centroid cluster probe (nprobe=1).
     "ann_ivf_cosine" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -98,6 +115,49 @@ object SimilarityQueries {
          |SELECT label, count(*) AS n_vectors, round(avg(nrm), 6) AS avg_norm,
          |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
          |FROM n GROUP BY label""".stripMargin,
+
+    "ann_lsh_multiprobe" ->
+      s"""WITH sig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+         |            xor(bucket, 8)]) AS bucket
+         |  FROM sig WHERE $QueryPred),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, bucket FROM sig),
+         |p AS (SELECT DISTINCT query_id, cand_id,
+         |  round(${dotSql("qv", "cv")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
+         |  FROM q JOIN c ON q.bucket = c.bucket AND query_id <> cand_id)
+         |SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) AS rn FROM p)
+         |WHERE rn <= 3""".stripMargin,
+
+    "ann_recall_lsh" ->
+      s"""WITH sig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig
+         |  WHERE $QueryPred),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, bucket FROM sig),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) DESC,
+         |      cand_id) AS rn
+         |  FROM q, c WHERE query_id <> cand_id) WHERE rn <= 3),
+         |ann AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) DESC,
+         |      cand_id) AS rn
+         |  FROM q JOIN c ON q.bucket = c.bucket AND query_id <> cand_id) WHERE rn <= 3),
+         |hits AS (SELECT t.query_id, count(*) AS hits FROM truth t
+         |  JOIN ann a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1),
+         |tk AS (SELECT query_id, count(*) AS truth_k FROM truth GROUP BY 1)
+         |SELECT tk.query_id, COALESCE(hits.hits, 0) AS hits, tk.truth_k,
+         |  round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / tk.truth_k, 6) AS recall
+         |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin,
 
     "ann_ivf_cosine" ->
       s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,

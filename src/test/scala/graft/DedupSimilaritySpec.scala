@@ -71,6 +71,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq(2L, 3L, 4L))
   }
 
+  test("multi-probe LSH recovers at least the single-probe candidates; " +
+    "recall harness scores perfect recall for identical results") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)), (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 1)
+    val single = Similarity.lshKnn(emb, q, "vec_id", "embedding", 4, 4, 3)
+      .select("cand_id").as[Long].collect().toSet
+    val multi = Similarity.lshKnnMultiProbe(emb, q, "vec_id", "embedding", 4, 4, 3)
+      .select("cand_id").as[Long].collect().toSet
+    assert(single.subsetOf(multi))
+    val truth = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", 3)
+    val recall = Similarity.recallAtK(truth, truth, 3)
+      .select("recall").as[Double].head()
+    assert(recall == 1.0)
+  }
+
   test("LSH buckets put identical vectors together") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
