@@ -13,9 +13,12 @@ import graft.queries.{EngineQueries, GeoQueries, ScalarQueries, SimilarityQuerie
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The whole §3.1 lifecycle: QuerySpec JSON → cohort resolution →
+    * windowed scan → broadcast semi-join → KPI/delta aggregation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("cohort_analysis_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -18,6 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object SafeBand {
 
+  /** Alert flags (reference `ALERT_TIMEOUT`, `viz.py:38`): per user, count
+    * out-of-band readings inside the trailing window anchored at the
+    * stream's latest event; `alert` = any unsafe reading present. The band
+    * comes from the FULL series (W5), the window from
+    * [[SeriesOps.trailingWindow]] semantics.
+    */
+  def alertFlags(df: DataFrame, userCol: String, tsCol: String, valueCol: String,
+                 windowSeconds: Long): DataFrame = {
+    val stats = df.agg(
+      avg(col(valueCol)).as("__mean"), stddev_samp(col(valueCol)).as("__std"))
+    val recent = graft.ops.SeriesOps.trailingWindow(df, tsCol, windowSeconds)
+    recent.join(broadcast(stats))
+      .withColumn("__unsafe",
+        col(valueCol) < col("__mean") - lit(2.0) * col("__std") ||
+          col(valueCol) > col("__mean") + lit(2.0) * col("__std"))
+      .groupBy(col(userCol))
+      .agg(
+        sum(when(col("__unsafe"), 1L).otherwise(0L)).as("unsafe_in_window"),
+        count(lit(1)).as("rows_in_window"))
+      .withColumn("alert", col("unsafe_in_window") > 0)
+  }
+
   def densityBuckets(df: DataFrame, tsCol: String, valueCol: String,
                      minBuckets: Int = 600, minBucketSeconds: Long = 30): DataFrame = {
     // Pass 1: global band + span (µs-integral arithmetic for oracle parity).

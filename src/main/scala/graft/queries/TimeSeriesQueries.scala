@@ -144,6 +144,12 @@ object TimeSeriesQueries {
         .select(col("n_rows"), col("n_distinct"))
     },
 
+    // Alert flags: per-user unsafe counts in the trailing window.
+    "w6_alert_flags" -> { (s, dir) =>
+      val clicks = Tables.events(s, dir).filter(col("event_type") === "click")
+      SafeBand.alertFlags(clicks, "user_id", "ts", "value", windowSeconds = 7 * 86400L)
+    },
+
     // W6/A3: trailing window anchored at latest EVENT time (not wall clock).
     "w6_trailing_window_kpis" -> { (s, dir) =>
       val ev = SeriesOps.trailingWindow(Tables.events(s, dir), "ts", 86400L)
@@ -264,6 +270,22 @@ object TimeSeriesQueries {
         |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
         |  round(sum(value), 4) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "w6_alert_flags" ->
+      """WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events
+        |  WHERE event_type = 'click'),
+        |mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events
+        |  WHERE event_type = 'click'),
+        |recent AS (SELECT user_id, value FROM events, mx
+        |  WHERE event_type = 'click'
+        |    AND CAST(ts AS TIMESTAMP) >= mt - INTERVAL 604800 SECOND)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN value < s.m - 2.0*s.sd OR value > s.m + 2.0*s.sd
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS unsafe_in_window,
+        |  count(*) AS rows_in_window,
+        |  sum(CASE WHEN value < s.m - 2.0*s.sd OR value > s.m + 2.0*s.sd
+        |    THEN 1 ELSE 0 END) > 0 AS alert
+        |FROM recent, s GROUP BY user_id""".stripMargin,
 
     "w6_trailing_window_kpis" ->
       """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
