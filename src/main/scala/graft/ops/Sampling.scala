@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-mixing operators for training-data
+  * pipelines.
+  *
+  * Sampling decisions hash the ROW KEY, not a RNG: the same row is kept in
+  * every run, on every engine, at any partitioning — reproducible corpus
+  * cuts, portable to the DuckDB oracle (md5-derived uniform in [0,1)).
+  * `sample(fraction)`-style RNG sampling is neither stable under retries
+  * nor cross-engine comparable.
+  */
+object Sampling {
+
+  /** Uniform hash of a key column into [0, 1): first 8 md5 hex chars / 2^32. */
+  def keyUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+
+  /** Deterministic Bernoulli sample: keep rows whose key-hash < fraction. */
+  def bernoulli(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(keyUniform(col(keyCol)) < fraction)
+
+  /** Stratified sampling / dataset mixing: per-stratum keep-rates (e.g.
+    * up/down-weighting sources when composing a training mixture). Strata
+    * absent from `rates` get `defaultRate`.
+    */
+  def stratified(df: DataFrame, keyCol: String, stratumCol: String,
+                 rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(keyUniform(col(keyCol)) < rate)
+  }
+}

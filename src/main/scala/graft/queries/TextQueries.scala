@@ -99,6 +99,14 @@ object TextQueries {
           col("n_tokens"))
     },
 
+    // Deterministic stratified sampling (dataset mixing by source).
+    "sample_stratified_mix" -> { (s, dir) =>
+      graft.ops.Sampling.stratified(Tables.documents(s, dir), "doc_id", "source",
+          rates = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.2),
+          defaultRate = 0.1)
+        .select(col("doc_id"), col("source"), col("lang"))
+    },
+
     // Near-dup clusters: pairs → connected components → cluster ids.
     "dedup_clusters" -> { (s, dir) =>
       val pairs = Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
@@ -186,6 +194,13 @@ object TextQueries {
          |FROM inter i
          |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5""".stripMargin,
+
+    "sample_stratified_mix" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0
+        |  < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+        |    WHEN 'src2' THEN 0.2 ELSE 0.1 END""".stripMargin,
 
     "text_top_ngrams" ->
       s"""WITH $wordsCte,

@@ -48,6 +48,23 @@ class AggSkewSpec extends AnyFunSuite {
     assert(got == (("HOT", 500.0 * 501 / 2, 500L)))
   }
 
+  test("deterministic sampling: stable across runs, rates approximately honored") {
+    import graft.ops.Sampling
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val s1 = Sampling.bernoulli(df, "id", 0.3).select("id").as[Long].collect().toSet
+    val s2 = Sampling.bernoulli(df, "id", 0.3).select("id").as[Long].collect().toSet
+    assert(s1 == s2) // run-to-run stable
+    assert(math.abs(s1.size / 2000.0 - 0.3) < 0.05)
+    // nested fractions: a 0.1 sample is a subset of a 0.3 sample
+    val s3 = Sampling.bernoulli(df, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+    val strat = Sampling.stratified(df, "id", "src", Map("a" -> 0.5), defaultRate = 0.0)
+      .select("src").as[String].collect()
+    assert(strat.forall(_ == "a"))
+    assert(math.abs(strat.length / 1000.0 - 0.5) < 0.1)
+  }
+
   test("IVF kNN searches only the assigned cluster") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
