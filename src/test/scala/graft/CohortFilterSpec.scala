@@ -41,6 +41,23 @@ class CohortFilterSpec extends AnyFunSuite {
     assert(got == Set("u1", "u3", "u4")) // u3: nulls pass; u4: null state passes
   }
 
+  test("datetime range filter is inclusive and null-tolerant (P6)") {
+    val df = Seq(
+      ("a", Some(java.sql.Timestamp.valueOf("2016-08-01 00:00:00"))),
+      ("b", Some(java.sql.Timestamp.valueOf("2016-08-05 12:00:00"))),
+      ("c", Some(java.sql.Timestamp.valueOf("2016-09-01 00:00:00"))),
+      ("d", None)
+    ).toDF("user_id", "start_date")
+    val got = CohortFilter(df, Seq(
+      DateTimeRange("start_date", "2016-08-01 00:00:00", "2016-08-31 23:59:59")))
+      .select("user_id").as[String].collect().toSet
+    assert(got == Set("a", "b", "d")) // d passes via null tolerance
+    val strict = CohortFilter(df, Seq(
+      DateTimeRange("start_date", "2016-08-01 00:00:00", "2016-08-31 23:59:59",
+        nullOk = false))).count()
+    assert(strict == 2)
+  }
+
   test("no filters means all users") {
     assert(CohortFilter(subjects, Seq.empty).count() == 4)
   }
