@@ -30,10 +30,29 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (id, shingle) pairs — the shingle-set representation. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol), explode(wordShingles(words(col(textCol)), n)).as("shingle"))
+  /** Distinct (id, shingle) pairs — the shingle-set representation.
+    *
+    * `maxDocFrequency` (opt-in) drops "stop-shingles" present in more than
+    * that fraction of documents BEFORE any join — the standard mitigation
+    * for hot-key skew in the shingle equi-joins at corpus scale (a shingle
+    * shared by millions of docs would otherwise dominate one reducer and
+    * contribute nothing to similarity discrimination).
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                  maxDocFrequency: Option[Double] = None): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(wordShingles(words(col(textCol)), n)).as("shingle"))
       .distinct()
+    maxDocFrequency match {
+      case None => sh
+      case Some(maxDf) =>
+        val nDocs = docs.select(col(idCol)).distinct().count()
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > lit(maxDf * nDocs))
+          .select(col("shingle"))
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+  }
 
   /** Per-(doc, band) minhash signature. ONE md5 per shingle; band b's hash
     * is hex chars [8b, 8b+8) of it (4 independent 32-bit permutations from

@@ -78,6 +78,58 @@ object SeriesOps {
     df.groupBy(col(userCol))
       .agg(min(col(tsCol)).as("start"), max(col(tsCol)).as("end"), count(lit(1)).as("n"))
 
+  /** As-of join (backward): attach to each left row the latest right value
+    * with `right.ts <= left.ts` (optionally within `toleranceSec`), per
+    * user — the sensor-alignment operator (align sparse readings to a
+    * dense series; the reference only aligns EXACT timestamps, J4, but
+    * real wearable streams need nearest-prior).
+    *
+    * Built by COMPOSITION, not a custom physical operator (preference (a)):
+    * union the two sides tagged, then `last(value, ignoreNulls)` over a
+    * per-user time-ordered window carries the most recent right value
+    * forward onto left rows. ONE shuffle on the user key, no range join,
+    * no per-group collect; works at any per-user history size.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame,
+                       userCol: String, tsCol: String,
+                       leftValueCols: Seq[String], rightValueCol: String,
+                       toleranceSec: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(
+      (Seq(col(userCol), col(tsCol), lit(1).as("__is_left")) ++
+        leftValueCols.map(col) :+
+        lit(null).cast("double").as("__rv") :+
+        lit(null).cast("long").as("__rts")): _*)
+    val r = right.select(
+      (Seq(col(userCol), col(tsCol), lit(0).as("__is_left")) ++
+        leftValueCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col(rightValueCol).cast("double").as("__rv") :+
+        unix_micros(col(tsCol)).as("__rts")): _*)
+    // Right rows sort BEFORE left rows at identical timestamps (tag asc),
+    // so an exact-tie right value is visible to the left row.
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(r)
+      .withColumn("__last_rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__last_rts", last(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+    val withTol = toleranceSec match {
+      case Some(t) =>
+        joined.withColumn("__ok",
+          col("__last_rts").isNotNull &&
+            unix_micros(col(tsCol)) - col("__last_rts") <= t * 1000000L)
+          .withColumn("asof_value", when(col("__ok"), col("__last_rv")))
+          .withColumn("asof_ts_us", when(col("__ok"), col("__last_rts")))
+      case None =>
+        joined.withColumn("asof_value", col("__last_rv"))
+          .withColumn("asof_ts_us", col("__last_rts"))
+    }
+    withTol.select(
+      (Seq(col(userCol), col(tsCol)) ++ leftValueCols.map(col) :+
+        col("asof_value") :+ col("asof_ts_us")): _*)
+  }
+
   /** Gap-based sessionization (beyond-reference, training-pipeline staple):
     * a new session starts when the gap from the previous event exceeds
     * `gapSeconds`. Two windows over ONE user-keyed exchange: a lag to flag

@@ -127,6 +127,18 @@ object TimeSeriesQueries {
         .withColumnRenamed("view", "f_view")
     },
 
+    // As-of join: each click gets the latest prior view value (≤2 h back).
+    "j6_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+      val views = ev.filter(col("event_type") === "view")
+      SeriesOps.asofJoinBackward(clicks, views, "user_id", "ts",
+          leftValueCols = Seq("event_id", "value"), rightValueCol = "value",
+          toleranceSec = Some(7200L))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"), col("asof_value"), col("asof_ts_us"))
+    },
+
     // Sessionization: per-user gap-based sessions (30 min), session stats.
     "w8_sessionize" -> { (s, dir) =>
       SeriesOps.sessionize(Tables.events(s, dir), "user_id", "ts",
@@ -254,6 +266,18 @@ object TimeSeriesQueries {
     "a10_counts" ->
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_distinct
         |FROM events""".stripMargin,
+
+    "j6_asof_join" ->
+      """WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, l.value,
+        |  CASE WHEN r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000
+        |    THEN r.value END AS asof_value,
+        |  CASE WHEN r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000
+        |    THEN epoch_us(r.ts) END AS asof_ts_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "w8_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

@@ -32,8 +32,16 @@ object Replay {
     * timestamps (reference `stream_sim.py:52-58`, `BATCH=1` default).
     */
   def cursorBatches(df: DataFrame, tsCol: String, batchSize: Int = 1,
-                    startTime: Option[String] = None): Iterator[DataFrame] = {
-    val ts = cursor(df, tsCol, startTime)
+                    startTime: Option[String] = None,
+                    wrap: Boolean = false): Iterator[DataFrame] = {
+    val fromStart = cursor(df, tsCol, startTime)
+    // Wrap-around at end of data (reference `stream_sim.py:60-61`): after
+    // the seek position is exhausted, replay continues from the beginning
+    // up to the seek point, then the iterator ends (one full cycle).
+    val ts = if (wrap && startTime.isDefined) {
+      val all = cursor(df, tsCol, None)
+      fromStart ++ all.filterNot(fromStart.toSet)
+    } else fromStart
     ts.grouped(batchSize).map { group =>
       df.filter(col(tsCol).isin(group: _*))
     }

@@ -30,6 +30,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("hot-shingle cap drops corpus-wide stop-shingles before joins") {
+    // 'the quick brown' etc. appear in 3 of 4 docs (75%); cap at 50%.
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", maxDocFrequency = Some(0.5))
+    val remainingDf = sh.groupBy("shingle").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(remainingDf <= 2, "no shingle may remain in >50% of the 4 docs")
+    assert(sh.count() > 0)
+  }
+
   test("simhash of identical docs is identical; near-dups are hamming-close") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: the scale properties argued in SCALE.md are
+  * asserted against the actual physical plans, so a future refactor that
+  * silently loses a broadcast, an exchange-sharing window pipeline, or
+  * filter pushdown fails here rather than in a benchmark regression.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("cohort semi-join broadcasts (never shuffles the series side)") {
+    val p = plan("p3_semi_join_cohort")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("METs windows share ONE user exchange; weights join broadcasts") {
+    val p = plan("mets_pipeline")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user exchange, got $exchanges:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), "weights join must broadcast")
+  }
+
+  test("date-range scan pushes timestamp bounds into the parquet scan") {
+    // lineitem has a real timestamp column (events' ns column converts in a
+    // projection, so pushdown is demonstrated on l_shipdate).
+    val df = graft.ops.SeriesOps.dateRange(
+      graft.sources.Tables.lineitem(spark, dir), "l_shipdate", "2024-01-05", "2024-01-10")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual"),
+      p.take(800))
+  }
+
+  test("flagship query prunes columns at the scan") {
+    val p = plan("q1_pricing_summary")
+    assert(!p.contains("l_orderkey"), "q1 must not read unused columns")
+    assert(p.contains("l_returnflag"))
+  }
+
+  test("brute-force kNN broadcasts the query side (no corpus shuffle)") {
+    val p = plan("knn_cosine_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+}

@@ -60,6 +60,28 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(("u1", 100L, 1L, 10.0), ("u1", 200L, 3L, 30.0), ("u2", 100L, 4L, 40.0)))
   }
 
+  test("as-of join attaches latest prior right value, exact ties, tolerance") {
+    val left = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1L, 100.0),
+      ("u1", ts("2024-01-01 12:00:00"), 2L, 200.0), // exact tie with right
+      ("u1", ts("2024-01-01 20:00:00"), 3L, 300.0), // right too old (tolerance)
+      ("u2", ts("2024-01-01 10:00:00"), 4L, 400.0)  // no right at all
+    ).toDF("user_id", "t", "event_id", "value")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 9.5),
+      ("u1", ts("2024-01-01 12:00:00"), 12.0)
+    ).toDF("user_id", "t", "value")
+    val got = graft.ops.SeriesOps.asofJoinBackward(left, right, "user_id", "t",
+        Seq("event_id", "value"), "value", toleranceSec = Some(3600L))
+      .select("event_id", "asof_value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(9.5))   // latest prior within 1 h
+    assert(got(2L).contains(12.0))  // exact-timestamp right IS visible
+    assert(got(3L).isEmpty)         // 8 h gap exceeds tolerance
+    assert(got(4L).isEmpty)         // user with no right rows
+  }
+
   test("trailing window anchors at the latest event time, not wall clock (W6)") {
     val df = Seq(
       ("old", ts("2024-01-01 00:00:00")),

@@ -67,6 +67,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seek with wrap replays the pre-seek prefix after the tail (stream_sim wrap)") {
+    val df = batches.flatten.toDF("userId", "tsUs", "value")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+    val wrapped = graft.streaming.Replay.cursorBatches(df, "ts", batchSize = 1,
+      startTime = Some("1970-01-01 00:02:00"), wrap = true).toSeq
+    // 5 distinct timestamps total; seek keeps {2,90,200}min then wraps to {0,1}.
+    assert(wrapped.size == 5)
+    assert(wrapped.map(_.count()).sum == df.count())
+    val firstTs = wrapped.head.select(min(col("ts"))).head().getTimestamp(0)
+    assert(firstTs.getTime == 2L * 60 * 1000)
+  }
+
   test("cursor replay mirrors the simulator's distinct-timestamp batches (O3)") {
     val df = batches.flatten.toDF("userId", "tsUs", "value")
       .withColumn("ts", timestamp_micros(col("tsUs")))
