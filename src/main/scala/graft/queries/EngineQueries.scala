@@ -48,6 +48,20 @@ object EngineQueries {
         col("min_value"), col("max_value"), col("n"))
     },
 
+    // Dashboard multi-feature KPI table: one row per feature series.
+    "cohort_multi_feature" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val subjects = Tables.customer(s, dir).withColumnRenamed("c_custkey", "user_id")
+      val features = Seq("click", "view", "purchase")
+        .map(t => t -> ev.filter(col("event_type") === t)).toMap
+      QueryEngine.runFeatures(spec, subjects, features, "user_id", "ts", "value")
+        .select(col("feature"),
+          round(col("subj_avg"), 4).as("subj_avg"),
+          col("subj_min"), col("subj_max"), col("subj_rows"),
+          round(col("ctrl_avg"), 4).as("ctrl_avg"), col("ctrl_rows"),
+          round(col("delta_avg"), 4).as("delta_avg"))
+    },
+
     "mm_image_metadata" -> { (s, dir) =>
       val media = Tables.documents(s, dir).select(
         col("doc_id").as("media_id"),
@@ -99,6 +113,24 @@ object EngineQueries {
          |SELECT range_label, round(avg(value), 4) AS avg_value,
          |  min(value) AS min_value, max(value) AS max_value, count(*) AS n
          |FROM tagged GROUP BY range_label""".stripMargin,
+
+    "cohort_multi_feature" ->
+      """WITH subj AS (SELECT c_custkey AS user_id FROM customer
+        |  WHERE (c_acctbal BETWEEN 1000.0 AND 9000.0 OR c_acctbal IS NULL)
+        |    AND (c_mktsegment IN ('BUILDING','MACHINERY') OR c_mktsegment IS NULL)),
+        |win AS (SELECT user_id, event_type, value FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-20'
+        |    AND event_type IN ('click', 'view', 'purchase')),
+        |subjwin AS (SELECT * FROM win WHERE user_id IN (SELECT user_id FROM subj)),
+        |ctrlwin AS (SELECT * FROM win WHERE user_id IN (SELECT c_custkey FROM customer)),
+        |s AS (SELECT event_type AS feature, avg(value) AS sa, min(value) AS smn,
+        |    max(value) AS smx, count(*) AS sn FROM subjwin GROUP BY 1),
+        |c AS (SELECT event_type AS feature, avg(value) AS ca, count(*) AS cn
+        |  FROM ctrlwin GROUP BY 1)
+        |SELECT s.feature, round(s.sa, 4) AS subj_avg, s.smn AS subj_min,
+        |  s.smx AS subj_max, s.sn AS subj_rows, round(c.ca, 4) AS ctrl_avg,
+        |  c.cn AS ctrl_rows, round(s.sa - c.ca, 4) AS delta_avg
+        |FROM s JOIN c ON s.feature = c.feature""".stripMargin,
 
     "mm_image_metadata" ->
       """SELECT doc_id AS media_id,

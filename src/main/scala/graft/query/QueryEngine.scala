@@ -26,6 +26,39 @@ object QueryEngine {
       userSpans: DataFrame,    // per-subject-user observed span
       todKpis: DataFrame)      // per labeled time-of-day range KPIs
 
+  /** Per-feature KPI table — the dashboard's multi-feature results view
+    * (one KPI row per feature table, subject vs control): runs the cohort
+    * resolution ONCE and folds every feature series through it.
+    */
+  def runFeatures(spec: QuerySpec, subjects: DataFrame,
+                  features: Map[String, DataFrame],
+                  userCol: String, tsCol: String, valueCol: String): DataFrame = {
+    val subjectCohort = CohortFilter(subjects, spec.subjectSelection.filters()).cache()
+    val controlCohort = CohortFilter(subjects, spec.controlSelection.filters())
+    features.toSeq.sortBy(_._1).map { case (name, series) =>
+      val windowed = SeriesOps.dateRange(series, tsCol, spec.startDate, spec.endDate)
+      val subj = CohortFilter.semiJoin(windowed, subjectCohort, userCol)
+      val ctrl = CohortFilter.semiJoin(windowed, controlCohort, userCol)
+      val v = col(valueCol)
+      subj.agg(avg(v).as("subj_avg"), min(v).as("subj_min"), max(v).as("subj_max"),
+        count(lit(1)).as("subj_rows"))
+        .crossJoin(ctrl.agg(avg(v).as("ctrl_avg"), count(lit(1)).as("ctrl_rows")))
+        .withColumn("delta_avg", col("subj_avg") - col("ctrl_avg"))
+        .withColumn("feature", lit(name))
+    }.reduce(_ unionByName _)
+      .select(col("feature"), col("subj_avg"), col("subj_min"), col("subj_max"),
+        col("subj_rows"), col("ctrl_avg"), col("ctrl_rows"), col("delta_avg"))
+  }
+
+  /** S11: write the bundle's export frames as CSV (reference
+    * `viz.py:1149-1180`: full / subjects / control downloads).
+    */
+  def exportBundle(bundle: ResultBundle, dir: String): Unit = {
+    graft.sources.TableStore.exportCsv(bundle.kpis, s"$dir/kpis")
+    graft.sources.TableStore.exportCsv(bundle.userSpans, s"$dir/user_spans")
+    graft.sources.TableStore.exportCsv(bundle.todKpis, s"$dir/tod_kpis")
+  }
+
   /** @param subjects  subjects table; must expose `userCol`
     * @param series    long-format series; must expose `userCol`, `tsCol`, `valueCol`
     */

@@ -87,6 +87,16 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("export bundle writes all result frames as readable CSV (S11)") {
+    val bundle = QueryEngine.run(spec, subjectsDf, hrDf, "user_id", "timestamp", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp").toString
+    QueryEngine.exportBundle(bundle, dir)
+    Seq("kpis", "user_spans", "tod_kpis").foreach { name =>
+      val back = spark.read.option("header", "true").csv(s"$dir/$name")
+      assert(back.count() > 0, name)
+    }
+  }
+
   test("query history round-trips specs through the catalog (§1.1)") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_hist")
     spark.sql("DROP TABLE IF EXISTS graft_hist.history")
