@@ -28,6 +28,21 @@ object Trajectory {
         array_join(transform(col("__path"), v => v.getField("pt")), ";").as("path"),
         size(col("__path")).as("n_points"))
 
+  /** Grid-cell signature of a trajectory: the DISTINCT set of spatial cells
+    * the user visited (cell = floor(lon/cellDeg), floor(lat/cellDeg)).
+    * Emits the (id, "shingle") shape shared with document shingle sets, so
+    * trajectory similarity reuses [[Dedup.jaccardPairs]] unchanged —
+    * set-similarity search over trajectories (cf. distributed top-k
+    * trajectory similarity literature: signature-first, exact-verify).
+    */
+  def gridCells(df: DataFrame, userCol: String,
+                lonCol: String, latCol: String, cellDeg: Double): DataFrame =
+    df.select(col(userCol).as("doc_id"),
+      concat(
+        floor(col(lonCol) / lit(cellDeg)).cast("long").cast("string"), lit(":"),
+        floor(col(latCol) / lit(cellDeg)).cast("long").cast("string")).as("shingle"))
+      .distinct()
+
   /** G4: first/last vertex per user (no per-group ordering pass needed). */
   def endpoints(df: DataFrame, userCol: String, tsCol: String,
                 lonCol: String, latCol: String): DataFrame =

@@ -63,6 +63,15 @@ object GeoQueries {
             .as("roundtrip_ok"))
     },
 
+    // Trajectory similarity: grid-cell Jaccard between users' paths.
+    "traj_similarity_grid" -> { (s, dir) =>
+      val cells = graft.ops.Trajectory.gridCells(
+        withPoints(Tables.events(s, dir)), "user_id", "lon", "lat", cellDeg = 0.1)
+      graft.ops.Dedup.jaccardPairs(cells, "doc_id", minJaccard = 0.5)
+        .select(col("doc_a").as("user_a"), col("doc_b").as("user_b"),
+          col("inter"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
     // F16/JSON: stream-payload style JSON field extraction.
     "f_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -95,6 +104,21 @@ object GeoQueries {
          |SELECT event_id,
          |  'POINT(' || printf('%.6f', lon) || ' ' || printf('%.6f', lat) || ')' AS wkt
          |FROM pts""".stripMargin,
+
+    "traj_similarity_grid" ->
+      s"""WITH $ptsCte,
+         |cells AS (SELECT DISTINCT user_id,
+         |  CAST(CAST(floor(lon / 0.1) AS BIGINT) AS VARCHAR) || ':' ||
+         |  CAST(CAST(floor(lat / 0.1) AS BIGINT) AS VARCHAR) AS cell FROM pts),
+         |sz AS (SELECT user_id, count(*) AS sz FROM cells GROUP BY 1),
+         |inter AS (SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS inter
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.user_id < b.user_id
+         |  GROUP BY 1, 2)
+         |SELECT i.user_a, i.user_b, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
+         |FROM inter i JOIN sz x ON i.user_a = x.user_id
+         |JOIN sz y ON i.user_b = y.user_id
+         |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5""".stripMargin,
 
     "f_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
