@@ -42,4 +42,10 @@ object TextFunctions {
   /** Total characters across tokens (word-length sum). */
   def wordCharSum(ws: Column): Column =
     aggregate(ws, lit(0), (acc, w) => acc + length(w))
+
+  /** F9: display-label formatting — snake_case / space-separated identifier
+    * → 'Title Case' label (reference `script/import_hub_main.py:150,187`:
+    * `' '.join(label.capitalize() for label in name.replace('_',' ').split())`).
+    */
+  def labelize(name: Column): Column = initcap(regexp_replace(name, "_", " "))
 }

@@ -66,31 +66,63 @@ object TextAnalysis {
   }
 
   /** Corpus-level top-k n-grams (frequency profile — the standard first
-    * look at a training corpus). One explode + one hash-agg + rank.
+    * look at a training corpus). One explode + one hash-agg + distributed
+    * top-k: `orderBy().limit(k)` plans as TakeOrderedAndProject (per-
+    * partition heaps + merge), so billions of distinct n-grams never pass
+    * through a single reducer. Only the k surviving rows see the rank
+    * window — a k-row exchange, not a corpus-wide one.
     */
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("freq").desc, col("ngram"))
-    docs.select(explode(wordShingles(words(col(textCol)), n)).as("ngram"))
+    val topK = docs.select(explode(wordShingles(words(col(textCol)), n)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(k)
+    topK.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("ngram"))))
   }
 
   /** Unigram language-model scoring: p(w) from corpus counts; each doc gets
     * mean negative log-probability (lower = more typical). Two passes:
-    * corpus vocabulary stats (small: one row per word) broadcast back to a
-    * per-token explode. This is the perplexity-style quality signal.
+    * token explode → vocabulary counts → shuffle equi-join back on the
+    * token. The vocab side is deliberately NOT hint-broadcast: at corpus
+    * scale the vocabulary is 10⁸–10⁹ distinct tokens — an unbounded
+    * broadcast would kill the driver. AQE broadcasts it at runtime when it
+    * actually fits; the 1-row grand total IS broadcast. For a bounded
+    * lookup side use [[unigramLogProbTopV]].
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
     val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     tokens
-      .join(broadcast(vocab), Seq("w"))
+      .join(vocab, Seq("w"))
       .crossJoin(broadcast(total))
       .select(col(idCol),
         (-log(col("cnt").cast("double") / col("total"))).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(avg(col("__nll")).as("mean_nll"), count(lit(1)).as("n_tokens"))
+  }
+
+  /** Bounded-vocabulary unigram LM: only the top-`v` tokens by corpus
+    * frequency (ties broken lexicographically) carry their true counts;
+    * every out-of-vocabulary token scores with pseudo-count 1 — the
+    * standard OOV floor. The vocab side is now ≤ v rows BY CONSTRUCTION
+    * (a distributed TakeOrderedAndProject picks it), so broadcasting it is
+    * safe at any corpus size.
+    */
+  def unigramLogProbTopV(docs: DataFrame, idCol: String, textCol: String,
+                         v: Int): DataFrame = {
+    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val all = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = all.orderBy(col("cnt").desc, col("w")).limit(v)
+    val total = all.agg(sum(col("cnt")).as("total"))
+    tokens
+      .join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log(coalesce(col("cnt"), lit(1L)).cast("double") / col("total")))
+          .as("__nll"))
       .groupBy(col(idCol))
       .agg(avg(col("__nll")).as("mean_nll"), count(lit(1)).as("n_tokens"))
   }

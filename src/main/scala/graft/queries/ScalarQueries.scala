@@ -94,6 +94,14 @@ object ScalarQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // F9: display-label formatting (snake_case → Title Case).
+    "f9_label_format" -> { (s, dir) =>
+      import graft.functions.TextFunctions.labelize
+      Tables.part(s, dir).select(col("p_partkey"),
+        labelize(col("p_type")).as("type_label"),
+        labelize(regexp_replace(lower(col("p_name")), " ", "_")).as("name_label"))
+    },
+
     // F7: string normalization pipeline (lower/replace/split_part/regexp).
     "f7_string_normalize" -> { (s, dir) =>
       Tables.part(s, dir).select(col("p_partkey"),
@@ -160,6 +168,17 @@ object ScalarQueries {
 
     "a11_value_counts" ->
       """SELECT event_type, value, count(*) AS n FROM events GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB has no initcap: capitalize each lower-cased word by hand.
+    "f9_label_format" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(
+        |    string_split(replace(lower(p_type), '_', ' '), ' '),
+        |    w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS type_label,
+        |  array_to_string(list_transform(
+        |    string_split(replace(lower(p_name), '_', ' '), ' '),
+        |    w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS name_label
+        |FROM part""".stripMargin,
 
     "f7_string_normalize" ->
       """SELECT p_partkey, lower(p_type) AS type_lc,

@@ -99,6 +99,15 @@ object TextQueries {
           col("n_tokens"))
     },
 
+    // Bounded-vocab (top-50 + OOV floor) unigram LM — the broadcast-safe
+    // variant for corpora whose full vocabulary cannot broadcast.
+    "text_unigram_topv" -> { (s, dir) =>
+      TextAnalysis.unigramLogProbTopV(Tables.documents(s, dir), "doc_id", "text",
+          v = 50)
+        .select(col("doc_id"), round(col("mean_nll"), 6).as("mean_nll"),
+          col("n_tokens"))
+    },
+
     // Deterministic stratified sampling (dataset mixing by source).
     "sample_stratified_mix" -> { (s, dir) =>
       graft.ops.Sampling.stratified(Tables.documents(s, dir), "doc_id", "source",
@@ -219,6 +228,16 @@ object TextQueries {
          |SELECT doc_id, round(avg(-ln(cnt / total)), 6) AS mean_nll,
          |  count(*) AS n_tokens
          |FROM tok JOIN vocab USING (w), tot GROUP BY doc_id""".stripMargin,
+
+    "text_unigram_topv" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+         |vall AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+         |vocab AS (SELECT w, cnt FROM vall ORDER BY cnt DESC, w LIMIT 50),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vall)
+         |SELECT doc_id, round(avg(-ln(COALESCE(v.cnt, 1) / total)), 6) AS mean_nll,
+         |  count(*) AS n_tokens
+         |FROM tok LEFT JOIN vocab v USING (w), tot GROUP BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $wordsCte,

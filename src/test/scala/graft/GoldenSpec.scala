@@ -61,8 +61,14 @@ class GoldenSpec extends AnyFunSuite {
     // Time-of-day ranges: counts match a direct recompute (incl. Sleep wrap).
     val todCounts = bundle.todKpis.collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
-    def tod(ts: java.sql.Timestamp): String =
-      new java.text.SimpleDateFormat("HH:mm:ss").format(ts)
+    def tod(ts: java.sql.Timestamp): String = {
+      // Format under UTC to match the engine's fixed UTC session zone —
+      // SimpleDateFormat otherwise uses the JVM default zone and the
+      // expected counts would diverge on a non-UTC machine.
+      val fmt = new java.text.SimpleDateFormat("HH:mm:ss")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      fmt.format(ts)
+    }
     val sleepExpected = subjRows.count { case (_, ts, _) =>
       val t = tod(ts); t >= "20:00:00" || t <= "04:45:00"
     }

@@ -47,4 +47,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(800))
   }
+
+  test("topNgrams ranks via distributed top-k, not a corpus-wide single reducer") {
+    val p = plan("text_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (distributed top-k):\n${p.take(1200)}")
+    // The plan prints parents first: any single-partition exchange (the k-row
+    // rank window) must sit ABOVE the top-k operator — i.e. the full n-gram
+    // aggregate never flows through one reducer.
+    val single = p.indexOf("Exchange SinglePartition")
+    val topk = p.indexOf("TakeOrderedAndProject")
+    assert(single == -1 || single < topk,
+      s"single-partition exchange below the top-k operator:\n${p.take(1200)}")
+  }
+
+  test("unigram LM does not hint-broadcast the unbounded vocabulary") {
+    val df = graft.ops.TextAnalysis.unigramLogProb(
+      graft.sources.Tables.documents(spark, dir), "doc_id", "text")
+    val analyzed = df.queryExecution.analyzed.toString
+    // The 1-row grand total may broadcast; the vocab join must carry no hint.
+    assert("ResolvedHint".r.findAllIn(analyzed).size <= 1, analyzed.take(1200))
+  }
 }
