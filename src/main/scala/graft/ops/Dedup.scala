@@ -76,13 +76,11 @@ object Dedup {
     * relational/oracle-portable path).
     */
   def minhashSignaturesOnePass(shingles: DataFrame, idCol: String, k: Int): DataFrame = {
-    val spark = shingles.sparkSession
-    import spark.implicits._
-    shingles.select(col(idCol).cast("long"), col("shingle")).as[(Long, String)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(graft.functions.MinHashAgg(k).toColumn.name("signature"))
-      .toDF(idCol, "signature")
+    // Relational groupBy + udaf keeps the id column in its NATIVE type —
+    // string, long, whatever the caller has — matching the rest of the
+    // Dedup API (a typed groupByKey would force a cast).
+    val mh = udaf(graft.functions.MinHashAgg(k))
+    shingles.groupBy(col(idCol)).agg(mh(col("shingle")).as("signature"))
   }
 
   /** Candidate pairs: docs sharing any (band, minhash) bucket; a < b.
@@ -127,10 +125,16 @@ object Dedup {
     * shingles → equi-join doc_b's shingles) — never over the O(N²) pair
     * space. The shingle set is cached: it feeds the signatures, the sizes,
     * and both verification sides.
+    *
+    * `maxDocFrequency` defaults ON (0.1): a shingle present in more than
+    * 10% of documents carries no similarity signal but would route a large
+    * fraction of the corpus through one reducer in the candidate and
+    * verification joins — the classic hot-key blowup at corpus scale.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     minJaccard: Double = 0.8, bands: Int = 4, n: Int = 3): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n).cache()
+                     minJaccard: Double = 0.8, bands: Int = 4, n: Int = 3,
+                     maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n, maxDocFrequency).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val candidates = lshCandidates(minhashSignatures(sh, idCol, bands), idCol)
 
@@ -195,6 +199,13 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    // Partially-converged labels would silently split long chains into
+    // several cluster ids and keep duplicates downstream — fail loudly
+    // instead (raise maxIterations: rounds needed = component diameter).
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIterations rounds; " +
+        "the pair graph has a component with a longer diameter — " +
+        "raise maxIterations")
     labels
   }
 

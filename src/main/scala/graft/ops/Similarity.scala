@@ -127,39 +127,90 @@ object Similarity {
           .as("recall"))
   }
 
-  /** IVF-style ANN: coarse quantization by an existing cluster column —
-    * centroids are the per-cluster component-wise means; each query probes
-    * ONLY its nearest centroid's cluster (nprobe=1). At 100 TB the corpus
-    * is read cluster-pruned (centroids broadcast, cluster column
-    * partition-prunable); recall improves by probing more clusters.
-    * Centroid components are rounded to 6 decimals so assignment is
-    * deterministic across engines.
+  /** One fitted IVF coarse-quantizer cell: cluster label (native type),
+    * component-wise-mean centroid (rounded to 6 decimals for cross-engine
+    * determinism), and its precomputed L2 norm (same sequential fold the
+    * SQL formulation uses).
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, clusterCol: String, k: Int): DataFrame = {
-    val comp = corpus.select(col(clusterCol), posexplode(col(vecCol)))
+  final case class IvfCentroid(label: Any, vec: Seq[Double], norm: Double)
+
+  /** A fitted IVF index — nlist centroids, a driver-side artifact of
+    * nlist × dims doubles. This is the "train once, probe many" shape:
+    * fit with ONE distributed aggregation ([[ivfFit]]), then reuse across
+    * any number of queries as plan-time literals (like the LSH
+    * hyperplanes) — the corpus is never re-aggregated per query.
+    */
+  final case class IvfIndex(centroids: Seq[IvfCentroid]) {
+    require(centroids.nonEmpty, "IVF index needs at least one centroid")
+  }
+
+  /** Per-cluster component-wise mean centroids (distributed; one explode +
+    * two hash-aggs). Columns: (`clusterCol`, centroid: array<double>).
+    */
+  def centroids(corpus: DataFrame, clusterCol: String, vecCol: String): DataFrame =
+    corpus.select(col(clusterCol), posexplode(col(vecCol)))
       .groupBy(col(clusterCol), col("pos"))
       .agg(avg(col("col").cast("double")).as("c"))
-    val centroids = comp.groupBy(col(clusterCol))
+      .groupBy(col(clusterCol))
       .agg(array_sort(collect_list(struct(col("pos"), round(col("c"), 6).as("c"))))
         .as("__s"))
-      .select(col(clusterCol).as("__clabel"),
-        transform(col("__s"), s => s.getField("c")).as("__centroid"))
+      .select(col(clusterCol),
+        transform(col("__s"), s => s.getField("c")).as("centroid"))
 
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val wAssign = Window.partitionBy(col("query_id"))
-      .orderBy(col("__ccos").desc, col("__clabel"))
-    val assigned = q.crossJoin(broadcast(centroids))
-      .withColumn("__ccos", round(cosine(col("__qv"), col("__centroid")), 6))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("query_id"), col("__qv"), col("__clabel").as("cluster"))
+  /** Fit the IVF index: run [[centroids]] once and collect the (tiny)
+    * result. The norm is folded left in the same order as the engine/SQL
+    * dot product so downstream scores are bit-identical.
+    */
+  def ivfFit(corpus: DataFrame, clusterCol: String, vecCol: String): IvfIndex = {
+    val rows = centroids(corpus, clusterCol, vecCol).collect()
+    IvfIndex(rows.toSeq.map { r =>
+      val vec = r.getSeq[Double](1)
+      IvfCentroid(r.get(0), vec,
+        math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }.sortBy(_.label.toString))
+  }
 
+  /** The query's `nprobe` nearest centroids as an array of cluster labels,
+    * computed entirely map-side from index literals: per-centroid cosine
+    * (rounded to 6 dp), array_sort by (cosine desc, label asc), slice.
+    * No join, no window, no shuffle for the assignment step.
+    */
+  private def probeClusters(qv: org.apache.spark.sql.Column,
+                            qn: org.apache.spark.sql.Column,
+                            index: IvfIndex, nprobe: Int): org.apache.spark.sql.Column = {
+    val scored = array(index.centroids.map { c =>
+      struct(round(dotD(qv, typedlit(c.vec)) / (qn * lit(c.norm)), 6).as("ccos"),
+        lit(c.label).as("label"))
+    }: _*)
+    val sorted = array_sort(scored, (l, r) =>
+      when(l.getField("ccos") > r.getField("ccos"), -1)
+        .when(l.getField("ccos") < r.getField("ccos"), 1)
+        .when(l.getField("label") < r.getField("label"), -1)
+        .when(l.getField("label") > r.getField("label"), 1)
+        .otherwise(0))
+    transform(slice(sorted, 1, nprobe), s => s.getField("label"))
+  }
+
+  /** IVF ANN: each query probes its `nprobe` nearest centroids' clusters
+    * and scores only those clusters' vectors. At 100 TB the corpus is read
+    * cluster-pruned (the cluster column is partition/bucket-prunable and
+    * the probed queries broadcast); the centroid assignment costs zero
+    * shuffles because the index is literal. Pass a pre-fitted `index` to
+    * amortize fitting across calls; omitted, it is fitted on the spot.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, clusterCol: String, k: Int, nprobe: Int = 1,
+             index: Option[IvfIndex] = None): DataFrame = {
+    val idx = index.getOrElse(ivfFit(corpus, clusterCol, vecCol))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        normD(col(vecCol)).as("__qn"))
+      .withColumn("cluster",
+        explode(probeClusters(col("__qv"), col("__qn"), idx, nprobe)))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
       normD(col(vecCol)).as("__cn"), col(clusterCol).as("cluster"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    c.join(broadcast(assigned.withColumn("__qn", normD(col("__qv")))), Seq("cluster"))
+    c.join(broadcast(q), Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
         round(dotD(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))

@@ -25,6 +25,29 @@ object SimilarityQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
 
+  // Shared IVF oracle CTE chain: centroids → query assignment to the
+  // nprobe nearest centroids → candidate scoring within probed clusters.
+  private def ivfCtes(nprobe: Int): String =
+    s"""comp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+       |    unnest(embedding) AS v FROM embeddings),
+       |cent AS (SELECT label, list(cr ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+       |        FROM comp GROUP BY 1, 2)
+       |  GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $QueryPred),
+       |qa AS (SELECT query_id, qv, label,
+       |  round(${dotSql("qv", "centroid")} /
+       |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("centroid", "centroid")})), 6) AS ccos
+       |  FROM q, cent),
+       |assigned AS (SELECT query_id, qv, label AS cluster FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ccos DESC, label) AS rn FROM qa) WHERE rn <= $nprobe),
+       |scored AS (SELECT query_id, cluster, e.vec_id AS cand_id,
+       |  round(${dotSql("qv", "e.embedding")} /
+       |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS cosine
+       |  FROM assigned JOIN embeddings e
+       |    ON e.label = assigned.cluster AND e.vec_id <> assigned.query_id)""".stripMargin
+
   private def lshBucketSql(v: String): String =
     s"""CAST(list_sum(list_transform(range($Planes), p ->
        |  CASE WHEN list_sum(list_transform(range(len($v)), j ->
@@ -65,11 +88,34 @@ object SimilarityQueries {
       Similarity.recallAtK(ann, truth, k = 3)
     },
 
-    // IVF-style ANN: nearest-centroid cluster probe (nprobe=1).
+    // IVF-style ANN: nearest-centroid cluster probe (nprobe=1). The index
+    // is fitted once (one distributed agg + tiny collect) and passed in —
+    // the production shape where the quantizer is a persisted artifact.
     "ann_ivf_cosine" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.ivfFit(emb, "label", "embedding")
       Similarity.ivfKnn(emb, emb.filter(expr(QueryPred)), "vec_id", "embedding",
-        clusterCol = "label", k = 3)
+        clusterCol = "label", k = 3, nprobe = 1, index = Some(idx))
+    },
+
+    // IVF multi-probe: the 2 nearest centroids' clusters per query.
+    "ann_ivf_multiprobe" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.ivfFit(emb, "label", "embedding")
+      Similarity.ivfKnn(emb, emb.filter(expr(QueryPred)), "vec_id", "embedding",
+        clusterCol = "label", k = 3, nprobe = 2, index = Some(idx))
+    },
+
+    // Recall@3 of IVF (nprobe=2) vs brute-force ground truth — the recall
+    // harness that was previously LSH-only.
+    "ann_recall_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(expr(QueryPred))
+      val truth = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 3)
+      val idx = Similarity.ivfFit(emb, "label", "embedding")
+      val ann = Similarity.ivfKnn(emb, queries, "vec_id", "embedding",
+        clusterCol = "label", k = 3, nprobe = 2, index = Some(idx))
+      Similarity.recallAtK(ann, truth, k = 3)
     },
 
     // Embedding-cosine near-duplicate mining, LSH-candidate-limited.
@@ -160,29 +206,38 @@ object SimilarityQueries {
          |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin,
 
     "ann_ivf_cosine" ->
-      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
-         |    unnest(embedding) AS v FROM embeddings),
-         |cent AS (SELECT label, list(cr ORDER BY pos) AS centroid
-         |  FROM (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
-         |        FROM comp GROUP BY 1, 2)
-         |  GROUP BY label),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $QueryPred),
-         |qa AS (SELECT query_id, qv, label,
-         |  round(${dotSql("qv", "centroid")} /
-         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("centroid", "centroid")})), 6) AS ccos
-         |  FROM q, cent),
-         |assigned AS (SELECT query_id, qv, label AS cluster FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ccos DESC, label) AS rn FROM qa) WHERE rn = 1),
-         |scored AS (SELECT query_id, cluster, e.vec_id AS cand_id,
-         |  round(${dotSql("qv", "e.embedding")} /
-         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS cosine
-         |  FROM assigned JOIN embeddings e
-         |    ON e.label = assigned.cluster AND e.vec_id <> assigned.query_id)
+      s"""WITH ${ivfCtes(1)}
          |SELECT query_id, cluster, cand_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, cand_id) AS rn FROM scored)
          |WHERE rn <= 3""".stripMargin,
+
+    "ann_ivf_multiprobe" ->
+      s"""WITH ${ivfCtes(2)}
+         |SELECT query_id, cluster, cand_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) AS rn FROM scored)
+         |WHERE rn <= 3""".stripMargin,
+
+    "ann_recall_ivf" ->
+      s"""WITH ${ivfCtes(2)},
+         |ann AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) AS rn FROM scored) WHERE rn <= 3),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) DESC,
+         |      cand_id) AS rn
+         |  FROM q, c WHERE query_id <> cand_id) WHERE rn <= 3),
+         |hits AS (SELECT t.query_id, count(*) AS hits FROM truth t
+         |  JOIN ann a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1),
+         |tk AS (SELECT query_id, count(*) AS truth_k FROM truth GROUP BY 1)
+         |SELECT tk.query_id, COALESCE(hits.hits, 0) AS hits, tk.truth_k,
+         |  round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / tk.truth_k, 6) AS recall
+         |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH sig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket

@@ -23,18 +23,27 @@ object TextQueries {
   private val shinglesCte =
     """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(ws)-2, 0)),
       |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words)""".stripMargin
-  private val sigCte =
-    """sig AS (SELECT doc_id, b, min(substr(md5(shingle), 1 + 8*b, 8)) AS minhash
-      |  FROM sh, (SELECT unnest(range(4)) AS b) bands GROUP BY doc_id, b)""".stripMargin
+  // Hot-shingle capping (mirrors Dedup.nearDuplicates' default
+  // maxDocFrequency = 0.1): shingles in more than 10% of documents are
+  // dropped before any join. On this testdata max df is < 2%, so capped
+  // and uncapped results coincide — the spec plants a hot shingle to prove
+  // the mechanism.
+  private val cappedCte =
+    """shf AS (SELECT doc_id, shingle FROM sh
+      |  WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle
+      |    HAVING count(*) > 0.1 * (SELECT count(DISTINCT doc_id) FROM documents)))""".stripMargin
+  private def sigCte(src: String) =
+    s"""sig AS (SELECT doc_id, b, min(substr(md5(shingle), 1 + 8*b, 8)) AS minhash
+       |  FROM $src, (SELECT unnest(range(4)) AS b) bands GROUP BY doc_id, b)""".stripMargin
   private val candCte =
     """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sig a JOIN sig b ON a.b = b.b AND a.minhash = b.minhash
       |    AND a.doc_id < b.doc_id)""".stripMargin
-  private val interCte =
-    """sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)""".stripMargin
+  private def interCte(src: String) =
+    s"""sz AS (SELECT doc_id, count(*) AS sz FROM $src GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM $src a JOIN $src b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   def defs: Map[String, Q] = Map(
     "text_token_count" -> { (s, dir) =>
@@ -176,7 +185,7 @@ object TextQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $wordsCte,
          |$shinglesCte,
-         |$sigCte
+         |${sigCte("sh")}
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM sig a JOIN sig b ON a.b = b.b AND a.minhash = b.minhash
          |  AND a.doc_id < b.doc_id""".stripMargin,
@@ -184,9 +193,10 @@ object TextQueries {
     "dedup_near_duplicates" ->
       s"""WITH $wordsCte,
          |$shinglesCte,
-         |$sigCte,
+         |$cappedCte,
+         |${sigCte("shf")},
          |$candCte,
-         |$interCte
+         |${interCte("shf")}
          |SELECT i.doc_a, i.doc_b, i.inter,
          |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
          |FROM inter i
@@ -197,7 +207,7 @@ object TextQueries {
     "dedup_jaccard_exact" ->
       s"""WITH $wordsCte,
          |$shinglesCte,
-         |$interCte
+         |${interCte("sh")}
          |SELECT i.doc_a, i.doc_b, i.inter,
          |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
          |FROM inter i
@@ -242,9 +252,10 @@ object TextQueries {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $wordsCte,
          |$shinglesCte,
-         |$sigCte,
+         |$cappedCte,
+         |${sigCte("shf")},
          |$candCte,
-         |$interCte,
+         |${interCte("shf")},
          |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b

@@ -30,10 +30,17 @@ object QueryEngine {
     * (one KPI row per feature table, subject vs control): runs the cohort
     * resolution ONCE and folds every feature series through it.
     */
+  /** `cacheCohorts = false` skips the subject-cohort `.cache()` for
+    * long-lived sessions issuing many engine calls — cached partitions
+    * otherwise accumulate until eviction pressure (the cache is only a
+    * win when the bundle's frames are each materialized).
+    */
   def runFeatures(spec: QuerySpec, subjects: DataFrame,
                   features: Map[String, DataFrame],
-                  userCol: String, tsCol: String, valueCol: String): DataFrame = {
-    val subjectCohort = CohortFilter(subjects, spec.subjectSelection.filters()).cache()
+                  userCol: String, tsCol: String, valueCol: String,
+                  cacheCohorts: Boolean = true): DataFrame = {
+    val resolved = CohortFilter(subjects, spec.subjectSelection.filters())
+    val subjectCohort = if (cacheCohorts) resolved.cache() else resolved
     val controlCohort = CohortFilter(subjects, spec.controlSelection.filters())
     features.toSeq.sortBy(_._1).map { case (name, series) =>
       val windowed = SeriesOps.dateRange(series, tsCol, spec.startDate, spec.endDate)
@@ -61,11 +68,14 @@ object QueryEngine {
 
   /** @param subjects  subjects table; must expose `userCol`
     * @param series    long-format series; must expose `userCol`, `tsCol`, `valueCol`
+    * @param cacheCohorts  see [[runFeatures]]
     */
   def run(spec: QuerySpec, subjects: DataFrame, series: DataFrame,
-          userCol: String, tsCol: String, valueCol: String): ResultBundle = {
+          userCol: String, tsCol: String, valueCol: String,
+          cacheCohorts: Boolean = true): ResultBundle = {
 
-    val subjectCohort = CohortFilter(subjects, spec.subjectSelection.filters()).cache()
+    val resolved = CohortFilter(subjects, spec.subjectSelection.filters())
+    val subjectCohort = if (cacheCohorts) resolved.cache() else resolved
     val controlCohort = CohortFilter(subjects, spec.controlSelection.filters())
 
     val windowed = SeriesOps.dateRange(series, tsCol, spec.startDate, spec.endDate)

@@ -23,7 +23,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("near-duplicate pipeline finds the planted pair and not the distinct doc") {
-    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.5)
+    // Capping off: at 4 docs every shared shingle exceeds any df fraction,
+    // and this test exercises the verification logic, not the skew guard.
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.5,
+        maxDocFrequency = None)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L))) // identical → jaccard 1.0
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // one word差
@@ -37,6 +40,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
     assert(remainingDf <= 2, "no shingle may remain in >50% of the 4 docs")
     assert(sh.count() > 0)
+  }
+
+  test("nearDuplicates' default cap prevents hot-shingle candidate blowup") {
+    // 30 docs share a boilerplate phrase (df = 100%) but are otherwise
+    // unique; docs 31/32 are a genuine near-dup pair with private shingles.
+    // Uncapped, the boilerplate makes EVERY doc pair an LSH candidate
+    // (O(N²) blowup); the default 10% cap drops those shingles before any
+    // join while the true pair (df = 2 ≤ 3) survives verification.
+    val boiler = "all rights reserved by the corpus publisher institute ltd"
+    val hotDocs = ((1 to 30).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i $boiler")) ++ Seq(
+      (31L, "the festival parade gathers near the old harbor lighthouse every summer"),
+      (32L, "the festival parade gathers near the old harbor lighthouse every winter")))
+      .toDF("doc_id", "text")
+    def candidates(maxDf: Option[Double]) =
+      Dedup.lshCandidates(Dedup.minhashSignatures(
+        Dedup.shingleSets(hotDocs, "doc_id", "text", maxDocFrequency = maxDf),
+        "doc_id"), "doc_id").count()
+    val uncapped = candidates(None)
+    val capped = candidates(Some(0.1))
+    // (A doc's unique shingles can beat the boilerplate in a band's min, so
+    // not every pair collides — but the blowup is still O(N²)-order.)
+    assert(uncapped > 300, s"boilerplate must candidate most pairs: $uncapped")
+    assert(capped <= 5, s"cap must collapse the candidate blowup: $capped")
+    val pairs = Dedup.nearDuplicates(hotDocs, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((31L, 32L)), s"true pair must survive the cap: $pairs")
   }
 
   test("simhash of identical docs is identical; near-dups are hamming-close") {
