@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** S1 relational-source parity: the reference reads its tables over a live
+  * Postgres connection (`script/utils.py:101-113`, session-per-request
+  * SQLAlchemy engine); here the same surface is Spark's JDBC source, so a
+  * user migrating off the reference's Postgres points the engine at the
+  * identical database.
+  *
+  * Scale notes (the part the reference never had to solve):
+  *   - A bare JDBC read is ONE connection streaming the whole table
+  *     through one task — fine for dimension tables, fatal for facts. Use
+  *     [[readTablePartitioned]] for anything big: `numPartitions` executor
+  *     connections each read a disjoint `partitionColumn` slice in
+  *     parallel.
+  *   - Filters and column pruning push through the JDBC source into the
+  *     database as WHERE/SELECT (visible as PushedFilters in the plan), so
+  *     cohort predicates execute remotely, not after transfer.
+  *   - [[readQuery]] pushes an arbitrary SQL subquery down to the database
+  *     — the equivalent of the reference composing SQL server-side.
+  */
+object Jdbc {
+
+  /** Connection descriptor; `driver` only when the JDBC URL alone cannot
+    * resolve it (e.g. embedded Derby in tests).
+    */
+  final case class Conn(url: String, user: Option[String] = None,
+                        password: Option[String] = None,
+                        driver: Option[String] = None) {
+    private[sources] def apply(r: org.apache.spark.sql.DataFrameReader) = {
+      val withCreds = Seq("user" -> user, "password" -> password,
+        "driver" -> driver).foldLeft(r.format("jdbc").option("url", url)) {
+        case (acc, (k, Some(v))) => acc.option(k, v)
+        case (acc, _)            => acc
+      }
+      withCreds
+    }
+  }
+
+  /** Single-connection table read — dimension tables only. */
+  def readTable(spark: SparkSession, conn: Conn, table: String): DataFrame =
+    conn(spark.read).option("dbtable", table).load()
+
+  /** Parallel table read: `numPartitions` concurrent connections, each
+    * scanning one `[lower, upper)` stride of `partitionCol` (must be
+    * numeric/date/timestamp). This is the 100 TB-safe shape.
+    */
+  def readTablePartitioned(spark: SparkSession, conn: Conn, table: String,
+                           partitionCol: String, lower: Long, upper: Long,
+                           numPartitions: Int): DataFrame =
+    conn(spark.read)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+      .load()
+
+  /** Push an arbitrary SQL query down to the database (runs remotely;
+    * only its result crosses the wire).
+    */
+  def readQuery(spark: SparkSession, conn: Conn, sql: String): DataFrame =
+    conn(spark.read).option("query", sql).load()
+
+  /** JDBC sink (subjects upsert staging, exports back to the app DB). */
+  def writeTable(df: DataFrame, conn: Conn, table: String,
+                 mode: SaveMode = SaveMode.Append): Unit = {
+    val w = Seq("user" -> conn.user, "password" -> conn.password,
+      "driver" -> conn.driver).foldLeft(
+      df.write.format("jdbc").option("url", conn.url).option("dbtable", table)) {
+      case (acc, (k, Some(v))) => acc.option(k, v)
+      case (acc, _)            => acc
+    }
+    w.mode(mode).save()
+  }
+}

@@ -79,6 +79,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(firstTs.getTime == 2L * 60 * 1000)
   }
 
+  test("foreachBatch bundle sink matches the batch engine after every batch") {
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.model.{AllUsers, ByIds, QuerySpec}
+    import graft.query.QueryEngine
+    import graft.streaming.BundleKpiSink
+
+    val input = MemoryStream[(String, Long, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Long, Double)]], spark)
+    val sink = new BundleKpiSink(col("user_id").isin("u1", "u2"), lit(true), "value")
+    val q = input.toDF().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) => sink.step(b, id))
+      .start()
+    try {
+      val sBatches = Seq(
+        Seq(("u1", us(0), 10.0), ("u2", us(1), 20.0), ("u3", us(2), 5.0)),
+        Seq(("u1", us(3), 30.0), ("u3", us(90), 7.0)),
+        Seq(("u2", us(200), 40.0)))
+      var seen = Seq.empty[(String, Long, Double)]
+      sBatches.foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+        seen = seen ++ b
+        // Batch-engine recompute over ALL accumulated rows must equal the
+        // sink's merged incremental state after this micro-batch.
+        val series = seen.toDF("user_id", "ts_us", "value")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+        val subjects = series.select("user_id").distinct()
+        val spec = QuerySpec(ByIds("user_id", Seq("u1", "u2")), AllUsers,
+          "1970-01-01", "1970-01-02")
+        val expect = QueryEngine.run(spec, subjects, series,
+          "user_id", "ts", "value", cacheCohorts = false).kpis.head()
+        val got = sink.kpis(spark).head()
+        Seq("subj_avg", "subj_min", "subj_max", "ctrl_avg", "ctrl_std",
+          "delta_avg").foreach { c =>
+          assert(math.abs(got.getAs[Double](c) - expect.getAs[Double](c)) < 1e-9,
+            s"$c after batch ${seen.size}")
+        }
+        Seq("subj_rows", "ctrl_rows").foreach { c =>
+          assert(got.getAs[Long](c) == expect.getAs[Long](c), c)
+        }
+      }
+      assert(sink.history.map(_._1) == Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("cursor replay mirrors the simulator's distinct-timestamp batches (O3)") {
     val df = batches.flatten.toDF("userId", "tsUs", "value")
       .withColumn("ts", timestamp_micros(col("tsUs")))
