@@ -127,6 +127,50 @@ object TextAnalysis {
       .agg(avg(col("__nll")).as("mean_nll"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Within-document repetition ratio — the standard low-quality signal
+    * for templated/generated text: 1 − distinct/total n-gram shingles.
+    * Pure per-row array expressions; no shuffle at all.
+    */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val sh = wordShingles(words(col(textCol)), n)
+    docs.select(col(idCol),
+      size(sh).cast("long").as("n_shingles"),
+      size(array_distinct(sh)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_shingles") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Benchmark decontamination probe: for each training document, the
+    * number of distinct n-gram shingles it shares with the benchmark
+    * corpus. At 100 TB the training side streams while the benchmark
+    * shingle set (small by definition — eval sets are thousands of docs)
+    * broadcasts, so this is one map-side semi-join + partial-agg count;
+    * filter `n_hits >= threshold` downstream to drop contaminated docs.
+    */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val trainSh = Dedup.shingleSets(train, idCol, textCol, n)
+    val benchSh = Dedup.shingleSets(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    trainSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** PII scrubbing: mask e-mail addresses (the pattern is RE2-safe, so the
+    * same regex runs in any engine). Returns the cleaned text plus the
+    * match count for audit aggregation. Single-pass, codegen'd.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(col(textCol), EmailRe, "<EMAIL>").as("text_clean"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_masked"))
+
   /** Position-weighted rolling-hash fingerprint: sum over tokens of
     * hash24(token) · ((pos mod 8)+1). Order-sensitive (cyclic weights),
     * overflow-safe in 64 bits, and portable (md5-derived hash).

@@ -124,6 +124,15 @@ object SimilarityQueries {
     "dedup_embedding_cosine" -> { (s, dir) =>
       Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.3, planes = Planes, dims = 64)
+    },
+
+    // Semantic dedup end-to-end: cosine pair graph → connected components
+    // → one cluster id per vector (keep-one-per-cluster downstream).
+    "dedup_embedding_clusters" -> { (s, dir) =>
+      val pairs = Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.3, planes = Planes, dims = 64)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.ops.Dedup.clusters(pairs)
     }
   )
 
@@ -248,6 +257,25 @@ object SimilarityQueries {
          |  round(${dotSql("qv", "cv")} /
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
          |  FROM a JOIN b ON a.bucket = b.bucket AND id_a < id_b)
-         |SELECT id_a, id_b, bucket, cosine FROM p WHERE cosine >= 0.3""".stripMargin
+         |SELECT id_a, id_b, bucket, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
+
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE sig AS (SELECT vec_id, embedding,
+         |  ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+         |a AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM sig),
+         |b AS (SELECT vec_id AS id_b, embedding AS cv, bucket FROM sig),
+         |prs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |  round(${dotSql("qv", "cv")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
+         |  FROM a JOIN b ON a.bucket = b.bucket AND id_a < id_b)
+         |  WHERE cosine >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin
   )
 }

@@ -130,6 +130,31 @@ object TextQueries {
       val pairs = Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
         minJaccard = 0.8)
       Dedup.clusters(pairs)
+    },
+
+    // Within-doc n-gram repetition ratio (templated/generated-text signal).
+    "text_repetition_ratio" -> { (s, dir) =>
+      TextAnalysis.repetitionRatio(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+          round(col("rep_ratio"), 6).as("rep_ratio"))
+    },
+
+    // Benchmark decontamination: shingle overlap of training docs (src0/1)
+    // against the held-out benchmark corpus (src2).
+    "text_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contamination(
+        docs.filter(col("source") =!= "src2"),
+        docs.filter(col("source") === "src2"), "doc_id", "text")
+    },
+
+    // PII scrub over text with deterministically injected e-mails (the raw
+    // corpus has none — injection makes the gate compare real masking).
+    "text_pii_scrub" -> { (s, dir) =>
+      val withPii = Tables.documents(s, dir)
+        .withColumn("text", concat(col("text"), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@mail.example.com")))
+      TextAnalysis.scrubPii(withPii, "doc_id", "text")
     }
   )
 
@@ -268,6 +293,40 @@ object TextQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+
+    "text_repetition_ratio" ->
+      s"""WITH $wordsCte,
+         |s AS (SELECT doc_id, list_transform(range(greatest(len(ws)-2, 0)),
+         |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh FROM words)
+         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+         |  round(CASE WHEN len(sh) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+         |    ELSE 0.0 END, 6) AS rep_ratio
+         |FROM s""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH words AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |  unnest(list_transform(range(greatest(len(ws)-2, 0)),
+         |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src2')
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM sh JOIN bench USING (shingle)
+         |WHERE source <> 'src2'
+         |GROUP BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH injected AS (SELECT doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')
+        |    AS text_clean,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    AS BIGINT) AS n_masked
+        |FROM injected""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $wordsCte,
