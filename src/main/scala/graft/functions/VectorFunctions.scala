@@ -12,8 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product in double precision (left fold, deterministic order). */
-  def dotD(a: Column, b: Column): Column =
+  /** Dot product in double precision — backed by the native codegen'd
+    * [[VectorExpressions.DotProductD]] (tight primitive loop; no
+    * intermediate zipped array). Bit-identical to [[dotFold]]: the same
+    * sequential left fold, so oracle-gated scores are unchanged.
+    */
+  def dotD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    CatalystBridge.column(VectorExpressions.DotProductD(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+  }
+
+  /** Reference formulation via built-in higher-order functions (zip_with +
+    * aggregate) — the differential-testing baseline for [[dotD]], and the
+    * shape portable to engines without expression extension points.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -39,11 +53,8 @@ object VectorFunctions {
   /** Signed projection of `v` onto deterministic hyperplane `p` (left fold,
     * same order as the element-indexed SQL formulation).
     */
-  def planeDot(v: Column, p: Int, dims: Int): Column = {
-    val coeffs = typedlit((0 until dims).map(planeCoeffValue(p, _)))
-    aggregate(zip_with(v, coeffs, (x, c) => x.cast("double") * c),
-      lit(0.0), (acc, t) => acc + t)
-  }
+  def planeDot(v: Column, p: Int, dims: Int): Column =
+    dotD(v, typedlit((0 until dims).map(planeCoeffValue(p, _))))
 
   /** Signed-random-projection LSH bucket id over `planes` hyperplanes.
     * `dims` must match the embedding length (coefficients are plan-time

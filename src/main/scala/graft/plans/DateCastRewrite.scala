@@ -76,5 +76,14 @@ object DateCastRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DateCastRewrite)
+    // SQL-name registration for the native vector expression, so
+    // `SELECT dot_product_d(a, b)` works alongside the Column API.
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product_d"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.VectorExpressions.DotProductD].getName,
+        "dot_product_d"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VectorExpressions.DotProductD(exprs(0), exprs(1))))
   }
 }
