@@ -236,6 +236,40 @@ object Dedup {
     * Bit b is set when sum over tokens of ±1 (per-token bit b) is ≥ 0.
     * Token multiplicity counts, matching the classic definition.
     */
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, at scale
+    * via pigeonhole banding: the b-bit signature splits into maxHamming+1
+    * chunks — a pair within distance k can dirty at most k chunks, so it
+    * must agree EXACTLY on at least one. Candidates therefore come from an
+    * equi-join on (chunk index, chunk value) — never the O(N²) pair
+    * space — and exact xor+bit_count verification filters them. The gate's
+    * DuckDB oracle computes the brute-force all-pairs answer, so a green
+    * gate also proves the banding is lossless (pigeonhole completeness).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, maxHamming: Int = 2): DataFrame = {
+    val nChunks = maxHamming + 1
+    val w = (bits + nChunks - 1) / nChunks // ceil; last chunk may be narrower
+    val sig = simhash(docs, idCol, textCol, bits).cache()
+    val chunkArr = array((0 until nChunks).map { i =>
+      val lo = i * w
+      val width = math.min(w, bits - lo)
+      struct(lit(i).as("ci"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("cv"))
+    }: _*)
+    val chunks = sig.select(col(idCol), col("simhash"), explode(chunkArr).as("c"))
+      .select(col(idCol), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = chunks.select(col(idCol).as("doc_a"), col("simhash").as("__sa"),
+      col("ci"), col("cv"))
+    val b = chunks.select(col(idCol).as("doc_b"), col("simhash").as("__sb"),
+      col("ci"), col("cv"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
     docs.select(col(idCol), explode(words(col(textCol))).as("w"))
       .select(col(idCol), wordCode16(col("w")).as("h"))

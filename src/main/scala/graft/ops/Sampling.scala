@@ -34,4 +34,28 @@ object Sampling {
     }
     df.filter(keyUniform(col(keyCol)) < rate)
   }
+
+  /** Exact-count quotas per stratum (mixture recipes specified in rows, not
+    * rates): rank rows within each stratum by key hash (id tie-break) and
+    * keep the first `counts(stratum)`. Deterministic and retry/engine
+    * stable like [[stratified]].
+    *
+    * Scale note: the per-stratum rank is a window over the stratum — one
+    * shuffle keyed by stratum, and a full sort of each stratum's rows. For
+    * quotas ≪ stratum size on huge strata, pre-thin with [[stratified]] at
+    * a rate safely above quota/|stratum| first, then apply the exact quota
+    * to the survivors — the sort then touches only the thinned set.
+    */
+  def stratifiedExact(df: DataFrame, keyCol: String, stratumCol: String,
+                      counts: Map[String, Int], defaultCount: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quota = counts.foldLeft(lit(defaultCount)) { case (acc, (stratum, n)) =>
+      when(col(stratumCol) === stratum, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(keyUniform(col(keyCol)), col(keyCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= quota)
+      .drop("__rank")
+  }
 }

@@ -94,6 +94,16 @@ object ScalarQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // A12: exact quantiles (curation thresholds, e.g. quality-score P10
+    // cutoffs). Spark `percentile` and DuckDB `quantile_cont` both use
+    // linear interpolation over the sorted values.
+    "a12_quantiles" -> { (s, dir) =>
+      Tables.events(s, dir).agg(
+        round(expr("percentile(value, 0.1)"), 6).as("p10"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+    },
+
     // F9: display-label formatting (snake_case → Title Case).
     "f9_label_format" -> { (s, dir) =>
       import graft.functions.TextFunctions.labelize
@@ -168,6 +178,12 @@ object ScalarQueries {
 
     "a11_value_counts" ->
       """SELECT event_type, value, count(*) AS n FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a12_quantiles" ->
+      """SELECT round(quantile_cont(value, 0.1), 6) AS p10,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events""".stripMargin,
 
     // DuckDB has no initcap: capitalize each lower-cased word by hand.
     "f9_label_format" ->

@@ -132,6 +132,20 @@ object TextQueries {
       Dedup.clusters(pairs)
     },
 
+    // SimHash pair mining: pigeonhole-banded candidates + exact Hamming
+    // verify; the oracle brute-forces all pairs, so green = banding lossless.
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        bits = 16, maxHamming = 2)
+    },
+
+    // Exact-count mixture quotas per source (rows, not rates).
+    "sample_exact_quota" -> { (s, dir) =>
+      graft.ops.Sampling.stratifiedExact(Tables.documents(s, dir), "doc_id",
+          "source", counts = Map("src0" -> 40, "src1" -> 25, "src2" -> 10))
+        .select(col("doc_id"), col("source"), col("lang"))
+    },
+
     // Within-doc n-gram repetition ratio (templated/generated-text signal).
     "text_repetition_ratio" -> { (s, dir) =>
       TextAnalysis.repetitionRatio(Tables.documents(s, dir), "doc_id", "text")
@@ -293,6 +307,28 @@ object TextQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS word FROM words),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h16 FROM tok),
+         |bits AS (SELECT doc_id, b, sum(((h16 >> CAST(b AS INTEGER)) & 1) * 2 - 1) AS s
+         |  FROM h, (SELECT unnest(range(16)) AS b) bb GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, b) AS BIGINT)
+         |  ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+
+    "sample_exact_quota" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |      doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 25
+        |  WHEN 'src2' THEN 10 ELSE 0 END""".stripMargin,
 
     "text_repetition_ratio" ->
       s"""WITH $wordsCte,

@@ -75,6 +75,22 @@ object GraftProperties extends Properties("graft") {
         got == expect.toLong
     }
 
+  property("native dot product ≡ fold formulation on arbitrary vectors") =
+    forAll(Gen.choose(1, 48).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, Gen.choose(-1e3, 1e3)),
+        Gen.listOfN(n, Gen.choose(-1e3, 1e3))))) { case (xs, ys) =>
+      import graft.functions.VectorFunctions
+      val df = Seq((xs, ys)).toDF("a", "b")
+      val r = df.select(
+        VectorFunctions.dotD(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).as("fast"),
+        VectorFunctions.dotFold(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).as("fold")).head()
+      // Bit-identical, not approximately equal: same sequential left fold.
+      Prop(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+
   property("dedup keep-first: one row per key, minimal tiebreak (U4)") =
     forAll(Gen.listOfN(50, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L)))) { rows =>
       (rows.nonEmpty && rows.map(_._2).distinct.size == rows.size) ==> {

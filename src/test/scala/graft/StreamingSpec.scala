@@ -126,6 +126,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops re-ingested rows with bounded state") {
+    import org.apache.spark.sql.{Dataset, Row}
+    val input = MemoryStream[(String, Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Long, String)]], spark)
+    val stream = input.toDF().toDF("doc_id", "ts_us", "text")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val deduped = graft.streaming.StreamDedup.exactWithinWatermark(
+      graft.streaming.StreamDedup.withContentHash(stream, "text"),
+      "ts", Seq("content_hash"), watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    try {
+      input.addData(Seq(("d1", us(0), "alpha beta"), ("d2", us(1), "gamma delta")))
+      q.processAllAvailable()
+      // Re-ingest d1's content (same text → same hash) plus a new doc.
+      input.addData(Seq(("d1b", us(2), "alpha beta"), ("d3", us(3), "epsilon zeta")))
+      q.processAllAvailable()
+      val texts = spark.table("stream_dedup").select("text")
+        .as[String].collect().sorted.toSeq
+      assert(texts == Seq("alpha beta", "epsilon zeta", "gamma delta"),
+        s"duplicate content must be dropped: $texts")
+    } finally q.stop()
+  }
+
   test("cursor replay mirrors the simulator's distinct-timestamp batches (O3)") {
     val df = batches.flatten.toDF("userId", "tsUs", "value")
       .withColumn("ts", timestamp_micros(col("tsUs")))
