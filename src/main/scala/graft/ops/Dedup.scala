@@ -31,6 +31,10 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct (id, shingle) pairs — the shingle-set representation.
+    * Requires unique doc ids (every table here has them); within-doc
+    * dedup happens per row via `array_distinct` BEFORE the explode, so
+    * building the set costs zero shuffles instead of a corpus-wide
+    * `distinct()` exchange.
     *
     * `maxDocFrequency` (opt-in) drops "stop-shingles" present in more than
     * that fraction of documents BEFORE any join — the standard mitigation
@@ -41,16 +45,20 @@ object Dedup {
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
                   maxDocFrequency: Option[Double] = None): DataFrame = {
     val sh = docs
-      .select(col(idCol), explode(wordShingles(words(col(textCol)), n)).as("shingle"))
-      .distinct()
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(words(col(textCol)), n))).as("shingle"))
     maxDocFrequency match {
       case None => sh
       case Some(maxDf) =>
+        // Cache before deriving the hot list: both the df-count pass and
+        // the anti-join consume the exploded set — without the cache the
+        // corpus would tokenize/explode twice.
+        val cached = sh.cache()
         val nDocs = docs.select(col(idCol)).distinct().count()
-        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        val hot = cached.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > lit(maxDf * nDocs))
           .select(col("shingle"))
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        cached.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
 

@@ -53,4 +53,24 @@ class StorageEngineSpec extends AnyFunSuite {
     }
     assert(stored.getAs[Long]("subj_rows") > 0)
   }
+
+  test("per-user aggregation over the bucketed table runs with ZERO exchange") {
+    // The SCALE.md claim made checkable: when the table's bucketing matches
+    // the grouping key, the user exchange disappears — the one-time shuffle
+    // paid at write time is amortized over every later per-user operator.
+    val hr = Fixtures.heartRates.toDF("user_id", "timestamp", "value")
+    TableStore.createDatabase(spark, "graft_int")
+    spark.sql("DROP TABLE IF EXISTS graft_int.hr_bucketed")
+    TableStore.appendSeries(hr, "graft_int.hr_bucketed", "user_id", "timestamp",
+      buckets = 8)
+
+    val agg = spark.table("graft_int.hr_bucketed")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.avg("value"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed scan must satisfy the grouping distribution:\n${plan.take(1000)}")
+    assert(agg.count() == Fixtures.heartRates.map(_._1).distinct.size)
+  }
 }
