@@ -58,6 +58,30 @@ object Multimodal {
     out
   }
 
+  /** Byte-range chunking with overlap — the training-prep op for long
+    * payloads (audio windows, long-text blocks): chunk boundaries are pure
+    * metadata arithmetic (no decode), the slice is a `substring` on the
+    * binary column, and overlap (`chunkBytes − stride`) preserves context
+    * across boundaries. One explode, no shuffle; empty payloads yield one
+    * empty chunk so every media row survives into the chunk table.
+    */
+  def chunk(media: DataFrame, chunkBytes: Int, overlapBytes: Int = 0): DataFrame = {
+    require(overlapBytes >= 0 && overlapBytes < chunkBytes,
+      "overlap must be smaller than the chunk size")
+    val stride = (chunkBytes - overlapBytes).toLong
+    media
+      .withColumn("__n", length(col("payload")).cast("long"))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0L), greatest(col("__n"), lit(1L)) - 1, lit(stride))))
+      .withColumn("chunk_idx", (col("chunk_start") / stride).cast("int"))
+      .withColumn("chunk_len",
+        least(lit(chunkBytes.toLong), col("__n") - col("chunk_start")))
+      .withColumn("chunk",
+        expr(s"substring(payload, CAST(chunk_start + 1 AS INT), $chunkBytes)"))
+      .select(col("media_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"), col("chunk"))
+  }
+
   /** Frame sampling plan for a "video" payload: one output row per sampled
     * frame index — the explode happens WITHOUT decoding (indices derive from
     * metadata), so the heavy decode can be deferred/filtered downstream.

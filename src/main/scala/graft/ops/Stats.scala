@@ -52,4 +52,25 @@ object Stats {
   /** A6: distinct values of an attribute (`viz.py:354, 449`). */
   def distinctValues(df: DataFrame, c: String): DataFrame =
     df.select(col(c)).distinct()
+
+  /** Pearson correlation between two (aligned-feature) columns via
+    * EXPLICIT moments — n, Σx, Σy, Σxy, Σx², Σy² in one pass, then the
+    * closed form. Built-in `corr()` implementations use engine-specific
+    * incremental updates whose last-ulp drift is unpredictable; spelling
+    * the arithmetic out means any engine evaluates the identical
+    * expression tree. Rows with a null on either side are excluded
+    * (pairwise-complete, the dashboard convention).
+    */
+  def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    df.filter(x.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      .select(col("n"),
+        ((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+            sqrt(col("n") * col("__syy") - col("__sy") * col("__sy"))))
+          .as("corr"))
+  }
 }

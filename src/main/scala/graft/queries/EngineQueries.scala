@@ -75,6 +75,17 @@ object EngineQueries {
         col("doc_id").as("media_id"),
         encode(col("text"), "utf-8").as("payload"))
       Multimodal.frameSample(media, fps = 30, everyNthFrame = 10)
+    },
+
+    // Overlapping byte-window chunking (audio-window / long-payload prep);
+    // the corpus is ASCII so the oracle can slice characters.
+    "mm_chunk" -> { (s, dir) =>
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100).select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "utf-8").as("payload"))
+      Multimodal.chunk(media, chunkBytes = 64, overlapBytes = 16)
+        .withColumn("chunk_text", decode(col("chunk"), "utf-8"))
+        .drop("chunk")
     }
   )
 
@@ -146,6 +157,16 @@ object EngineQueries {
         |  FROM documents WHERE doc_id < 50)
         |SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
         |  CAST(f AS DOUBLE) / 30 AS ts_sec
-        |FROM m, unnest(range(0, n_frames, 10)) AS t(f)""".stripMargin
+        |FROM m, unnest(range(0, n_frames, 10)) AS t(f)""".stripMargin,
+
+    "mm_chunk" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT media_id, CAST(s // 48 AS INTEGER) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS chunk_start,
+        |  CAST(least(64, n - s) AS BIGINT) AS chunk_len,
+        |  substring(text, CAST(s + 1 AS INTEGER), 64) AS chunk_text
+        |FROM m, unnest(range(0, greatest(n, 1), 48)) AS t(s)""".stripMargin
   )
 }

@@ -52,6 +52,15 @@ object ScalarQueries {
           round(col("value") / avg(col("value")).over(w), 6).as("calibrated"))
     },
 
+    // W9 (beyond ref): per-user rolling mean over the last 5 readings —
+    // the smoothing the dashboard applies client-side, as a window frame.
+    "w9_rolling_avg" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir).select(col("event_id"),
+        round(avg(col("value")).over(w), 6).as("rolling_avg"))
+    },
+
     // O3: deterministic top-k per group (rank + tie-break).
     "o3_topk_per_group" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -149,6 +158,13 @@ object ScalarQueries {
     "w2_mean_calibration" ->
       """SELECT event_id,
         |  round(value / avg(value) OVER (PARTITION BY user_id), 6) AS calibrated
+        |FROM events""".stripMargin,
+
+    "w9_rolling_avg" ->
+      """SELECT event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP)
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
         |FROM events""".stripMargin,
 
     "o3_topk_per_group" ->

@@ -127,6 +127,17 @@ object TimeSeriesQueries {
         .withColumnRenamed("view", "f_view")
     },
 
+    // J7 (beyond ref): cross-feature Pearson correlation over the aligned
+    // frame — explicit moments, identical arithmetic in any engine.
+    "j7_feature_corr" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("minute_us", unix_micros(date_trunc("minute", col("ts"))))
+      val aligned = SeriesOps.alignFeatures(ev, "user_id", "minute_us",
+        "event_type", "value", features = Seq("click", "view"))
+      graft.ops.Stats.pearson(aligned, "click", "view")
+        .select(col("n"), round(col("corr"), 6).as("corr"))
+    },
+
     // As-of join: each click gets the latest prior view value (≤2 h back).
     "j6_asof_join" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -262,6 +273,20 @@ object TimeSeriesQueries {
         |  min(CASE WHEN event_type = 'click' THEN value END) AS f_click,
         |  min(CASE WHEN event_type = 'view' THEN value END) AS f_view
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "j7_feature_corr" ->
+      """WITH al AS (SELECT user_id,
+        |    date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+        |    min(CASE WHEN event_type = 'click' THEN value END) AS fx,
+        |    min(CASE WHEN event_type = 'view' THEN value END) AS fy
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT CAST(fx AS DOUBLE) AS fx, CAST(fy AS DOUBLE) AS fy
+        |  FROM al WHERE fx IS NOT NULL AND fy IS NOT NULL),
+        |mo AS (SELECT count(*) AS n, sum(fx) AS sx, sum(fy) AS sy,
+        |  sum(fx*fy) AS sxy, sum(fx*fx) AS sxx, sum(fy*fy) AS syy FROM p)
+        |SELECT n, round((n*sxy - sx*sy) /
+        |  (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr
+        |FROM mo""".stripMargin,
 
     "a10_counts" ->
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_distinct
