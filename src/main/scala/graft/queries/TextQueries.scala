@@ -132,6 +132,27 @@ object TextQueries {
       Dedup.clusters(pairs)
     },
 
+    // The full curation pipeline as ONE lazy DataFrame graph — quality
+    // scoring, language ID, near-dup victim removal, deterministic
+    // sampling — the composition a training-data run executes, with
+    // Catalyst seeing all of it at once.
+    "curation_pipeline_e2e" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val quality = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val lang = TextAnalysis.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+      val dupVictims = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(quality, Seq("doc_id"))
+        .join(lang, Seq("doc_id"))
+        .filter(col("quality_score") >= 0.5 && col("predicted_lang") === "en")
+        .join(dupVictims, Seq("doc_id"), "left_anti")
+        .transform(d => graft.ops.Sampling.bernoulli(d, "doc_id", 0.9))
+        .select(col("doc_id"), col("source"),
+          round(col("quality_score"), 6).as("quality_score"))
+    },
+
     // SimHash pair mining: pigeonhole-banded candidates + exact Hamming
     // verify; the oracle brute-forces all pairs, so green = banding lossless.
     "dedup_simhash_pairs" -> { (s, dir) =>
@@ -307,6 +328,45 @@ object TextQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+
+    "curation_pipeline_e2e" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")},
+         |victims AS (SELECT DISTINCT i.doc_b AS doc_id FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |q AS (SELECT doc_id, least(1.0, len(ws) / 50.0) *
+         |    (1.0 - CAST(len(list_filter(ws,
+         |      x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws))
+         |    AS quality_score FROM words),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN score_en = g AND g > 0 THEN 'en'
+         |       WHEN score_es = g AND g > 0 THEN 'es'
+         |       WHEN score_fr = g AND g > 0 THEN 'fr'
+         |       WHEN score_de = g AND g > 0 THEN 'de'
+         |       ELSE 'und' END AS predicted_lang
+         |  FROM (SELECT doc_id,
+         |    CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en,
+         |    CAST(len(list_filter(ws, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS score_es,
+         |    CAST(len(list_filter(ws, x -> x IN ('le','les','de','et','un'))) AS BIGINT) AS score_fr,
+         |    CAST(len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS score_de,
+         |    greatest(
+         |      len(list_filter(ws, x -> x IN ('the','a','of','and','is'))),
+         |      len(list_filter(ws, x -> x IN ('el','la','de','que','y'))),
+         |      len(list_filter(ws, x -> x IN ('le','les','de','et','un'))),
+         |      len(list_filter(ws, x -> x IN ('der','die','und','das','ist')))) AS g
+         |    FROM words))
+         |SELECT d.doc_id, d.source, round(q.quality_score, 6) AS quality_score
+         |FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+         |WHERE q.quality_score >= 0.5 AND l.predicted_lang = 'en'
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM victims)
+         |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0 < 0.9""".stripMargin,
 
     "dedup_simhash_pairs" ->
       s"""WITH $wordsCte,
