@@ -136,6 +136,20 @@ object SeriesOps {
     * session starts, a running sum to number them. Emits per-event session
     * ids; aggregate downstream for per-session stats.
     */
+  /** W10 (beyond ref): forward-fill nulls per user in event-time order —
+    * sensor-gap imputation: each null reading takes the latest preceding
+    * non-null value. One window over the user exchange (which disappears
+    * entirely on user-bucketed storage).
+    */
+  def forwardFill(df: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${valueCol}_filled",
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   def sessionize(df: DataFrame, userCol: String, tsCol: String,
                  gapSeconds: Long, tiebreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -61,6 +61,40 @@ object Stats {
     * expression tree. Rows with a null on either side are excluded
     * (pairwise-complete, the dashboard convention).
     */
+  /** Pairwise-complete correlation matrix over `cols` in ONE aggregation
+    * pass: every pair's six moments are computed simultaneously (each with
+    * its own both-non-null mask), then the 1-row result explodes into one
+    * row per pair. One scan + one 1-row shuffle no matter how many
+    * features — the shape that matters when the frame is 100 TB.
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val x = col(a).cast("double"); val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      Seq(count(when(both, lit(1))).as(s"__n_${a}_$b"),
+        sum(when(both, x)).as(s"__sx_${a}_$b"),
+        sum(when(both, y)).as(s"__sy_${a}_$b"),
+        sum(when(both, x * y)).as(s"__sxy_${a}_$b"),
+        sum(when(both, x * x)).as(s"__sxx_${a}_$b"),
+        sum(when(both, y * y)).as(s"__syy_${a}_$b"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(pairs.map { case (a, b) =>
+      val n = col(s"__n_${a}_$b"); val sx = col(s"__sx_${a}_$b")
+      val sy = col(s"__sy_${a}_$b"); val sxy = col(s"__sxy_${a}_$b")
+      val sxx = col(s"__sxx_${a}_$b"); val syy = col(s"__syy_${a}_$b")
+      // nullif guards degenerate pairs (zero variance): corr = null, and
+      // under ANSI mode the division would otherwise throw.
+      val den = nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), lit(0.0))
+      struct(lit(a).as("feature_a"), lit(b).as("feature_b"), n.as("n"),
+        ((n * sxy - sx * sy) / den).as("corr"))
+    }: _*)
+    m.select(explode(rows).as("__p")).select(col("__p.*"))
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
@@ -69,8 +103,8 @@ object Stats {
         sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
       .select(col("n"),
         ((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
-            sqrt(col("n") * col("__syy") - col("__sy") * col("__sy"))))
+          nullif(sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+            sqrt(col("n") * col("__syy") - col("__sy") * col("__sy")), lit(0.0)))
           .as("corr"))
   }
 }

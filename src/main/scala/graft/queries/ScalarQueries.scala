@@ -113,6 +113,13 @@ object ScalarQueries {
         round(expr("percentile(value, 0.9)"), 6).as("p90"))
     },
 
+    // A13: per-group exact quantiles (per-feature threshold seeding).
+    "a13_group_quantiles" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+    },
+
     // F9: display-label formatting (snake_case → Title Case).
     "f9_label_format" -> { (s, dir) =>
       import graft.functions.TextFunctions.labelize
@@ -200,6 +207,11 @@ object ScalarQueries {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events""".stripMargin,
+
+    "a13_group_quantiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY 1""".stripMargin,
 
     // DuckDB has no initcap: capitalize each lower-cased word by hand.
     "f9_label_format" ->

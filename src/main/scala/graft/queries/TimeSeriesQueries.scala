@@ -127,6 +127,45 @@ object TimeSeriesQueries {
         .withColumnRenamed("view", "f_view")
     },
 
+    // W10: per-user forward-fill imputation (sensor gaps). Nulls are
+    // planted deterministically (error events) so the fill does real work.
+    "w10_forward_fill" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("v",
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")))
+      SeriesOps.forwardFill(ev, "user_id", "ts", "v", tiebreak = "event_id")
+        .select(col("event_id"), col("v_filled"))
+    },
+
+    // J8: full pairwise correlation matrix in one aggregation pass.
+    // Hour-level alignment: minute-level co-occurrence is too sparse for a
+    // meaningful matrix on this data (2 of 10 pairs reach n ≥ 2).
+    "j8_corr_matrix" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("hour_us", unix_micros(date_trunc("hour", col("ts"))))
+      val aligned = SeriesOps.alignFeatures(ev, "user_id", "hour_us",
+        "event_type", "value",
+        features = Seq("click", "error", "purchase", "signup", "view"))
+      graft.ops.Stats.pearsonMatrix(aligned,
+          Seq("click", "error", "purchase", "signup", "view"))
+        .filter(col("n") >= 2) // degenerate pairs: 0/0 NaN semantics differ per engine
+        .select(col("feature_a"), col("feature_b"), col("n"),
+          round(col("corr"), 6).as("corr"))
+    },
+
+    // Skew-salted equi-join: row-for-row equivalent to the plain join —
+    // the oracle IS the plain join, so the gate proves salting changes
+    // the shuffle layout and nothing else.
+    "skew_salted_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("value"))
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("weight", lit(60.0) + (col("user_id") % 40).cast("double"))
+      graft.ops.Skew.saltedJoin(ev, dim, Seq("user_id"), salts = 8)
+        .select(col("event_id"), col("user_id"), col("weight"),
+          (col("value") * col("weight")).as("weighted"))
+    },
+
     // J7 (beyond ref): cross-feature Pearson correlation over the aligned
     // frame — explicit moments, identical arithmetic in any engine.
     "j7_feature_corr" -> { (s, dir) =>
@@ -273,6 +312,43 @@ object TimeSeriesQueries {
         |  min(CASE WHEN event_type = 'click' THEN value END) AS f_click,
         |  min(CASE WHEN event_type = 'view' THEN value END) AS f_view
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "w10_forward_fill" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, last_value(v IGNORE NULLS) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM ev""".stripMargin,
+
+    "j8_corr_matrix" -> {
+      val feats = Seq("click", "error", "purchase", "signup", "view")
+      val pairSelects = (for {
+        i <- feats.indices; j <- (i + 1) until feats.size
+      } yield {
+        val (a, b) = (feats(i), feats(j))
+        s"""SELECT '$a' AS feature_a, '$b' AS feature_b, count(*) AS n,
+           |  round((count(*)*sum(fx*fy) - sum(fx)*sum(fy)) /
+           |    nullif(sqrt(count(*)*sum(fx*fx) - sum(fx)*sum(fx)) *
+           |           sqrt(count(*)*sum(fy*fy) - sum(fy)*sum(fy)), 0), 6) AS corr
+           |FROM (SELECT CAST(f_$a AS DOUBLE) AS fx, CAST(f_$b AS DOUBLE) AS fy
+           |      FROM al WHERE f_$a IS NOT NULL AND f_$b IS NOT NULL)""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      val pivots = feats.map(f =>
+        s"min(CASE WHEN event_type = '$f' THEN value END) AS f_$f").mkString(",\n  ")
+      s"""WITH al AS (SELECT user_id,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS m,
+         |  $pivots
+         |  FROM events GROUP BY 1, 2)
+         |SELECT * FROM ($pairSelects) WHERE n >= 2""".stripMargin
+    },
+
+    "skew_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT user_id,
+        |    60.0 + CAST(user_id % 40 AS DOUBLE) AS weight FROM events)
+        |SELECT e.event_id, e.user_id, d.weight, e.value * d.weight AS weighted
+        |FROM events e JOIN dim d USING (user_id)""".stripMargin,
 
     "j7_feature_corr" ->
       """WITH al AS (SELECT user_id,

@@ -61,6 +61,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"single-partition exchange below the top-k operator:\n${p.take(1200)}")
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast (training side streams):\n${p.take(800)}")
+  }
+
+  test("IVF probe assignment is map-side: exactly one Window (the final top-k)") {
+    val p = plan("ann_ivf_cosine")
+    // Match the Window operator itself, not WindowGroupLimit (the rank-limit
+    // pushdown Spark adds around it — that one is desirable).
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1,
+      s"centroid assignment must not reintroduce a window/join (got $windows):\n${p.take(1000)}")
+  }
+
+  test("curation pipeline removes dup victims via a broadcast anti-join") {
+    val p = plan("curation_pipeline_e2e")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("unigram LM does not hint-broadcast the unbounded vocabulary") {
     val df = graft.ops.TextAnalysis.unigramLogProb(
       graft.sources.Tables.documents(spark, dir), "doc_id", "text")
