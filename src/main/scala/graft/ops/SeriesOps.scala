@@ -136,6 +136,53 @@ object SeriesOps {
     * session starts, a running sum to number them. Emits per-event session
     * ids; aggregate downstream for per-session stats.
     */
+  /** W11 (beyond ref): linear interpolation onto a fixed per-user time
+    * grid — the upsampling companion to the A7 downsample. Grid points
+    * (every `stepSec` within the user's observed span) union with the
+    * readings; the bracketing readings come from two ignore-null window
+    * scans (forward for prev, reversed for next) over ONE user-keyed
+    * exchange — no joins, no per-point search. Grid points landing exactly
+    * on a reading reproduce it bit-for-bit.
+    */
+  def interpolateGrid(df: DataFrame, userCol: String, tsCol: String,
+                      valueCol: String, stepSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stepUs = stepSec * 1000000L
+    val base = df.select(col(userCol), unix_micros(col(tsCol)).as("ts_us"),
+      col(valueCol).cast("double").as("__v"))
+    val grid = base.groupBy(col(userCol))
+      .agg(min(col("ts_us")).as("__mn"), max(col("ts_us")).as("__mx"))
+      .withColumn("__gs", expr(s"((__mn + $stepUs - 1) div $stepUs) * $stepUs"))
+      .withColumn("__ge", expr(s"(__mx div $stepUs) * $stepUs"))
+      .filter(col("__gs") <= col("__ge")) // sequence() rejects empty ranges
+      .select(col(userCol),
+        explode(sequence(col("__gs"), col("__ge"), lit(stepUs))).as("ts_us"))
+    val pts = base.withColumn("__g", lit(0))
+      .unionByName(grid.select(col(userCol), col("ts_us"),
+        lit(null).cast("double").as("__v"), lit(1).as("__g")))
+    // Same-ts readings sort BEFORE their grid point in both scan
+    // directions, so an on-grid reading is its own bracket.
+    val wPrev = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us"), col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us").desc, col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsIfReading = when(col("__v").isNotNull, col("ts_us"))
+    pts
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pts", last(tsIfReading, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", last(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__nts", last(tsIfReading, ignoreNulls = true).over(wNext))
+      .filter(col("__g") === 1)
+      .select(col(userCol), col("ts_us"),
+        when(col("__nts") === col("__pts"), col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            (col("ts_us") - col("__pts")).cast("double") /
+            (col("__nts") - col("__pts")))
+          .as("v_interp"))
+  }
+
   /** W10 (beyond ref): forward-fill nulls per user in event-time order —
     * sensor-gap imputation: each null reading takes the latest preceding
     * non-null value. One window over the user exchange (which disappears

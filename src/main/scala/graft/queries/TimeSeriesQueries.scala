@@ -127,6 +127,14 @@ object TimeSeriesQueries {
         .withColumnRenamed("view", "f_view")
     },
 
+    // W11: linear interpolation onto a 30-minute per-user grid.
+    "w11_interpolate_grid" -> { (s, dir) =>
+      SeriesOps.interpolateGrid(Tables.events(s, dir), "user_id", "ts",
+          "value", stepSec = 1800)
+        .select(col("user_id"), col("ts_us"),
+          round(col("v_interp"), 6).as("v_interp"))
+    },
+
     // W10: per-user forward-fill imputation (sensor gaps). Nulls are
     // planted deterministically (error events) so the fill does real work.
     "w10_forward_fill" -> { (s, dir) =>
@@ -312,6 +320,35 @@ object TimeSeriesQueries {
         |  min(CASE WHEN event_type = 'click' THEN value END) AS f_click,
         |  min(CASE WHEN event_type = 'view' THEN value END) AS f_view
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "w11_interpolate_grid" ->
+      """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(value AS DOUBLE) AS v FROM events),
+        |span AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+        |  FROM b GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(
+        |    ((mn + 1800000000 - 1) // 1800000000) * 1800000000,
+        |    (mx // 1800000000) * 1800000000 + 1, 1800000000)) AS ts_us
+        |  FROM span),
+        |u AS (SELECT user_id, ts_us, v, 0 AS g FROM b
+        |  UNION ALL SELECT user_id, ts_us, NULL, 1 FROM grid),
+        |w AS (SELECT user_id, ts_us, g,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pts,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us DESC, g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nts
+        |  FROM u)
+        |SELECT user_id, ts_us,
+        |  round(CASE WHEN nts = pts THEN pv
+        |    ELSE pv + (nv - pv) * CAST(ts_us - pts AS DOUBLE) / (nts - pts)
+        |  END, 6) AS v_interp
+        |FROM w WHERE g = 1""".stripMargin,
 
     "w10_forward_fill" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

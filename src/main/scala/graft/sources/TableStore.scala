@@ -47,4 +47,25 @@ object TableStore {
   /** S11: CSV export sink. */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Compaction: rewrite a parquet directory's many small files into
+    * ≈`targetFileBytes` files. Streaming micro-batch sinks accumulate
+    * small files that destroy scan throughput at scale (footer/open cost
+    * per file, tiny row groups); periodic compaction restores
+    * scan-friendly sizes. Rewrites to a temp dir then swaps atomically
+    * (per-filesystem semantics). Returns the new file count.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hadoopPath, true)
+    fs.rename(tmp, hadoopPath)
+    nFiles
+  }
 }

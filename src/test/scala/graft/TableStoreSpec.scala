@@ -36,6 +36,22 @@ class TableStoreSpec extends AnyFunSuite {
     assert(spark.table("graft_test.hr").count() == 4)
   }
 
+  test("compaction collapses small files and preserves every row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(dir) // simulate micro-batch small files
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 40)
+    val n = graft.sources.TableStore.compactParquet(spark, dir,
+      targetFileBytes = 1L * 1024 * 1024 * 1024)
+    assert(n == 1 && parquetFiles == 1, s"expected 1 compacted file, got $parquetFiles")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+      == (0L until 10000L).map(_ * 2).sum)
+  }
+
   test("CSV export round-trips (S11)") {
     val dir = Files.createTempDirectory("graft_export").toString + "/out"
     val df = Seq(("u1", 1.5), ("u2", 2.5)).toDF("user_id", "value")
