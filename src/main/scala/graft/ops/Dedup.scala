@@ -244,6 +244,26 @@ object Dedup {
     * Bit b is set when sum over tokens of ±1 (per-token bit b) is ≥ 0.
     * Token multiplicity counts, matching the classic definition.
     */
+  /** Edit-distance near-dup pairs with BLOCKING: candidates are limited to
+    * rows sharing a cheap block key (first token, phonetic code, length
+    * bucket, …) before the quadratic-per-pair Levenshtein runs — the
+    * classic blocking+verify shape for title/name dedup; never all-pairs.
+    * Block-key skew behaves like any hot join key (AQE skew split / cap
+    * oversized blocks upstream).
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockExpr: org.apache.spark.sql.Column,
+                        maxDist: Int): DataFrame = {
+    val p = docs.select(col(idCol), col(textCol), blockExpr.as("__blk"))
+    val a = p.select(col(idCol).as("id_a"), col(textCol).as("__ta"), col("__blk"))
+    val b = p.select(col(idCol).as("id_b"), col(textCol).as("__tb"), col("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, at scale
     * via pigeonhole banding: the b-bit signature splits into maxHamming+1
     * chunks — a pair within distance k can dirty at most k chunks, so it

@@ -35,6 +35,29 @@ object Sampling {
     df.filter(keyUniform(col(keyCol)) < rate)
   }
 
+  /** Temperature-flattened mixture resampling — the multilingual-LM
+    * recipe: stratum s is kept with probability ∝ n_s^(α−1), i.e. sampled
+    * share p_s = n_s^α / Σ n^α, scaled so the expected output is
+    * `targetFraction` of the corpus. α = 1 reproduces the natural mix;
+    * α → 0 equalizes strata (up-weights small sources). Rates derive from
+    * one count aggregation broadcast back; the keep decision stays the
+    * deterministic key hash.
+    */
+  def temperature(df: DataFrame, keyCol: String, stratumCol: String,
+                  alpha: Double, targetFraction: Double): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(pow(col("__n"), alpha)).as("__z"),
+      sum(col("__n")).as("__total")) // NB: "__N" would collide with "__n" (case-insensitive resolution)
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        lit(targetFraction) * col("__total") * pow(col("__n"), alpha) /
+          (col("__z") * col("__n"))))
+      .select(col(stratumCol), col("__rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(keyUniform(col(keyCol)) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Exact-count quotas per stratum (mixture recipes specified in rows, not
     * rates): rank rows within each stratum by key hash (id tie-break) and
     * keep the first `counts(stratum)`. Deterministic and retry/engine

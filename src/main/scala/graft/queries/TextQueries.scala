@@ -160,6 +160,21 @@ object TextQueries {
         bits = 16, maxHamming = 2)
     },
 
+    // Temperature-flattened mixture resample (α=0.5 up-weights the small
+    // src2 stratum relative to the natural mix; target = half the corpus).
+    "sample_temperature" -> { (s, dir) =>
+      graft.ops.Sampling.temperature(Tables.documents(s, dir), "doc_id",
+          "source", alpha = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // Blocked edit-distance title dedup over part names (share first word
+    // → Levenshtein verify).
+    "dedup_title_edit" -> { (s, dir) =>
+      Dedup.editDistancePairs(Tables.part(s, dir), "p_partkey", "p_name",
+        blockExpr = split_part(col("p_name"), lit(" "), lit(1)), maxDist = 2)
+    },
+
     // Exact-count mixture quotas per source (rows, not rates).
     "sample_exact_quota" -> { (s, dir) =>
       graft.ops.Sampling.stratifiedExact(Tables.documents(s, dir), "doc_id",
@@ -380,6 +395,23 @@ object TextQueries {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(power(n, 0.5)) AS z, sum(n) AS total FROM c),
+        |r AS (SELECT source,
+        |  least(1.0, 0.5 * total * power(n, 0.5) / (z * n)) AS rate FROM c, t)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 < rate""".stripMargin,
+
+    "dedup_title_edit" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |    split_part(p_name, ' ', 1) AS blk FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
     "sample_exact_quota" ->
       """SELECT doc_id, source, lang FROM (
