@@ -171,6 +171,31 @@ object TextAnalysis {
       regexp_replace(col(textCol), EmailRe, "<EMAIL>").as("text_clean"),
       regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_masked"))
 
+  /** Per-document top-k terms by TF-IDF — the classic keyword profile.
+    * The document-frequency side is vocabulary-sized, so it is NOT
+    * hint-broadcast (same reasoning as [[unigramLogProb]]): a shuffle
+    * equi-join on the token that AQE may broadcast when it actually fits.
+    * Ranking uses the ROUNDED score with a term tie-break so top-k is
+    * deterministic and portable.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = tokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("__nd"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__nd").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("rank"), col("tfidf"))
+  }
+
   /** Position-weighted rolling-hash fingerprint: sum over tokens of
     * hash24(token) · ((pos mod 8)+1). Order-sensitive (cyclic weights),
     * overflow-safe in 64 bits, and portable (md5-derived hash).

@@ -120,6 +120,22 @@ object ScalarQueries {
         round(expr("percentile(value, 0.9)"), 6).as("p90"))
     },
 
+    // A14: user-activity deciles via quantile THRESHOLDS, not a global
+    // ntile — ntile needs every user through one reducer; thresholds are a
+    // 1-row broadcast and the decile assignment is map-side arithmetic.
+    "a14_activity_deciles" -> { (s, dir) =>
+      val act = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val qs = (1 to 9).map(_ / 10.0).mkString(",")
+      val bounds = act.agg(expr(s"percentile(n_events, array($qs))").as("__b"))
+      val decile = (0 until 9).map(i =>
+        when(col("n_events") > element_at(col("__b"), i + 1), 1).otherwise(0))
+        .reduce(_ + _)
+      act.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("n_events"),
+          (lit(1) + decile).cast("int").as("decile"))
+    },
+
     // F9: display-label formatting (snake_case → Title Case).
     "f9_label_format" -> { (s, dir) =>
       import graft.functions.TextFunctions.labelize
@@ -207,6 +223,16 @@ object ScalarQueries {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events""".stripMargin,
+
+    "a14_activity_deciles" -> {
+      val cases = (1 to 9).map(i =>
+        s"(CASE WHEN n_events > q[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      """WITH act AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |b AS (SELECT quantile_cont(n_events,
+        |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q FROM act)
+        |SELECT user_id, n_events, CAST(1 + """.stripMargin + cases +
+        " AS INTEGER) AS decile\nFROM act, b"
+    },
 
     "a13_group_quantiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,

@@ -160,6 +160,11 @@ object TextQueries {
         bits = 16, maxHamming = 2)
     },
 
+    // Per-doc top-3 TF-IDF keywords.
+    "text_tfidf_top_terms" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+    },
+
     // Temperature-flattened mixture resample (α=0.5 up-weights the small
     // src2 stratum relative to the natural mix; target = half the corpus).
     "sample_temperature" -> { (s, dir) =>
@@ -395,6 +400,20 @@ object TextQueries {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+
+    "text_tfidf_top_terms" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM words),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |s AS (SELECT doc_id, term, tf,
+         |  round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tf JOIN dfx USING (term), nd)
+         |SELECT doc_id, term, tf, CAST(rank AS INTEGER) AS rank, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
 
     "sample_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),

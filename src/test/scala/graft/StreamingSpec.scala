@@ -126,6 +126,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    // Clicks join views within a 5-minute lookback per user; watermarks
+    // bound the join state on both sides (§2.10 stream-stream capability).
+    val clicks = MemoryStream[(Long, Long, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long, Double)]], spark)
+    val views = MemoryStream[(Long, Long, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long, Double)]], spark)
+    def shape(s: org.apache.spark.sql.DataFrame, p: String) =
+      s.toDF(s"${p}_user", s"${p}_us", s"${p}_v")
+        .withColumn(s"${p}_ts", timestamp_micros(col(s"${p}_us")))
+        .withWatermark(s"${p}_ts", "10 minutes")
+    val joined = shape(clicks.toDF(), "c").join(shape(views.toDF(), "v"),
+      expr("c_user = v_user AND v_ts BETWEEN c_ts - INTERVAL 5 MINUTES AND c_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      val cRows = Seq((1L, us(10), 1.0), (2L, us(20), 2.0))
+      val vRows = Seq((1L, us(7), 10.0), (1L, us(9), 11.0), (1L, us(2), 12.0),
+        (2L, us(19), 20.0), (2L, us(30), 21.0))
+      clicks.addData(cRows); views.addData(vRows)
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select("c_user", "c_us", "v_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = (for {
+        (cu, cts, _) <- cRows; (vu, vts, _) <- vRows
+        if cu == vu && vts >= cts - us(5) && vts <= cts
+      } yield (cu, cts, vts)).toSet
+      assert(got == expect, s"got $got expected $expect")
+      assert(expect.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops re-ingested rows with bounded state") {
     import org.apache.spark.sql.{Dataset, Row}
     val input = MemoryStream[(String, Long, String)](
