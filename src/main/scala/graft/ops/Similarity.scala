@@ -39,7 +39,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
-        round(dotD(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+        round(dotD(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -68,7 +68,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
-        round(dotD(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+        round(dotD(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -100,7 +100,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(dotD(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6)
+        round(dotD(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)), 6)
           .as("cosine"))
       .distinct() // a candidate can appear via several probes
     val w = Window.partitionBy(col("query_id"))
@@ -179,7 +179,7 @@ object Similarity {
                             qn: org.apache.spark.sql.Column,
                             index: IvfIndex, nprobe: Int): org.apache.spark.sql.Column = {
     val scored = array(index.centroids.map { c =>
-      struct(round(dotD(qv, typedlit(c.vec)) / (qn * lit(c.norm)), 6).as("ccos"),
+      struct(round(dotD(qv, typedlit(c.vec)) / nullif(qn * lit(c.norm), lit(0.0)), 6).as("ccos"),
         lit(c.label).as("label"))
     }: _*)
     val sorted = array_sort(scored, (l, r) =>
@@ -213,7 +213,7 @@ object Similarity {
     c.join(broadcast(q), Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
-        round(dotD(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+        round(dotD(col("__qv"), col("__cv")) / nullif(col("__qn") * col("__cn"), lit(0.0)), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("cluster"), col("cand_id"), col("cosine"), col("rn"))
@@ -237,7 +237,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        round(dotD(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+        round(dotD(col("__va"), col("__vb")) / nullif(col("__na") * col("__nb"), lit(0.0)), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
   }

@@ -82,6 +82,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("grid interpolation: two exchanges (span agg + windows), four lasts in two Windows") {
+    val p = plan("w11_interpolate_grid")
+    // One exchange feeds the per-user span aggregation (grid generation),
+    // one feeds BOTH window orderings over the union — the four ignore-null
+    // lasts merge into two Window nodes (one per ordering), not four.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"got $exchanges exchanges:\n${p.take(1200)}")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows <= 4, s"window nodes must stay merged per ordering, got $windows")
+  }
+
   test("unigram LM does not hint-broadcast the unbounded vocabulary") {
     val df = graft.ops.TextAnalysis.unigramLogProb(
       graft.sources.Tables.documents(spark, dir), "doc_id", "text")

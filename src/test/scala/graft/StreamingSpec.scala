@@ -126,6 +126,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows match batch sessionization counts") {
+    // session_window (10-minute gap) on a stream ≡ batch SeriesOps.sessionize
+    // with the same gap: same number of sessions, same per-session counts.
+    val input = MemoryStream[Point](implicitly[org.apache.spark.sql.Encoder[Point]], spark)
+    val stream = input.toDF()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("userId"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("session_kpis").start()
+    try {
+      batches.foreach(input.addData(_))
+      q.processAllAvailable()
+      val got = spark.table("session_kpis")
+        .select(col("userId"), col("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+      val batchDf = batches.flatten.toDF("userId", "tsUs", "value")
+        .withColumn("ts", timestamp_micros(col("tsUs")))
+      val expect = graft.ops.SeriesOps.sessionize(batchDf, "userId", "ts",
+          gapSeconds = 600, tiebreak = "tsUs")
+        .groupBy(col("userId"), col("session_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(got == expect, s"got $got expected $expect")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     // Clicks join views within a 5-minute lookback per user; watermarks
     // bound the join state on both sides (§2.10 stream-stream capability).
