@@ -259,8 +259,13 @@ object Dedup {
     val b = p.select(col(idCol).as("id_b"), col(textCol).as("__tb"), col("__blk"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("dist") <= maxDist)
+      // Lossless pigeonhole pre-filter: distance ≥ |len(a) − len(b)|, so
+      // length-distant pairs skip the quadratic DP entirely; the bounded
+      // 3-arg levenshtein then caps DP work at O(maxDist·n) per survivor
+      // (returns −1 above the threshold).
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
