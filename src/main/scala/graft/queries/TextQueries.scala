@@ -153,6 +153,23 @@ object TextQueries {
           round(col("quality_score"), 6).as("quality_score"))
     },
 
+    // Per-source dataset-card report: the corpus summary a curation run
+    // publishes (volume, token mass, quality, language share).
+    "corpus_report_by_source" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("quality_score"))
+      val l = TextAnalysis.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+      docs.join(q, Seq("doc_id")).join(l, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          round(avg(col("quality_score")), 6).as("avg_quality"),
+          round(avg(when(col("predicted_lang") === "en", 1.0).otherwise(0.0)), 6)
+            .as("pct_en"))
+    },
+
     // SimHash pair mining: pigeonhole-banded candidates + exact Hamming
     // verify; the oracle brute-forces all pairs, so green = banding lossless.
     "dedup_simhash_pairs" -> { (s, dir) =>
@@ -393,6 +410,37 @@ object TextQueries {
          |  AND d.doc_id NOT IN (SELECT doc_id FROM victims)
          |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      / 4294967296.0 < 0.9""".stripMargin,
+
+    "corpus_report_by_source" ->
+      s"""WITH $wordsCte,
+         |q AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |  least(1.0, len(ws) / 50.0) *
+         |    (1.0 - CAST(len(list_filter(ws,
+         |      x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws))
+         |    AS quality_score FROM words),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN score_en = g AND g > 0 THEN 'en'
+         |       WHEN score_es = g AND g > 0 THEN 'es'
+         |       WHEN score_fr = g AND g > 0 THEN 'fr'
+         |       WHEN score_de = g AND g > 0 THEN 'de'
+         |       ELSE 'und' END AS predicted_lang
+         |  FROM (SELECT doc_id,
+         |    CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en,
+         |    CAST(len(list_filter(ws, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS score_es,
+         |    CAST(len(list_filter(ws, x -> x IN ('le','les','de','et','un'))) AS BIGINT) AS score_fr,
+         |    CAST(len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS score_de,
+         |    greatest(
+         |      len(list_filter(ws, x -> x IN ('the','a','of','and','is'))),
+         |      len(list_filter(ws, x -> x IN ('el','la','de','que','y'))),
+         |      len(list_filter(ws, x -> x IN ('le','les','de','et','un'))),
+         |      len(list_filter(ws, x -> x IN ('der','die','und','das','ist')))) AS g
+         |    FROM words))
+         |SELECT d.source, count(*) AS n_docs, sum(q.n_words) AS total_words,
+         |  round(avg(q.quality_score), 6) AS avg_quality,
+         |  round(avg(CASE WHEN l.predicted_lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+         |    AS pct_en
+         |FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
 
     "dedup_simhash_pairs" ->
       s"""WITH $wordsCte,
