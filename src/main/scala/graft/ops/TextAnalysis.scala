@@ -160,6 +160,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contamination]] when train and benchmark live in ONE table split by
+    * a tag column: the corpus is tokenized/shingled ONCE and split by tag,
+    * instead of two full scans — the shape to prefer when the benchmark is
+    * a partition of the same store.
+    */
+  def contaminationTagged(docs: DataFrame, idCol: String, textCol: String,
+                          tagCol: String, benchTag: String,
+                          n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sh = docs.select(col(tagCol), col(idCol),
+      explode(array_distinct(wordShingles(words(col(textCol)), n))).as("shingle"))
+    val benchSh = sh.filter(col(tagCol) === benchTag)
+      .select(col("shingle")).distinct()
+    sh.filter(col(tagCol) =!= benchTag)
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** PII scrubbing: mask e-mail addresses (the pattern is RE2-safe, so the
     * same regex runs in any engine). Returns the cleaned text plus the
     * match count for audit aggregation. Single-pass, codegen'd.

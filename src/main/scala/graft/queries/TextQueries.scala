@@ -217,13 +217,12 @@ object TextQueries {
           round(col("rep_ratio"), 6).as("rep_ratio"))
     },
 
-    // Benchmark decontamination: shingle overlap of training docs (src0/1)
-    // against the held-out benchmark corpus (src2).
+    // Benchmark decontamination: shingle overlap of training docs against
+    // the held-out benchmark corpus (src2). Both sides live in the same
+    // table, so the tagged variant shingles the corpus ONCE.
     "text_decontaminate" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      TextAnalysis.contamination(
-        docs.filter(col("source") =!= "src2"),
-        docs.filter(col("source") === "src2"), "doc_id", "text")
+      TextAnalysis.contaminationTagged(Tables.documents(s, dir),
+        "doc_id", "text", tagCol = "source", benchTag = "src2")
     },
 
     // PII scrub over text with deterministically injected e-mails (the raw

@@ -42,6 +42,12 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(withNullElem.select(VectorFunctions.dotD(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("dot_product_d is registered as a SQL function via the extensions") {
+    val r = spark.sql(
+      "SELECT dot_product_d(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
   test("dot product participates in whole-stage codegen (no fallback)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val df = emb.select(VectorFunctions.dotD(col("embedding"), col("embedding")).as("d"))
