@@ -163,6 +163,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs: containment(A in B) = |A∩B| / |A| over
+    * shingle sets — catches subset duplication (a document quoted or
+    * embedded inside another) that symmetric Jaccard misses when sizes
+    * differ. Same candidate shape as [[jaccardPairs]] (shingle equi-join,
+    * never all-pairs); keeps pairs where EITHER direction reaches
+    * `minContainment`.
+    */
+  def containmentPairs(shinglesIn: DataFrame, idCol: String,
+                       minContainment: Double): DataFrame = {
+    val shingles = shinglesIn.cache()
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = shingles.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = shingles.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("cont_a", col("inter").cast("double") / col("sz_a"))
+      .withColumn("cont_b", col("inter").cast("double") / col("sz_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("cont_a"), col("cont_b"))
+  }
+
   /** Connected components over a near-duplicate pair graph → one cluster id
     * (the minimum member) per document — the final dedup step: keep one doc
     * per cluster.

@@ -136,6 +136,24 @@ object SeriesOps {
     * session starts, a running sum to number them. Emits per-event session
     * ids; aggregate downstream for per-session stats.
     */
+  /** A15 (beyond ref): thin a series to at most one reading per
+    * (user, bucket) — sensor-rate reduction keeping the EARLIEST reading
+    * (id tie-break) rather than aggregating like [[resample]]. One
+    * map-side bucket column + the keep-first groupBy (min_by — no window
+    * sort).
+    */
+  def thinPerBucket(df: DataFrame, userCol: String, tsCol: String,
+                    bucketSec: Long, tiebreak: String): DataFrame = {
+    // Integral `div`, not double division — µs values near 2^53 would
+    // round under a double quotient.
+    val bucket = expr(s"unix_micros($tsCol) div ${bucketSec * 1000000L}")
+    df.withColumn("__bucket", bucket)
+      .groupBy(col(userCol), col("__bucket"))
+      .agg(min_by(struct(df.columns.map(col): _*),
+        struct(col(tsCol), col(tiebreak))).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** W11 (beyond ref): linear interpolation onto a fixed per-user time
     * grid — the upsampling companion to the A7 downsample. Grid points
     * (every `stepSec` within the user's observed span) union with the

@@ -153,6 +153,16 @@ object TextQueries {
           round(col("quality_score"), 6).as("quality_score"))
     },
 
+    // Asymmetric containment: subset duplication (quoting/embedding) that
+    // symmetric Jaccard under-scores when document sizes differ.
+    "dedup_containment" -> { (s, dir) =>
+      val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.containmentPairs(sh, "doc_id", minContainment = 0.8)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("cont_a"), 6).as("cont_a"),
+          round(col("cont_b"), 6).as("cont_b"))
+    },
+
     // Per-source dataset-card report: the corpus summary a curation run
     // publishes (volume, token mass, quality, language share).
     "corpus_report_by_source" -> { (s, dir) =>
@@ -409,6 +419,18 @@ object TextQueries {
          |  AND d.doc_id NOT IN (SELECT doc_id FROM victims)
          |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      / 4294967296.0 < 0.9""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |${interCte("sh")}
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / x.sz, 6) AS cont_a,
+         |  round(CAST(i.inter AS DOUBLE) / y.sz, 6) AS cont_b
+         |FROM inter i
+         |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE greatest(CAST(i.inter AS DOUBLE) / x.sz,
+         |               CAST(i.inter AS DOUBLE) / y.sz) >= 0.8""".stripMargin,
 
     "corpus_report_by_source" ->
       s"""WITH $wordsCte,

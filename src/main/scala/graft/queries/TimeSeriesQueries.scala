@@ -127,6 +127,14 @@ object TimeSeriesQueries {
         .withColumnRenamed("view", "f_view")
     },
 
+    // A15: rate thinning — keep the earliest reading per (user, hour).
+    "a15_thin_per_bucket" -> { (s, dir) =>
+      SeriesOps.thinPerBucket(Tables.events(s, dir), "user_id", "ts",
+          bucketSec = 3600, tiebreak = "event_id")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+    },
+
     // W11: linear interpolation onto a 30-minute per-user grid.
     "w11_interpolate_grid" -> { (s, dir) =>
       SeriesOps.interpolateGrid(Tables.events(s, dir), "user_id", "ts",
@@ -320,6 +328,15 @@ object TimeSeriesQueries {
         |  min(CASE WHEN event_type = 'click' THEN value END) AS f_click,
         |  min(CASE WHEN event_type = 'view' THEN value END) AS f_view
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a15_thin_per_bucket" ->
+      """SELECT event_id, user_id, ts_us, value FROM (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    value, row_number() OVER (
+        |      PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
 
     "w11_interpolate_grid" ->
       """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

@@ -16,6 +16,34 @@ class FileStreamSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("streaming parquet sink accumulates small files; compaction restores layout") {
+    // The full ingest lifecycle: stream → parquet sink (one file per
+    // micro-batch = the small-files problem) → compactParquet → identical
+    // data in scan-friendly files.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Double)]], spark)
+    val out = Files.createTempDirectory("graft_sink").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val q = input.toDF().toDF("id", "v")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      (1 to 5).foreach { b =>
+        input.addData((1 to 100).map(i => (b * 1000L + i, i * 1.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def files = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files >= 5, s"one file per micro-batch expected, got $files")
+    graft.sources.TableStore.compactParquet(spark, out,
+      targetFileBytes = 1L * 1024 * 1024 * 1024)
+    assert(files == 1, s"compaction must leave one file, got $files")
+    assert(spark.read.parquet(out).count() == 500)
+  }
+
   test("file-source stream drives sliding-window KPIs incrementally") {
     val dir = Files.createTempDirectory("graft_stream").toString
     def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
