@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime bloom-filter pushdown: a selective join side injects a
+      // bloom filter into the large side's scan — at 100 TB this prunes
+      // fact-table IO for cohort-style joins before the shuffle.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // testdata events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
       // reader rejects; read as epoch-nanos Long and convert in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
