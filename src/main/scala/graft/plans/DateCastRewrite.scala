@@ -76,6 +76,7 @@ object DateCastRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DateCastRewrite)
+    e.injectOptimizerRule(_ => BoundedLevenshteinRewrite)
     // SQL-name registration for the native vector expression, so
     // `SELECT dot_product_d(a, b)` works alongside the Column API.
     e.injectFunction((

@@ -62,4 +62,31 @@ class DateCastRewriteSpec extends AnyFunSuite {
       .select("id").as[String].collect().toSet
     assert(mirrored == Set("before", "in1"))
   }
+
+  test("naive levenshtein threshold predicates rewrite to the bounded form") {
+    import graft.plans.BoundedLevenshteinRewrite
+    if (!spark.experimental.extraOptimizations.contains(BoundedLevenshteinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BoundedLevenshteinRewrite
+    import spark.implicits._
+    // Parquet round-trip: a LocalRelation would constant-fold the filter
+    // away before the rule's effect is observable.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lev").toString + "/t"
+    Seq(("kitten", "sitting"), ("abc", "abd"), ("short", "muchlongerstring"))
+      .toDF("a", "b").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val filtered = df.filter(levenshtein(col("a"), col("b")) <= 2)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    // The bounded 3-arg levenshtein and the length pigeonhole must appear.
+    assert(opt.contains("levenshtein(a#") && opt.contains("Some(2))"),
+      s"expected bounded levenshtein in:\n$opt")
+    assert(opt.toLowerCase.contains("abs((length(a"),
+      s"expected length-difference guard in:\n$opt")
+    // Semantics unchanged: only the distance-1 pair survives.
+    assert(filtered.select("a").as[String].collect().toSeq == Seq("abc"))
+    // Strict form too.
+    val strict = df.filter(levenshtein(col("a"), col("b")) < 3)
+      .select("a").as[String].collect().toSet
+    assert(strict == Set("abc"))
+  }
 }
