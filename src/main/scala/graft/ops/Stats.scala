@@ -61,6 +61,24 @@ object Stats {
     * expression tree. Rows with a null on either side are excluded
     * (pairwise-complete, the dashboard convention).
     */
+  /** Column profile — the ingest data-quality report (row count, null
+    * count, distinct cardinality per column) in ONE aggregation pass:
+    * every column's metrics aggregate simultaneously, and the 1-row result
+    * explodes into a row per column. One scan regardless of width.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    } :+ count(lit(1)).as("__n")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"))
+    }: _*)
+    m.select(explode(rows).as("__p")).select(col("__p.*"))
+  }
+
   /** Pairwise-complete correlation matrix over `cols` in ONE aggregation
     * pass: every pair's six moments are computed simultaneously (each with
     * its own both-non-null mask), then the 1-row result explodes into one

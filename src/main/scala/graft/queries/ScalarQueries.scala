@@ -120,6 +120,13 @@ object ScalarQueries {
         round(expr("percentile(value, 0.9)"), 6).as("p90"))
     },
 
+    // A16: ingest data-quality profile — nulls and cardinality per column
+    // in one pass over the table.
+    "profile_columns" -> { (s, dir) =>
+      graft.ops.Stats.profile(Tables.events(s, dir),
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+    },
+
     // A14: user-activity deciles via quantile THRESHOLDS, not a global
     // ntile — ntile needs every user through one reducer; thresholds are a
     // 1-row broadcast and the decile assignment is map-side arithmetic.
@@ -223,6 +230,15 @@ object ScalarQueries {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events""".stripMargin,
+
+    "profile_columns" -> {
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) FILTER ($c IS NULL) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    },
 
     "a14_activity_deciles" -> {
       val cases = (1 to 9).map(i =>
