@@ -44,6 +44,15 @@ object ScalarQueries {
       Tables.customer(s, dir).select(col("c_mktsegment")).distinct()
     },
 
+    // W12: per-user z-score normalization (feature standardization before
+    // cross-user comparison; nullif guards single-reading users).
+    "w12_zscore_per_user" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir).select(col("event_id"),
+        round((col("value") - avg(col("value")).over(w)) /
+          nullif(stddev_samp(col("value")).over(w), lit(0.0)), 6).as("zscore"))
+    },
+
     // W2: standalone per-user mean calibration.
     "w2_mean_calibration" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
@@ -184,6 +193,12 @@ object ScalarQueries {
 
     "a6_distinct_values" ->
       "SELECT DISTINCT c_mktsegment FROM customer",
+
+    "w12_zscore_per_user" ->
+      """SELECT event_id,
+        |  round((value - avg(value) OVER (PARTITION BY user_id)) /
+        |    nullif(stddev_samp(value) OVER (PARTITION BY user_id), 0), 6) AS zscore
+        |FROM events""".stripMargin,
 
     "w2_mean_calibration" ->
       """SELECT event_id,

@@ -153,6 +153,15 @@ object TextQueries {
           round(col("quality_score"), 6).as("quality_score"))
     },
 
+    // Global top-quality documents via distributed top-k (TakeOrdered, the
+    // curation "best-of" selection; rank by rounded score + id tie-break).
+    "quality_top_docs" -> { (s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Asymmetric containment: subset duplication (quoting/embedding) that
     // symmetric Jaccard under-scores when document sizes differ.
     "dedup_containment" -> { (s, dir) =>
@@ -419,6 +428,15 @@ object TextQueries {
          |  AND d.doc_id NOT IN (SELECT doc_id FROM victims)
          |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      / 4294967296.0 < 0.9""".stripMargin,
+
+    "quality_top_docs" ->
+      s"""WITH $wordsCte,
+         |q AS (SELECT doc_id, round(least(1.0, len(ws) / 50.0) *
+         |  (1.0 - CAST(len(list_filter(ws,
+         |    x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws)),
+         |  6) AS quality_score FROM words)
+         |SELECT doc_id, quality_score FROM q
+         |ORDER BY quality_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH $wordsCte,
