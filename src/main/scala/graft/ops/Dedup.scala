@@ -244,6 +244,25 @@ object Dedup {
     labels
   }
 
+  /** The final dedup step: one SURVIVOR per near-dup cluster, chosen by a
+    * score (e.g. quality) with id tie-break — "keep the best copy", not
+    * "keep the first". Documents absent from the pair graph are their own
+    * survivors. One broadcast join (cluster map is pair-graph-sized, tiny
+    * vs corpus) + one min_by aggregation.
+    */
+  def survivors(docs: DataFrame, clusterMap: DataFrame, idCol: String,
+                scoreCol: String): DataFrame = {
+    val assigned = docs
+      .join(broadcast(clusterMap.withColumnRenamed("doc_id", idCol)),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    assigned.groupBy(col("cluster_id"))
+      .agg(min_by(col(idCol), struct((-col(scoreCol)).as("s"), col(idCol)))
+        .as("survivor_id"),
+        count(lit(1)).as("cluster_size"),
+        max(col(scoreCol)).as("best_score"))
+  }
+
   /** Driver-side union-find over a collected pair list (path compression +
     * union by root order, so every root is its component's minimum id).
     */

@@ -153,6 +153,17 @@ object TextQueries {
           round(col("quality_score"), 6).as("quality_score"))
     },
 
+    // Dedup survivor selection: one KEPT doc per near-dup cluster, chosen
+    // by quality (rounded score so cross-engine ordering is exact) — the
+    // step that turns pair mining into an actual deduped corpus.
+    "dedup_survivors" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val quality = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+      Dedup.survivors(quality, Dedup.clusters(pairs), "doc_id", "q")
+    },
+
     // Global top-quality documents via distributed top-k (TakeOrdered, the
     // curation "best-of" selection; rank by rounded score + id tie-break).
     "quality_top_docs" -> { (s, dir) =>
@@ -428,6 +439,39 @@ object TextQueries {
          |  AND d.doc_id NOT IN (SELECT doc_id FROM victims)
          |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      / 4294967296.0 < 0.9""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")},
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |q AS (SELECT doc_id, round(least(1.0, len(ws) / 50.0) *
+         |  (1.0 - CAST(len(list_filter(ws,
+         |    x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws)),
+         |  6) AS q FROM words),
+         |assigned AS (SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+         |  q.q FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id),
+         |sel AS (SELECT cluster_id, doc_id AS survivor_id,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+         |  FROM assigned),
+         |agg AS (SELECT cluster_id, count(*) AS cluster_size, max(q) AS best_score
+         |  FROM assigned GROUP BY 1)
+         |SELECT a.cluster_id, s.survivor_id, a.cluster_size, a.best_score
+         |FROM agg a JOIN sel s ON a.cluster_id = s.cluster_id AND s.rn = 1""".stripMargin,
 
     "quality_top_docs" ->
       s"""WITH $wordsCte,
