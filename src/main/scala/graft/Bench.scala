@@ -39,8 +39,15 @@ object Bench {
     val failed = results.collect { case (n, t) if t < 0 => n }
     // Per-query budgets for the inherently-expensive queries: regressions
     // above machine noise surface as over_budget entries round-over-round.
-    val budgets = Map("ann_ivf_cosine" -> 4.0, "traj_similarity_grid" -> 4.0,
-      "ann_recall_lsh" -> 4.0, "ann_recall_ivf" -> 4.0)
+    // (Budgets ≈ 2× observed sf0.1 best-of-2, floored at 4 s for noise.)
+    val budgets = Map(
+      "ann_ivf_cosine" -> 4.0, "traj_similarity_grid" -> 4.0,
+      "ann_recall_lsh" -> 4.0, "ann_recall_ivf" -> 4.0,
+      "text_decontaminate" -> 8.0, "text_top_ngrams" -> 5.0,
+      "dedup_jaccard_exact" -> 5.0, "dedup_containment" -> 5.0,
+      "curation_pipeline_e2e" -> 5.0, "dedup_near_duplicates" -> 5.0,
+      "dedup_title_edit" -> 4.0, "dedup_clusters" -> 4.0,
+      "dedup_survivors" -> 4.0, "w11_interpolate_grid" -> 4.0)
     val overBudget = results.collect {
       case (n, t) if t > budgets.getOrElse(n, Double.MaxValue) => n
     }
