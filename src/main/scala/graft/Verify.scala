@@ -19,6 +19,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release op-internal + catalog caches so a 90+-query dump session
+      // doesn't accumulate cached frames (round-2 lesson).
+      graft.ops.OpCaches.releaseAll()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

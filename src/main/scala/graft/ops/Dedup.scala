@@ -49,17 +49,25 @@ object Dedup {
         explode(array_distinct(wordShingles(words(col(textCol)), n))).as("shingle"))
     maxDocFrequency match {
       case None => sh
-      case Some(maxDf) =>
-        // Cache before deriving the hot list: both the df-count pass and
-        // the anti-join consume the exploded set — without the cache the
-        // corpus would tokenize/explode twice.
-        val cached = sh.cache()
-        val nDocs = docs.select(col(idCol)).distinct().count()
-        val hot = cached.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > lit(maxDf * nDocs))
-          .select(col("shingle"))
-        cached.join(broadcast(hot), Seq("shingle"), "left_anti")
+      // Cache before deriving the hot list: both the hot-df aggregation and
+      // the anti-join consume the exploded set — without the cache the
+      // corpus would tokenize/explode twice. Scoped: released by
+      // OpCaches.releaseAll() once the caller materializes.
+      case Some(maxDf) => hotFiltered(OpCaches.scoped(sh), docs, idCol, maxDf)
     }
+  }
+
+  /** Anti-join away "stop-shingles" present in more than `maxDf` of the
+    * corpus. `sh` should already be cached — it feeds both the document
+    * count and the anti-join probe side.
+    */
+  private def hotFiltered(sh: DataFrame, docs: DataFrame, idCol: String,
+                          maxDf: Double): DataFrame = {
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > lit(maxDf * nDocs))
+      .select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
   /** Per-(doc, band) minhash signature. ONE md5 per shingle; band b's hash
@@ -96,7 +104,7 @@ object Dedup {
     * scale it is the small derived sketch (bands × docs), not the corpus.
     */
   def lshCandidates(signatures: DataFrame, idCol: String): DataFrame = {
-    val sig = signatures.cache()
+    val sig = OpCaches.scoped(signatures)
     val a = sig.select(col(idCol).as("doc_a"), col("band"), col("minhash"))
     val b = sig.select(col(idCol).as("doc_b"), col("band"), col("minhash"))
     a.join(b, Seq("band", "minhash"))
@@ -110,7 +118,7 @@ object Dedup {
     * with [[lshCandidates]] first (see [[nearDuplicates]]).
     */
   def jaccardPairs(shinglesIn: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
-    val shingles = shinglesIn.cache() // feeds sizes + both join sides
+    val shingles = OpCaches.scoped(shinglesIn) // feeds sizes + both join sides
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = shingles.select(col(idCol).as("doc_a"), col("shingle"))
     val b = shingles.select(col(idCol).as("doc_b"), col("shingle"))
@@ -142,7 +150,15 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      minJaccard: Double = 0.8, bands: Int = 4, n: Int = 3,
                      maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n, maxDocFrequency).cache()
+    // ONE scoped cache of the raw exploded shingles; the hot-shingle
+    // anti-join re-derives from it per consumer (its broadcast exchange is
+    // reused within an action), instead of double-caching a second filtered
+    // copy of the whole shingle set.
+    val raw = OpCaches.scoped(shingleSets(docs, idCol, textCol, n, None))
+    val sh = maxDocFrequency match {
+      case None        => raw
+      case Some(maxDf) => hotFiltered(raw, docs, idCol, maxDf)
+    }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val candidates = lshCandidates(minhashSignatures(sh, idCol, bands), idCol)
 
@@ -172,7 +188,7 @@ object Dedup {
     */
   def containmentPairs(shinglesIn: DataFrame, idCol: String,
                        minContainment: Double): DataFrame = {
-    val shingles = shinglesIn.cache()
+    val shingles = OpCaches.scoped(shinglesIn)
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = shingles.select(col(idCol).as("doc_a"), col("shingle"))
     val b = shingles.select(col(idCol).as("doc_b"), col("shingle"))
@@ -202,7 +218,8 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIterations: Int = 20,
                driverPairLimit: Long = 2000000L): DataFrame = {
-    val p = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long")).cache()
+    val p = OpCaches.scoped(
+      pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long")))
     val nPairs = p.count()
     // Small-graph fast path: the near-dup pair graph is orders of magnitude
     // smaller than the corpus; below the limit a driver-side union-find
@@ -211,7 +228,8 @@ object Dedup {
     if (nPairs <= driverPairLimit) return clustersLocal(p)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct()
+    OpCaches.scoped(edges)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
     var converged = false
@@ -328,7 +346,7 @@ object Dedup {
                    bits: Int = 16, maxHamming: Int = 2): DataFrame = {
     val nChunks = maxHamming + 1
     val w = (bits + nChunks - 1) / nChunks // ceil; last chunk may be narrower
-    val sig = simhash(docs, idCol, textCol, bits).cache()
+    val sig = OpCaches.scoped(simhash(docs, idCol, textCol, bits))
     val chunkArr = array((0 until nChunks).map { i =>
       val lo = i * w
       val width = math.min(w, bits - lo)

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * (`mapPartitions` — the Scala analog of `mapInPandas` batch processing:
   * the decode library is loaded once per partition, rows stream through).
   *
-  * The actual codec calls are STUBBED (`decodeStub`): no image/audio
-  * libraries exist in this environment. The stub is a deterministic pure
-  * function of the payload bytes so pipelines are testable end-to-end; the
-  * Spark-side contract — schema, batch shape, partition-wise execution,
-  * null handling — is real and is what a codec swap-in would inherit.
+  * Image DIMENSION decode is REAL for the two formats that matter: JPEG
+  * (SOFn segment walk) and PNG (IHDR chunk) are parsed by pure byte
+  * arithmetic ([[parseImageHeader]]) — no codec library is needed for
+  * width/height/channels. Payloads that are neither fall back to
+  * `decodeStub` (deterministic fake, loudly documented): full pixel codecs
+  * don't exist in this environment, but the partition-wise contract —
+  * schema, batch shape, null handling — is real and is what a codec
+  * swap-in would inherit.
   */
 object Multimodal {
 
@@ -31,14 +34,71 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("channels", IntegerType)))
 
-  /** STUB decode: deterministic fake dimensions from payload size. A real
-    * deployment replaces ONLY this function with a codec call (e.g. JPEG
-    * header parse); everything else in the pipeline is unchanged.
+  /** STUB decode for payloads that are neither JPEG nor PNG: deterministic
+    * fake dimensions from payload size. A real deployment replaces ONLY
+    * this function with a codec call; everything else in the pipeline is
+    * unchanged.
     */
   private[ops] def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
     (64 + (n % 512), 64 + ((n / 7) % 512), 3)
   }
+
+  /** REAL image header parse — width/height/channels by byte arithmetic,
+    * no codec library. Layouts from the public specs:
+    *   - PNG: 8-byte signature, then the IHDR chunk (must be first): length
+    *     + "IHDR" + width/height as big-endian int32 + bit depth + color
+    *     type; channels derive from the color type (0 gray=1, 2 RGB=3,
+    *     3 palette=1, 4 gray+alpha=2, 6 RGBA=4).
+    *   - JPEG: FFD8 start-of-image, then a segment walk (each segment
+    *     FF‑marker + big-endian length including itself) skipping APPn /
+    *     quantization / etc. until a SOFn frame header: precision(1),
+    *     height(2), width(2), component count(1). The walk is required —
+    *     real files put APP0/EXIF blocks of arbitrary length first.
+    * Returns None when the payload is neither (caller falls back to the
+    * stub) or the structure is truncated/corrupt.
+    */
+  private[graft] def parseImageHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    @inline def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def i32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (p.length >= 26 && u8(0) == 0x89 && u8(1) == 'P'.toInt &&
+        u8(2) == 'N'.toInt && u8(3) == 'G'.toInt &&
+        u8(12) == 'I'.toInt && u8(13) == 'H'.toInt &&
+        u8(14) == 'D'.toInt && u8(15) == 'R'.toInt) {
+      val w = i32(16); val h = i32(20)
+      val channels = u8(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => 0
+      }
+      if (channels == 0 || w <= 0 || h <= 0) None else Some((w, h, channels))
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      val sofMarkers = Set(0xc0, 0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7,
+        0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf)
+      var i = 2
+      while (i + 4 <= p.length) {
+        if (u8(i) != 0xff) return None
+        val mk = u8(i + 1)
+        if (mk == 0x01 || (mk >= 0xd0 && mk <= 0xd9)) i += 2 // standalone
+        else {
+          val len = u16(i + 2)
+          if (len < 2) return None
+          if (sofMarkers(mk)) {
+            if (i + 10 > p.length) return None
+            val h = u16(i + 5); val w = u16(i + 7); val c = u8(i + 9)
+            return if (w > 0 && h > 0 && c > 0) Some((w, h, c)) else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Dimension decode: real JPEG/PNG header parse, stub for anything else. */
+  private[graft] def decodeDims(payload: Array[Byte]): (Int, Int, Int) =
+    parseImageHeader(payload).getOrElse(decodeStub(payload))
 
   /** Partition-wise image metadata extraction over (media_id, payload). */
   def decodeImageMeta(media: DataFrame): DataFrame = {
@@ -50,7 +110,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](1)
           if (payload == null) Row(id, 0L, null, null, null)
           else {
-            val (w, h, c) = decodeStub(payload)
+            val (w, h, c) = decodeDims(payload)
             Row(id, payload.length.toLong, w, h, c)
           }
         }

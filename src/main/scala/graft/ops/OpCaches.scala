@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lifecycle registry for op-internal caches.
+  *
+  * Several operators ([[Dedup]], [[Similarity]], [[graft.query.QueryEngine]])
+  * cache an intermediate frame that feeds multiple consumers inside one
+  * returned plan (e.g. a shingle set read by the signature, size, and both
+  * verification joins). The returned DataFrame is lazy, so the op cannot
+  * unpersist before the caller executes it — but a long-lived session
+  * issuing many such calls would otherwise accumulate cached partitions
+  * forever (round-2 bench measured a session-wide 1.8× slowdown from
+  * exactly this).
+  *
+  * Contract: every op-internal cache registers here via [[scoped]]; a
+  * caller that has fully materialized the results of an op call releases
+  * them with [[releaseAll]] (harnesses: Bench and Verify call it between
+  * queries). `spark.catalog.clearCache()` also unpersists these frames —
+  * releaseAll is the narrower option that leaves caller-owned caches
+  * intact.
+  */
+object OpCaches {
+  private val frames = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  /** Cache `df` and register it for a later [[releaseAll]]. */
+  private[graft] def scoped(df: DataFrame): DataFrame = {
+    df.cache()
+    frames.add(df)
+    df
+  }
+
+  /** Unpersist every op-internal cache registered since the last release.
+    * Safe to call at any time: frames still referenced by un-executed plans
+    * simply recompute (correctness is unaffected, only reuse).
+    */
+  def releaseAll(): Unit = {
+    val it = frames.iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      it.remove()
+    }
+  }
+
+  /** Number of currently-registered cached frames (for tests/monitoring). */
+  def registered: Int = frames.size()
+}

@@ -63,21 +63,39 @@ object Sampling {
     * keep the first `counts(stratum)`. Deterministic and retry/engine
     * stable like [[stratified]].
     *
-    * Scale note: the per-stratum rank is a window over the stratum — one
-    * shuffle keyed by stratum, and a full sort of each stratum's rows. For
-    * quotas ≪ stratum size on huge strata, pre-thin with [[stratified]] at
-    * a rate safely above quota/|stratum| first, then apply the exact quota
-    * to the survivors — the sort then touches only the thinned set.
+    * Scale design: the naive form sorts ENTIRE strata through one reducer
+    * each to keep a handful of rows. Instead, rows are pre-thinned by the
+    * SAME key hash the rank orders on: keep hash < rate where rate =
+    * min(1, max(preThinSafety × quota, 1000) / |stratum|). Because the
+    * thin predicate and the rank share one ordering, the thinned set is a
+    * prefix-superset of the final top-quota rows whenever each stratum
+    * retains ≥ min(quota, |stratum|) survivors — so the answer is IDENTICAL
+    * to the unthinned computation, but the per-stratum sort touches only
+    * ~max(preThinSafety × quota, 1000) rows regardless of corpus size.
+    * The 1000-row floor keeps the miss probability negligible even for
+    * quota = 1 on a billion-row stratum (P[miss] ≈ e^−1000); pass
+    * `preThinSafety = None` to disable thinning entirely.
     */
   def stratifiedExact(df: DataFrame, keyCol: String, stratumCol: String,
-                      counts: Map[String, Int], defaultCount: Int = 0): DataFrame = {
+                      counts: Map[String, Int], defaultCount: Int = 0,
+                      preThinSafety: Option[Double] = Some(10.0)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quota = counts.foldLeft(lit(defaultCount)) { case (acc, (stratum, n)) =>
       when(col(stratumCol) === stratum, lit(n)).otherwise(acc)
     }
+    val base = preThinSafety match {
+      case None => df
+      case Some(safety) =>
+        val sizes = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+        val expectKeep = greatest(lit(safety) * quota, lit(1000.0))
+        df.join(broadcast(sizes), Seq(stratumCol))
+          .filter(keyUniform(col(keyCol)) <
+            least(lit(1.0), expectKeep / col("__n")))
+          .drop("__n")
+    }
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(keyUniform(col(keyCol)), col(keyCol))
-    df.withColumn("__rank", row_number().over(w))
+    base.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= quota)
       .drop("__rank")
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,45 @@ object Similarity {
     }.sortBy(_.label.toString))
   }
 
+  /** Persist a fitted IVF index as a tiny parquet table (one row per
+    * centroid: typed label + centroid vector) so "fit once, probe many"
+    * survives a cluster restart — the quantizer is an ARTIFACT, not session
+    * state. The label round-trips through a (type tag, string) pair because
+    * it keeps the caller's native type; the norm is recomputed on load with
+    * the SAME sequential fold [[ivfFit]] uses, so a loaded index scores
+    * bit-identically to a fresh fit.
+    */
+  def ivfSave(spark: SparkSession, index: IvfIndex, path: String): Unit = {
+    import spark.implicits._
+    index.centroids.map { c =>
+      val (tag, s) = c.label match {
+        case l: java.lang.Long    => ("long", l.toString)
+        case i: java.lang.Integer => ("int", i.toString)
+        case d: java.lang.Double  => ("double", d.toString)
+        case x                    => ("string", String.valueOf(x))
+      }
+      (tag, s, c.vec)
+    }.toDF("label_type", "label", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Restore an index written by [[ivfSave]]. */
+  def ivfLoad(spark: SparkSession, path: String): IvfIndex = {
+    val rows = spark.read.parquet(path)
+      .select(col("label_type"), col("label"), col("centroid")).collect()
+    IvfIndex(rows.toSeq.map { r =>
+      val label: Any = r.getString(0) match {
+        case "long"   => java.lang.Long.valueOf(r.getString(1))
+        case "int"    => java.lang.Integer.valueOf(r.getString(1))
+        case "double" => java.lang.Double.valueOf(r.getString(1))
+        case _        => r.getString(1)
+      }
+      val vec = r.getSeq[Double](2)
+      IvfCentroid(label, vec,
+        math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }.sortBy(_.label.toString))
+  }
+
   /** The query's `nprobe` nearest centroids as an array of cluster labels,
     * computed entirely map-side from index literals: per-centroid cosine
     * (rounded to 6 dp), array_sort by (cosine desc, label asc), slice.
@@ -227,9 +266,9 @@ object Similarity {
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, planes: Int, dims: Int): DataFrame = {
-    val withBucket = emb.select(col(idCol), col(vecCol),
+    val withBucket = OpCaches.scoped(emb.select(col(idCol), col(vecCol),
       normD(col(vecCol)).as("__n"),
-      lshBucket(col(vecCol), planes, dims).as("bucket")).cache()
+      lshBucket(col(vecCol), planes, dims).as("bucket")))
     val a = withBucket.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       col("__n").as("__na"), col("bucket"))
     val b = withBucket.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),

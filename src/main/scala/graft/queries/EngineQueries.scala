@@ -70,6 +70,45 @@ object EngineQueries {
       Multimodal.decodeImageMeta(media)
     },
 
+    // REAL header decode proof: payloads are genuine JPEG/PNG byte headers
+    // synthesized from doc_id (big-endian dimension fields, JFIF APP0
+    // segment to force the JPEG segment walk, PNG signature + IHDR), parsed
+    // by Multimodal.parseImageHeader. The oracle derives the expected
+    // dimensions arithmetically — a wrong parse offset or endianness flips
+    // the hash.
+    "mm_image_header_real" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def hex4(c: org.apache.spark.sql.Column) = lpad(hex(c.cast("int")), 4, "0")
+      def hex8(c: org.apache.spark.sql.Column) = lpad(hex(c.cast("int")), 8, "0")
+      val jW = pmod(col("doc_id"), lit(4000)) + 1
+      val jH = pmod(col("doc_id") * 7, lit(4000)) + 1
+      val pW = pmod(col("doc_id"), lit(1024)) + 1
+      val pH = pmod(col("doc_id") * 7, lit(1024)) + 1
+      // PNG color type by doc_id%5 → channels 1/3/1/2/4.
+      val colorType = element_at(
+        array(lit("00"), lit("02"), lit("03"), lit("04"), lit("06")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      val jpegHex = concat(
+        lit("FFD8"),                                 // SOI
+        lit("FFE000104A46494600010100000100010000"), // APP0 JFIF, len 16
+        lit("FFC0001108"), hex4(jH), hex4(jW),       // SOF0 len 17, precision 8, h, w
+        lit("03011100021101031101"),                 // 3 components
+        lit("FFD9"))                                 // EOI
+      val pngHex = concat(
+        lit("89504E470D0A1A0A"),           // signature
+        lit("0000000D49484452"),           // IHDR length 13 + type
+        hex8(pW), hex8(pH),
+        lit("08"), colorType,              // bit depth 8, color type
+        lit("000000"),                     // compression/filter/interlace
+        lit("00000000"))                   // CRC (not validated by the parser)
+      val media = docs.select(col("doc_id").as("media_id"),
+        unhex(when(pmod(col("doc_id"), lit(2)) === 0, jpegHex).otherwise(pngHex))
+          .as("payload"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "image/jpeg")
+          .otherwise("image/png").as("mime"))
+      Multimodal.decodeImageMeta(media)
+    },
+
     "mm_frame_sample" -> { (s, dir) =>
       val media = Tables.documents(s, dir).filter(col("doc_id") < 50).select(
         col("doc_id").as("media_id"),
@@ -149,6 +188,18 @@ object EngineQueries {
         |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
         |  CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INTEGER) AS height,
         |  3 AS channels
+        |FROM documents""".stripMargin,
+
+    "mm_image_header_real" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 41 ELSE 33 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 4000 + 1
+        |       ELSE doc_id % 1024 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 4000 + 1
+        |       ELSE (doc_id * 7) % 1024 + 1 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3
+        |       ELSE ([1,3,1,2,4])[CAST(doc_id % 5 AS INTEGER) + 1]
+        |       END AS INTEGER) AS channels
         |FROM documents""".stripMargin,
 
     "mm_frame_sample" ->

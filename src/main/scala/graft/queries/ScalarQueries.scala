@@ -64,7 +64,10 @@ object ScalarQueries {
     // W9 (beyond ref): per-user rolling mean over the last 5 readings —
     // the smoothing the dashboard applies client-side, as a window frame.
     "w9_rolling_avg" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      // event_id tie-break: (user_id, ts) is unique in the testdata, but a
+      // ROWS frame ordered by ts alone would be engine-dependent on real
+      // data with equal timestamps — same convention as a15/forwardFill.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-4, Window.currentRow)
       Tables.events(s, dir).select(col("event_id"),
         round(avg(col("value")).over(w), 6).as("rolling_avg"))
@@ -208,7 +211,7 @@ object ScalarQueries {
     "w9_rolling_avg" ->
       """SELECT event_id,
         |  round(avg(value) OVER (PARTITION BY user_id
-        |    ORDER BY CAST(ts AS TIMESTAMP)
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
         |FROM events""".stripMargin,
 

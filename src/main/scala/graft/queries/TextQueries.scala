@@ -153,6 +153,29 @@ object TextQueries {
           round(col("quality_score"), 6).as("quality_score"))
     },
 
+    // Pipeline v2: the 100 TB-recommended composition — the LM quality
+    // signal comes from the BOUNDED-vocab unigram model (top-V + OOV
+    // floor, broadcast-safe at any corpus size), composed with quality
+    // scoring, near-dup victim removal and deterministic sampling in one
+    // Catalyst graph. Filters compare the ROUNDED nll so the cut is
+    // engine-exact.
+    "curation_pipeline_v2" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val quality = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
+      val lm = TextAnalysis.unigramLogProbTopV(docs, "doc_id", "text", v = 50)
+        .select(col("doc_id"), round(col("mean_nll"), 6).as("mean_nll"))
+      val dupVictims = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(quality, Seq("doc_id"))
+        .join(lm, Seq("doc_id"))
+        .filter(col("quality_score") >= 0.5 && col("mean_nll") <= 3.402)
+        .join(dupVictims, Seq("doc_id"), "left_anti")
+        .transform(d => graft.ops.Sampling.bernoulli(d, "doc_id", 0.9))
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("mean_nll"))
+    },
+
     // Dedup survivor selection: one KEPT doc per near-dup cluster, chosen
     // by quality (rounded score so cross-engine ordering is exact) — the
     // step that turns pair mining into an actual deduped corpus.
@@ -187,15 +210,22 @@ object TextQueries {
     // publishes (volume, token mass, quality, language share).
     "corpus_report_by_source" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      // quality_score is rounded to 6 dp PER DOC before the group average
+      // (the repo's parity recipe): averaging raw doubles left Spark's
+      // partial-agg summation order vs the oracle's sequential sum one ulp
+      // apart, landing on a 6-dp rounding boundary. The average itself is
+      // reported at 4 dp so residual summation-order drift (~1e-13 rel)
+      // can never straddle the reporting precision.
       val q = TextAnalysis.quality(docs, "doc_id", "text")
-        .select(col("doc_id"), col("n_words"), col("quality_score"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("quality_score"), 6).as("quality_score"))
       val l = TextAnalysis.langId(docs, "doc_id", "text")
         .select(col("doc_id"), col("predicted_lang"))
       docs.join(q, Seq("doc_id")).join(l, Seq("doc_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("total_words"),
-          round(avg(col("quality_score")), 6).as("avg_quality"),
+          round(avg(col("quality_score")), 4).as("avg_quality"),
           round(avg(when(col("predicted_lang") === "en", 1.0).otherwise(0.0)), 6)
             .as("pct_en"))
     },
@@ -440,6 +470,35 @@ object TextQueries {
          |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      / 4294967296.0 < 0.9""".stripMargin,
 
+    "curation_pipeline_v2" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")},
+         |victims AS (SELECT DISTINCT i.doc_b AS doc_id FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+         |vall AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+         |vocab AS (SELECT w, cnt FROM vall ORDER BY cnt DESC, w LIMIT 50),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vall),
+         |nll AS (SELECT doc_id, round(avg(-ln(COALESCE(v.cnt, 1) / total)), 6)
+         |    AS mean_nll
+         |  FROM tok LEFT JOIN vocab v USING (w), tot GROUP BY doc_id),
+         |q AS (SELECT doc_id, round(least(1.0, len(ws) / 50.0) *
+         |  (1.0 - CAST(len(list_filter(ws,
+         |    x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws)),
+         |  6) AS quality_score FROM words)
+         |SELECT d.doc_id, d.source, q.quality_score, nll.mean_nll
+         |FROM documents d JOIN q USING (doc_id) JOIN nll USING (doc_id)
+         |WHERE q.quality_score >= 0.5 AND nll.mean_nll <= 3.402
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM victims)
+         |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0 < 0.9""".stripMargin,
+
     "dedup_survivors" ->
       s"""WITH RECURSIVE $wordsCte,
          |$shinglesCte,
@@ -497,10 +556,10 @@ object TextQueries {
     "corpus_report_by_source" ->
       s"""WITH $wordsCte,
          |q AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-         |  least(1.0, len(ws) / 50.0) *
+         |  round(least(1.0, len(ws) / 50.0) *
          |    (1.0 - CAST(len(list_filter(ws,
-         |      x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws))
-         |    AS quality_score FROM words),
+         |      x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws)),
+         |    6) AS quality_score FROM words),
          |l AS (SELECT doc_id,
          |  CASE WHEN score_en = g AND g > 0 THEN 'en'
          |       WHEN score_es = g AND g > 0 THEN 'es'
@@ -519,7 +578,7 @@ object TextQueries {
          |      len(list_filter(ws, x -> x IN ('der','die','und','das','ist')))) AS g
          |    FROM words))
          |SELECT d.source, count(*) AS n_docs, sum(q.n_words) AS total_words,
-         |  round(avg(q.quality_score), 6) AS avg_quality,
+         |  round(avg(q.quality_score), 4) AS avg_quality,
          |  round(avg(CASE WHEN l.predicted_lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
          |    AS pct_en
          |FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)

@@ -40,7 +40,8 @@ object QueryEngine {
                   userCol: String, tsCol: String, valueCol: String,
                   cacheCohorts: Boolean = true): DataFrame = {
     val resolved = CohortFilter(subjects, spec.subjectSelection.filters())
-    val subjectCohort = if (cacheCohorts) resolved.cache() else resolved
+    val subjectCohort =
+      if (cacheCohorts) graft.ops.OpCaches.scoped(resolved) else resolved
     val controlCohort = CohortFilter(subjects, spec.controlSelection.filters())
     features.toSeq.sortBy(_._1).map { case (name, series) =>
       val windowed = SeriesOps.dateRange(series, tsCol, spec.startDate, spec.endDate)
@@ -75,7 +76,8 @@ object QueryEngine {
           cacheCohorts: Boolean = true): ResultBundle = {
 
     val resolved = CohortFilter(subjects, spec.subjectSelection.filters())
-    val subjectCohort = if (cacheCohorts) resolved.cache() else resolved
+    val subjectCohort =
+      if (cacheCohorts) graft.ops.OpCaches.scoped(resolved) else resolved
     val controlCohort = CohortFilter(subjects, spec.controlSelection.filters())
 
     val windowed = SeriesOps.dateRange(series, tsCol, spec.startDate, spec.endDate)

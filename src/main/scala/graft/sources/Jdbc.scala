@@ -19,6 +19,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     cohort predicates execute remotely, not after transfer.
   *   - [[readQuery]] pushes an arbitrary SQL subquery down to the database
   *     — the equivalent of the reference composing SQL server-side.
+  *
+  * Postgres dialect notes (the reference's actual store; the in-repo spec
+  * runs on embedded Derby — these are the deltas a Postgres deployment
+  * hits, verified against Spark's JdbcDialects Postgres mapping):
+  *   - Type mapping: Postgres TIMESTAMP (no tz) → Spark TimestampNTZ when
+  *     `spark.sql.timestampType=TIMESTAMP_NTZ` else Timestamp (session-tz
+  *     interpretation — pin the session tz to the DB's to avoid shifted
+  *     epochs); TIMESTAMPTZ → Timestamp (instant-preserving); NUMERIC
+  *     without precision → Decimal(38,18); SMALLINT → Short (Derby gives
+  *     Integer); BYTEA → Binary.
+  *   - PostGIS `geometry` has NO JDBC mapping — Spark fails the read.
+  *     Select `ST_AsBinary(geom) AS geom_wkb` in [[readQuery]] and decode
+  *     with [[graft.functions.GeoFunctions]] WKB expressions (the
+  *     reference stores lon/lat points; G1/G2 cover the decode).
+  *   - Identifier case: Postgres lower-cases unquoted identifiers (Derby
+  *     upper-cases) — pushed-filter column names in `.explain` appear
+  *     lower-cased; quote mixed-case columns in `dbtable`/`query`.
+  *   - Pushdown parity with the Derby spec: comparison/IN/IS NULL filters
+  *     and column pruning push down identically; LIMIT pushes down on
+  *     Postgres (`JDBCScan` shows PushedLimit) where Derby's dialect
+  *     declines it.
   */
 object Jdbc {
 

@@ -52,8 +52,15 @@ object TableStore {
     * ≈`targetFileBytes` files. Streaming micro-batch sinks accumulate
     * small files that destroy scan throughput at scale (footer/open cost
     * per file, tiny row groups); periodic compaction restores
-    * scan-friendly sizes. Rewrites to a temp dir then swaps atomically
-    * (per-filesystem semantics). Returns the new file count.
+    * scan-friendly sizes. Returns the new file count.
+    *
+    * Swap order is crash-safe: the original is renamed ASIDE first, the
+    * rewrite renamed into place, and only then is the old copy deleted —
+    * every intermediate state keeps one complete copy of the data on disk
+    * (a delete-then-rename swap would lose the dataset if the process died
+    * between the two calls). Readers racing the two renames can see a
+    * transiently missing path and should retry; on object stores without
+    * atomic rename, prefer a table format's commit protocol.
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
@@ -62,10 +69,17 @@ object TableStore {
     val bytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hadoopPath, true)
-    fs.rename(tmp, hadoopPath)
+    fs.delete(old, true) // leftover from a previous crashed swap
+    if (!fs.rename(hadoopPath, old))
+      throw new java.io.IOException(s"compaction swap: cannot move $path aside")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(old, hadoopPath) // restore; the rewrite stays in __compact_tmp
+      throw new java.io.IOException(s"compaction swap: cannot move $tmp into place")
+    }
+    fs.delete(old, true)
     nFiles
   }
 }

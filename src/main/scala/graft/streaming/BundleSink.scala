@@ -51,7 +51,10 @@ final class BundleKpiSink(subjectPred: Column, controlPred: Column,
 
   private def accOf(df: DataFrame): Acc = {
     val v = col(valueCol)
-    val r = df.agg(count(lit(1)), sum(v), min(v), max(v), sum(v * v)).head()
+    // count(v), not count(*): a batch whose rows all carry a NULL value
+    // has count(*) > 0 but null sum/min/max — it must merge as empty, or
+    // the getDouble calls would NPE and kill the streaming query.
+    val r = df.agg(count(v), sum(v), min(v), max(v), sum(v * v)).head()
     if (r.getLong(0) == 0L) Acc.empty
     else Acc(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
       r.getDouble(4))

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Multimodal, OpCaches, Similarity}
+
+/** Fitted-artifact persistence + real image header decode + op-cache
+  * lifecycle.
+  */
+class ArtifactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = {
+    // 3 well-separated clusters of 8-dim vectors, deterministic.
+    val rows = for (c <- 0 until 3; i <- 0 until 10) yield {
+      val base = Array.fill(8)(0.01)
+      base(c) = 1.0 + 0.01 * i
+      (c * 100L + i, s"c$c", base.toSeq)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  test("IVF index save/load round-trips: loaded probe equals fresh-fit probe") {
+    val idx = Similarity.ivfFit(emb, "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
+    Similarity.ivfSave(spark, idx, dir)
+    val loaded = Similarity.ivfLoad(spark, dir)
+
+    assert(loaded.centroids.map(_.label) == idx.centroids.map(_.label))
+    assert(loaded.centroids.map(_.vec) == idx.centroids.map(_.vec))
+    assert(loaded.centroids.map(_.norm) == idx.centroids.map(_.norm))
+
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    def knn(i: Similarity.IvfIndex) =
+      Similarity.ivfKnn(emb, queries, "vec_id", "embedding", "label",
+          k = 3, nprobe = 2, index = Some(i))
+        .orderBy("query_id", "rn")
+        .as[(Long, String, Long, Double, Int)].collect().toSeq
+    assert(knn(loaded) == knn(idx))
+  }
+
+  test("PNG IHDR header parse reads real big-endian dimensions") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // bit depth 8, RGBA, fake CRC
+    assert(Multimodal.parseImageHeader(png).contains((640, 480, 4)))
+    // grayscale color type 0 → 1 channel
+    png(25) = 0
+    assert(Multimodal.parseImageHeader(png).contains((640, 480, 1)))
+    // truncated → None
+    assert(Multimodal.parseImageHeader(png.take(20)).isEmpty)
+  }
+
+  test("JPEG SOF parse walks leading segments (APP0/EXIF-style) to the frame header") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val app0 = seg(0xe0, "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = seg(0xdb, Array.fill[Byte](65)(3)) // another skippable segment
+    val sof0 = seg(0xc0, Array[Byte](8,
+      (1080 >> 8).toByte, (1080 & 0xff).toByte,    // height
+      (1920 >> 8).toByte, (1920 & 0xff).toByte,    // width
+      3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val jpeg = Array(0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ sof0 ++
+      Array(0xff.toByte, 0xd9.toByte)
+    assert(Multimodal.parseImageHeader(jpeg).contains((1920, 1080, 3)))
+    // progressive (SOF2) resolves too
+    jpeg(2 + app0.length + dqt.length + 1) = 0xc2.toByte
+    assert(Multimodal.parseImageHeader(jpeg).contains((1920, 1080, 3)))
+    // non-image bytes fall through to None (stub path)
+    assert(Multimodal.parseImageHeader("plain text".getBytes).isEmpty)
+  }
+
+  test("OpCaches.releaseAll unpersists every op-registered cache") {
+    OpCaches.releaseAll() // isolate from other suites' leftovers
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // nearDuplicates registers scoped caches internally.
+    graft.ops.Dedup.nearDuplicates(
+      Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text"),
+      "doc_id", "text", minJaccard = 0.1, maxDocFrequency = None).count()
+    assert(OpCaches.registered > 0)
+    OpCaches.releaseAll()
+    assert(OpCaches.registered == 0)
+    // unpersist(blocking=false) is async; poll briefly for the RDDs to go.
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+           System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+}
