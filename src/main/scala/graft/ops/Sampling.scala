@@ -58,6 +58,26 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Leakage-safe train/val/test assignment: the split decision hashes a
+    * GROUP key (e.g. the near-dup cluster id from [[Dedup.clusters]]), so
+    * every member of a group lands in the SAME split — near-duplicates can
+    * never straddle train and eval, the classic contamination leak that
+    * per-document splitting allows. `cuts` are cumulative upper bounds in
+    * [0,1): e.g. Seq(("train",0.8),("val",0.9),("test",1.0)).
+    * Deterministic, one hash per row, no shuffle beyond what the caller's
+    * group-assignment join already did.
+    */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   cuts: Seq[(String, Double)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0,
+      "cuts must cover [0,1): last upper bound must be >= 1.0")
+    val u = keyUniform(col(groupCol))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, upper), acc) => when(u < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Exact-count quotas per stratum (mixture recipes specified in rows, not
     * rates): rank rows within each stratum by key hash (id tie-break) and
     * keep the first `counts(stratum)`. Deterministic and retry/engine

@@ -71,6 +71,16 @@ object SimilarityQueries {
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
     },
 
+    // Per-vector int8 quantization (the 4× memory lever for a 100 TB
+    // embedding store); q serialized as CSV so the compare is
+    // list-representation-agnostic.
+    "embedding_quantize" -> { (s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale_e9"),
+          concat_ws(",", transform(col("q"), _.cast("string"))).as("q_csv"),
+          col("max_err_e6"))
+    },
+
     // Multi-probe LSH: home bucket + all Hamming-1 buckets.
     "ann_lsh_multiprobe" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -137,6 +147,23 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """WITH x AS (SELECT vec_id,
+        |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, xs,
+        |    list_max(list_transform(xs, e -> abs(e))) / 127.0 AS scale FROM x)
+        |SELECT vec_id,
+        |  CAST(floor(scale * 1000000000.0) AS BIGINT) AS scale_e9,
+        |  array_to_string(list_transform(xs, e ->
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE CAST(floor(e / scale + 0.5) AS BIGINT) END), ',') AS q_csv,
+        |  CAST(floor(list_max(list_transform(xs, e -> abs(e -
+        |    (CASE WHEN scale = 0 THEN 0.0
+        |          ELSE floor(e / scale + 0.5) * scale END)))) * 1000000.0)
+        |    AS BIGINT) AS max_err_e6
+        |FROM s""".stripMargin,
+
     "knn_cosine_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $QueryPred),
          |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),

@@ -285,6 +285,32 @@ object TextQueries {
         "doc_id", "text", tagCol = "source", benchTag = "src2")
     },
 
+    // Sequence packing: docs concatenated into 512-token training
+    // sequences, 8 hash shards packed independently (no global sort).
+    "pack_sequences" -> { (s, dir) =>
+      val toks = TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens_ws"))
+      graft.ops.Packing.packSequences(toks, "doc_id", "n_tokens_ws",
+          seqTokens = 512, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("offset"),
+          col("seq_in_shard"), col("pos_in_seq"),
+          col("straddles").cast("int").as("straddles"))
+    },
+
+    // Leakage-safe splits: the split decision hashes the near-dup CLUSTER,
+    // so a doc and its near-duplicates always share a split (no train/eval
+    // contamination through duplicates).
+    "split_leakage_safe" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cl = Dedup.clusters(
+        Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8))
+      val assigned = docs.join(cl, Seq("doc_id"), "left")
+        .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      graft.ops.Sampling.splitByGroup(assigned, "group_key",
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        .select(col("doc_id"), col("group_key"), col("split"))
+    },
+
     // PII scrub over text with deterministically injected e-mails (the raw
     // corpus has none — injection makes the gate compare real masking).
     "text_pii_scrub" -> { (s, dir) =>
@@ -662,6 +688,52 @@ object TextQueries {
          |FROM sh JOIN bench USING (shingle)
          |WHERE source <> 'src2'
          |GROUP BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH $wordsCte,
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens_ws FROM words),
+         |k AS (SELECT doc_id, n_tokens_ws,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+         |    AS INTEGER) AS shard,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS ord
+         |  FROM t),
+         |o AS (SELECT doc_id, n_tokens_ws, shard,
+         |  COALESCE(CAST(sum(n_tokens_ws) OVER (PARTITION BY shard
+         |    ORDER BY ord, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |    AS off FROM k)
+         |SELECT doc_id, shard, off AS "offset",
+         |  off // 512 AS seq_in_shard, off % 512 AS pos_in_seq,
+         |  CAST(off % 512 + n_tokens_ws > 512 AS INTEGER) AS straddles
+         |FROM o""".stripMargin,
+
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")},
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |g AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, group_key,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, group_key,
+         |  ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))::BIGINT
+         |    / 4294967296.0 AS u FROM g)""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH injected AS (SELECT doc_id,
