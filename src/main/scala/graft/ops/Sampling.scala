@@ -58,6 +58,29 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Mixture repetition ("epochs per source"): each stratum's rows are
+    * replicated `epochs(stratum)` times — floor(e) guaranteed copies plus
+    * one more with probability frac(e), decided by the deterministic key
+    * hash (so the SAME rows get the extra epoch on every run/engine). The
+    * LM-training recipe for up-weighting small high-quality sources beyond
+    * rate 1.0, where [[stratified]] can only down-sample. Map-side only:
+    * one explode, no shuffle; `copy_idx` distinguishes replicas (e.g. as a
+    * per-epoch shuffling salt downstream).
+    */
+  def withEpochs(df: DataFrame, keyCol: String, stratumCol: String,
+                 epochs: Map[String, Double],
+                 defaultEpochs: Double = 1.0): DataFrame = {
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(v)).otherwise(acc)
+    }
+    val copies = (floor(e).cast("int") +
+      (keyUniform(col(keyCol)) < (e - floor(e))).cast("int")).as("__copies")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Leakage-safe train/val/test assignment: the split decision hashes a
     * GROUP key (e.g. the near-dup cluster id from [[Dedup.clusters]]), so
     * every member of a group lands in the SAME split — near-duplicates can

@@ -314,6 +314,35 @@ object Similarity {
           .cast("long").as("max_err_e6"))
   }
 
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors — proof that the
+    * [[quantizeInt8]] memory lever still searches: cosine of the
+    * dequantized vectors is scale-free (per-vector scales cancel in the
+    * ratio), so the score is dot(qa,qb)/(‖qa‖‖qb‖) over small integers —
+    * exact integer arithmetic up to one final division. Same broadcast
+    * shape as [[bruteForceKnn]]; at 100 TB the quantized corpus is 4× less
+    * I/O per scan and the dot products run on codegen'd integer-valued
+    * doubles.
+    */
+  def bruteForceKnnQuantized(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int): DataFrame = {
+    def qside(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      quantizeInt8(df, idCol, vecCol).select(col(idCol).as(idAs),
+        transform(col("q"), _.cast("double")).as(vAs))
+        .withColumn(nAs, normD(col(vAs)))
+    val q = qside(queries, "query_id", "__qv", "__qn")
+    val c = qside(corpus, "cand_id", "__cv", "__cn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        round(dotD(col("__qv"), col("__cv")) /
+          nullif(col("__qn") * col("__cn"), lit(0.0)), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
+  }
+
   /** Per-label norm statistics (sanity profile of an embedding corpus). */
   def normStats(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
     emb.select(col(labelCol), normD(col(vecCol)).as("__n"))

@@ -127,6 +127,20 @@ object TextAnalysis {
       .agg(avg(col("__nll")).as("mean_nll"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Token-budget truncation — cap every document at `maxTokens`
+    * whitespace tokens (context-window prep). Pure per-row array ops
+    * (split/slice/join), fully codegen'd, no shuffle; the `truncated` flag
+    * feeds loss accounting downstream.
+    */
+  def truncateTokens(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    val ws = words(col(textCol))
+    docs.select(col(idCol),
+      array_join(slice(ws, 1, maxTokens), " ").as("text_trunc"),
+      least(size(ws), lit(maxTokens)).cast("long").as("n_tokens_kept"),
+      (size(ws) > maxTokens).cast("int").as("truncated"))
+  }
+
   /** Within-document repetition ratio — the standard low-quality signal
     * for templated/generated text: 1 − distinct/total n-gram shingles.
     * Pure per-row array expressions; no shuffle at all.

@@ -71,6 +71,15 @@ object SimilarityQueries {
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
     },
 
+    // kNN over the QUANTIZED corpus (scales cancel in cosine, so the
+    // score is integer-exact until one division) — the proof the int8
+    // lever still searches.
+    "ann_quantized_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceKnnQuantized(emb, emb.filter(expr(QueryPred)),
+        "vec_id", "embedding", k = 3)
+    },
+
     // Per-vector int8 quantization (the 4× memory lever for a 100 TB
     // embedding store); q serialized as CSV so the compare is
     // list-representation-agnostic.
@@ -163,6 +172,28 @@ object SimilarityQueries {
         |          ELSE floor(e / scale + 0.5) * scale END)))) * 1000000.0)
         |    AS BIGINT) AS max_err_e6
         |FROM s""".stripMargin,
+
+    "ann_quantized_knn" ->
+      s"""WITH x AS (SELECT vec_id,
+         |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, xs,
+         |    list_max(list_transform(xs, e -> abs(e))) / 127.0 AS scale FROM x),
+         |qv AS (SELECT vec_id, list_transform(xs, e ->
+         |    CASE WHEN scale = 0 THEN 0.0 ELSE floor(e / scale + 0.5) END) AS q
+         |  FROM s),
+         |qq AS (SELECT vec_id, q,
+         |    sqrt(list_sum(list_transform(range(len(q)), i -> q[i+1] * q[i+1])))
+         |      AS nq FROM qv),
+         |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |    round(list_sum(list_transform(range(len(a.q)), i ->
+         |      a.q[i+1] * b.q[i+1])) / nullif(a.nq * b.nq, 0), 6) AS cosine
+         |  FROM qq a JOIN qq b ON b.vec_id <> a.vec_id
+         |  WHERE a.$QueryPred)
+         |SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) AS rn FROM sc)
+         |WHERE rn <= 3""".stripMargin,
 
     "knn_cosine_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $QueryPred),

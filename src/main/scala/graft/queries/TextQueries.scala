@@ -285,6 +285,21 @@ object TextQueries {
         "doc_id", "text", tagCol = "source", benchTag = "src2")
     },
 
+    // Context-window truncation: cap docs at 50 whitespace tokens.
+    "text_truncate" -> { (s, dir) =>
+      TextAnalysis.truncateTokens(Tables.documents(s, dir), "doc_id", "text",
+        maxTokens = 50)
+    },
+
+    // Mixture repetition: fractional epochs per source (src1 2.5× etc.) —
+    // up-weighting beyond rate 1.0, deterministic extra-copy decision.
+    "sample_epochs" -> { (s, dir) =>
+      graft.ops.Sampling.withEpochs(Tables.documents(s, dir), "doc_id",
+          "source", epochs = Map("src0" -> 0.5, "src1" -> 2.5, "src2" -> 3.0),
+          defaultEpochs = 1.0)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+    },
+
     // Sequence packing: docs concatenated into 512-token training
     // sequences, 8 hash shards packed independently (no global sort).
     "pack_sequences" -> { (s, dir) =>
@@ -688,6 +703,25 @@ object TextQueries {
          |FROM sh JOIN bench USING (shingle)
          |WHERE source <> 'src2'
          |GROUP BY doc_id""".stripMargin,
+
+    "text_truncate" ->
+      s"""WITH $wordsCte
+         |SELECT doc_id, array_to_string(ws[1:50], ' ') AS text_trunc,
+         |  CAST(least(len(ws), 50) AS BIGINT) AS n_tokens_kept,
+         |  CAST(len(ws) > 50 AS INTEGER) AS truncated
+         |FROM words""".stripMargin,
+
+    "sample_epochs" ->
+      """WITH e AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 2.5
+        |      WHEN 'src2' THEN 3.0 ELSE 1.0 END AS ep
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, CAST(floor(ep) AS INTEGER) +
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 < ep - floor(ep) THEN 1 ELSE 0 END AS copies
+        |  FROM e)
+        |SELECT doc_id, source, CAST(ci AS INTEGER) AS copy_idx
+        |FROM c, unnest(range(copies)) AS t(ci)""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH $wordsCte,

@@ -100,4 +100,36 @@ class PlanShapeSpec extends AnyFunSuite {
     // The 1-row grand total may broadcast; the vocab join must carry no hint.
     assert("ResolvedHint".r.findAllIn(analyzed).size <= 1, analyzed.take(1200))
   }
+
+  test("sequence packing: exactly one exchange (shard hash), no global sort") {
+    val p = plan("pack_sequences")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shard exchange, got $exchanges:\n${p.take(1200)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"packing must not globally sort the corpus:\n${p.take(1200)}")
+  }
+
+  test("epoch replication is map-side only (no exchange before the explode)") {
+    val df = graft.ops.Sampling.withEpochs(
+      graft.sources.Tables.documents(spark, dir), "doc_id", "source",
+      Map("src0" -> 2.5), 1.0)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"withEpochs must not shuffle:\n${p.take(1200)}")
+  }
+
+  test("quantized kNN broadcasts the query side like the float path") {
+    val p = plan("ann_quantized_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+
+  test("exact-quota sampling pre-thins before the per-stratum rank window") {
+    val p = plan("sample_exact_quota")
+    // The thin filter (hash < rate) must appear BELOW the window sort in the
+    // plan tree (plans print parents first, so its index is after Window's).
+    val win = p.indexOf("Window")
+    val thin = p.indexOf("conv(substring(md5")
+    assert(win >= 0 && thin > win,
+      s"pre-thin filter must feed the rank window:\n${p.take(1500)}")
+  }
 }
