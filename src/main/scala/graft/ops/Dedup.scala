@@ -206,6 +206,48 @@ object Dedup {
         col("cont_a"), col("cont_b"))
   }
 
+  /** Cross-corpus nearest near-duplicate: for each document tagged
+    * `benchTag`, the single best-matching OTHER-tag document by n-gram
+    * Jaccard — the "which training doc leaked this eval item" probe that
+    * [[graft.ops.TextAnalysis.contaminationTagged]]'s hit COUNT cannot
+    * answer. One tagged shingle scan split by tag (never two corpus
+    * passes), candidates from the shingle equi-join (never |bench|×|train|
+    * pairs), hot-shingle capping on by default, argmax per bench doc by
+    * rounded Jaccard with train-id tie-break.
+    */
+  def crossCorpusNearest(docs: DataFrame, idCol: String, textCol: String,
+                         tagCol: String, benchTag: String, n: Int = 3,
+                         maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = docs.select(col(tagCol), col(idCol),
+      explode(array_distinct(wordShingles(words(col(textCol)), n))).as("shingle"))
+    val sh0 = OpCaches.scoped(raw)
+    val sh = maxDocFrequency match {
+      case None        => sh0
+      case Some(maxDf) => hotFiltered(sh0, docs, idCol, maxDf)
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val b = sh.filter(col(tagCol) === benchTag)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    val t = sh.filter(col(tagCol) =!= benchTag)
+      .select(col(idCol).as("train_id"), col("shingle"))
+    val inter = b.join(t, Seq("shingle"))
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.select(col(idCol).as("bench_id"), col("sz").as("sz_b")),
+        Seq("bench_id"))
+      .join(sizes.select(col(idCol).as("train_id"), col("sz").as("sz_t")),
+        Seq("train_id"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("sz_b") + col("sz_t") - col("inter")),
+        6))
+    val w = Window.partitionBy(col("bench_id"))
+      .orderBy(col("jaccard").desc, col("train_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("bench_id"), col("train_id"), col("inter"), col("jaccard"))
+  }
+
   /** Connected components over a near-duplicate pair graph → one cluster id
     * (the minimum member) per document — the final dedup step: keep one doc
     * per cluster.

@@ -127,6 +127,48 @@ object TextAnalysis {
       .agg(avg(col("__nll")).as("mean_nll"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Bigram LM score with STUPID BACKOFF — the next step up from the
+    * unigram quality signal: each transition scores
+    * −ln(c(w1,w2)/c(w1)) when the bigram clears `minCount`, else backs
+    * off to −ln(α·c(w2)/total) (Brants et al.'s stupid backoff — no
+    * discounting, the large-corpus standard). `n_backoff` counts
+    * out-of-model transitions per doc (its own templated-text signal).
+    *
+    * Scale: bigram and unigram count sides are vocabulary-sized, so they
+    * are NOT hint-broadcast (same reasoning as [[unigramLogProb]]) — three
+    * token-keyed shuffle joins that AQE may broadcast when they fit; only
+    * the 1-row total broadcasts unconditionally. Min-count pruning drops
+    * the singleton-bigram long tail before the join.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Long = 2, backoffAlpha: Double = 0.4): DataFrame = {
+    val trans = docs.select(col(idCol),
+      explode(wordShingles(words(col(textCol)), 2)).as("bg"))
+    val bCnt = trans.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val uCnt = tokens.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val total = uCnt.agg(sum(col("cu")).as("total"))
+    trans
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(bCnt, Seq("bg"), "left")
+      .join(uCnt.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uCnt.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        when(col("cb").isNotNull,
+          -log(col("cb").cast("double") / col("cu1")))
+          .otherwise(
+            -log(lit(backoffAlpha) * col("cu2").cast("double") / col("total")))
+          .as("__nll"),
+        col("cb").isNull.cast("int").as("__bo"))
+      .groupBy(col(idCol))
+      .agg(avg(col("__nll")).as("mean_nll"),
+        count(lit(1)).as("n_transitions"),
+        sum(col("__bo")).cast("long").as("n_backoff"))
+  }
+
   /** Token-budget truncation — cap every document at `maxTokens`
     * whitespace tokens (context-window prep). Pure per-row array ops
     * (split/slice/join), fully codegen'd, no shuffle; the `truncated` flag

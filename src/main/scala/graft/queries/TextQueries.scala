@@ -285,6 +285,20 @@ object TextQueries {
         "doc_id", "text", tagCol = "source", benchTag = "src2")
     },
 
+    // Bigram LM with stupid backoff (min-count 2, α=0.4).
+    "text_bigram_logprob" -> { (s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("mean_nll"), 6).as("mean_nll"),
+          col("n_transitions"), col("n_backoff"))
+    },
+
+    // Cross-corpus leak attribution: per benchmark doc (src2), THE nearest
+    // training doc by capped-shingle Jaccard.
+    "dedup_cross_corpus" -> { (s, dir) =>
+      Dedup.crossCorpusNearest(Tables.documents(s, dir), "doc_id", "text",
+        tagCol = "source", benchTag = "src2")
+    },
+
     // Context-window truncation: cap docs at 50 whitespace tokens.
     "text_truncate" -> { (s, dir) =>
       TextAnalysis.truncateTokens(Tables.documents(s, dir), "doc_id", "text",
@@ -703,6 +717,51 @@ object TextQueries {
          |FROM sh JOIN bench USING (shingle)
          |WHERE source <> 'src2'
          |GROUP BY doc_id""".stripMargin,
+
+    "text_bigram_logprob" ->
+      s"""WITH $wordsCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-1, 0)),
+         |  i -> ws[i+1] || ' ' || ws[i+2])) AS b FROM words),
+         |bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1 HAVING count(*) >= 2),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+         |uc AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uc),
+         |tr AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1,
+         |  string_split(b, ' ')[2] AS w2 FROM bg)
+         |SELECT doc_id,
+         |  round(avg(CASE WHEN bc.cb IS NOT NULL
+         |    THEN -ln(CAST(bc.cb AS DOUBLE) / u1.cu)
+         |    ELSE -ln(0.4 * CAST(u2.cu AS DOUBLE) / total) END), 6) AS mean_nll,
+         |  count(*) AS n_transitions,
+         |  CAST(sum(CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_backoff
+         |FROM tr LEFT JOIN bc ON tr.b = bc.b
+         |JOIN uc u1 ON tr.w1 = u1.w JOIN uc u2 ON tr.w2 = u2.w, tot
+         |GROUP BY doc_id""".stripMargin,
+
+    "dedup_cross_corpus" ->
+      """WITH words AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |  unnest(list_transform(range(greatest(len(ws)-2, 0)),
+        |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words),
+        |shf AS (SELECT doc_id, source, shingle FROM sh
+        |  WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle
+        |    HAVING count(*) > 0.1 * (SELECT count(DISTINCT doc_id) FROM documents))),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+        |inter AS (SELECT b.doc_id AS bench_id, t.doc_id AS train_id,
+        |    count(*) AS inter
+        |  FROM shf b JOIN shf t ON b.shingle = t.shingle
+        |    AND b.source = 'src2' AND t.source <> 'src2'
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT bench_id, train_id, inter,
+        |    round(CAST(inter AS DOUBLE) / (x.sz + y.sz - inter), 6) AS jaccard
+        |  FROM inter JOIN sz x ON bench_id = x.doc_id
+        |    JOIN sz y ON train_id = y.doc_id)
+        |SELECT bench_id, train_id, inter, jaccard FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY bench_id
+        |    ORDER BY jaccard DESC, train_id) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin,
 
     "text_truncate" ->
       s"""WITH $wordsCte
