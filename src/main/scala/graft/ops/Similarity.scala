@@ -170,6 +170,39 @@ object Similarity {
     }.sortBy(_.label.toString))
   }
 
+  /** Ranking-quality metrics beyond recall — MRR and NDCG@k of an ANN
+    * result against ground truth (both shaped like [[bruteForceKnn]]
+    * output: query_id, cand_id, rn):
+    *   - MRR: 1/rank of the FIRST true positive in the ANN list (0 when
+    *     none) — "how soon does a correct neighbor appear".
+    *   - NDCG@k: Σ 1/log₂(rank+1) over hit ranks, normalized by the ideal
+    *     prefix — position-weighted hit quality.
+    * DCG folds over the SORTED hit-rank list (collect_list → sort_array →
+    * sequential aggregate), not a float `sum()`, so the few-term double
+    * sum is order-identical across engines.
+    */
+  def rankingMetrics(ann: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val t = truth.filter(col("rn") <= k).select(col("query_id"), col("cand_id"))
+    val a = ann.filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("rn"))
+    val hits = a.join(t, Seq("query_id", "cand_id"), "left_semi")
+    val perQ = hits.groupBy(col("query_id"))
+      .agg(min(col("rn")).as("first_hit"),
+        sort_array(collect_list(col("rn"))).as("__rns"))
+    val tk = t.groupBy(col("query_id")).agg(count(lit(1)).as("truth_k"))
+    val dcg = aggregate(col("__rns"), lit(0.0),
+      (acc, r) => acc + lit(1.0) / log2(r + 1))
+    val idcg = aggregate(
+      sequence(lit(1), least(col("truth_k"), lit(k)).cast("int")), lit(0.0),
+      (acc, r) => acc + lit(1.0) / log2(r + 1))
+    tk.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(dcg, lit(0.0)) / idcg, 6).as("ndcg"),
+        coalesce(size(col("__rns")), lit(0)).cast("long").as("n_hits"),
+        col("truth_k"))
+  }
+
   /** Persist a fitted IVF index as a tiny parquet table (one row per
     * centroid: typed label + centroid vector) so "fit once, probe many"
     * survives a cluster restart — the quantizer is an ARTIFACT, not session

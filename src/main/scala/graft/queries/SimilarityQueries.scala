@@ -71,6 +71,18 @@ object SimilarityQueries {
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
     },
 
+    // Position-weighted ANN quality (MRR + NDCG@3) of IVF nprobe=1 vs
+    // brute-force truth — the eval harness beyond recall.
+    "ann_rank_metrics" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(expr(QueryPred))
+      val truth = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 3)
+      val idx = Similarity.ivfFit(emb, "label", "embedding")
+      val ann = Similarity.ivfKnn(emb, queries, "vec_id", "embedding",
+        clusterCol = "label", k = 3, nprobe = 1, index = Some(idx))
+      Similarity.rankingMetrics(ann, truth, k = 3)
+    },
+
     // kNN over the QUANTIZED corpus (scales cancel in cosine, so the
     // score is integer-exact until one division) — the proof the int8
     // lever still searches.
@@ -172,6 +184,35 @@ object SimilarityQueries {
         |          ELSE floor(e / scale + 0.5) * scale END)))) * 1000000.0)
         |    AS BIGINT) AS max_err_e6
         |FROM s""".stripMargin,
+
+    "ann_rank_metrics" ->
+      s"""WITH ${ivfCtes(1)},
+         |annr AS (SELECT query_id, cand_id, rn FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) AS rn FROM scored) WHERE rn <= 3),
+         |bscored AS (SELECT qq.vec_id AS query_id, e.vec_id AS cand_id,
+         |    round(${dotSql("qq.embedding", "e.embedding")} /
+         |      (sqrt(${dotSql("qq.embedding", "qq.embedding")}) *
+         |       sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS cosine
+         |  FROM embeddings qq JOIN embeddings e ON e.vec_id <> qq.vec_id
+         |  WHERE qq.$QueryPred),
+         |truthk AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) AS rn FROM bscored) WHERE rn <= 3),
+         |hits AS (SELECT a.query_id, a.rn FROM annr a
+         |  JOIN truthk t ON a.query_id = t.query_id AND a.cand_id = t.cand_id),
+         |per AS (SELECT query_id, min(rn) AS first_hit,
+         |  list_sort(list(rn)) AS rns FROM hits GROUP BY 1),
+         |tk AS (SELECT query_id, count(*) AS truth_k FROM truthk GROUP BY 1)
+         |SELECT tk.query_id,
+         |  round(COALESCE(1.0 / per.first_hit, 0.0), 6) AS mrr,
+         |  round(COALESCE(list_sum(list_transform(per.rns,
+         |      r -> 1.0 / log2(r + 1))), 0.0) /
+         |    list_sum(list_transform(range(least(tk.truth_k, 3)),
+         |      i -> 1.0 / log2(i + 2))), 6) AS ndcg,
+         |  CAST(COALESCE(len(per.rns), 0) AS BIGINT) AS n_hits,
+         |  tk.truth_k
+         |FROM tk LEFT JOIN per ON tk.query_id = per.query_id""".stripMargin,
 
     "ann_quantized_knn" ->
       s"""WITH x AS (SELECT vec_id,

@@ -285,6 +285,19 @@ object TextQueries {
         "doc_id", "text", tagCol = "source", benchTag = "src2")
     },
 
+    // Quality-score decile histogram per source — the distribution-drift
+    // monitor a dataset card charts (bucket on the ROUNDED score so both
+    // engines bucket identical doubles).
+    "quality_histogram" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q6"))
+      docs.join(q, Seq("doc_id"))
+        .groupBy(col("source"),
+          least(floor(col("q6") * 10), lit(9L)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // Bigram LM with stupid backoff (min-count 2, α=0.4).
     "text_bigram_logprob" -> { (s, dir) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
@@ -717,6 +730,17 @@ object TextQueries {
          |FROM sh JOIN bench USING (shingle)
          |WHERE source <> 'src2'
          |GROUP BY doc_id""".stripMargin,
+
+    "quality_histogram" ->
+      s"""WITH $wordsCte,
+         |q AS (SELECT doc_id, round(least(1.0, len(ws) / 50.0) *
+         |  (1.0 - CAST(len(list_filter(ws,
+         |    x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws)),
+         |  6) AS q6 FROM words)
+         |SELECT d.source, least(CAST(floor(q.q6 * 10) AS BIGINT), 9) AS bucket,
+         |  count(*) AS n_docs
+         |FROM documents d JOIN q USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     "text_bigram_logprob" ->
       s"""WITH $wordsCte,
