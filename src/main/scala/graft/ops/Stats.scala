@@ -113,6 +113,40 @@ object Stats {
     m.select(explode(rows).as("__p")).select(col("__p.*"))
   }
 
+  /** Per-user TREND: least-squares slope of value over time, reported per
+    * hour — the "is this metric drifting" signal per subject. The moment
+    * sums (Σx, Σy, Σxy, Σx²) fold SEQUENTIALLY over the (ts, tiebreak)-
+    * sorted reading list (not float `sum()` aggregates), so the doubles
+    * are order-identical across engines and runs; x is microseconds from
+    * the user's first reading (exact integers into the fold; `tsCol` must
+    * be a TimestampType). Per-user state is bounded like the window
+    * family; the large x values exceed double's exact-integer range in
+    * x² — deterministic either way, both engines fold the identical IEEE
+    * values.
+    */
+  def trendSlope(df: DataFrame, userCol: String, tsCol: String,
+                 valueCol: String, tiebreak: String): DataFrame = {
+    val pts = array_sort(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"), col(tiebreak),
+      col(valueCol).cast("double").as("v"))))
+    val withP = df.groupBy(col(userCol)).agg(pts.as("__p"))
+      .withColumn("__t0", element_at(col("__p"), 1).getField("t"))
+    val xs = transform(col("__p"),
+      p => (p.getField("t") - col("__t0")).cast("double"))
+    val ys = transform(col("__p"), p => p.getField("v"))
+    def fsum(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (acc, e) => acc + e)
+    withP.select(col(userCol), size(col("__p")).cast("long").as("n_points"),
+        fsum(xs).as("__sx"), fsum(ys).as("__sy"),
+        fsum(zip_with(xs, ys, (a, b) => a * b)).as("__sxy"),
+        fsum(transform(xs, a => a * a)).as("__sxx"))
+      .select(col(userCol), col("n_points"),
+        round(lit(3.6e9) *
+          (col("n_points") * col("__sxy") - col("__sx") * col("__sy")) /
+          nullif(col("n_points") * col("__sxx") - col("__sx") * col("__sx"),
+            lit(0.0)), 6).as("slope_per_hour"))
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

@@ -43,6 +43,31 @@ object Trajectory {
         floor(col(latCol) / lit(cellDeg)).cast("long").cast("string")).as("shingle"))
       .distinct()
 
+  /** Per-user trajectory path length: sum of consecutive planar
+    * displacements over the (ts, tiebreak)-ordered points. The fold is
+    * SEQUENTIAL over the sorted array — deterministic and engine-portable
+    * (sqrt/×/± are IEEE-exact across engines; swap the step expression for
+    * haversine when geodesic meters matter — transcendentals cost exact
+    * cross-engine parity). Per-user state is bounded (a user's trajectory
+    * fits a partition — same premise as the window family); the shuffle
+    * carries one (ts, id, lon, lat) struct per point.
+    */
+  def pathLength(df: DataFrame, userCol: String, tsCol: String,
+                 lonCol: String, latCol: String, tiebreak: String): DataFrame = {
+    val pts = array_sort(collect_list(struct(col(tsCol), col(tiebreak),
+      col(lonCol).cast("double").as("lon"), col(latCol).cast("double").as("lat"))))
+    df.groupBy(col(userCol)).agg(pts.as("__p"))
+      .select(col(userCol), size(col("__p")).cast("long").as("n_points"),
+        round(when(size(col("__p")) > 1,
+          aggregate(sequence(lit(2), size(col("__p"))), lit(0.0), (acc, i) => {
+            val p = element_at(col("__p"), i)
+            val q = element_at(col("__p"), i - 1)
+            val dx = p.getField("lon") - q.getField("lon")
+            val dy = p.getField("lat") - q.getField("lat")
+            acc + sqrt(dx * dx + dy * dy)
+          })).otherwise(lit(0.0)), 6).as("path_len"))
+  }
+
   /** G4: first/last vertex per user (no per-group ordering pass needed). */
   def endpoints(df: DataFrame, userCol: String, tsCol: String,
                 lonCol: String, latCol: String): DataFrame =

@@ -43,6 +43,12 @@ object GeoQueries {
         "user_id", "ts", "lon", "lat")
     },
 
+    // G5+: per-user planar path length (ordered sequential fold).
+    "g5_path_length" -> { (s, dir) =>
+      Trajectory.pathLength(withPoints(Tables.events(s, dir)),
+        "user_id", "ts", "lon", "lat", tiebreak = "event_id")
+    },
+
     // F11/G2: WKT POINT encoding.
     "g2_wkt_encode" -> { (s, dir) =>
       withPoints(Tables.events(s, dir))
@@ -105,6 +111,19 @@ object GeoQueries {
          |  arg_max(printf('%.6f', lon) || ' ' || printf('%.6f', lat), ts) AS end_point,
          |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
          |FROM pts GROUP BY user_id""".stripMargin,
+
+    "g5_path_length" ->
+      s"""WITH $ptsCte,
+         |p AS (SELECT user_id,
+         |  list(struct_pack(lon := lon, lat := lat) ORDER BY ts, event_id) AS l
+         |  FROM pts GROUP BY 1)
+         |SELECT user_id, CAST(len(l) AS BIGINT) AS n_points,
+         |  round(CASE WHEN len(l) > 1 THEN
+         |    list_sum(list_transform(range(2, len(l) + 1), i ->
+         |      sqrt((l[i].lon - l[i-1].lon) * (l[i].lon - l[i-1].lon) +
+         |           (l[i].lat - l[i-1].lat) * (l[i].lat - l[i-1].lat))))
+         |  ELSE 0.0 END, 6) AS path_len
+         |FROM p""".stripMargin,
 
     "g2_wkt_encode" ->
       s"""WITH $ptsCte

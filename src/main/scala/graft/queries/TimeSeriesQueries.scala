@@ -127,6 +127,13 @@ object TimeSeriesQueries {
         .withColumnRenamed("view", "f_view")
     },
 
+    // A16: per-user least-squares trend of value over time (per hour) —
+    // "is this subject's metric drifting" (order-stable moment folds).
+    "a16_trend_slope" -> { (s, dir) =>
+      graft.ops.Stats.trendSlope(Tables.events(s, dir), "user_id", "ts",
+        "value", tiebreak = "event_id")
+    },
+
     // A15: rate thinning — keep the earliest reading per (user, hour).
     "a15_thin_per_bucket" -> { (s, dir) =>
       SeriesOps.thinPerBucket(Tables.events(s, dir), "user_id", "ts",
@@ -328,6 +335,23 @@ object TimeSeriesQueries {
         |  min(CASE WHEN event_type = 'click' THEN value END) AS f_click,
         |  min(CASE WHEN event_type = 'view' THEN value END) AS f_view
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a16_trend_slope" ->
+      """WITH p AS (SELECT user_id,
+        |    list(struct_pack(t := epoch_us(ts), v := value)
+        |      ORDER BY ts, event_id) AS l
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT user_id, len(l) AS n,
+        |    list_transform(l, e -> CAST(e.t - l[1].t AS DOUBLE)) AS xs,
+        |    list_transform(l, e -> e.v) AS ys
+        |  FROM p)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_points,
+        |  round(3600000000.0 *
+        |    (n * list_sum(list_transform(range(len(xs)), i -> xs[i+1] * ys[i+1]))
+        |      - list_sum(xs) * list_sum(ys)) /
+        |    nullif(n * list_sum(list_transform(xs, x -> x * x))
+        |      - list_sum(xs) * list_sum(xs), 0), 6) AS slope_per_hour
+        |FROM d""".stripMargin,
 
     "a15_thin_per_bucket" ->
       """SELECT event_id, user_id, ts_us, value FROM (
