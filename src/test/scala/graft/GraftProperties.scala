@@ -91,6 +91,50 @@ object GraftProperties extends Properties("graft") {
         java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
 
+  property("sequence packing tiles each shard: contiguous offsets, bounded pos (L65)") =
+    forAll(Gen.listOfN(40, Gen.choose(1, 400))) { tokenCounts =>
+      (tokenCounts.nonEmpty) ==> {
+        val df = tokenCounts.zipWithIndex.map { case (t, i) => (i.toLong, t.toLong) }
+          .toDF("doc_id", "n_tokens")
+        val out = graft.ops.Packing
+          .packSequences(df, "doc_id", "n_tokens", seqTokens = 256, nShards = 4)
+          .collect()
+          .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("doc_id"),
+            r.getAs[Long]("offset"), r.getAs[Long]("seq_in_shard"),
+            r.getAs[Long]("pos_in_seq")))
+        val tokensById = tokenCounts.zipWithIndex
+          .map { case (t, i) => i.toLong -> t.toLong }.toMap
+        // Within a shard, offsets ordered by offset are exactly the running
+        // sum of the previous docs' token counts (no gaps, no overlap), and
+        // every pos_in_seq agrees with offset % seqTokens.
+        val perShard = out.groupBy(_._1).values.forall { rows =>
+          val sorted = rows.sortBy(_._3)
+          val contiguous = sorted.zip(sorted.scanLeft(0L) {
+            case (acc, (_, id, _, _, _)) => acc + tokensById(id)
+          }).forall { case ((_, _, off, _, _), expect) => off == expect }
+          contiguous && rows.forall { case (_, _, off, seq, pos) =>
+            seq == off / 256 && pos == off % 256 && pos < 256
+          }
+        }
+        Prop(perShard && out.length == tokenCounts.size)
+      }
+    }
+
+  property("int8 quantization: |q| <= 127 and per-element error <= scale/2 (L67)") =
+    forAll(Gen.choose(2, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50.0, 50.0)))) { xs =>
+      xs.exists(_ != 0.0) ==> {
+        val df = Seq((1L, xs)).toDF("vec_id", "embedding")
+        val r = graft.ops.Similarity.quantizeInt8(df, "vec_id", "embedding").head()
+        val scale = r.getAs[Long]("scale_e9") / 1e9
+        val q = r.getSeq[Long](r.fieldIndex("q"))
+        val bounded = q.forall(v => math.abs(v) <= 127)
+        // scale_e9 floors, so allow one representation ulp of slack.
+        val errOk = r.getAs[Long]("max_err_e6") / 1e6 <= scale / 2 + 1e-6
+        Prop(bounded && errOk)
+      }
+    }
+
   property("dedup keep-first: one row per key, minimal tiebreak (U4)") =
     forAll(Gen.listOfN(50, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L)))) { rows =>
       (rows.nonEmpty && rows.map(_._2).distinct.size == rows.size) ==> {
