@@ -213,6 +213,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation ingest (quality filter + dedup) equals the batch cut") {
+    // The L35 curation shape over an ingest STREAM: score quality on
+    // arrival (stateless projection), drop exact re-ingests within the
+    // watermark (bounded state), keep quality >= threshold. Same rows as
+    // running the batch quality filter + exact-dedup over the accumulated
+    // input — streaming is an incremental evaluation of the same operator,
+    // not a different semantics.
+    val input = MemoryStream[(String, Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Long, String)]], spark)
+    // NB: start away from epoch 0 — a row whose event time equals the
+    // INITIAL watermark (0) is dropped as late by the dedup operator.
+    val rows = Seq(
+      ("d1", us(60), "the quick brown fox jumps over a lazy dog repeatedly today"),
+      ("d2", us(61), "the the the the"),                          // low quality
+      ("d3", us(62), "completely original content streams in with many fine words here"),
+      ("d1b", us(63), "the quick brown fox jumps over a lazy dog repeatedly today"), // dup
+      ("d4", us(64), "novel closing document with sufficient length and variety included"))
+    val stream = input.toDF().toDF("doc_id", "ts_us", "text")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val scored = graft.streaming.StreamDedup.exactWithinWatermark(
+      graft.streaming.StreamDedup.withContentHash(stream, "text"),
+      "ts", Seq("content_hash"), watermark = "10 minutes")
+      .withColumn("q",
+        least(lit(1.0), size(split(trim(col("text")), " ")) / lit(50.0)) *
+          (lit(1.0) - size(filter(split(trim(col("text")), " "),
+            w => w.isin(graft.functions.TextFunctions.Stopwords: _*))) /
+            size(split(trim(col("text")), " ")).cast("double")))
+      .filter(col("q") >= 0.1)
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("stream_curation").start()
+    try {
+      input.addData(rows.take(3)); q.processAllAvailable()
+      input.addData(rows.drop(3)); q.processAllAvailable()
+      val got = spark.table("stream_curation").select("doc_id")
+        .as[String].collect().sorted.toSeq
+      // Batch reference: same quality expr + keep-first exact dedup.
+      val batch = rows.toDF("doc_id", "ts_us", "text")
+      val expect = graft.ops.TextAnalysis
+        .quality(batch, "doc_id", "text")
+        .join(batch, Seq("doc_id"))
+        .filter(col("quality_score") >= 0.1)
+        .join(graft.ops.Dedup.exact(batch, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .select("doc_id").as[String].collect().sorted.toSeq
+      assert(got == expect, s"stream=$got batch=$expect")
+    } finally q.stop()
+  }
+
   test("cursor replay mirrors the simulator's distinct-timestamp batches (O3)") {
     val df = batches.flatten.toDF("userId", "tsUs", "value")
       .withColumn("ts", timestamp_micros(col("tsUs")))
