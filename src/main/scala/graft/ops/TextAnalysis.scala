@@ -127,6 +127,24 @@ object TextAnalysis {
       .agg(avg(col("__nll")).as("mean_nll"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Compression-ratio quality signal: deflate(text)/raw bytes — low
+    * ratios flag repetitive/templated/generated text that token-level
+    * heuristics miss (long-range repetition). Per-row projection via the
+    * native [[graft.functions.CompressionFunctions.DeflateSize]]
+    * expression; no shuffle. Rows-only gate (no DuckDB deflate surface);
+    * semantics are spec-asserted.
+    */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.CompressionFunctions.deflateSize
+    val raw = octet_length(col(textCol)).cast("long")
+    docs.select(col(idCol), raw.as("n_bytes"),
+      deflateSize(col(textCol)).cast("long").as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("n_bytes"), 6))
+          .otherwise(lit(1.0)))
+  }
+
   /** Bigram LM score with STUPID BACKOFF — the next step up from the
     * unigram quality signal: each transition scores
     * −ln(c(w1,w2)/c(w1)) when the bigram clears `minCount`, else backs

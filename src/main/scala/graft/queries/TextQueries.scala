@@ -285,6 +285,12 @@ object TextQueries {
         "doc_id", "text", tagCol = "source", benchTag = "src2")
     },
 
+    // Compressibility signal (rows-only gate: DuckDB has no deflate —
+    // semantics covered by ArtifactSpec; the driver checks rows>0).
+    "text_compression_ratio" -> { (s, dir) =>
+      TextAnalysis.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // Quality-score decile histogram per source — the distribution-drift
     // monitor a dataset card charts (bucket on the ROUNDED score so both
     // engines bucket identical doubles).

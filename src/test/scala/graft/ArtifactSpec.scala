@@ -73,6 +73,27 @@ class ArtifactSpec extends AnyFunSuite {
     assert(Multimodal.parseImageHeader("plain text".getBytes).isEmpty)
   }
 
+  test("compression ratio separates repetitive from varied text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "quartz vixen jumbled phlegm dwarf sphinx blocky judge wafts nymph"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("deflate_bytes"),
+          r.getAs[Double]("compress_ratio"))).toMap
+    // Repetitive text compresses far better than varied text.
+    assert(got(1L)._3 < got(2L)._3,
+      s"repetitive should compress better: $got")
+    assert(got(1L)._3 < 0.5 && got(2L)._3 > 0.7, got.toString)
+    // Empty input: defined ratio, zero sizes handled.
+    assert(got(3L)._1 == 0L && got(3L)._3 == 1.0)
+    // Deterministic across invocations (same deflate bytes).
+    val again = graft.ops.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("deflate_bytes")).sorted.toSeq
+    assert(again == got.values.map(_._2).toSeq.sorted)
+  }
+
   test("OpCaches.releaseAll unpersists every op-registered cache") {
     OpCaches.releaseAll() // isolate from other suites' leftovers
     val before = spark.sparkContext.getPersistentRDDs.size
