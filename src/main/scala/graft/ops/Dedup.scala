@@ -206,6 +206,25 @@ object Dedup {
         col("cont_a"), col("cont_b"))
   }
 
+  /** Dataset version diff — the data-ops audit between two corpus
+    * snapshots: per id, `added` / `removed` / `changed` / `unchanged` by
+    * content hash. One full outer join keyed by id; hashes compute
+    * map-side so the shuffle carries (id, md5), never document bodies —
+    * the same discipline as [[exact]]. Downstream: changed+added feed
+    * re-embedding/re-indexing, removed feeds tombstones.
+    */
+  def versionDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("__ho"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Cross-corpus nearest near-duplicate: for each document tagged
     * `benchTag`, the single best-matching OTHER-tag document by n-gram
     * Jaccard — the "which training doc leaked this eval item" probe that

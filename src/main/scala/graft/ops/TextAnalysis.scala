@@ -127,6 +127,33 @@ object TextAnalysis {
       .agg(avg(col("__nll")).as("mean_nll"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Overlapping TOKEN windows per document — the context-chunking prep
+    * for retrieval/embedding pipelines (fixed token budget per chunk,
+    * `windowTokens − strideTokens` tokens of overlap preserve context
+    * across cuts). Pure per-row array ops (split/slice/join under one
+    * explode), no shuffle; empty docs yield one empty chunk so every doc
+    * survives into the chunk table (same convention as
+    * [[Multimodal.chunk]]).
+    */
+  def tokenWindows(docs: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      "stride must be in (0, windowTokens]")
+    val ws = words(col(textCol))
+    docs
+      .withColumn("__n", size(ws))
+      .withColumn("win_start",
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
+          lit(strideTokens))))
+      .withColumn("win_idx", (col("win_start") / strideTokens).cast("int"))
+      .withColumn("win_text",
+        array_join(slice(ws, col("win_start") + 1, lit(windowTokens)), " "))
+      .withColumn("win_tokens",
+        least(lit(windowTokens), col("__n") - col("win_start")))
+      .select(col(idCol), col("win_idx"), col("win_start"),
+        greatest(col("win_tokens"), lit(0)).as("win_tokens"), col("win_text"))
+  }
+
   /** Compression-ratio quality signal: deflate(text)/raw bytes — low
     * ratios flag repetitive/templated/generated text that token-level
     * heuristics miss (long-range repetition). Per-row projection via the

@@ -285,6 +285,27 @@ object TextQueries {
         "doc_id", "text", tagCol = "source", benchTag = "src2")
     },
 
+    // Overlapping 20-token windows, stride 10 (context chunking).
+    "text_token_windows" -> { (s, dir) =>
+      TextAnalysis.tokenWindows(
+        Tables.documents(s, dir).filter(col("doc_id") < 100),
+        "doc_id", "text", windowTokens = 20, strideTokens = 10)
+    },
+
+    // Snapshot diff: documents vs a deterministically perturbed "v2"
+    // (every 17th removed, every 13th edited, every 11th re-added under a
+    // new id) — added/removed/changed/unchanged per id by content hash.
+    "dataset_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newV = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.versionDiff(docs, newV, "doc_id", "text")
+    },
+
     // Compressibility signal (rows-only gate: DuckDB has no deflate —
     // semantics covered by ArtifactSpec; the driver checks rows>0).
     "text_compression_ratio" -> { (s, dir) =>
@@ -736,6 +757,31 @@ object TextQueries {
          |FROM sh JOIN bench USING (shingle)
          |WHERE source <> 'src2'
          |GROUP BY doc_id""".stripMargin,
+
+    "text_token_windows" ->
+      s"""WITH $wordsCte,
+         |w AS (SELECT doc_id, ws, len(ws) AS n FROM words WHERE doc_id < 100)
+         |SELECT doc_id, CAST(s // 10 AS INTEGER) AS win_idx,
+         |  CAST(s AS INTEGER) AS win_start,
+         |  CAST(greatest(least(20, n - s), 0) AS INTEGER) AS win_tokens,
+         |  array_to_string(ws[s+1 : s+20], ' ') AS win_text
+         |FROM w, unnest(range(0, greatest(n, 1), 10)) AS t(s)""".stripMargin,
+
+    "dataset_diff" ->
+      """WITH newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |o AS (SELECT doc_id, md5(text) AS ho FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS hn FROM newv)
+        |SELECT doc_id,
+        |  CASE WHEN ho IS NULL THEN 'added'
+        |       WHEN hn IS NULL THEN 'removed'
+        |       WHEN ho <> hn THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin,
 
     "quality_histogram" ->
       s"""WITH $wordsCte,
