@@ -263,6 +263,56 @@ object Similarity {
     transform(slice(sorted, 1, nprobe), s => s.getField("label"))
   }
 
+  /** Distributed spherical k-means fit — the missing half of IVF when the
+    * corpus has NO precomputed cluster column: Lloyd iterations where the
+    * ASSIGNMENT step is entirely map-side (argmax cosine over the current
+    * centroids as plan-time literals, zero shuffles — same mechanism as
+    * [[ivfKnn]]'s probe) and the UPDATE step is one distributed
+    * per-(cluster, dim) mean aggregation; only nlist×dims doubles ever
+    * reach the driver per iteration.
+    *
+    * Deterministic end-to-end: seeding takes the k vectors with the
+    * smallest md5(id) (id tie-break), components round to 6 dp each
+    * update (the cross-engine parity recipe), and assignment ties break
+    * by label — so the fit is reproducible and oracle-checkable, unlike
+    * RNG-seeded k-means. Cosine assignment = spherical k-means, the
+    * standard for embedding spaces.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): IvfIndex = {
+    require(k > 0 && k <= 10, "labels sort as strings; keep k <= 10")
+    def foldNorm(vec: Seq[Double]): Double =
+      math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
+    val seed = corpus.select(
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("__h"), col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var cents: Seq[IvfCentroid] = seed.toSeq.zipWithIndex.map { case (v, i) =>
+      IvfCentroid(i, v, foldNorm(v))
+    }
+    for (_ <- 1 to iters) {
+      val assigned = corpus.withColumn("cluster",
+        element_at(probeClusters(col(vecCol), normD(col(vecCol)),
+          IvfIndex(cents), 1), 1))
+      cents = centroids(assigned, "cluster", vecCol).collect().toSeq.map { r =>
+        val vec = r.getSeq[Double](1)
+        IvfCentroid(r.get(0), vec, foldNorm(vec))
+      }.sortBy(_.label.toString)
+    }
+    IvfIndex(cents)
+  }
+
+  /** Map-side cluster assignment against a fitted index (argmax cosine,
+    * rounded-score + label tie-break) — zero shuffles.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                index: IvfIndex): DataFrame =
+    corpus.select(col(idCol),
+      element_at(probeClusters(col(vecCol), normD(col(vecCol)), index, 1), 1)
+        .as("cluster"))
+
   /** IVF ANN: each query probes its `nprobe` nearest centroids' clusters
     * and scores only those clusters' vectors. At 100 TB the corpus is read
     * cluster-pruned (the cluster column is partition/bucket-prunable and

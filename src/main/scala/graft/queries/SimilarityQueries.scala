@@ -48,6 +48,40 @@ object SimilarityQueries {
        |  FROM assigned JOIN embeddings e
        |    ON e.label = assigned.cluster AND e.vec_id <> assigned.query_id)""".stripMargin
 
+  // Oracle for the deterministic spherical k-means fit + assignment:
+  // cent0 = k smallest-hash vectors (rounded), then `iters` unrolled
+  // Lloyd rounds (argmax-cosine assignment, per-(label, dim) rounded
+  // mean), final map-side assignment against the last centroids.
+  private def kmeansAssignSql(k: Int, iters: Int): String = {
+    def assignCte(name: String, centTable: String) =
+      s"""$name AS (SELECT vec_id, label FROM (
+         |  SELECT e.vec_id, c.label, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${dotSql("e.embedding", "c.c")} /
+         |      nullif(sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |             sqrt(${dotSql("c.c", "c.c")}), 0), 6) DESC, c.label) AS rn
+         |  FROM embeddings e, $centTable c) WHERE rn = 1)""".stripMargin
+    def centCte(name: String, assignTable: String) =
+      s"""$name AS (SELECT label, list(cr ORDER BY pos) AS c FROM (
+         |  SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr FROM (
+         |    SELECT a.label, generate_subscripts(e.embedding, 1) AS pos,
+         |      unnest(e.embedding) AS v
+         |    FROM embeddings e JOIN $assignTable a USING (vec_id))
+         |  GROUP BY 1, 2) GROUP BY label)""".stripMargin
+    val chain = (1 to iters).map { i =>
+      assignCte(s"a$i", s"cent${i - 1}") + ",\n" + centCte(s"cent$i", s"a$i")
+    }.mkString(",\n")
+    s"""WITH s0 AS (SELECT vec_id, embedding,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM embeddings),
+       |cent0 AS (SELECT CAST(rn - 1 AS INTEGER) AS label,
+       |    list_transform(embedding, e -> round(CAST(e AS DOUBLE), 6)) AS c
+       |  FROM (SELECT embedding, row_number() OVER (ORDER BY h, vec_id) AS rn
+       |        FROM s0) WHERE rn <= $k),
+       |$chain,
+       |${assignCte("afinal", s"cent$iters")}
+       |SELECT vec_id, CAST(label AS INTEGER) AS cluster FROM afinal""".stripMargin
+  }
+
   private def lshBucketSql(v: String): String =
     s"""CAST(list_sum(list_transform(range($Planes), p ->
        |  CASE WHEN list_sum(list_transform(range(len($v)), j ->
@@ -69,6 +103,14 @@ object SimilarityQueries {
 
     "embedding_norm_stats" -> { (s, dir) =>
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
+    },
+
+    // Deterministic spherical k-means (k=5, 2 Lloyd rounds) + map-side
+    // assignment — IVF without a precomputed cluster column.
+    "ivf_kmeans_assign" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 5, iters = 2)
+      Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
     },
 
     // Position-weighted ANN quality (MRR + NDCG@3) of IVF nprobe=1 vs
@@ -168,6 +210,8 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ivf_kmeans_assign" -> kmeansAssignSql(k = 5, iters = 2),
+
     "embedding_quantize" ->
       """WITH x AS (SELECT vec_id,
         |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs

@@ -73,6 +73,17 @@ class ArtifactSpec extends AnyFunSuite {
     assert(Multimodal.parseImageHeader("plain text".getBytes).isEmpty)
   }
 
+  test("spherical k-means recovers well-separated clusters (pure assignment)") {
+    val idx = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 3, iters = 3)
+    assert(idx.centroids.size == 3)
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    // Every true cluster (vec_id / 100) maps to exactly one fitted label.
+    val byTrue = assign.groupBy(_._1 / 100).view.mapValues(_.map(_._2).toSet)
+    assert(byTrue.values.forall(_.size == 1), byTrue.toMap.toString)
+    assert(byTrue.values.flatten.toSet.size == 3, "labels must be distinct")
+  }
+
   test("compression ratio separates repetitive from varied text") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),

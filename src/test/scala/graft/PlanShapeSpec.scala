@@ -123,6 +123,16 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("k-means assignment is map-side: no exchange, no window") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val idx = graft.ops.Similarity.kmeansFit(emb, "vec_id", "embedding",
+      k = 3, iters = 1)
+    val p = graft.ops.Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"assignment must be a pure projection:\n${p.take(1000)}")
+  }
+
   test("exact-quota sampling pre-thins before the per-stratum rank window") {
     val p = plan("sample_exact_quota")
     // The thin filter (hash < rate) must appear BELOW the window sort in the
