@@ -105,6 +105,26 @@ object SimilarityQueries {
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
     },
 
+    // Hybrid dedup: a pair mined by EITHER modality — lexical (capped-
+    // shingle MinHash→verify) or semantic (LSH-bucketed embedding
+    // cosine) — tagged by which caught it. The two pair miners share no
+    // work but compose into one relational union; ids align across the
+    // documents/embeddings tables by construction of the testdata.
+    "dedup_hybrid_pairs" -> { (s, dir) =>
+      val lex = graft.ops.Dedup.nearDuplicates(Tables.documents(s, dir),
+          "doc_id", "text", minJaccard = 0.8)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("lex"), lit(0).as("sem"))
+      val sem = Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.3, planes = Planes, dims = 64)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          lit(0).as("lex"), lit(1).as("sem"))
+      lex.unionByName(sem).groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("lex")).as("l"), max(col("sem")).as("s"))
+        .select(col("doc_a"), col("doc_b"),
+          when(col("l") === 1 && col("s") === 1, "both")
+            .when(col("l") === 1, "lexical").otherwise("semantic").as("modality"))
+    },
+
     // Deterministic spherical k-means (k=5, 2 Lloyd rounds) + map-side
     // assignment — IVF without a precomputed cluster column.
     "ivf_kmeans_assign" -> { (s, dir) =>
@@ -211,6 +231,35 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = Map(
     "ivf_kmeans_assign" -> kmeansAssignSql(k = 5, iters = 2),
+
+    "dedup_hybrid_pairs" ->
+      s"""WITH ${TextQueries.wordsCte},
+         |${TextQueries.shinglesCte},
+         |${TextQueries.cappedCte},
+         |${TextQueries.sigCte("shf")},
+         |${TextQueries.candCte},
+         |${TextQueries.interCte("shf")},
+         |lex AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |esig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |ea AS (SELECT vec_id AS doc_a, embedding AS qv, bucket FROM esig),
+         |eb AS (SELECT vec_id AS doc_b, embedding AS cv, bucket FROM esig),
+         |sem AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6)
+         |      AS cosine
+         |  FROM ea JOIN eb ON ea.bucket = eb.bucket AND doc_a < doc_b)
+         |  WHERE cosine >= 0.3),
+         |u AS (SELECT doc_a, doc_b, 1 AS l, 0 AS s FROM lex
+         |  UNION ALL SELECT doc_a, doc_b, 0, 1 FROM sem)
+         |SELECT doc_a, doc_b,
+         |  CASE WHEN max(l) = 1 AND max(s) = 1 THEN 'both'
+         |       WHEN max(l) = 1 THEN 'lexical' ELSE 'semantic' END AS modality
+         |FROM u GROUP BY doc_a, doc_b""".stripMargin,
 
     "embedding_quantize" ->
       """WITH x AS (SELECT vec_id,

@@ -18,9 +18,9 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   // Shared DuckDB CTE: whitespace tokenization + distinct 3-word shingles.
-  private val wordsCte =
+  private[queries] val wordsCte =
     "words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)"
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(ws)-2, 0)),
       |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words)""".stripMargin
   // Hot-shingle capping (mirrors Dedup.nearDuplicates' default
@@ -28,18 +28,18 @@ object TextQueries {
   // dropped before any join. On this testdata max df is < 2%, so capped
   // and uncapped results coincide — the spec plants a hot shingle to prove
   // the mechanism.
-  private val cappedCte =
+  private[queries] val cappedCte =
     """shf AS (SELECT doc_id, shingle FROM sh
       |  WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle
       |    HAVING count(*) > 0.1 * (SELECT count(DISTINCT doc_id) FROM documents)))""".stripMargin
-  private def sigCte(src: String) =
+  private[queries] def sigCte(src: String) =
     s"""sig AS (SELECT doc_id, b, min(substr(md5(shingle), 1 + 8*b, 8)) AS minhash
        |  FROM $src, (SELECT unnest(range(4)) AS b) bands GROUP BY doc_id, b)""".stripMargin
-  private val candCte =
+  private[queries] val candCte =
     """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sig a JOIN sig b ON a.b = b.b AND a.minhash = b.minhash
       |    AND a.doc_id < b.doc_id)""".stripMargin
-  private def interCte(src: String) =
+  private[queries] def interCte(src: String) =
     s"""sz AS (SELECT doc_id, count(*) AS sz FROM $src GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |  FROM $src a JOIN $src b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -283,6 +283,23 @@ object TextQueries {
     "text_decontaminate" -> { (s, dir) =>
       TextAnalysis.contaminationTagged(Tables.documents(s, dir),
         "doc_id", "text", tagCol = "source", benchTag = "src2")
+    },
+
+    // Dedup funnel observability: ONE row tracing candidates → verified
+    // pairs → clusters → survivors — the run report a curation job logs.
+    "dedup_funnel_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleSets(docs, "doc_id", "text", 3, Some(0.1))
+      val cand = Dedup.lshCandidates(Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+      val cl = Dedup.clusters(pairs)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_verified")))
+        .crossJoin(cl.agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_clustered_docs")))
+        .withColumn("n_survivors",
+          col("n_docs") - (col("n_clustered_docs") - col("n_clusters")))
     },
 
     // Overlapping 20-token windows, stride 10 (context chunking).
@@ -757,6 +774,34 @@ object TextQueries {
          |FROM sh JOIN bench USING (shingle)
          |WHERE source <> 'src2'
          |GROUP BY doc_id""".stripMargin,
+
+    "dedup_funnel_report" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")},
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT n_docs, n_candidates, n_verified, n_clusters, n_clustered_docs,
+         |  n_docs - (n_clustered_docs - n_clusters) AS n_survivors
+         |FROM (SELECT
+         |  (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM cand) AS n_candidates,
+         |  (SELECT count(*) FROM pairs) AS n_verified,
+         |  (SELECT count(DISTINCT cluster_id) FROM cl) AS n_clusters,
+         |  (SELECT count(*) FROM cl) AS n_clustered_docs)""".stripMargin,
 
     "text_token_windows" ->
       s"""WITH $wordsCte,
