@@ -64,7 +64,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       release()
     }
-    // Best of 2 timed runs per query (local timing noise is substantial).
+    // Best of 3 timed runs per query (local timing noise is substantial —
+    // a single whole-session GC pause has been observed to triple a
+    // sub-2 s query across two consecutive runs, which would false-flag
+    // the derived 2× budget).
     // Caches are cleared BETWEEN queries (so query N+1 never pays or profits
     // from query N's caches) but not between the two runs of one query —
     // run 2 measures the op-cache-warm steady state, matching how a repeated
@@ -73,7 +76,7 @@ object Bench {
     // a broken query must never masquerade as a fast one.
     val results = ordered.map { case (name, fn) =>
       release()
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
