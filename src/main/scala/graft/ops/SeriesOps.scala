@@ -60,7 +60,7 @@ object SeriesOps {
     df.groupBy(keys.map(col): _*)
       .agg(
         min(col(tiebreak)).as(tiebreak),
-        others.map(c => min_by(col(c), col(tiebreak)).as(c)): _*
+        others.toIndexedSeq.map(c => min_by(col(c), col(tiebreak)).as(c)): _*
       )
   }
 
@@ -149,7 +149,7 @@ object SeriesOps {
     val bucket = expr(s"unix_micros($tsCol) div ${bucketSec * 1000000L}")
     df.withColumn("__bucket", bucket)
       .groupBy(col(userCol), col("__bucket"))
-      .agg(min_by(struct(df.columns.map(col): _*),
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
         struct(col(tsCol), col(tiebreak))).as("__row"))
       .select(col("__row.*"))
   }
