@@ -28,19 +28,23 @@ object Bench {
   /** {"query":seconds,...} from the previous run AT THE SAME SCALE FACTOR
     * (empty otherwise — budgets derived from a different sf would flag or
     * exempt everything). The file's first entry is the "__sf" marker.
+    * Fully defensive: a corrupt/unreadable history degrades to floor
+    * budgets, never to a crash after the queries have already run.
     */
   private def loadHistory(sfDir: String): Map[String, Double] =
-    if (!java.nio.file.Files.exists(HistoryPath)) Map.empty
-    else {
-      val txt = java.nio.file.Files.readString(HistoryPath)
-      val sfOk = "\"__sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
-        .exists(_.group(1) == sfDir)
-      if (!sfOk) Map.empty
-      else "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
-        .findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .toMap
-    }
+    try {
+      if (!java.nio.file.Files.exists(HistoryPath)) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(HistoryPath)
+        val sfOk = "\"__sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]*)?(?:[eE][-+]?[0-9]+)?)".r
+          .findAllMatchIn(txt)
+          .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _))
+          .toMap
+      }
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,11 +99,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},"sf":"$sfDir"}""")
-    // Persist this run's timings as the next run's budget baseline (failed
-    // queries keep their previous entry rather than poisoning the history
-    // with the -1 sentinel).
+    // Persist this run's timings as the next run's budget baseline. Failed
+    // queries keep their previous entry (no -1 sentinel poisoning), and so
+    // do OVER-BUDGET queries — otherwise a regression is flagged exactly
+    // once and then ratified as the new baseline.
     try {
-      val merged = history ++ results.filter(_._2 >= 0).toMap
+      val over = overBudget.toSet
+      val merged = history ++
+        results.filter { case (n, t) => t >= 0 && !over.contains(n) }.toMap
       val body = merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":$v" }
         .mkString(s"""{"__sf":"$sfDir",""", ",", "}")

@@ -28,18 +28,23 @@ object CompressionFunctions {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "deflate_size"
 
+    // One native zlib stream per (thread, expression instance), reset
+    // between rows — per-row Deflater construction/teardown would spend
+    // more time in native stream init than in compression.
+    @transient private lazy val deflater: ThreadLocal[java.util.zip.Deflater] =
+      ThreadLocal.withInitial(() => new java.util.zip.Deflater(level, true))
+
     override protected def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[UTF8String].getBytes
       // raw deflate (nowrap): no zlib header/checksum noise in the size.
-      val d = new java.util.zip.Deflater(level, true)
-      try {
-        d.setInput(bytes)
-        d.finish()
-        val buf = new Array[Byte](1024)
-        var total = 0
-        while (!d.finished()) total += d.deflate(buf)
-        total
-      } finally d.end()
+      val d = deflater.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](1024)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
     }
 
     override protected def withNewChildInternal(newChild: Expression): DeflateSize =

@@ -215,13 +215,19 @@ object Dedup {
     */
   def versionDiff(oldDocs: DataFrame, newDocs: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
-    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("__ho"))
-    val n = newDocs.select(col(idCol), md5(col(textCol)).as("__hn"))
+    // Presence comes from explicit per-side markers, NOT the hash's
+    // nullability — md5(NULL text) is NULL, which would misreport an
+    // existing null-text doc as "added"/"removed". Hash comparison is
+    // null-safe for the same reason (two null texts are "unchanged").
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("__ho"),
+      lit(1).as("__po"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("__hn"),
+      lit(1).as("__pn"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__ho").isNull, lit("added"))
-          .when(col("__hn").isNull, lit("removed"))
-          .when(col("__ho") =!= col("__hn"), lit("changed"))
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(!(col("__ho") <=> col("__hn")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 

@@ -77,28 +77,39 @@ object Multimodal {
       val sofMarkers = Set(0xc0, 0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7,
         0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf)
       var i = 2
-      while (i + 4 <= p.length) {
+      while (i + 1 < p.length) {
         if (u8(i) != 0xff) return None
-        val mk = u8(i + 1)
-        if (mk == 0x01 || (mk >= 0xd0 && mk <= 0xd9)) i += 2 // standalone
+        // ITU T.81 B.1.1.2: markers may be preceded by any number of
+        // 0xFF fill bytes — the marker code is the first non-FF byte.
+        var j = i + 1
+        while (j < p.length && u8(j) == 0xff) j += 1
+        if (j >= p.length) return None
+        val mk = u8(j)
+        if (mk == 0x01 || (mk >= 0xd0 && mk <= 0xd9)) i = j + 1 // standalone
         else {
-          val len = u16(i + 2)
+          if (j + 2 >= p.length) return None
+          val len = u16(j + 1)
           if (len < 2) return None
           if (sofMarkers(mk)) {
-            if (i + 10 > p.length) return None
-            val h = u16(i + 5); val w = u16(i + 7); val c = u8(i + 9)
+            if (j + 8 >= p.length) return None
+            val h = u16(j + 4); val w = u16(j + 6); val c = u8(j + 8)
             return if (w > 0 && h > 0 && c > 0) Some((w, h, c)) else None
           }
-          i += 2 + len
+          i = j + 1 + len
         }
       }
       None
     } else None
   }
 
-  /** Dimension decode: real JPEG/PNG header parse, stub for anything else. */
-  private[graft] def decodeDims(payload: Array[Byte]): (Int, Int, Int) =
-    parseImageHeader(payload).getOrElse(decodeStub(payload))
+  /** True when the payload STARTS like a JPEG or PNG — used to decide
+    * whether a failed parse means "corrupt image" (emit nulls) vs "not an
+    * image at all" (stub path).
+    */
+  private[graft] def looksLikeImage(p: Array[Byte]): Boolean =
+    (p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte) ||
+    (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
 
   /** Partition-wise image metadata extraction over (media_id, payload). */
   def decodeImageMeta(media: DataFrame): DataFrame = {
@@ -109,9 +120,15 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           if (payload == null) Row(id, 0L, null, null, null)
-          else {
-            val (w, h, c) = decodeDims(payload)
-            Row(id, payload.length.toLong, w, h, c)
+          else parseImageHeader(payload) match {
+            case Some((w, h, c)) => Row(id, payload.length.toLong, w, h, c)
+            // A payload with image magic but an unparseable structure is a
+            // CORRUPT image: null dims, never fabricated ones.
+            case None if looksLikeImage(payload) =>
+              Row(id, payload.length.toLong, null, null, null)
+            case None =>
+              val (w, h, c) = decodeStub(payload)
+              Row(id, payload.length.toLong, w, h, c)
           }
         }
       }(Encoders.row(imageMetaSchema))

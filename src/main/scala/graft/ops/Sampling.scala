@@ -129,12 +129,16 @@ object Sampling {
     val base = preThinSafety match {
       case None => df
       case Some(safety) =>
+        // Null-safe join: a NULL stratum is a legitimate group (it draws
+        // `defaultCount`) — a plain equi-join would drop those rows and
+        // the "answer-identical" optimization would change the answer.
         val sizes = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+          .withColumnRenamed(stratumCol, "__stratum")
         val expectKeep = greatest(lit(safety) * quota, lit(1000.0))
-        df.join(broadcast(sizes), Seq(stratumCol))
+        df.join(broadcast(sizes), col(stratumCol) <=> col("__stratum"))
           .filter(keyUniform(col(keyCol)) <
             least(lit(1.0), expectKeep / col("__n")))
-          .drop("__n")
+          .drop("__stratum", "__n")
     }
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(keyUniform(col(keyCol)), col(keyCol))

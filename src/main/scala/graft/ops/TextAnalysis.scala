@@ -209,9 +209,17 @@ object TextAnalysis {
           .as("__nll"),
         col("cb").isNull.cast("int").as("__bo"))
       .groupBy(col(idCol))
-      .agg(avg(col("__nll")).as("mean_nll"),
-        count(lit(1)).as("n_transitions"),
+      // Order-stable mean: fold the SORTED per-transition nll list, not a
+      // float avg() whose partial-aggregation order differs from a
+      // sequential oracle sum (the exact last-ulp-on-a-rounding-boundary
+      // mode that broke corpus_report_by_source).
+      .agg(sort_array(collect_list(col("__nll"))).as("__nlls"),
         sum(col("__bo")).cast("long").as("n_backoff"))
+      .select(col(idCol),
+        (aggregate(col("__nlls"), lit(0.0), (acc, e) => acc + e) /
+          size(col("__nlls"))).as("mean_nll"),
+        size(col("__nlls")).cast("long").as("n_transitions"),
+        col("n_backoff"))
   }
 
   /** Token-budget truncation — cap every document at `maxTokens`

@@ -289,9 +289,23 @@ object TextQueries {
     // pairs → clusters → survivors — the run report a curation job logs.
     "dedup_funnel_report" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      // ONE shingle derivation feeds candidates, sizes, and verification
+      // (calling nearDuplicates separately would tokenize + LSH-join the
+      // corpus a second time for the same numbers).
       val sh = Dedup.shingleSets(docs, "doc_id", "text", 3, Some(0.1))
       val cand = Dedup.lshCandidates(Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
-      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val pairs = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .filter(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")) >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
       val cl = Dedup.clusters(pairs)
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -848,17 +862,19 @@ object TextQueries {
          |uc AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
          |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uc),
          |tr AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1,
-         |  string_split(b, ' ')[2] AS w2 FROM bg)
-         |SELECT doc_id,
-         |  round(avg(CASE WHEN bc.cb IS NOT NULL
+         |  string_split(b, ' ')[2] AS w2 FROM bg),
+         |scored AS (SELECT doc_id,
+         |  CASE WHEN bc.cb IS NOT NULL
          |    THEN -ln(CAST(bc.cb AS DOUBLE) / u1.cu)
-         |    ELSE -ln(0.4 * CAST(u2.cu AS DOUBLE) / total) END), 6) AS mean_nll,
-         |  count(*) AS n_transitions,
-         |  CAST(sum(CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_backoff
+         |    ELSE -ln(0.4 * CAST(u2.cu AS DOUBLE) / total) END AS nll,
+         |  CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END AS bo
          |FROM tr LEFT JOIN bc ON tr.b = bc.b
-         |JOIN uc u1 ON tr.w1 = u1.w JOIN uc u2 ON tr.w2 = u2.w, tot
-         |GROUP BY doc_id""".stripMargin,
+         |JOIN uc u1 ON tr.w1 = u1.w JOIN uc u2 ON tr.w2 = u2.w, tot)
+         |SELECT doc_id,
+         |  round(list_sum(list_sort(list(nll))) / count(*), 6) AS mean_nll,
+         |  count(*) AS n_transitions,
+         |  CAST(sum(bo) AS BIGINT) AS n_backoff
+         |FROM scored GROUP BY doc_id""".stripMargin,
 
     "dedup_cross_corpus" ->
       """WITH words AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws

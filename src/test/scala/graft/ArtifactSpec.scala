@@ -69,8 +69,25 @@ class ArtifactSpec extends AnyFunSuite {
     // progressive (SOF2) resolves too
     jpeg(2 + app0.length + dqt.length + 1) = 0xc2.toByte
     assert(Multimodal.parseImageHeader(jpeg).contains((1920, 1080, 3)))
+    // ITU T.81 B.1.1.2 fill bytes: extra 0xFF padding before a marker is
+    // spec-legal and must not derail the walk.
+    val padded = Array(0xff.toByte, 0xd8.toByte) ++
+      Array(0xff.toByte, 0xff.toByte, 0xff.toByte).dropRight(1) ++ // fill
+      app0.drop(1) ++ dqt ++ sof0 ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(Multimodal.parseImageHeader(padded).contains((1920, 1080, 3)))
     // non-image bytes fall through to None (stub path)
     assert(Multimodal.parseImageHeader("plain text".getBytes).isEmpty)
+  }
+
+  test("corrupt image payloads decode to null dims, never fabricated ones") {
+    val corruptJpeg = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) // truncated
+    val textBytes = "just some text".getBytes
+    val media = Seq((1L, corruptJpeg, "image/jpeg"), (2L, textBytes, "text/plain"))
+      .toDF("media_id", "payload", "mime")
+    val got = Multimodal.decodeImageMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).isNullAt(2) && got(1L).isNullAt(3), "corrupt image → nulls")
+    assert(!got(2L).isNullAt(2), "non-image → deterministic stub dims")
   }
 
   test("spherical k-means recovers well-separated clusters (pure assignment)") {

@@ -135,10 +135,13 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("exact-quota sampling pre-thins before the per-stratum rank window") {
     val p = plan("sample_exact_quota")
-    // The thin filter (hash < rate) must appear BELOW the window sort in the
-    // plan tree (plans print parents first, so its index is after Window's).
+    // The thin filter must appear BELOW the window sort in the plan tree
+    // (plans print parents first, so its index is after Window's). Match
+    // the RATE expression `least(1.0, …)` — only the pre-thin introduces
+    // it; the window's own md5 sort key would make a hash-based needle
+    // vacuously present either way.
     val win = p.indexOf("Window")
-    val thin = p.indexOf("conv(substring(md5")
+    val thin = p.indexOf("least(1.0,")
     assert(win >= 0 && thin > win,
       s"pre-thin filter must feed the rank window:\n${p.take(1500)}")
   }
