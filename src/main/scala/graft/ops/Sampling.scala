@@ -58,6 +58,34 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * keep the `n` rows per stratum with the largest ln(u)/w, where u is
+    * the deterministic key-hash uniform and w the row's weight — each
+    * row's inclusion probability is proportional to its weight, without
+    * replacement, reproducibly (quality-weighted corpus cuts: high-quality
+    * docs oversampled, none duplicated). Ties break on the ROUNDED key +
+    * id so the cut is engine-exact; rows with weight ≤ 0 are excluded (a
+    * zero weight cannot be sampled).
+    *
+    * Scale: same shape as [[stratifiedExact]] — a per-stratum rank window;
+    * for n ≪ stratum size pre-thin first (the A-ES key is NOT the plain
+    * hash, so the prefix trick needs the key itself: filter on a key
+    * threshold learned from a sample, or accept the sort).
+    */
+  def weightedTopN(df: DataFrame, keyCol: String, stratumCol: String,
+                   weightCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val esKey = round(log(keyUniform(col(keyCol))) /
+      col(weightCol).cast("double"), 6)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__es").desc, col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__es", esKey)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__es", "__rank")
+  }
+
   /** Mixture repetition ("epochs per source"): each stratum's rows are
     * replicated `epochs(stratum)` times — floor(e) guaranteed copies plus
     * one more with probability frac(e), decided by the deterministic key

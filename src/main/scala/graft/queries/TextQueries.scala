@@ -376,6 +376,18 @@ object TextQueries {
         maxTokens = 50)
     },
 
+    // Quality-weighted sampling without replacement (Efraimidis–Spirakis):
+    // the top-5 per source by ln(u)/quality — high-quality docs are
+    // proportionally likelier, reproducibly, no duplicates.
+    "sample_weighted" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("qual"))
+      graft.ops.Sampling.weightedTopN(docs.join(q, Seq("doc_id")),
+          "doc_id", "source", "qual", n = 5)
+        .select(col("doc_id"), col("source"), col("qual"))
+    },
+
     // Mixture repetition: fractional epochs per source (src1 2.5× etc.) —
     // up-weighting beyond rate 1.0, deterministic extra-copy decision.
     "sample_epochs" -> { (s, dir) =>
@@ -906,6 +918,21 @@ object TextQueries {
          |  CAST(least(len(ws), 50) AS BIGINT) AS n_tokens_kept,
          |  CAST(len(ws) > 50 AS INTEGER) AS truncated
          |FROM words""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH $wordsCte,
+         |q AS (SELECT doc_id, round(least(1.0, len(ws) / 50.0) *
+         |  (1.0 - CAST(len(list_filter(ws,
+         |    x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws)),
+         |  6) AS qual FROM words),
+         |s AS (SELECT d.doc_id, d.source, q.qual,
+         |  round(ln(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0) / q.qual, 6) AS es
+         |  FROM documents d JOIN q USING (doc_id) WHERE q.qual > 0)
+         |SELECT doc_id, source, qual FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY es DESC, doc_id) AS rn FROM s)
+         |WHERE rn <= 5""".stripMargin,
 
     "sample_epochs" ->
       """WITH e AS (SELECT doc_id, source,
