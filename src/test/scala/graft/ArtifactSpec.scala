@@ -79,6 +79,30 @@ class ArtifactSpec extends AnyFunSuite {
     assert(Multimodal.parseImageHeader("plain text".getBytes).isEmpty)
   }
 
+  test("versionDiff classifies null-text docs by presence, not hash nullability") {
+    val oldV = Seq((1L, Option("alpha")), (2L, Option.empty[String]),
+      (3L, Option("gone")), (4L, Option.empty[String])).toDF("doc_id", "text")
+    val newV = Seq((1L, Option("alpha")), (2L, Option.empty[String]),
+      (5L, Option("fresh")), (4L, Option("filled"))).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.versionDiff(oldV, newV, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "removed",
+      4L -> "changed", 5L -> "added"), got.toString)
+  }
+
+  test("stratifiedExact pre-thin keeps NULL-stratum rows drawing defaultCount") {
+    val df = (1 to 40).map(i => (i.toLong,
+      if (i % 2 == 0) Option("a") else Option.empty[String]))
+      .toDF("id", "stratum")
+    def run(thin: Option[Double]) =
+      graft.ops.Sampling.stratifiedExact(df, "id", "stratum",
+          counts = Map("a" -> 3), defaultCount = 4, preThinSafety = thin)
+        .select("id").as[Long].collect().sorted.toSeq
+    val thinned = run(Some(10.0))
+    assert(thinned == run(None), "pre-thin must not change the answer")
+    assert(thinned.count(_ % 2 == 1) == 4, "NULL stratum draws defaultCount")
+  }
+
   test("corrupt image payloads decode to null dims, never fabricated ones") {
     val corruptJpeg = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) // truncated
     val textBytes = "just some text".getBytes
