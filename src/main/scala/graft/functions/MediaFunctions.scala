@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+
+/** Media payload introspection as native Catalyst expressions.
+  *
+  * [[ImageHeader]] lifts [[graft.ops.Multimodal.parseImageHeader]]'s pure
+  * byte arithmetic (JPEG SOFn segment walk / PNG IHDR chunk, see the
+  * layout notes there) out of a `mapPartitions` boundary and into the
+  * expression layer: null handling comes from `UnaryExpression`, the
+  * expression participates in Catalyst (folding, pruning), and — unlike
+  * the `mapPartitions` form — it does not force an
+  * object-serialization boundary into the surrounding plan, so adjacent
+  * projections stay inside whole-stage codegen (the expression itself is
+  * `CodegenFallback`: one virtual call per row, like `DeflateSize`).
+  * Header parsing needs no per-partition codec state, so nothing is lost
+  * over the partition-wise form; a real pixel DECODER (heavy native
+  * library, batch-amortized init) would still belong in `mapPartitions`.
+  */
+object MediaFunctions {
+
+  private val headerType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    // distinguishes "corrupt image" (magic bytes present, dims null) from
+    // "not an image at all" — callers route the latter to their stub.
+    StructField("is_image", BooleanType, nullable = false)))
+
+  case class ImageHeader(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = headerType
+    override def prettyName: String = "image_header"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val p = input.asInstanceOf[Array[Byte]]
+      graft.ops.Multimodal.parseImageHeader(p) match {
+        case Some((w, h, c)) =>
+          new GenericInternalRow(Array[Any](w, h, c, true))
+        case None =>
+          new GenericInternalRow(
+            Array[Any](null, null, null, graft.ops.Multimodal.looksLikeImage(p)))
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ImageHeader =
+      copy(child = newChild)
+  }
+
+  /** struct(width, height, channels, is_image) of a binary payload; null
+    * for a null payload. Dims are null when the payload is corrupt
+    * (`is_image` true) or not an image (`is_image` false).
+    */
+  def imageHeader(payload: Column): Column =
+    CatalystBridge.column(ImageHeader(CatalystBridge.expression(payload)))
+
+  /** Register the SQL name on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "image_header", exprs => ImageHeader(exprs.head), "scala_udf")
+}

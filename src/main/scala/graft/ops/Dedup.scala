@@ -185,13 +185,30 @@ object Dedup {
     * differ. Same candidate shape as [[jaccardPairs]] (shingle equi-join,
     * never all-pairs); keeps pairs where EITHER direction reaches
     * `minContainment`.
+    *
+    * `maxDocFrequency` defaults ON (0.1) for the same reason as
+    * [[nearDuplicates]]: a shingle in d documents emits d² rows from the
+    * self-join — one corpus-ubiquitous shingle is a reducer-melting hot
+    * key at scale, and carries no duplication signal. Semantics under the
+    * cap: denominators `sz_a`/`sz_b` are computed from the UNCAPPED
+    * shingle sets (containment stays exactly |A∩B'|/|A| with B' the
+    * capped intersection), so reported containment is a lower bound —
+    * pairs held together ONLY by stop-shingles drop, genuine subset
+    * duplication (rare shingles by definition) is unaffected.
     */
   def containmentPairs(shinglesIn: DataFrame, idCol: String,
-                       minContainment: Double): DataFrame = {
+                       minContainment: Double,
+                       maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
     val shingles = OpCaches.scoped(shinglesIn)
+    // Sizes BEFORE the cap: exact denominators.
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = shingles.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = shingles.select(col(idCol).as("doc_b"), col("shingle"))
+    val joinable = maxDocFrequency match {
+      case None        => shingles
+      // The shingle frame itself supplies the distinct-doc count.
+      case Some(maxDf) => hotFiltered(shingles, shingles, idCol, maxDf)
+    }
+    val a = joinable.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = joinable.select(col(idCol).as("doc_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -287,12 +304,15 @@ object Dedup {
                driverPairLimit: Long = 2000000L): DataFrame = {
     val p = OpCaches.scoped(
       pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long")))
-    val nPairs = p.count()
     // Small-graph fast path: the near-dup pair graph is orders of magnitude
     // smaller than the corpus; below the limit a driver-side union-find
     // replaces an iterative job sequence. Above it, distributed min-label
-    // propagation (the scale path) takes over.
-    if (nPairs <= driverPairLimit) return clustersLocal(p)
+    // propagation (the scale path) takes over. The probe counts AT MOST
+    // limit+1 rows (limit short-circuits the scan) — a full count() here
+    // would pay one extra whole-graph action per dedup call at scale.
+    val probeCap = math.min(driverPairLimit, Int.MaxValue - 1L).toInt
+    val small = p.limit(probeCap + 1).count() <= driverPairLimit
+    if (small) return clustersLocal(p)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()

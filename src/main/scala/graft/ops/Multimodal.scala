@@ -1,14 +1,17 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing for training-data pipelines: media payloads
-  * travel as opaque `binary` columns with typed metadata; decode /
-  * feature-extract / frame-sample run PARTITION-WISE over batched rows
-  * (`mapPartitions` — the Scala analog of `mapInPandas` batch processing:
-  * the decode library is loaded once per partition, rows stream through).
+  * travel as opaque `binary` columns with typed metadata. Header-level
+  * introspection (pure byte arithmetic) runs as a native Catalyst
+  * expression ([[graft.functions.MediaFunctions.ImageHeader]]) so it
+  * composes into whole-stage codegen; a REAL pixel codec (heavy native
+  * library, batch-amortized init) would instead run partition-wise
+  * (`mapPartitions` — the Scala analog of `mapInPandas`), which is the
+  * shape a codec swap-in would take.
   *
   * Image DIMENSION decode is REAL for the two formats that matter: JPEG
   * (SOFn segment walk) and PNG (IHDR chunk) are parsed by pure byte
@@ -111,28 +114,33 @@ object Multimodal {
       p(2) == 'N'.toByte && p(3) == 'G'.toByte) ||
     (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
 
-  /** Partition-wise image metadata extraction over (media_id, payload). */
+  /** Image metadata extraction over (media_id, payload): header parse via
+    * the native [[graft.functions.MediaFunctions.ImageHeader]] expression —
+    * a single projection, no `mapPartitions` object boundary, so the op
+    * composes into the surrounding whole-stage-codegen span. A payload
+    * with image magic but an unparseable structure is a CORRUPT image
+    * (null dims, never fabricated ones); a non-image payload routes to
+    * [[decodeStub]], whose arithmetic is plain columns.
+    */
   def decodeImageMeta(media: DataFrame): DataFrame = {
-    val out = media.select(col("media_id"), col("payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        // Per-partition setup happens HERE once (codec init in real life).
-        rows.map { r =>
-          val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
-          if (payload == null) Row(id, 0L, null, null, null)
-          else parseImageHeader(payload) match {
-            case Some((w, h, c)) => Row(id, payload.length.toLong, w, h, c)
-            // A payload with image magic but an unparseable structure is a
-            // CORRUPT image: null dims, never fabricated ones.
-            case None if looksLikeImage(payload) =>
-              Row(id, payload.length.toLong, null, null, null)
-            case None =>
-              val (w, h, c) = decodeStub(payload)
-              Row(id, payload.length.toLong, w, h, c)
-          }
-        }
-      }(Encoders.row(imageMetaSchema))
-    out
+    val hdr = graft.functions.MediaFunctions.imageHeader(col("payload"))
+    val n = length(col("payload")) // int; null for a null payload
+    // decodeStub as columns: (64 + n % 512, 64 + (n / 7) % 512, 3). The
+    // int division truncates like the Scala original (n is non-negative).
+    val stubW = (lit(64) + pmod(n, lit(512))).cast("int")
+    val stubH = (lit(64) + pmod((n / lit(7)).cast("int"), lit(512))).cast("int")
+    media.select(
+      col("media_id"),
+      coalesce(n.cast("long"), lit(0L)).as("n_bytes"),
+      when(col("payload").isNull, lit(null).cast("int"))
+        .when(hdr.getField("is_image"), hdr.getField("width"))
+        .otherwise(stubW).as("width"),
+      when(col("payload").isNull, lit(null).cast("int"))
+        .when(hdr.getField("is_image"), hdr.getField("height"))
+        .otherwise(stubH).as("height"),
+      when(col("payload").isNull, lit(null).cast("int"))
+        .when(hdr.getField("is_image"), hdr.getField("channels"))
+        .otherwise(lit(3)).as("channels"))
   }
 
   /** Byte-range chunking with overlap — the training-prep op for long

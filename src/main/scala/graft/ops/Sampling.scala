@@ -75,8 +75,13 @@ object Sampling {
   def weightedTopN(df: DataFrame, keyCol: String, stratumCol: String,
                    weightCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val esKey = round(log(keyUniform(col(keyCol))) /
-      col(weightCol).cast("double"), 6)
+    // u can be exactly 0 (md5 32-bit prefix 00000000 — ~1 key in 4.3B,
+    // expected at billion-row scale); ln(0) is NULL (or an ANSI error)
+    // and diverges from the oracle's ln(0) exception. Clamp to 2^-33 —
+    // below the smallest nonzero u (2^-32), exactly representable in
+    // both engines — so the row deterministically sorts last instead.
+    val esKey = round(log(greatest(keyUniform(col(keyCol)),
+      lit(1.0 / 8589934592.0))) / col(weightCol).cast("double"), 6)
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("__es").desc, col(keyCol))
     df.filter(col(weightCol) > 0)

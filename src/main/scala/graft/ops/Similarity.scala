@@ -144,6 +144,17 @@ object Similarity {
     require(centroids.nonEmpty, "IVF index needs at least one centroid")
   }
 
+  /** Deterministic centroid ordering: numeric labels sort numerically
+    * (label 10 after label 2 — the old `.toString` sort capped usable
+    * nlist at 10), everything else lexicographically. Only used for a
+    * stable in-memory order; probe tie-breaks compare the native label
+    * column directly.
+    */
+  private def labelKey(label: Any): (Int, Double, String) = label match {
+    case n: java.lang.Number => (0, n.doubleValue(), "")
+    case x                   => (1, 0.0, String.valueOf(x))
+  }
+
   /** Per-cluster component-wise mean centroids (distributed; one explode +
     * two hash-aggs). Columns: (`clusterCol`, centroid: array<double>).
     */
@@ -167,7 +178,7 @@ object Similarity {
       val vec = r.getSeq[Double](1)
       IvfCentroid(r.get(0), vec,
         math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x)))
-    }.sortBy(_.label.toString))
+    }.sortBy(c => labelKey(c.label)))
   }
 
   /** Ranking-quality metrics beyond recall — MRR and NDCG@k of an ANN
@@ -239,7 +250,7 @@ object Similarity {
       val vec = r.getSeq[Double](2)
       IvfCentroid(label, vec,
         math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x)))
-    }.sortBy(_.label.toString))
+    }.sortBy(c => labelKey(c.label)))
   }
 
   /** The query's `nprobe` nearest centroids as an array of cluster labels,
@@ -280,7 +291,7 @@ object Similarity {
     */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): IvfIndex = {
-    require(k > 0 && k <= 10, "labels sort as strings; keep k <= 10")
+    require(k > 0, "k must be positive")
     def foldNorm(vec: Seq[Double]): Double =
       math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
     val seed = corpus.select(
@@ -299,7 +310,7 @@ object Similarity {
       cents = centroids(assigned, "cluster", vecCol).collect().toSeq.map { r =>
         val vec = r.getSeq[Double](1)
         IvfCentroid(r.get(0), vec, foldNorm(vec))
-      }.sortBy(_.label.toString)
+      }.sortBy(c => labelKey(c.label))
     }
     IvfIndex(cents)
   }

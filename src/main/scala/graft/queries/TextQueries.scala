@@ -210,12 +210,12 @@ object TextQueries {
     // publishes (volume, token mass, quality, language share).
     "corpus_report_by_source" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      // quality_score is rounded to 6 dp PER DOC before the group average
-      // (the repo's parity recipe): averaging raw doubles left Spark's
-      // partial-agg summation order vs the oracle's sequential sum one ulp
-      // apart, landing on a 6-dp rounding boundary. The average itself is
-      // reported at 4 dp so residual summation-order drift (~1e-13 rel)
-      // can never straddle the reporting precision.
+      // quality_score is rounded to 6 dp per doc and the average reported at
+      // 4 dp (the house parity recipe for float aggregates). Note: the r3
+      // hash mismatch on this gate was NOT float drift — the floats were
+      // bit-identical; the oracle's bare sum(BIGINT) returned a DuckDB
+      // HUGEINT (surfacing as float64) vs Spark's int64, so the oracle SQL
+      // casts total_words to BIGINT explicitly like its siblings.
       val q = TextAnalysis.quality(docs, "doc_id", "text")
         .select(col("doc_id"), col("n_words"),
           round(col("quality_score"), 6).as("quality_score"))
@@ -679,10 +679,17 @@ object TextQueries {
          |SELECT doc_id, quality_score FROM q
          |ORDER BY quality_score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // Sizes (containment denominators) from the UNCAPPED shingle set;
+    // the self-join intersection from the hot-shingle-capped one —
+    // mirroring containmentPairs' default maxDocFrequency = 0.1.
     "dedup_containment" ->
       s"""WITH $wordsCte,
          |$shinglesCte,
-         |${interCte("sh")}
+         |$cappedCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
          |SELECT i.doc_a, i.doc_b, i.inter,
          |  round(CAST(i.inter AS DOUBLE) / x.sz, 6) AS cont_a,
          |  round(CAST(i.inter AS DOUBLE) / y.sz, 6) AS cont_b
@@ -715,7 +722,8 @@ object TextQueries {
          |      len(list_filter(ws, x -> x IN ('le','les','de','et','un'))),
          |      len(list_filter(ws, x -> x IN ('der','die','und','das','ist')))) AS g
          |    FROM words))
-         |SELECT d.source, count(*) AS n_docs, sum(q.n_words) AS total_words,
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(q.n_words) AS BIGINT) AS total_words,
          |  round(avg(q.quality_score), 4) AS avg_quality,
          |  round(avg(CASE WHEN l.predicted_lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
          |    AS pct_en
@@ -926,8 +934,8 @@ object TextQueries {
          |    x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws)),
          |  6) AS qual FROM words),
          |s AS (SELECT d.doc_id, d.source, q.qual,
-         |  round(ln(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-         |      / 4294967296.0) / q.qual, 6) AS es
+         |  round(ln(greatest(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0, 1.0 / 8589934592.0)) / q.qual, 6) AS es
          |  FROM documents d JOIN q USING (doc_id) WHERE q.qual > 0)
          |SELECT doc_id, source, qual FROM (
          |  SELECT *, row_number() OVER (PARTITION BY source

@@ -91,9 +91,17 @@ class ArtifactSpec extends AnyFunSuite {
   }
 
   test("stratifiedExact pre-thin keeps NULL-stratum rows drawing defaultCount") {
-    val df = (1 to 40).map(i => (i.toLong,
+    // Strata of 1500 rows — ABOVE the 1000-row thin floor, so the thin
+    // rate is 1000/1500 < 1 and the pre-filter genuinely drops rows
+    // (a smaller fixture passes this test vacuously with rate 1).
+    val df = (1 to 3000).map(i => (i.toLong,
       if (i % 2 == 0) Option("a") else Option.empty[String]))
       .toDF("id", "stratum")
+    val thinSurvivors = df.filter(
+      graft.ops.Sampling.keyUniform(org.apache.spark.sql.functions.col("id"))
+        < 1000.0 / 1500.0).count()
+    assert(thinSurvivors > 0 && thinSurvivors < 3000,
+      s"fixture must make the thin predicate non-vacuous: $thinSurvivors")
     def run(thin: Option[Double]) =
       graft.ops.Sampling.stratifiedExact(df, "id", "stratum",
           counts = Map("a" -> 3), defaultCount = 4, preThinSafety = thin)
@@ -101,6 +109,7 @@ class ArtifactSpec extends AnyFunSuite {
     val thinned = run(Some(10.0))
     assert(thinned == run(None), "pre-thin must not change the answer")
     assert(thinned.count(_ % 2 == 1) == 4, "NULL stratum draws defaultCount")
+    assert(thinned.count(_ % 2 == 0) == 3, "stratum 'a' draws its quota")
   }
 
   test("corrupt image payloads decode to null dims, never fabricated ones") {
@@ -123,6 +132,39 @@ class ArtifactSpec extends AnyFunSuite {
     val byTrue = assign.groupBy(_._1 / 100).view.mapValues(_.map(_._2).toSet)
     assert(byTrue.values.forall(_.size == 1), byTrue.toMap.toString)
     assert(byTrue.values.flatten.toSet.size == 3, "labels must be distinct")
+  }
+
+  test("k-means fit scales past 10 centroids; nlist=64 IVF recall >= nlist=8") {
+    // 64 well-separated clusters in 64 dims, 4 points each — enough cells
+    // to exercise the (former) k <= 10 string-sort cap.
+    val rows = for (c <- 0 until 64; i <- 0 until 4) yield {
+      val base = Array.fill(64)(0.001)
+      base(c) = 1.0 + 0.01 * i
+      (c * 100L + i, base.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 100 === 0 && $"vec_id" < 1600)
+    val truth = Similarity.bruteForceKnn(corpus, queries, "vec_id", "embedding", k = 3)
+
+    def meanRecall(idx: Similarity.IvfIndex, nprobe: Int): Double = {
+      val assigned = corpus.join(
+        Similarity.ivfAssign(corpus, "vec_id", "embedding", idx), Seq("vec_id"))
+      val ann = Similarity.ivfKnn(assigned, queries, "vec_id", "embedding",
+        "cluster", k = 3, nprobe = nprobe, index = Some(idx))
+      Similarity.recallAtK(ann, truth, 3)
+        .agg(org.apache.spark.sql.functions.avg($"recall")).as[Double].head()
+    }
+
+    val idx64 = Similarity.kmeansFit(corpus, "vec_id", "embedding", k = 64, iters = 2)
+    assert(idx64.centroids.size > 10, "the old k <= 10 cap must be lifted")
+    val labels = idx64.centroids.map(_.label.asInstanceOf[Int])
+    assert(labels == labels.sorted, s"labels must sort numerically: $labels")
+
+    val idx8 = Similarity.kmeansFit(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    val r64 = meanRecall(idx64, nprobe = 2)
+    val r8 = meanRecall(idx8, nprobe = 2)
+    assert(r64 >= r8, s"recall@3 nlist=64 ($r64) must be >= nlist=8 ($r8)")
+    assert(r64 > 0.9, s"well-separated clusters should give high recall: $r64")
   }
 
   test("compression ratio separates repetitive from varied text") {

@@ -69,6 +69,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((31L, 32L)), s"true pair must survive the cap: $pairs")
   }
 
+  test("containmentPairs' cap drops boilerplate-only pairs; denominators stay pre-cap") {
+    // 30 docs share only a boilerplate shingle (df ~ 94%); docs 31/32 are a
+    // genuine containment pair through private shingles AND carry the
+    // boilerplate, so the cap must (a) kill the O(N²) boilerplate-only
+    // pairs, (b) keep the true pair, (c) divide by the UNCAPPED set size.
+    val boiler = "h1 h2 h3"
+    val cdocs = ((1 to 30).map(i => (i.toLong, s"a$i b$i c$i $boiler")) ++ Seq(
+      (31L, s"p1 p2 p3 p4 p5 $boiler"),
+      (32L, s"p1 p2 p3 p4 p5 q6 $boiler"))).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(cdocs, "doc_id", "text")
+    def run(maxDf: Option[Double]) =
+      Dedup.containmentPairs(sh, "doc_id", minContainment = 0.2,
+        maxDocFrequency = maxDf)
+    // Uncapped, the shared shingle alone pairs all 30 boilerplate docs
+    // (cont = 1/4 = 0.25 ≥ 0.2): C(30,2) = 435 junk pairs.
+    assert(run(None).count() > 400)
+    val capped = run(Some(0.1)).collect()
+    assert(capped.length == 1, s"only the true pair survives: ${capped.toSeq}")
+    val r = capped.head
+    assert(r.getLong(0) == 31L && r.getLong(1) == 32L)
+    // doc31 has 6 uncapped shingles; capped intersection = 3 private ones.
+    // cont_a = 3/6 (pre-cap denominator) — a post-cap denominator would
+    // report 3/5 = 0.6.
+    assert(r.getAs[Long]("inter") == 3L)
+    assert(r.getAs[Double]("cont_a") == 0.5)
+    assert(math.abs(r.getAs[Double]("cont_b") - 3.0 / 7) < 1e-12)
+  }
+
   test("simhash of identical docs is identical; near-dups are hamming-close") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,95 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.ReplayStreamSource
+
+/** The DataSourceV2 replay source must honor the simulator contract
+  * ([[graft.streaming.Replay]] mirrors `stream_sim.py`) under the real
+  * Structured Streaming engine: batch granularity, seek, wrap-around, and
+  * time-based batching.
+  */
+class ReplayStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def us(min: Long): Long = min * 60L * 1000000L
+
+  // Same fixture shape as StreamingSpec: 5 distinct timestamps
+  // {0, 1, 2, 90, 200} minutes, 6 rows.
+  private val rows = Seq(
+    (1L, us(0), 10.0), (1L, us(1), 20.0), (2L, us(0), 5.0),
+    (1L, us(2), 30.0), (2L, us(90), 7.0), (1L, us(200), 40.0))
+
+  private lazy val dataDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("replay_src").toString + "/series"
+    rows.toDF("userId", "tsUs", "value")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .write.parquet(dir)
+    dir
+  }
+
+  /** Run the v2 source to exhaustion; returns each non-empty micro-batch's
+    * distinct tsUs values ascending.
+    */
+  private def runReplay(opts: Map[String, String]): Seq[Seq[Long]] = {
+    val seen = ArrayBuffer.empty[Seq[Long]]
+    var reader = spark.readStream.format(classOf[ReplayStreamSource].getName)
+      .option("path", dataDir).option("tsCol", "ts")
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load().writeStream
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        val ts = b.select("tsUs").distinct().as[Long](implicitly).collect().sorted.toSeq
+        if (ts.nonEmpty) seen.synchronized { seen += ts }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    seen.toSeq
+  }
+
+  test("v2 replay serves batches of N distinct timestamps like the simulator") {
+    val got = runReplay(Map("timestampsPerTrigger" -> "2"))
+    assert(got.flatten == Seq(us(0), us(1), us(2), us(90), us(200)),
+      s"all timestamps once, ascending: $got")
+    assert(got.forall(_.size <= 2), s"at most 2 distinct ts per batch: $got")
+    assert(got.head == Seq(us(0), us(1)), "BATCH=2 greedy from the start")
+  }
+
+  test("v2 replay seek + wrap replays the pre-seek prefix after the tail") {
+    val got = runReplay(Map("timestampsPerTrigger" -> "1",
+      "startingTimestamp" -> "1970-01-01 00:02:00", "wrap" -> "true"))
+    assert(got.map(_.head) == Seq(us(2), us(90), us(200), us(0), us(1)),
+      s"serve order must be tail-then-prefix: $got")
+    assert(got.flatten.size == 5)
+  }
+
+  test("v2 replay seek without wrap drops the prefix") {
+    val got = runReplay(Map("startingTimestamp" -> "1970-01-01 00:02:00"))
+    assert(got.map(_.head) == Seq(us(2), us(90), us(200)))
+  }
+
+  test("v2 replay time-based batching groups by simulated-time windows") {
+    // 5-minute windows over {0,1,2,90,200}min: {0,1,2}, {90}, {200}.
+    val got = runReplay(Map("simAdvancePerTriggerSec" -> "300"))
+    assert(got == Seq(Seq(us(0), us(1), us(2)), Seq(us(90)), Seq(us(200))),
+      s"windowed batches: $got")
+  }
+
+  test("v2 replay total rows and values match the stored table exactly") {
+    val name = "replay_all"
+    val q = spark.readStream.format(classOf[ReplayStreamSource].getName)
+      .option("path", dataDir).option("tsCol", "ts")
+      .option("timestampsPerTrigger", "3")
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table(name).select("userId", "tsUs", "value")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got == rows.sorted, "replayed rows must equal the stored table")
+  }
+}
