@@ -223,6 +223,36 @@ object Dedup {
         col("cont_a"), col("cont_b"))
   }
 
+  /** Exact substring-span duplication: pairs of documents sharing at least
+    * one identical `spanTokens`-token span — the "long exact overlap"
+    * dedup modality (boilerplate blocks, quoted passages, mirrored
+    * articles) that similarity RATIOS dilute away on long documents: a
+    * 100-token block copied into a 100k-token doc moves Jaccard and
+    * containment by ~0.1% but is exactly what span dedup flags.
+    *
+    * Shape: distinct token windows per doc (one pass, window text as the
+    * key — at production scale hash the window to a 64-bit rolling hash
+    * first and verify survivors), equi-join on the span, count shared
+    * spans per pair. `maxDocFrequency` caps span document frequency like
+    * [[nearDuplicates]] (a span in d docs emits d² join rows); spans ARE
+    * the signal here, so the cap only drops corpus-ubiquitous boilerplate.
+    */
+  def substringSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+                         spanTokens: Int = 8,
+                         maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    val raw = OpCaches.scoped(shingleSets(docs, idCol, textCol, spanTokens, None))
+    val sh = maxDocFrequency match {
+      case None        => raw
+      case Some(maxDf) => hotFiltered(raw, raw, idCol, maxDf)
+    }
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle").as("span"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle").as("span"))
+    a.join(b, Seq("span"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_spans"), min(col("span")).as("first_span"))
+  }
+
   /** Dataset version diff — the data-ops audit between two corpus
     * snapshots: per id, `added` / `removed` / `changed` / `unchanged` by
     * content hash. One full outer join keyed by id; hashes compute

@@ -49,4 +49,56 @@ object Packing {
       .select(col(idCol), col("shard"), col("offset"), col("seq_in_shard"),
         col("pos_in_seq"), col("straddles"))
   }
+
+  /** Deterministic training-order manifest: every document gets a
+    * (shard, position) — a reproducible global "shuffle" with NO global
+    * sort. Shard assignment and within-shard order both derive from
+    * independent md5 substrings of the id (same keys as [[packSequences]],
+    * so a manifest and a packing of the same corpus agree on order);
+    * positions are per-shard `row_number`s — `nShards` independent window
+    * pipelines over one exchange, each shard's order decided without
+    * seeing the others. This is the op a trainer's data loader consumes:
+    * epoch N's order is `(shard, pos)` with a per-epoch salt on the hash.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val shard = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(nShards.toLong)).cast("int")
+    val orderKey = conv(substring(md5(col(idCol).cast("string")), 9, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
+    docs.select(col(idCol), shard.as("shard"), orderKey.as("__ord"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Padding-waste report: what fraction of the training batch is pad
+    * tokens under (a) naive fixed-length batching (every sequence padded
+    * to `maxLen`) vs (b) length-bucketed batching (padded to the doc's
+    * bucket upper bound, buckets of `bucket` tokens) — the measurement
+    * that justifies length bucketing in a training pipeline. Docs longer
+    * than `maxLen` are counted as truncated to it (they pad nothing).
+    * One aggregation; all arithmetic integral until the final ratios.
+    */
+  def paddingReport(docs: DataFrame, tokenCol: String,
+                    maxLen: Int, bucket: Int): DataFrame = {
+    require(bucket > 0 && maxLen % bucket == 0,
+      "bucket must divide maxLen")
+    val capped = least(col(tokenCol).cast("long"), lit(maxLen.toLong))
+    // Bucket upper bound via integral arithmetic; empty docs land in the
+    // first bucket (they still occupy a padded slot).
+    val ub = greatest(
+      expr(s"((__capped + ${bucket - 1}) DIV $bucket) * $bucket"),
+      lit(bucket.toLong))
+    docs.select(capped.as("__capped"))
+      .select(ub.as("bucket_ub"), col("__capped"))
+      .groupBy(col("bucket_ub"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__capped")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_ub"))
+      .withColumn("naive_tokens", col("n_docs") * lit(maxLen.toLong))
+      .withColumn("waste",
+        round(lit(1.0) - col("sum_tokens").cast("double") / col("padded_tokens"), 6))
+      .withColumn("naive_waste",
+        round(lit(1.0) - col("sum_tokens").cast("double") / col("naive_tokens"), 6))
+  }
 }

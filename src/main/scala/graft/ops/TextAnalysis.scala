@@ -154,6 +154,78 @@ object TextAnalysis {
         greatest(col("win_tokens"), lit(0)).as("win_tokens"), col("win_text"))
   }
 
+  /** n-gram novelty: the fraction of a document's distinct n-grams whose
+    * FIRST corpus occurrence (minimum doc id) is this document — high for
+    * original content, near zero for documents assembled from text already
+    * in the corpus. The "is this doc adding anything" curation signal that
+    * pairwise dedup (which needs a concentrated counterpart doc) misses.
+    *
+    * Two exchanges, no pair joins: first-occurrence is one min-aggregation
+    * keyed by n-gram, joined back on the n-gram (vocabulary-sized — NOT
+    * broadcast, same reasoning as [[unigramLogProb]]). Documents with
+    * fewer than `n` tokens have no n-grams and are absent from the output.
+    */
+  def novelty(docs: DataFrame, idCol: String, textCol: String,
+              n: Int = 3): DataFrame = {
+    val sh = OpCaches.scoped(Dedup.shingleSets(docs, idCol, textCol, n, None))
+    val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum((col(idCol) === col("__first")).cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_ngrams"), 6))
+  }
+
+  /** Exact corpus heavy hitters: tokens whose frequency share exceeds
+    * `minShare` — support-THRESHOLD semantics, complementing [[topNgrams]]'
+    * top-k. This is the measurement feeding the engine's hot-key guards:
+    * the df caps in [[Dedup.nearDuplicates]]/[[Dedup.containmentPairs]] and
+    * the salting in [[Skew]] assume someone knows which keys are hot.
+    * One count aggregation + a broadcast 1-row total; the filter keeps the
+    * result bounded by 1/minShare rows regardless of corpus size.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   minShare: Double): DataFrame = {
+    val counts = docs.select(explode(words(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("freq").cast("double") / col("__total") > minShare)
+      .select(col("token"), col("freq"),
+        round(col("freq").cast("double") / col("__total"), 6).as("share"))
+  }
+
+  /** Per-group unigram drift: KL(P_group ‖ P_corpus) over the corpus
+    * top-`v` vocabulary — the dataset-mixture drift monitor ("has src2's
+    * language shifted away from the corpus?"). Both distributions are
+    * RESTRICTED to the top-V vocab (so the lookup side is bounded and
+    * broadcastable by construction, like [[unigramLogProbTopV]]), and the
+    * KL sum folds over the SORTED per-term contributions (collect_list →
+    * array_sort → sequential aggregate) so the few-hundred-term double sum
+    * is order-identical across engines.
+    */
+  def sourceDivergence(docs: DataFrame, textCol: String, groupCol: String,
+                       v: Int): DataFrame = {
+    val tokens = docs.select(col(groupCol), explode(words(col(textCol))).as("w"))
+    val all = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = all.orderBy(col("cnt").desc, col("w")).limit(v)
+    val vocabTotal = vocab.agg(sum(col("cnt")).as("__ctot"))
+    val g = tokens.join(broadcast(vocab.select(col("w"))), Seq("w"), "left_semi")
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("gcnt"))
+    val gTotal = g.groupBy(col(groupCol)).agg(sum(col("gcnt")).as("__gtot"))
+    val pg = col("gcnt").cast("double") / col("__gtot").cast("double")
+    val pc = col("cnt").cast("double") / col("__ctot").cast("double")
+    g.join(broadcast(vocab), Seq("w"))
+      .join(gTotal, Seq(groupCol))
+      .crossJoin(broadcast(vocabTotal))
+      .select(col(groupCol), (pg * log(pg / pc)).as("__term"))
+      .groupBy(col(groupCol))
+      .agg(round(aggregate(array_sort(collect_list(col("__term"))),
+          lit(0.0), (acc, x) => acc + x), 6).as("kl"),
+        count(lit(1)).as("n_terms"))
+  }
+
   /** Compression-ratio quality signal: deflate(text)/raw bytes — low
     * ratios flag repetitive/templated/generated text that token-level
     * heuristics miss (long-range repetition). Per-row projection via the

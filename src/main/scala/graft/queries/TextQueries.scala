@@ -409,6 +409,46 @@ object TextQueries {
           col("straddles").cast("int").as("straddles"))
     },
 
+    // Exact substring-span dedup: pairs sharing any identical 8-token
+    // span — the long-exact-overlap modality similarity ratios dilute.
+    "dedup_substring_spans" -> { (s, dir) =>
+      Dedup.substringSpanPairs(Tables.documents(s, dir), "doc_id", "text",
+        spanTokens = 8)
+    },
+
+    // n-gram novelty: share of a doc's 3-grams first seen in that doc.
+    "text_novelty" -> { (s, dir) =>
+      TextAnalysis.novelty(Tables.documents(s, dir), "doc_id", "text", n = 3)
+    },
+
+    // Support-threshold heavy hitters (>0.5% of all tokens) — the hot-key
+    // measurement feeding the df caps and salting guards.
+    "text_heavy_hitters" -> { (s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), "text",
+        minShare = 0.005)
+    },
+
+    // Per-source unigram KL drift vs the corpus top-50 vocabulary.
+    "text_source_kl" -> { (s, dir) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, dir), "text",
+        "source", v = 50)
+    },
+
+    // Deterministic training-order manifest: (shard, pos) per doc with no
+    // global sort (per-shard row_numbers over independent hash keys).
+    "pack_shard_manifest" -> { (s, dir) =>
+      graft.ops.Packing.shardManifest(Tables.documents(s, dir), "doc_id",
+        nShards = 8)
+    },
+
+    // Padding-waste report: naive max-length batching vs 64-token length
+    // buckets at a 512-token window.
+    "pack_padding_report" -> { (s, dir) =>
+      val toks = TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+      graft.ops.Packing.paddingReport(toks, "n_tokens_ws",
+        maxLen = 512, bucket = 64)
+    },
+
     // Leakage-safe splits: the split decision hashes the near-dup CLUSTER,
     // so a doc and its near-duplicates always share a split (no train/eval
     // contamination through duplicates).
@@ -971,6 +1011,89 @@ object TextQueries {
          |  off // 512 AS seq_in_shard, off % 512 AS pos_in_seq,
          |  CAST(off % 512 + n_tokens_ws > 512 AS INTEGER) AS straddles
          |FROM o""".stripMargin,
+
+    // 8-token spans, hot-span cap mirroring substringSpanPairs' default
+    // maxDocFrequency = 0.1 (no span is hot on this testdata; the spec
+    // plants one to prove the mechanism).
+    "dedup_substring_spans" ->
+      s"""WITH $wordsCte,
+         |sp AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(greatest(len(ws)-7, 0)),
+         |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+         |      || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8]))
+         |    AS span FROM words),
+         |spf AS (SELECT doc_id, span FROM sp
+         |  WHERE span NOT IN (SELECT span FROM sp GROUP BY span
+         |    HAVING count(*) > 0.1 * (SELECT count(DISTINCT doc_id) FROM documents)))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS shared_spans, min(a.span) AS first_span
+         |FROM spf a JOIN spf b ON a.span = b.span AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT s.doc_id, count(*) AS n_ngrams,
+         |  CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty
+         |FROM sh s JOIN f USING (shingle) GROUP BY 1""".stripMargin,
+
+    "text_heavy_hitters" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(ws) AS token FROM words),
+         |c AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+         |t AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM c)
+         |SELECT token, freq, round(CAST(freq AS DOUBLE) / total, 6) AS share
+         |FROM c, t WHERE CAST(freq AS DOUBLE) / total > 0.005""".stripMargin,
+
+    // KL folds over SORTED per-term contributions (list_sort → list_sum ≡
+    // Spark array_sort → aggregate): order-identical double sums.
+    "text_source_kl" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT d.source, unnest(w.ws) AS w
+         |  FROM documents d JOIN words w ON d.doc_id = w.doc_id),
+         |allc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+         |vocab AS (SELECT w, cnt FROM allc ORDER BY cnt DESC, w LIMIT 50),
+         |ct AS (SELECT CAST(sum(cnt) AS DOUBLE) AS ctot FROM vocab),
+         |g AS (SELECT source, w, count(*) AS gcnt FROM tok
+         |  WHERE w IN (SELECT w FROM vocab) GROUP BY 1, 2),
+         |gt AS (SELECT source, CAST(sum(gcnt) AS DOUBLE) AS gtot FROM g GROUP BY 1),
+         |terms AS (SELECT g.source,
+         |  (CAST(g.gcnt AS DOUBLE) / gt.gtot) *
+         |    ln((CAST(g.gcnt AS DOUBLE) / gt.gtot) / (CAST(v.cnt AS DOUBLE) / ct.ctot))
+         |    AS term
+         |  FROM g JOIN vocab v USING (w) JOIN gt USING (source), ct)
+         |SELECT source, round(list_sum(list_sort(list(term))), 6) AS kl,
+         |  count(*) AS n_terms
+         |FROM terms GROUP BY source""".stripMargin,
+
+    "pack_shard_manifest" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+        |    AS INTEGER) AS shard,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS ord
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS pos
+        |FROM k""".stripMargin,
+
+    "pack_padding_report" ->
+      s"""WITH $wordsCte,
+         |t AS (SELECT doc_id, least(CAST(len(ws) AS BIGINT), 512) AS capped
+         |  FROM words),
+         |b AS (SELECT greatest(((capped + 63) // 64) * 64, 64) AS bucket_ub, capped
+         |  FROM t),
+         |a AS (SELECT bucket_ub, count(*) AS n_docs,
+         |  CAST(sum(capped) AS BIGINT) AS sum_tokens FROM b GROUP BY 1)
+         |SELECT bucket_ub, n_docs, sum_tokens,
+         |  CAST(n_docs * bucket_ub AS BIGINT) AS padded_tokens,
+         |  CAST(n_docs * 512 AS BIGINT) AS naive_tokens,
+         |  round(1.0 - CAST(sum_tokens AS DOUBLE) / (n_docs * bucket_ub), 6) AS waste,
+         |  round(1.0 - CAST(sum_tokens AS DOUBLE) / (n_docs * 512), 6) AS naive_waste
+         |FROM a""".stripMargin,
 
     "split_leakage_safe" ->
       s"""WITH RECURSIVE $wordsCte,

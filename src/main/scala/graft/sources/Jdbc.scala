@@ -40,6 +40,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     and column pruning push down identically; LIMIT pushes down on
   *     Postgres (`JDBCScan` shows PushedLimit) where Derby's dialect
   *     declines it.
+  *
+  * Every delta above is executable: `PgJdbcSpec` smokes them against a
+  * real Postgres/PostGIS when `GRAFT_PG_URL` is set (skips cleanly
+  * offline — this sandbox has no Postgres server or driver).
   */
 object Jdbc {
 

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Packing, TextAnalysis}
+
+/** Round-4 curation operators: substring-span dedup, n-gram novelty,
+  * heavy hitters, per-source KL drift, shard manifest, padding report.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("substringSpanPairs flags docs sharing an exact 8-token span") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"intro words here then $span and a tail"),
+      (2L, s"$span with a completely different continuation afterwards"),
+      (3L, "nothing in common with anybody else at all in this text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpanPairs(docs, "doc_id", "text", spanTokens = 8,
+        maxDocFrequency = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L)), s"exactly the planted pair: $got")
+  }
+
+  test("substringSpanPairs' default cap drops corpus-boilerplate spans") {
+    // 30 docs share ONLY an 8-token boilerplate (df ~ 94%); docs 31/32
+    // also share a private 8-token span. The cap kills the C(30+2, 2)
+    // boilerplate pairing but keeps the private-span pair.
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val priv = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = ((1 to 30).map(i => (i.toLong, s"u$i v$i w$i $boiler")) ++ Seq(
+      (31L, s"$priv $boiler"), (32L, s"$priv then something else $boiler")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.substringSpanPairs(docs, "doc_id", "text",
+      spanTokens = 8, maxDocFrequency = None).count()
+    assert(uncapped > 400, s"boilerplate must pair nearly everything: $uncapped")
+    val capped = Dedup.substringSpanPairs(docs, "doc_id", "text", spanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped == Seq((31L, 32L)), s"only the private-span pair: $capped")
+  }
+
+  test("novelty is 1 for first occurrence, 0 for a verbatim re-ingest") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact copy, later id
+      (3L, "alpha beta gamma zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.novelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)), got.toString)
+    assert(got(2L) == ((3L, 0L, 0.0)), got.toString)
+    // doc 3: 5 shingles, 'alpha beta gamma' seen in doc 1 → 4/5 novel.
+    assert(got(3L) == ((5L, 4L, 0.8)), got.toString)
+  }
+
+  test("heavyHitters returns only tokens above the support threshold") {
+    val docs = Seq((1L, ("hot " * 50).trim + " cold rare"),
+      (2L, ("hot " * 48).trim + " cold other")).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(docs, "text", minShare = 0.1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("hot"), s"only 'hot' exceeds 10%: $got")
+    assert(got("hot") == 98L)
+  }
+
+  test("sourceDivergence: identical mixes score ~0, shifted mixes score > 0") {
+    val balanced = (1 to 20).flatMap(i => Seq(
+      (i.toLong, "common words shared by every source here", "srcA"),
+      (100L + i, "common words shared by every source here", "srcB")))
+    val skewed = (200 to 219).map(i =>
+      (i.toLong, "peculiar vocabulary peculiar vocabulary peculiar drift", "srcC"))
+    val docs = (balanced ++ skewed).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceDivergence(docs, "text", "source", v = 50)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("srcA") == got("srcB"), "identical distributions, identical KL")
+    assert(got("srcC") > got("srcA"), s"drifted source must score higher: $got")
+    assert(got.values.forall(_ >= 0.0), s"KL within a shared vocab >= 0: $got")
+  }
+
+  test("shardManifest gives every doc a unique (shard, pos); pos is dense from 0") {
+    val docs = (1 to 100).map(_.toLong).toDF("doc_id")
+    val m = Packing.shardManifest(docs, "doc_id", nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(m.length == 100 && m.map(_._1).distinct.length == 100)
+    m.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (0L until rows.length).toSeq, s"shard $shard dense positions")
+    }
+    // Deterministic across invocations.
+    val again = Packing.shardManifest(docs, "doc_id", nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(m.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("paddingReport quantifies bucketed vs naive padding waste") {
+    // tokens: 10, 60, 64, 100, 600(→512 capped)
+    val docs = Seq((1L, 10L), (2L, 60L), (3L, 64L), (4L, 100L), (5L, 600L))
+      .toDF("doc_id", "n_tokens_ws")
+    val got = Packing.paddingReport(docs, "n_tokens_ws", maxLen = 512, bucket = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // bucket 64: docs with 10, 60, 64 tokens → 134 real of 192 padded.
+    assert(got(64L)._1 == 3L && got(64L)._2 == 134L && got(64L)._3 == 192L)
+    // waste is reported at 6 dp.
+    assert(got(64L)._4 == math.rint((1.0 - 134.0 / 192) * 1e6) / 1e6)
+    // bucket 128: the 100-token doc; bucket 512: the capped 600-token doc.
+    assert(got(128L)._2 == 100L && got(512L)._2 == 512L)
+    assert(got(512L)._4 == 0.0, "a full sequence wastes nothing bucketed")
+    // Naive waste >= bucketed waste everywhere (that's the point).
+    got.values.foreach { case (_, _, _, w, nw) => assert(nw >= w) }
+  }
+}

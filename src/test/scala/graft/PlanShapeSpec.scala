@@ -133,6 +133,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"assignment must be a pure projection:\n${p.take(1000)}")
   }
 
+  test("shard manifest: one shard exchange, no global sort") {
+    val p = plan("pack_shard_manifest")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shard exchange, got $exchanges:\n${p.take(1200)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"manifest positions must come from per-shard windows, not a global sort:\n${p.take(1200)}")
+  }
+
+  test("source KL broadcasts the bounded top-V vocab, not the group side") {
+    val p = plan("text_source_kl")
+    assert(p.contains("BroadcastHashJoin"),
+      s"top-V vocab (bounded by construction) must broadcast:\n${p.take(1000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocab itself must come from a distributed top-k:\n${p.take(1000)}")
+  }
+
+  test("heavy hitters: threshold filter runs against a broadcast 1-row total") {
+    val p = plan("text_heavy_hitters")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the grand total must broadcast:\n${p.take(800)}")
+    assert(!p.contains("Exchange rangepartitioning"), "no sort needed")
+  }
+
+  test("substring-span dedup never sorts; candidates come from the span equi-join") {
+    val p = plan("dedup_substring_spans")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"span dedup must be equi-join shaped:\n${p.take(1000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("exact-quota sampling pre-thins before the per-stratum rank window") {
     val p = plan("sample_exact_quota")
     // The thin filter must appear BELOW the window sort in the plan tree
