@@ -54,6 +54,37 @@ class StorageEngineSpec extends AnyFunSuite {
     assert(stored.getAs[Long]("subj_rows") > 0)
   }
 
+  test("join of two co-bucketed tables runs with ZERO exchange") {
+    // The co-located-join story: both sides bucketed by the join key at
+    // write time → the join consumes the bucketing and shuffles NOTHING.
+    // At 100 TB this is the difference between a full-corpus exchange per
+    // join and none.
+    val hr = Fixtures.heartRates.toDF("user_id", "timestamp", "value")
+    val cal = Fixtures.heartRates.map(t => (t._1, t._2, t._3 * 2))
+      .toDF("user_id", "timestamp", "value2")
+    TableStore.createDatabase(spark, "graft_int")
+    spark.sql("DROP TABLE IF EXISTS graft_int.hr_a")
+    spark.sql("DROP TABLE IF EXISTS graft_int.hr_b")
+    TableStore.appendSeries(hr, "graft_int.hr_a", "user_id", "timestamp", buckets = 8)
+    TableStore.appendSeries(cal, "graft_int.hr_b", "user_id", "timestamp", buckets = 8)
+
+    // Join on the BUCKET key (user_id): per-user profile joined to the
+    // series. Disable auto-broadcast so the plan must actually consume the
+    // bucketing (a broadcast would trivially have no shuffle).
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val perUser = spark.table("graft_int.hr_b")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.avg("value2").as("avg2"))
+      val joined = spark.table("graft_int.hr_a").join(perUser, Seq("user_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle either side:\n${plan.take(1200)}")
+      assert(joined.count() == hr.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("per-user aggregation over the bucketed table runs with ZERO exchange") {
     // The SCALE.md claim made checkable: when the table's bucketing matches
     // the grouping key, the user exchange disappears — the one-time shuffle
