@@ -109,8 +109,14 @@ object GeoFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("wkb_point_decode",
-      exprs => WkbPointDecode(exprs.head), "scala_udf")
+      exprs => {
+        require(exprs.length == 1, "wkb_point_decode expects exactly 1 argument")
+        WkbPointDecode(exprs.head)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("wkb_point_encode",
-      exprs => WkbPointEncode(exprs.head, exprs(1)), "scala_udf")
+      exprs => {
+        require(exprs.length == 2, "wkb_point_encode expects exactly 2 arguments")
+        WkbPointEncode(exprs.head, exprs(1))
+      }, "scala_udf")
   }
 }

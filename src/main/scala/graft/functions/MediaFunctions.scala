@@ -62,5 +62,8 @@ object MediaFunctions {
   /** Register the SQL name on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "image_header", exprs => ImageHeader(exprs.head), "scala_udf")
+      "image_header", exprs => {
+        require(exprs.length == 1, "image_header expects exactly 1 argument")
+        ImageHeader(exprs.head)
+      }, "scala_udf")
 }

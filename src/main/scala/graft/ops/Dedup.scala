@@ -198,14 +198,18 @@ object Dedup {
     */
   def containmentPairs(shinglesIn: DataFrame, idCol: String,
                        minContainment: Double,
-                       maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+                       maxDocFrequency: Option[Double] = Some(0.1),
+                       docs: Option[DataFrame] = None): DataFrame = {
     val shingles = OpCaches.scoped(shinglesIn)
     // Sizes BEFORE the cap: exact denominators.
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val joinable = maxDocFrequency match {
       case None        => shingles
-      // The shingle frame itself supplies the distinct-doc count.
-      case Some(maxDf) => hotFiltered(shingles, shingles, idCol, maxDf)
+      // `docs` supplies the distinct-doc universe for the df threshold —
+      // pass the full document frame to count docs too short to shingle
+      // (matching nearDuplicates); the shingle frame is only a fallback.
+      case Some(maxDf) =>
+        hotFiltered(shingles, docs.getOrElse(shingles), idCol, maxDf)
     }
     val a = joinable.select(col(idCol).as("doc_a"), col("shingle"))
     val b = joinable.select(col(idCol).as("doc_b"), col("shingle"))
@@ -243,7 +247,9 @@ object Dedup {
     val raw = OpCaches.scoped(shingleSets(docs, idCol, textCol, spanTokens, None))
     val sh = maxDocFrequency match {
       case None        => raw
-      case Some(maxDf) => hotFiltered(raw, raw, idCol, maxDf)
+      // df threshold counts ALL docs (like nearDuplicates), not just docs
+      // long enough to have spans — the two diverge on short-doc corpora.
+      case Some(maxDf) => hotFiltered(raw, docs, idCol, maxDf)
     }
     val a = sh.select(col(idCol).as("doc_a"), col("shingle").as("span"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle").as("span"))
@@ -340,9 +346,14 @@ object Dedup {
     // propagation (the scale path) takes over. The probe counts AT MOST
     // limit+1 rows (limit short-circuits the scan) — a full count() here
     // would pay one extra whole-graph action per dedup call at scale.
-    val probeCap = math.min(driverPairLimit, Int.MaxValue - 1L).toInt
-    val small = p.limit(probeCap + 1).count() <= driverPairLimit
-    if (small) return clustersLocal(p)
+    // A limit above Int.MaxValue cannot be probed with limit() (and could
+    // not be collect()ed either) — fall back to the full count there
+    // rather than saturating the probe and misclassifying a huge graph.
+    val probed =
+      if (driverPairLimit < Int.MaxValue.toLong)
+        p.limit(driverPairLimit.toInt + 1).count()
+      else p.count()
+    if (probed <= driverPairLimit) return clustersLocal(p)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()

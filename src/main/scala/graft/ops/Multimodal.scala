@@ -30,13 +30,6 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("mime", StringType)))
 
-  val imageMetaSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("n_bytes", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("channels", IntegerType)))
-
   /** STUB decode for payloads that are neither JPEG nor PNG: deterministic
     * fake dimensions from payload size. A real deployment replaces ONLY
     * this function with a codec call; everything else in the pipeline is

@@ -40,9 +40,12 @@ object Sketches {
   def approxGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                            probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
-    val aggs = probs.map { p =>
-      percentile_approx(col(valueCol), lit(p), lit(accuracy))
-        .as(s"q_${math.round(p * 100)}")
+    // Name by the prob itself (q_0_5, q_0_999) — rounding to a percent
+    // would collide for tail probs like 0.999 vs 0.9999.
+    val names = probs.map(p => s"q_${p.toString.replace('.', '_')}")
+    require(names.distinct.size == names.size, s"duplicate probs: $probs")
+    val aggs = probs.zip(names).map { case (p, name) =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(name)
     }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -68,8 +71,19 @@ object Sketches {
         CatalystBridge.expression(xxhash64(col(keyCol))),
         CatalystBridge.expression(lit(expectedItems)),
         CatalystBridge.expression(lit(numBits)), 0, 0)
-    df.agg(CatalystBridge.column(agg.toAggregateExpression()).as("bf"))
+    val bytes = df.agg(CatalystBridge.column(agg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
+    if (bytes != null) bytes
+    else {
+      // Zero input rows → the aggregate returns null; hand back a real
+      // EMPTY filter (same serialization the aggregate uses) so probes
+      // see "member of the empty set: false" instead of an analysis
+      // error about a NullType literal far from the fit site.
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1L, numBits)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      out.toByteArray
+    }
   }
 
   /** Map-side membership probe against a fitted filter: no join, no

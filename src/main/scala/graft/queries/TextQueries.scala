@@ -199,8 +199,10 @@ object TextQueries {
     // Asymmetric containment: subset duplication (quoting/embedding) that
     // symmetric Jaccard under-scores when document sizes differ.
     "dedup_containment" -> { (s, dir) =>
-      val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text")
-      Dedup.containmentPairs(sh, "doc_id", minContainment = 0.8)
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleSets(docs, "doc_id", "text")
+      Dedup.containmentPairs(sh, "doc_id", minContainment = 0.8,
+        docs = Some(docs))
         .select(col("doc_a"), col("doc_b"), col("inter"),
           round(col("cont_a"), 6).as("cont_a"),
           round(col("cont_b"), 6).as("cont_b"))

@@ -97,6 +97,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("cont_b") - 3.0 / 7) < 1e-12)
   }
 
+  test("df-cap threshold counts ALL docs, including ones too short to shingle") {
+    // 4 docs share one 3-gram (df = 4) plus 4 docs too short to produce any
+    // shingle. With maxDf = 0.5 the threshold over ALL 8 docs is 4 (shingle
+    // kept: 4 > 4 is false); over only the 4 shingled docs it would be 2
+    // (shingle dropped) — the oracle counts all documents, so must we.
+    val cdocs = ((1 to 4).map(i => (i.toLong, s"c1 c2 c3 u${i}a u${i}b")) ++
+      (5 to 8).map(i => (i.toLong, "x y"))).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(cdocs, "doc_id", "text")
+    val withDocs = Dedup.containmentPairs(sh, "doc_id", minContainment = 0.1,
+      maxDocFrequency = Some(0.5), docs = Some(cdocs)).count()
+    assert(withDocs == 6, s"shared shingle survives the all-docs threshold: $withDocs")
+    val shingledOnly = Dedup.containmentPairs(sh, "doc_id", minContainment = 0.1,
+      maxDocFrequency = Some(0.5)).count()
+    assert(shingledOnly == 0, "fallback threshold counts only shingled docs")
+  }
+
   test("simhash of identical docs is identical; near-dups are hamming-close") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
