@@ -226,6 +226,32 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
   }
 
+  /** BPE merge-pair mining — the first iteration of byte-pair-encoding
+    * tokenizer training: corpus-wide counts of adjacent CHARACTER pairs
+    * within words, ranked; the top pair is the first merge a BPE trainer
+    * would learn. Token multiplicity counts (standard BPE statistics).
+    * Same distributed-top-k shape as [[topNgrams]] (explode → hash-agg →
+    * `TakeOrderedAndProject`), so the full pair distribution never flows
+    * through one reducer. Subsequent merge iterations re-run this over a
+    * re-segmented corpus; the per-iteration shape is identical.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = col("w")
+    // Adjacent char pairs per word; same descending-sequence guard as
+    // wordShingles (Spark's sequence(1, 0) DESCENDS).
+    val pairs = when(length(w) >= 2,
+      transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val topK = docs.select(explode(words(col(textCol))).as("w"))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(k)
+    topK.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("pair"))))
+  }
+
   /** Compression-ratio quality signal: deflate(text)/raw bytes — low
     * ratios flag repetitive/templated/generated text that token-level
     * heuristics miss (long-range repetition). Per-row projection via the

@@ -436,6 +436,12 @@ object TextQueries {
         "source", v = 50)
     },
 
+    // BPE tokenizer-training statistics: top-20 adjacent char pairs — the
+    // first merge a BPE trainer learns, distributed top-k shaped.
+    "text_bpe_pairs" -> { (s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text", k = 20)
+    },
+
     // Deterministic training-order manifest: (shard, pos) per doc with no
     // global sort (per-shard row_numbers over independent hash keys).
     "pack_shard_manifest" -> { (s, dir) =>
@@ -1071,6 +1077,16 @@ object TextQueries {
          |SELECT source, round(list_sum(list_sort(list(term))), 6) AS kl,
          |  count(*) AS n_terms
          |FROM terms GROUP BY source""".stripMargin,
+
+    "text_bpe_pairs" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(ws) AS w FROM words),
+         |p AS (SELECT unnest(list_transform(range(greatest(len(w)-1, 0)),
+         |    i -> w[i+1:i+2])) AS pair FROM tok),
+         |f AS (SELECT pair, count(*) AS freq FROM p GROUP BY 1
+         |  ORDER BY freq DESC, pair LIMIT 20)
+         |SELECT pair, freq, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY freq DESC, pair) AS rank FROM f)""".stripMargin,
 
     "pack_shard_manifest" ->
       """WITH k AS (SELECT doc_id,

@@ -24,4 +24,29 @@ object StreamDedup {
     */
   def withContentHash(stream: DataFrame, textCol: String): DataFrame =
     stream.withColumn("content_hash", md5(col(textCol)))
+
+  /** SimHash key for NEAR-dup streaming dedup: the signature is invariant
+    * to token order and collapses token-multiset-identical documents
+    * (shuffled boilerplate, reordered lists) that content-hash dedup
+    * misses. Dedup on the signature within the watermark drops those with
+    * the same bounded state as [[exactWithinWatermark]]; state stores one
+    * long per doc. (Hamming-NEIGHBOR matching needs the pigeonhole band
+    * join — that is the batch [[graft.ops.Dedup.simhashPairs]]; a
+    * streaming variant would key state by band chunks.)
+    */
+  def withSimhash(stream: DataFrame, idCol: String, textCol: String,
+                  bits: Int = 16): DataFrame = {
+    import graft.functions.TextFunctions._
+    // Inline map-side simhash (mirrors Dedup.simhash's definition: bit b
+    // set when the ±1 vote sum over token bit b is >= 0), expressed on the
+    // token ARRAY per row so it composes into a streaming projection
+    // without a groupBy.
+    val ws = words(col(textCol))
+    val bitCols: Seq[org.apache.spark.sql.Column] = (0 until bits).map { b =>
+      val votes = aggregate(ws, lit(0L),
+        (acc, w) => acc + (shiftright(wordCode16(w), b) % 2) * 2 - 1)
+      when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    stream.withColumn("simhash", bitCols.reduce(_ + _))
+  }
 }

@@ -95,6 +95,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(m.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("bpePairCounts ranks the dominant adjacent character pair first") {
+    val docs = Seq((1L, "aaab aaab banana"), (2L, "aaab cab")).toDF("doc_id", "text")
+    // 'aa' appears 2 per 'aaab' × 3 occurrences = 6; 'ab' = 3×'aaab' +
+    // 'cab' = 4; 'an' and 'na' = 2 each from 'banana'; 'ba' = 1+1; 'ca' = 1.
+    val got = TextAnalysis.bpePairCounts(docs, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("aa", 6L, 1), ("ab", 4L, 2), ("an", 2L, 3)), got.toString)
+    // Single-char words contribute nothing and must not crash.
+    val tiny = Seq((1L, "a b cd")).toDF("doc_id", "text")
+    val t = TextAnalysis.bpePairCounts(tiny, "text", k = 5).collect()
+    assert(t.map(_.getString(0)).toSeq == Seq("cd"))
+  }
+
   test("paddingReport quantifies bucketed vs naive padding waste") {
     // tokens: 10, 60, 64, 100, 600(→512 capped)
     val docs = Seq((1L, 10L), (2L, 60L), (3L, 64L), (4L, 100L), (5L, 600L))

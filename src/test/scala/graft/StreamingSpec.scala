@@ -213,6 +213,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash dedup drops order-permuted near-dups exact hashing misses") {
+    import org.apache.spark.sql.Encoder
+    // The map-side streaming simhash projection must equal the batch
+    // (explode + groupBy) definition...
+    val docs = Seq((1L, "the quick brown fox jumps"), (2L, "jumps fox brown quick the"),
+      (3L, "completely different content here")).toDF("doc_id", "text")
+    val batchSig = graft.ops.Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val projSig = graft.streaming.StreamDedup.withSimhash(docs, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(projSig == batchSig, s"projection must equal batch simhash")
+    assert(batchSig(1L) == batchSig(2L), "simhash is token-order invariant")
+
+    // ...and on a stream, a token-permuted re-ingest (different md5!) is
+    // dropped within the watermark while distinct content passes.
+    val input = MemoryStream[(String, Long, String)](
+      implicitly[Encoder[(String, Long, String)]], spark)
+    val stream = input.toDF().toDF("doc_id", "ts_us", "text")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val deduped = graft.streaming.StreamDedup.exactWithinWatermark(
+      graft.streaming.StreamDedup.withSimhash(stream, "doc_id", "text"),
+      "ts", Seq("simhash"), watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_simdedup").start()
+    try {
+      input.addData(Seq(("d1", us(60), "the quick brown fox jumps")))
+      q.processAllAvailable()
+      input.addData(Seq(("d1p", us(61), "jumps fox brown quick the"), // permuted
+        ("d2", us(62), "completely different content here")))
+      q.processAllAvailable()
+      val kept = spark.table("stream_simdedup").select("doc_id")
+        .as[String].collect().sorted.toSeq
+      assert(kept == Seq("d1", "d2"), s"permuted re-ingest must drop: $kept")
+    } finally q.stop()
+  }
+
   test("streaming curation ingest (quality filter + dedup) equals the batch cut") {
     // The L35 curation shape over an ingest STREAM: score quality on
     // arrival (stateless projection), drop exact re-ingests within the
