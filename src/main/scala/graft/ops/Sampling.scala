@@ -114,6 +114,56 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Token-budget mixture sampling: per-stratum ADDITIVE-WEIGHT budgets
+    * (mixture recipes are specified in tokens, not documents — a 10-token
+    * tweet and a 10k-token article are not the same contribution). Rows
+    * are ordered within each stratum by the deterministic key hash and
+    * kept while the running `weightCol` sum stays ≤ the stratum's budget
+    * — no overshoot, reproducible on every run/engine.
+    *
+    * Scale design: like [[stratifiedExact]], the naive form funnels whole
+    * strata through one cumulative-sum window each. The kept set is a
+    * PREFIX of the hash ordering, so rows are pre-thinned by the same
+    * hash: keep hash < rate where rate = min(1, expectKeep / Σw) and
+    * expectKeep = max(preThinSafety × budget, 1000 × avg row weight) —
+    * answer-identical whenever the survivors' weight still covers the
+    * budget (P[miss] vanishes by Chernoff at the 10× safety), while the
+    * per-stratum window touches ~safety × budget worth of rows regardless
+    * of corpus size. `preThinSafety = None` disables thinning. Weights
+    * must be non-negative; budget-0 strata keep nothing.
+    */
+  def tokenBudget(df: DataFrame, keyCol: String, stratumCol: String,
+                  weightCol: String, budgets: Map[String, Long],
+                  defaultBudget: Long = 0L,
+                  preThinSafety: Option[Double] = Some(10.0)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, n)) =>
+        when(col(stratumCol) === stratum, lit(n)).otherwise(acc)
+    }
+    val base = preThinSafety match {
+      case None => df
+      case Some(safety) =>
+        // Null-safe stratum join, same reasoning as stratifiedExact.
+        val sizes = df.groupBy(col(stratumCol))
+          .agg(sum(col(weightCol)).cast("double").as("__wsum"),
+            count(lit(1)).as("__n"))
+          .withColumnRenamed(stratumCol, "__stratum")
+        val expectKeep = greatest(lit(safety) * budget,
+          lit(1000.0) * col("__wsum") / col("__n"))
+        df.join(broadcast(sizes), col(stratumCol) <=> col("__stratum"))
+          .filter(keyUniform(col(keyCol)) <
+            least(lit(1.0), expectKeep / col("__wsum")))
+          .drop("__stratum", "__wsum", "__n")
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(keyUniform(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("__cum", sum(col(weightCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Leakage-safe train/val/test assignment: the split decision hashes a
     * GROUP key (e.g. the near-dup cluster id from [[Dedup.clusters]]), so
     * every member of a group lands in the SAME split — near-duplicates can

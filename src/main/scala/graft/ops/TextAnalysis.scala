@@ -432,4 +432,121 @@ object TextAnalysis {
         (wordCode24(col("col")) * ((col("pos") % 8) + 1)).as("term"))
       .groupBy(col(idCol))
       .agg(sum(col("term")).as("fingerprint"))
+
+  /** Rule-based quality gate (the Gopher/C4 recipe): per-document boolean
+    * flags for word-count bounds, mean word length, stopword presence, and
+    * symbol share, plus the conjunctive `pass_all`. Unlike [[quality]]'s
+    * soft score, rules give auditable REASONS a document was dropped —
+    * the per-flag columns aggregate into the rejection report a curation
+    * run publishes. Pure per-row expressions, fully codegen'd, no shuffle;
+    * thresholds compare unrounded doubles that both engines derive from
+    * the same integer counts, so the cut is engine-exact.
+    */
+  def ruleFlags(docs: DataFrame, idCol: String, textCol: String,
+                minWords: Long = 50, maxWords: Long = 100000,
+                minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+                minStopwordHits: Long = 2,
+                maxSymbolRatio: Double = 0.1): DataFrame = {
+    val ws = words(col(textCol))
+    val base = docs.select(
+      col(idCol),
+      size(ws).cast("long").as("n_words"),
+      (wordCharSum(ws).cast("double") / size(ws)).as("__awl"),
+      stopwordCount(ws).cast("long").as("stopword_hits"),
+      (regexp_count(col(textCol), lit("[^a-z0-9 ]")).cast("double") /
+        greatest(length(col(textCol)), lit(1))).as("__sym"))
+    base.select(
+      col(idCol), col("n_words"),
+      round(col("__awl"), 6).as("avg_word_len"),
+      col("stopword_hits"),
+      round(col("__sym"), 6).as("symbol_ratio"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords)
+        .cast("int").as("flag_words"),
+      (col("__awl") >= minAvgWordLen && col("__awl") <= maxAvgWordLen)
+        .cast("int").as("flag_word_len"),
+      (col("stopword_hits") >= minStopwordHits).cast("int").as("flag_stopwords"),
+      (col("__sym") <= maxSymbolRatio).cast("int").as("flag_symbols"))
+      .withColumn("pass_all",
+        (col("flag_words") === 1 && col("flag_word_len") === 1 &&
+          col("flag_stopwords") === 1 && col("flag_symbols") === 1).cast("int"))
+  }
+
+  /** BM25 keyword retrieval over a BOUNDED query-term set: per-document
+    * Okapi BM25 score for `terms`, distributed top-`k` result.
+    *
+    * Scale shape: the corpus explode is filtered to the query terms
+    * MAP-SIDE (an `isin` over a literal set), so the aggregation keys are
+    * ≤ |terms| × |docs-with-hits| — never vocabulary-sized; document
+    * frequency per term is ≤ |terms| rows BY CONSTRUCTION and broadcast;
+    * N/avgdl is a broadcast 1-row aggregate; the final top-k is
+    * `orderBy().limit(k)` = TakeOrderedAndProject. Per-doc scores fold the
+    * SORTED per-term contributions (the house order-stable double-sum
+    * recipe), so ranking is engine-exact.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ws = words(col(textCol))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__nd"),
+      avg(size(ws)).as("__avgdl"))
+    val hits = docs
+      .select(col(idCol), size(ws).cast("double").as("__dl"),
+        explode(filter(ws, w => w.isin(terms: _*))).as("term"))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) + (col("__nd") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val termScore = idf * col("__tf") * (lit(k1) + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl")))
+    hits
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), termScore.as("__s"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__s"))).as("__ss"))
+      .select(col(idCol),
+        round(aggregate(col("__ss"), lit(0.0), (acc, x) => acc + x), 6)
+          .as("bm25"),
+        size(col("__ss")).cast("long").as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-document boilerplate share: the fraction of a document's n-gram
+    * POSITIONS covered by corpus "stop-shingles" — n-grams whose document
+    * frequency exceeds `maxDocFrequency` of the corpus (nav menus, cookie
+    * banners, licence footers). The per-doc companion to the corpus-level
+    * df cap in [[graft.ops.Dedup.nearDuplicates]]: high shares flag
+    * templated pages for dropping or span-stripping.
+    *
+    * Scale shape: the hot set is bounded by (avg shingles per doc) /
+    * `maxDocFrequency` rows INDEPENDENT of corpus row count (each hot
+    * shingle needs > maxDf·N supporting docs; total distinct doc-shingle
+    * instances are ≤ N·avg), so it broadcasts; the position scan then
+    * counts hits map-side — one explode + broadcast semi-join + hash-agg,
+    * no vocabulary-sized shuffle. Keep maxDocFrequency ≥ ~0.001 or the
+    * bound (and the broadcast) grows 1/maxDf.
+    */
+  def boilerplateShare(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxDocFrequency: Double = 0.05): DataFrame = {
+    val nDocs = docs.agg(countDistinct(col(idCol)).cast("double").as("__nd"))
+    val hot = Dedup.shingleSets(docs, idCol, textCol, n, None)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") > lit(maxDocFrequency) * col("__nd"))
+      .select(col("shingle"))
+    val positions = docs.select(col(idCol),
+      explode(wordShingles(words(col(textCol)), n)).as("shingle"))
+    val boiler = positions.join(broadcast(hot), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boiler"))
+    docs.select(col(idCol),
+        size(wordShingles(words(col(textCol)), n)).cast("long").as("n_shingles"))
+      .join(boiler, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_share",
+        when(col("n_shingles") > 0,
+          round(col("n_boiler").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -478,6 +478,37 @@ object TextQueries {
         .withColumn("text", concat(col("text"), lit(" contact u"),
           col("doc_id").cast("string"), lit("@mail.example.com")))
       TextAnalysis.scrubPii(withPii, "doc_id", "text")
+    },
+
+    // Gopher/C4-style rule gate: per-doc boolean flags with auditable
+    // rejection reasons (the hard-cut complement to the soft quality score).
+    "text_gopher_rules" -> { (s, dir) =>
+      TextAnalysis.ruleFlags(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // BM25 keyword retrieval: top-20 docs for a bounded query-term set —
+    // map-side term filter, broadcast df stats, TakeOrdered top-k.
+    "text_bm25_topk" -> { (s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "join", "query"), k = 20)
+    },
+
+    // Per-doc boilerplate share vs corpus stop-shingles (df > 0.4% of
+    // docs): the templated-page signal. The hot set is bounded by
+    // construction and broadcast.
+    "text_boilerplate_share" -> { (s, dir) =>
+      TextAnalysis.boilerplateShare(Tables.documents(s, dir), "doc_id",
+        "text", n = 3, maxDocFrequency = 0.004)
+    },
+
+    // Token-budget mixture sampling: per-source char budgets consumed in
+    // deterministic hash order (recipes in tokens, not doc counts).
+    "sample_token_budget" -> { (s, dir) =>
+      graft.ops.Sampling.tokenBudget(Tables.documents(s, dir), "doc_id",
+          "source", "n_chars",
+          budgets = Map("src0" -> 20000L, "src1" -> 10000L),
+          defaultBudget = 5000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
     }
   )
 
@@ -1160,6 +1191,87 @@ object TextQueries {
          |  FROM h, (SELECT unnest(range(16)) AS b) bb GROUP BY doc_id, b)
          |SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, b) AS BIGINT)
          |  ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // Rule thresholds compare unrounded doubles derived from the same
+    // integer counts in both engines, so the flags are engine-exact.
+    "text_gopher_rules" ->
+      s"""WITH $wordsCte,
+         |m AS (SELECT d.doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |    / len(ws) AS awl,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
+         |    AS BIGINT) AS stop_hits,
+         |  CAST(len(d.text) - len(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g'))
+         |    AS DOUBLE) / greatest(len(d.text), 1) AS sym
+         |  FROM documents d JOIN words USING (doc_id))
+         |SELECT doc_id, n_words, round(awl, 6) AS avg_word_len,
+         |  stop_hits AS stopword_hits, round(sym, 6) AS symbol_ratio,
+         |  CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS flag_words,
+         |  CAST(awl >= 3.0 AND awl <= 10.0 AS INTEGER) AS flag_word_len,
+         |  CAST(stop_hits >= 2 AS INTEGER) AS flag_stopwords,
+         |  CAST(sym <= 0.1 AS INTEGER) AS flag_symbols,
+         |  CAST(n_words >= 50 AND n_words <= 100000 AND awl >= 3.0
+         |    AND awl <= 10.0 AND stop_hits >= 2 AND sym <= 0.1 AS INTEGER)
+         |    AS pass_all
+         |FROM m""".stripMargin,
+
+    // Per-doc BM25 folds SORTED per-term contributions (list_sort →
+    // list_sum ≡ Spark array_sort → aggregate): order-identical sums.
+    // All inputs to the float math are exact integer counts, so every
+    // intermediate is bit-identical across engines.
+    "text_bm25_topk" ->
+      s"""WITH $wordsCte,
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |  avg(len(ws)) AS avgdl FROM words),
+         |hits AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+         |  unnest(list_filter(ws, x -> x IN ('spark','join','query'))) AS term
+         |  FROM words),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM hits GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |  ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS ts
+         |  FROM tf JOIN dfq USING (term), stats)
+         |SELECT doc_id, round(list_sum(list_sort(list(ts))), 6) AS bm25,
+         |  count(*) AS n_terms_hit
+         |FROM s GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Hot set = shingles in > 0.4% of docs (distinct doc-shingle df);
+    // the share counts ALL positions, not distinct shingles.
+    "text_boilerplate_share" ->
+      s"""WITH $wordsCte,
+         |pos AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-2, 0)),
+         |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM pos),
+         |hot AS (SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) > 0.004 * (SELECT count(DISTINCT doc_id) FROM documents)),
+         |b AS (SELECT doc_id, count(*) AS n_boiler FROM pos
+         |  WHERE shingle IN (SELECT shingle FROM hot) GROUP BY 1),
+         |n AS (SELECT doc_id, CAST(greatest(len(ws)-2, 0) AS BIGINT) AS n_shingles
+         |  FROM words)
+         |SELECT n.doc_id, n.n_shingles,
+         |  CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+         |  CASE WHEN n.n_shingles > 0
+         |    THEN round(CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / n.n_shingles, 6)
+         |    ELSE 0.0 END AS boiler_share
+         |FROM n LEFT JOIN b USING (doc_id)""".stripMargin,
+
+    // Cumulative weight in deterministic hash order; the cum column only
+    // gates the WHERE, so its engine-side type never reaches the compare.
+    "sample_token_budget" ->
+      """WITH u AS (SELECT doc_id, source, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    / 4294967296.0 AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM u)
+        |SELECT doc_id, source, n_chars FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 20000
+        |  WHEN 'src1' THEN 10000 ELSE 5000 END""".stripMargin
   )
 }
