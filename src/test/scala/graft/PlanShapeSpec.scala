@@ -42,6 +42,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("l_returnflag"))
   }
 
+  test("q6 pushes every predicate into the parquet scan") {
+    // The scan's metadata string truncates at 100 chars by default, which
+    // would hide the later predicates from the assertion.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("q6_forecast_revenue")
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"all q6 predicates must reach the scan:\n${p.take(1200)}")
+  }
+
+  test("q5 broadcasts the region-filtered nation dim; q18 top-k is distributed") {
+    val p5 = plan("q5_local_supplier")
+    assert(p5.contains("BroadcastHashJoin"), p5.take(800))
+    val p18 = plan("q18_large_orders")
+    assert(p18.contains("TakeOrderedAndProject"),
+      s"q18 must plan a distributed top-k:\n${p18.take(1200)}")
+  }
+
   test("brute-force kNN broadcasts the query side (no corpus shuffle)") {
     val p = plan("knn_cosine_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
