@@ -34,6 +34,17 @@ object VectorFunctions {
 
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Squared L2 distance — sequential left fold in index order, the same
+    * evaluation order as DuckDB `list_sum(list_transform(range(len(a)),
+    * i -> (a[i+1]-b[i+1])*(a[i+1]-b[i+1])))`, so PQ assignment and ADC
+    * scores are bit-identical across engines.
+    */
+  def l2sqD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):

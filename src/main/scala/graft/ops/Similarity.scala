@@ -437,6 +437,142 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
   }
 
+  /** Product-quantization codebook: `codebooks(s)` holds subspace `s`'s
+    * centroids (Int labels 0..k-1, possibly with gaps after empty-cluster
+    * collapse), each of dimension `subDim`.
+    */
+  final case class PqIndex(subDim: Int, codebooks: Seq[Seq[IvfCentroid]]) {
+    def m: Int = codebooks.size
+  }
+
+  /** Subvector `s` of a vector column as doubles (1-based slice). */
+  private def subVec(v: org.apache.spark.sql.Column, s: Int, subDim: Int) =
+    transform(slice(v, s * subDim + 1, subDim), x => x.cast("double"))
+
+  /** Per-centroid (rounded squared-L2, label) structs sorted ascending with
+    * label tie-break — position 1 is the assignment; its `d2` field is the
+    * reconstruction error contribution. All plan-time literals: zero
+    * shuffles for assignment, same mechanism as [[probeClusters]].
+    */
+  private def scoredL2(v: org.apache.spark.sql.Column,
+                       cents: Seq[IvfCentroid]): org.apache.spark.sql.Column = {
+    val scored = array(cents.map { c =>
+      struct(round(l2sqD(v, typedlit(c.vec)), 6).as("d2"), lit(c.label).as("label"))
+    }: _*)
+    array_sort(scored, (l, r) =>
+      when(l.getField("d2") < r.getField("d2"), -1)
+        .when(l.getField("d2") > r.getField("d2"), 1)
+        .when(l.getField("label") < r.getField("label"), -1)
+        .when(l.getField("label") > r.getField("label"), 1)
+        .otherwise(0))
+  }
+
+  /** Deterministic EUCLIDEAN k-means on a (sub)vector column — the PQ
+    * codebook trainer. Same recipe as [[kmeansFit]] (smallest-md5 seeding,
+    * 6-dp rounded centroid updates, label tie-breaks) but with squared-L2
+    * assignment: subvector magnitude carries information, so spherical
+    * assignment would be wrong here.
+    */
+  private[ops] def kmeansFitL2(corpus: DataFrame, idCol: String, vecCol: String,
+                               k: Int, iters: Int): Seq[IvfCentroid] = {
+    require(k > 0, "k must be positive")
+    val seed = corpus.select(
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("__h"), col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var cents: Seq[IvfCentroid] = seed.toSeq.zipWithIndex.map { case (v, i) =>
+      IvfCentroid(i, v, 0.0) // norm unused under L2
+    }
+    for (_ <- 1 to iters) {
+      val assigned = corpus.withColumn("cluster",
+        element_at(scoredL2(col(vecCol), cents), 1).getField("label"))
+      cents = centroids(assigned, "cluster", vecCol).collect().toSeq.map { r =>
+        IvfCentroid(r.get(0), r.getSeq[Double](1), 0.0)
+      }.sortBy(c => labelKey(c.label))
+    }
+    cents
+  }
+
+  /** Fit a product quantizer: split the `d`-dim space into `m` contiguous
+    * subspaces (`d % m == 0`) and train an independent k-means codebook in
+    * each. PQ is the memory lever BEYOND [[quantizeInt8]]: a vector
+    * compresses to m small codes (m bytes at k ≤ 256) instead of d floats
+    * — the difference between an embedding store that fits executor memory
+    * at 100 TB corpus scale and one that doesn't. m sequential fits, each
+    * the [[kmeansFitL2]] shape (map-side assignment, one distributed mean
+    * aggregation per iteration).
+    */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int, k: Int, iters: Int): PqIndex = {
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"vector dim $d must divide into m=$m subspaces")
+    val subDim = d / m
+    PqIndex(subDim, (0 until m).map { s =>
+      kmeansFitL2(
+        corpus.select(col(idCol), subVec(col(vecCol), s, subDim).as("__sv")),
+        idCol, "__sv", k, iters)
+    })
+  }
+
+  /** Encode every vector as its per-subspace nearest-centroid codes, plus
+    * the total squared reconstruction error (the PQ quality audit).
+    * Entirely map-side — the codebooks are plan-time literals; a
+    * PlanShapeSpec guard pins the no-exchange shape. The error sums the
+    * per-subspace minima left-to-right in subspace order (engine-stable).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               index: PqIndex): DataFrame = {
+    val best = (0 until index.m).map { s =>
+      element_at(scoredL2(subVec(col(vecCol), s, index.subDim),
+        index.codebooks(s)), 1)
+    }
+    corpus.select(col(idCol),
+      array(best.map(_.getField("label").cast("int")): _*).as("codes"),
+      round(best.map(_.getField("d2")).reduce(_ + _), 6).as("recon_d2"))
+  }
+
+  /** Asymmetric-distance (ADC) kNN over PQ codes: each query precomputes a
+    * (subspace × code) table of rounded squared-L2 distances to every
+    * codebook centroid — m×k doubles, plan-time literal centroids — and a
+    * candidate then scores with m table lookups instead of d float ops.
+    * The corpus side carries ONLY its codes: at scale this is the
+    * scan-the-codes / broadcast-the-queries shape of [[bruteForceKnn]]
+    * with a d/m-fold smaller corpus row. Lookups are label-equality
+    * when-chains (gap-safe after empty-cluster collapse; k is small by
+    * construction — swap to element_at over a dense table for k ≥ 64).
+    * Returns (query_id, cand_id, adc_d2, rn); rank ascending by rounded
+    * distance, id tie-break.
+    */
+  def pqAdcKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, index: PqIndex): DataFrame = {
+    val dtCols = (0 until index.m).flatMap { s =>
+      index.codebooks(s).map { c =>
+        round(l2sqD(subVec(col(vecCol), s, index.subDim), typedlit(c.vec)), 6)
+          .as(s"__dt_${s}_${labelKey(c.label)._2.toInt}")
+      }
+    }
+    val q = queries.select(col(idCol).as("query_id") +: dtCols: _*)
+    val codes = pqEncode(corpus, idCol, vecCol, index)
+      .select(col(idCol).as("cand_id"), col("codes"))
+    val dist = (0 until index.m).map { s =>
+      val code = element_at(col("codes"), s + 1)
+      index.codebooks(s).foldRight(lit(Double.NaN)) { (c, acc) =>
+        when(code === lit(labelKey(c.label)._2.toInt),
+          col(s"__dt_${s}_${labelKey(c.label)._2.toInt}")).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("cand_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc_d2", round(dist, 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("adc_d2"), col("rn"))
+  }
+
   /** Per-label norm statistics (sanity profile of an embedding corpus). */
   def normStats(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
     emb.select(col(labelCol), normD(col(vecCol)).as("__n"))

@@ -61,7 +61,7 @@ object SimilarityQueries {
          |             sqrt(${dotSql("c.c", "c.c")}), 0), 6) DESC, c.label) AS rn
          |  FROM embeddings e, $centTable c) WHERE rn = 1)""".stripMargin
     def centCte(name: String, assignTable: String) =
-      s"""$name AS (SELECT label, list(cr ORDER BY pos) AS c FROM (
+      s"""$name AS MATERIALIZED (SELECT label, list(cr ORDER BY pos) AS c FROM (
          |  SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr FROM (
          |    SELECT a.label, generate_subscripts(e.embedding, 1) AS pos,
          |      unnest(e.embedding) AS v
@@ -80,6 +80,57 @@ object SimilarityQueries {
        |$chain,
        |${assignCte("afinal", s"cent$iters")}
        |SELECT vec_id, CAST(label AS INTEGER) AS cluster FROM afinal""".stripMargin
+  }
+
+  // DuckDB: sequential-fold squared-L2 distance (mirrors VectorFunctions
+  // .l2sqD's evaluation order exactly).
+  private def l2Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(len($a)), i ->
+       |  (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) *
+       |  (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))))""".stripMargin
+
+  // Shared PQ oracle CTE chain mirroring Similarity.pqFit/pqEncode: per
+  // subspace s — subvector slice, smallest-md5 seeding, `iters` unrolled
+  // Euclidean Lloyd rounds (rounded-L2 argmin assignment with label
+  // tie-break, 6-dp rounded per-(label,pos) mean update), then a final
+  // assignment f{s} that keeps the chosen code AND its d2 (the
+  // reconstruction contribution).
+  private def pqCtes(m: Int, k: Int, iters: Int, dims: Int): String = {
+    val subDim = dims / m
+    def subChain(s: Int): String = {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      def assignCte(name: String, centTable: String, keepD2: Boolean) = {
+        val d2Col = if (keepD2) ", d2" else ""
+        s"""$name AS MATERIALIZED (SELECT vec_id, label$d2Col FROM (
+           |  SELECT e.vec_id, c.label, round(${l2Sql("e.v", "c.c")}, 6) AS d2,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(${l2Sql("e.v", "c.c")}, 6), c.label) AS rn
+           |  FROM sub$s e, $centTable c) WHERE rn = 1)""".stripMargin
+      }
+      def centCte(name: String, assignTable: String) =
+        s"""$name AS MATERIALIZED (SELECT label, list(cr ORDER BY pos) AS c FROM (
+           |  SELECT label, pos, round(avg(vv), 6) AS cr FROM (
+           |    SELECT a.label, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS vv
+           |    FROM sub$s e JOIN $assignTable a USING (vec_id))
+           |  GROUP BY 1, 2) GROUP BY label)""".stripMargin
+      val iterChain = (1 to iters).map { i =>
+        assignCte(s"a${s}_$i", s"cent${s}_${i - 1}", keepD2 = false) + ",\n" +
+          centCte(s"cent${s}_$i", s"a${s}_$i")
+      }.mkString(",\n")
+      s"""sub$s AS MATERIALIZED (SELECT vec_id, h,
+         |  list_transform(embedding[$lo:$hi], e -> CAST(e AS DOUBLE)) AS v FROM s0),
+         |cent${s}_0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS label,
+         |    list_transform(v, e -> round(e, 6)) AS c
+         |  FROM (SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM sub$s)
+         |  WHERE rn <= $k),
+         |$iterChain,
+         |${assignCte(s"f$s", s"cent${s}_$iters", keepD2 = true)}""".stripMargin
+    }
+    s"""s0 AS MATERIALIZED (SELECT vec_id, embedding,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM embeddings),
+       |${(0 until m).map(subChain).mkString(",\n")}""".stripMargin
   }
 
   private def lshBucketSql(v: String): String =
@@ -164,6 +215,29 @@ object SimilarityQueries {
           col("max_err_e6"))
     },
 
+    // Product quantization (m=4 × k=4, 2 Lloyd rounds): per-vector codes +
+    // reconstruction error — the m-bytes-per-vector memory lever past int8.
+    "pq_encode" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.pqFit(emb, "vec_id", "embedding", m = 4, k = 4,
+        iters = 2)
+      Similarity.pqEncode(emb, "vec_id", "embedding", idx)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes_csv"),
+          col("recon_d2"))
+    },
+
+    // ADC kNN over the PQ codes: each candidate scores with m table
+    // lookups instead of d float ops.
+    "ann_pq_adc" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.pqFit(emb, "vec_id", "embedding", m = 4, k = 4,
+        iters = 2)
+      Similarity.pqAdcKnn(emb, emb.filter(expr(QueryPred)), "vec_id",
+        "embedding", k = 3, index = idx)
+    },
+
     // Multi-probe LSH: home bucket + all Hamming-1 buckets.
     "ann_lsh_multiprobe" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -231,6 +305,40 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = Map(
     "ivf_kmeans_assign" -> kmeansAssignSql(k = 5, iters = 2),
+
+    "pq_encode" ->
+      s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)}
+         |SELECT f0.vec_id,
+         |  CAST(f0.label AS VARCHAR) || ',' || CAST(f1.label AS VARCHAR) || ','
+         |    || CAST(f2.label AS VARCHAR) || ',' || CAST(f3.label AS VARCHAR)
+         |    AS codes_csv,
+         |  round(f0.d2 + f1.d2 + f2.d2 + f3.d2, 6) AS recon_d2
+         |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
+         |  JOIN f3 USING (vec_id)""".stripMargin,
+
+    "ann_pq_adc" ->
+      s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)},
+         |${(0 until 4).map { s =>
+             val lo = s * 16 + 1; val hi = (s + 1) * 16
+             s"""q$s AS MATERIALIZED (SELECT vec_id AS query_id,
+                |  list_transform(embedding[$lo:$hi], e -> CAST(e AS DOUBLE)) AS qv
+                |  FROM embeddings WHERE $QueryPred),
+                |qd$s AS MATERIALIZED (SELECT query_id, c.label, round(${l2Sql("qv", "c.c")}, 6) AS d2
+                |  FROM q$s, cent${s}_2 c)""".stripMargin
+           }.mkString(",\n")},
+         |adc AS (SELECT q0.query_id, f0.vec_id AS cand_id,
+         |    round(q0.d2 + q1.d2 + q2.d2 + q3.d2, 6) AS adc_d2
+         |  FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
+         |    JOIN f3 USING (vec_id)
+         |  JOIN qd0 q0 ON q0.label = f0.label
+         |  JOIN qd1 q1 ON q1.label = f1.label AND q1.query_id = q0.query_id
+         |  JOIN qd2 q2 ON q2.label = f2.label AND q2.query_id = q0.query_id
+         |  JOIN qd3 q3 ON q3.label = f3.label AND q3.query_id = q0.query_id
+         |  WHERE f0.vec_id <> q0.query_id)
+         |SELECT query_id, cand_id, adc_d2, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_d2, cand_id) AS rn FROM adc)
+         |WHERE rn <= 3""".stripMargin,
 
     "dedup_hybrid_pairs" ->
       s"""WITH ${TextQueries.wordsCte},

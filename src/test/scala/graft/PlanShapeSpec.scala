@@ -63,6 +63,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q18 must plan a distributed top-k:\n${p18.take(1200)}")
   }
 
+  test("PQ encode is map-side only: codebook literals, no exchange") {
+    val p = plan("pq_encode")
+    assert(!p.contains("Exchange"),
+      s"pqEncode must not shuffle (centroids are plan-time literals):\n${p.take(1200)}")
+  }
+
   test("brute-force kNN broadcasts the query side (no corpus shuffle)") {
     val p = plan("knn_cosine_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Product quantization: codebook fit, encoding, reconstruction error, and
+  * ADC retrieval.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 3 well-separated clusters in 8-dim (deterministic jitter), 6 vectors
+  // each. Membership follows each id's md5 RANK (the same hash pqFit seeds
+  // by), so the 3 smallest-hash ids land in 3 DISTINCT clusters — seeding
+  // is then perfect by construction and Lloyd must converge; without this
+  // the test would assert on a k-means local optimum, not on the operator.
+  private def fixture = {
+    val centers = Seq(
+      Seq(10f, 10f, 0f, 0f, 0f, 0f, -10f, -10f),
+      Seq(-10f, 0f, 10f, 0f, 0f, 10f, 0f, -10f),
+      Seq(0f, -10f, 0f, 10f, -10f, 0f, 10f, 0f))
+    def h(i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rankOf = (0 until 18).sortBy(i => (h(i), i.toLong)).zipWithIndex.toMap
+    (0 until 18).map { i =>
+      val t = rankOf(i) % 3
+      val c = centers(t)
+      (i.toLong, t, c.zipWithIndex.map { case (v, j) =>
+        v + 0.1f * (((i * 7 + j * 3) % 5) - 2)
+      })
+    }.toDF("vec_id", "truth", "embedding")
+  }
+
+  test("cluster-mates share codes; reconstruction error shrinks with k") {
+    val emb = fixture
+    val idx3 = Similarity.pqFit(emb, "vec_id", "embedding", m = 2, k = 3, iters = 3)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", idx3)
+      .join(emb.select(col("vec_id"), col("truth")), Seq("vec_id"))
+      .select(col("truth"), concat_ws(",", transform(col("codes"), _.cast("string"))).as("cs"),
+        col("recon_d2"))
+      .collect()
+    val byTruth = enc.groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    byTruth.foreach { case (t, codes) =>
+      assert(codes.size == 1, s"cluster $t fragments into codes $codes")
+    }
+    assert(byTruth.values.toSet.size == 3, "distinct clusters get distinct codes")
+    val err3 = enc.map(_.getDouble(2)).sum
+    val idx1 = Similarity.pqFit(emb, "vec_id", "embedding", m = 2, k = 1, iters = 1)
+    val err1 = Similarity.pqEncode(emb, "vec_id", "embedding", idx1)
+      .agg(sum(col("recon_d2"))).head().getDouble(0)
+    assert(err3 < err1 / 10,
+      s"3-code reconstruction ($err3) must beat 1-code ($err1) decisively")
+  }
+
+  test("ADC top-1 is a true cluster-mate on separated clusters") {
+    val emb = fixture
+    val idx = Similarity.pqFit(emb, "vec_id", "embedding", m = 2, k = 3, iters = 3)
+    val queries = emb.filter(col("vec_id") < 3)
+    val top1 = Similarity.pqAdcKnn(emb, queries, "vec_id", "embedding",
+        k = 1, index = idx)
+      .join(emb.select(col("vec_id").as("cand_id"), col("truth").as("cand_truth")), Seq("cand_id"))
+      .join(emb.select(col("vec_id").as("query_id"), col("truth").as("query_truth")), Seq("query_id"))
+      .collect()
+    assert(top1.length == 3)
+    top1.foreach { r =>
+      assert(r.getAs[Int]("cand_truth") == r.getAs[Int]("query_truth"),
+        s"ADC nearest must come from the query's own cluster: $r")
+    }
+  }
+
+  test("pqFit survives k > distinct vectors (empty-cluster collapse)") {
+    val emb = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f)), (3L, Seq(5f, 6f)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.pqFit(emb, "vec_id", "embedding", m = 1, k = 3, iters = 2)
+    assert(idx.codebooks.head.nonEmpty && idx.codebooks.head.size <= 3)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", idx).collect()
+    assert(enc.length == 3)
+  }
+}
