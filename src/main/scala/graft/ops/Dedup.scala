@@ -113,6 +113,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental ingest dedup: Jaccard pairs between a NEW batch and the
+    * EXISTING corpus — the production shape where a daily ingest checks
+    * against the accumulated store instead of re-mining all pairs. The
+    * new side is small by definition; the corpus side's shingles are
+    * df-capped (hot shingles carry no signal but would route the corpus
+    * through one reducer — same guard as [[nearDuplicates]]). Jaccard
+    * denominators use the UNCAPPED set sizes of both sides, computed
+    * before the cap, so scores are exact (intersections touching dropped
+    * hot shingles undercount — the documented cap trade-off). Pair
+    * new×new duplication separately with [[nearDuplicates]] on the batch.
+    */
+  def incrementalPairs(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                       textCol: String, minJaccard: Double, n: Int = 3,
+                       maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    val newSh = OpCaches.scoped(shingleSets(newDocs, idCol, textCol, n, None))
+    val corpShAll = OpCaches.scoped(shingleSets(corpus, idCol, textCol, n, None))
+    val szNew = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("sz_new"))
+    val szCorp = corpShAll.groupBy(col(idCol)).agg(count(lit(1)).as("sz_corpus"))
+    val corpSh = maxDocFrequency match {
+      case None        => corpShAll
+      case Some(maxDf) => hotFiltered(corpShAll, corpus, idCol, maxDf)
+    }
+    newSh.select(col(idCol).as("new_id"), col("shingle"))
+      .join(corpSh.select(col(idCol).as("corpus_id"), col("shingle")),
+        Seq("shingle"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szNew.select(col(idCol).as("new_id"), col("sz_new")), Seq("new_id"))
+      .join(szCorp.select(col(idCol).as("corpus_id"), col("sz_corpus")),
+        Seq("corpus_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_new") + col("sz_corpus") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("corpus_id"), col("inter"), col("jaccard"))
+  }
+
   /** Exact pairwise n-gram Jaccard via shingle-set equi-join, keeping pairs
     * with similarity ≥ `minJaccard`. Ground-truth op — at scale, restrict
     * with [[lshCandidates]] first (see [[nearDuplicates]]).

@@ -375,6 +375,39 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic near-duplicate mining: candidates come from
+    * k-means cluster CO-MEMBERSHIP — each vector belongs to its `nprobe`
+    * nearest centroids for candidate purposes (multi-assignment recovers
+    * pairs straddling a cluster boundary, the failure mode of hard
+    * single-assignment SemDeDup) — then exact cosine ≥ `threshold`
+    * verifies. Complements [[cosinePairs]]' LSH buckets with
+    * DATA-ADAPTIVE partitions: fitted centroids follow corpus structure,
+    * so on clustered embedding spaces the same candidate budget buys more
+    * recall. The self-join is per-cluster only; assignment is map-side
+    * against literal centroids; a pair found in several shared clusters
+    * collapses via distinct (its cosine is identical on every path).
+    */
+  def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, index: IvfIndex,
+                         nprobe: Int = 2): DataFrame = {
+    val assigned = OpCaches.scoped(emb.select(col(idCol), col(vecCol),
+      normD(col(vecCol)).as("__n"),
+      explode(probeClusters(col(vecCol), normD(col(vecCol)), index, nprobe))
+        .as("cluster")))
+    val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("__n").as("__na"), col("cluster"))
+    val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("__n").as("__nb"), col("cluster"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(dotD(col("__va"), col("__vb")) /
+          nullif(col("__na") * col("__nb"), lit(0.0)), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
+
   /** Per-vector symmetric int8 quantization — the memory-scale lever for
     * ANN over a 100 TB embedding store (4× smaller than float32, 8× than
     * the double path): scale = max|x_i| / 127, q_i = floor(x_i/scale + .5)
@@ -545,32 +578,77 @@ object Similarity {
     * Returns (query_id, cand_id, adc_d2, rn); rank ascending by rounded
     * distance, id tie-break.
     */
-  def pqAdcKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-               vecCol: String, k: Int, index: PqIndex): DataFrame = {
-    val dtCols = (0 until index.m).flatMap { s =>
+  /** Per-query ADC distance-table columns `__dt_{s}_{label}` (rounded
+    * squared-L2 from the query's subvector to every codebook centroid).
+    */
+  private def adcTableCols(vecCol: String, index: PqIndex) =
+    (0 until index.m).flatMap { s =>
       index.codebooks(s).map { c =>
         round(l2sqD(subVec(col(vecCol), s, index.subDim), typedlit(c.vec)), 6)
           .as(s"__dt_${s}_${labelKey(c.label)._2.toInt}")
       }
     }
-    val q = queries.select(col(idCol).as("query_id") +: dtCols: _*)
-    val codes = pqEncode(corpus, idCol, vecCol, index)
-      .select(col(idCol).as("cand_id"), col("codes"))
-    val dist = (0 until index.m).map { s =>
+
+  /** Candidate ADC distance: m label-equality lookups into the query-side
+    * `__dt_*` columns, summed left-to-right in subspace order.
+    */
+  private def adcDist(index: PqIndex): org.apache.spark.sql.Column =
+    (0 until index.m).map { s =>
       val code = element_at(col("codes"), s + 1)
       index.codebooks(s).foldRight(lit(Double.NaN)) { (c, acc) =>
         when(code === lit(labelKey(c.label)._2.toInt),
           col(s"__dt_${s}_${labelKey(c.label)._2.toInt}")).otherwise(acc)
       }
     }.reduce(_ + _)
+
+  def pqAdcKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, index: PqIndex): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id") +: adcTableCols(vecCol, index): _*)
+    val codes = pqEncode(corpus, idCol, vecCol, index)
+      .select(col(idCol).as("cand_id"), col("codes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("cand_id"))
     codes.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adc_d2", round(dist, 6))
+      .withColumn("adc_d2", round(adcDist(index), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("adc_d2"), col("rn"))
+  }
+
+  /** IVF-PQ: the standard billion-scale ANN index — a coarse IVF prune
+    * (each query probes its `nprobe` nearest coarse centroids' clusters,
+    * assignment map-side against literals) composed with ADC scoring over
+    * PQ codes within only the probed clusters. At 100 TB: the corpus is
+    * stored as (cluster, m codes) — partition-prunable by cluster AND
+    * d/m-fold smaller per row — so a query reads a fraction of a
+    * compressed corpus; scoring is m lookups per surviving candidate.
+    * Rank ascending by rounded ADC distance, id tie-break.
+    */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, clusterCol: String, k: Int, nprobe: Int,
+               coarse: IvfIndex, pq: PqIndex): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id") +:
+        explode(probeClusters(col(vecCol), normD(col(vecCol)), coarse, nprobe))
+          .as("cluster") +:
+        adcTableCols(vecCol, pq): _*)
+    // One map-side projection: codes + cluster together (no self-join).
+    val best = (0 until pq.m).map { s =>
+      element_at(scoredL2(subVec(col(vecCol), s, pq.subDim), pq.codebooks(s)), 1)
+    }
+    val codes = corpus.select(col(idCol).as("cand_id"),
+      col(clusterCol).as("cluster"),
+      array(best.map(_.getField("label").cast("int")): _*).as("codes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("cand_id"))
+    codes.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc_d2", round(adcDist(pq), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cluster"), col("cand_id"), col("adc_d2"),
+        col("rn"))
   }
 
   /** Per-label norm statistics (sanity profile of an embedding corpus). */

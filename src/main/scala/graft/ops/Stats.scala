@@ -147,6 +147,32 @@ object Stats {
             lit(0.0)), 6).as("slope_per_hour"))
   }
 
+  /** Within-group percentile rank of a value column — the per-source
+    * quality NORMALIZATION step for dataset mixing: a 0.8 raw score means
+    * different things in a clean and a noisy source; mixing on within-
+    * source percentiles samples each source's own best. Computed as
+    * (rank−1)/(n−1) over a UNIQUE ordering (value, id tie-break) — an
+    * explicit formula both engines evaluate identically, rather than
+    * trusting `percent_rank` tie conventions; single-row groups get 0.
+    * One shuffle on the group key; the rank window and the count ride the
+    * same exchange.
+    */
+  def percentileRank(df: DataFrame, valueCol: String, groupCol: String,
+                     idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val n = Window.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("pct_rank",
+        when(col("__n") > 1,
+          round((col("__rn") - 1).cast("double") / (col("__n") - 1), 6))
+          .otherwise(lit(0.0)))
+      .drop("__rn", "__n")
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

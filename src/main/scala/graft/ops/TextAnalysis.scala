@@ -433,6 +433,47 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("term")).as("fingerprint"))
 
+  /** Content-defined chunking (CDC): split each document at tokens whose
+    * hash ≡ 0 (mod `avgTokens`) — boundaries follow CONTENT, not position,
+    * so an insertion near the head shifts no downstream chunk (the classic
+    * failure of fixed-size chunking for dedup). Shared chunks across docs
+    * then surface shifted/partial duplication that whole-doc hashing
+    * misses. Entirely per-row array expressions (boundary scan, slice,
+    * join, hash) — map-side, no shuffle until the caller aggregates chunk
+    * hashes. Expected chunk length ≈ `avgTokens` tokens.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                avgTokens: Int = 16): DataFrame = {
+    val ws = words(col(textCol))
+    val n = size(ws)
+    // Cut AFTER token i when hash24(w_i) % avgTokens == 0; bounds are the
+    // distinct sorted cut positions with 0 and n as sentinels.
+    val cuts = filter(sequence(lit(1), n),
+      i => wordCode24(element_at(ws, i)) % avgTokens === 0)
+    val bounds = array_distinct(concat(array(lit(0)), cuts, array(n)))
+    val chunks = transform(sequence(lit(1), size(bounds) - 1), j =>
+      array_join(slice(ws, element_at(bounds, j) + 1,
+        element_at(bounds, j + 1) - element_at(bounds, j)), " "))
+    docs.select(col(idCol), posexplode(chunks))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        size(split(col("col"), " ")).cast("long").as("n_tokens"),
+        conv(substring(md5(col("col")), 1, 12), 16, 10).cast("long")
+          .as("chunk_hash"))
+  }
+
+  /** Cross-document shared-chunk report over [[cdcChunks]]: chunk hashes
+    * present in more than one document, with occurrence counts — the
+    * shifted-duplication signal. One explode + one hash-agg.
+    */
+  def cdcSharedChunks(docs: DataFrame, idCol: String, textCol: String,
+                      avgTokens: Int = 16): DataFrame =
+    cdcChunks(docs, idCol, textCol, avgTokens)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") > 1)
+
   /** Rule-based quality gate (the Gopher/C4 recipe): per-document boolean
     * flags for word-count bounds, mean word length, stopword presence, and
     * symbol share, plus the conjunctive `pass_all`. Unlike [[quality]]'s

@@ -48,18 +48,19 @@ object SimilarityQueries {
        |  FROM assigned JOIN embeddings e
        |    ON e.label = assigned.cluster AND e.vec_id <> assigned.query_id)""".stripMargin
 
-  // Oracle for the deterministic spherical k-means fit + assignment:
-  // cent0 = k smallest-hash vectors (rounded), then `iters` unrolled
-  // Lloyd rounds (argmax-cosine assignment, per-(label, dim) rounded
-  // mean), final map-side assignment against the last centroids.
-  private def kmeansAssignSql(k: Int, iters: Int): String = {
-    def assignCte(name: String, centTable: String) =
-      s"""$name AS (SELECT vec_id, label FROM (
-         |  SELECT e.vec_id, c.label, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY round(${dotSql("e.embedding", "c.c")} /
-         |      nullif(sqrt(${dotSql("e.embedding", "e.embedding")}) *
-         |             sqrt(${dotSql("c.c", "c.c")}), 0), 6) DESC, c.label) AS rn
-         |  FROM embeddings e, $centTable c) WHERE rn = 1)""".stripMargin
+  // Spherical-k-means oracle pieces (mirror Similarity.kmeansFit):
+  // top-`n` argmax-cosine assignment against a centroid table.
+  private def kmAssignCte(name: String, centTable: String, n: Int = 1) =
+    s"""$name AS (SELECT vec_id, label FROM (
+       |  SELECT e.vec_id, c.label, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(${dotSql("e.embedding", "c.c")} /
+       |      nullif(sqrt(${dotSql("e.embedding", "e.embedding")}) *
+       |             sqrt(${dotSql("c.c", "c.c")}), 0), 6) DESC, c.label) AS rn
+       |  FROM embeddings e, $centTable c) WHERE rn <= $n)""".stripMargin
+
+  // CTE chain: smallest-md5 seeding (cent0) + `iters` unrolled Lloyd
+  // rounds ending at cent$iters.
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def centCte(name: String, assignTable: String) =
       s"""$name AS MATERIALIZED (SELECT label, list(cr ORDER BY pos) AS c FROM (
          |  SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr FROM (
@@ -68,19 +69,23 @@ object SimilarityQueries {
          |    FROM embeddings e JOIN $assignTable a USING (vec_id))
          |  GROUP BY 1, 2) GROUP BY label)""".stripMargin
     val chain = (1 to iters).map { i =>
-      assignCte(s"a$i", s"cent${i - 1}") + ",\n" + centCte(s"cent$i", s"a$i")
+      kmAssignCte(s"a$i", s"cent${i - 1}") + ",\n" + centCte(s"cent$i", s"a$i")
     }.mkString(",\n")
-    s"""WITH s0 AS (SELECT vec_id, embedding,
+    s"""s0 AS (SELECT vec_id, embedding,
        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
        |  FROM embeddings),
        |cent0 AS (SELECT CAST(rn - 1 AS INTEGER) AS label,
        |    list_transform(embedding, e -> round(CAST(e AS DOUBLE), 6)) AS c
        |  FROM (SELECT embedding, row_number() OVER (ORDER BY h, vec_id) AS rn
        |        FROM s0) WHERE rn <= $k),
-       |$chain,
-       |${assignCte("afinal", s"cent$iters")}
-       |SELECT vec_id, CAST(label AS INTEGER) AS cluster FROM afinal""".stripMargin
+       |$chain""".stripMargin
   }
+
+  // Oracle for the deterministic spherical k-means fit + assignment.
+  private def kmeansAssignSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       |${kmAssignCte("afinal", s"cent$iters")}
+       |SELECT vec_id, CAST(label AS INTEGER) AS cluster FROM afinal""".stripMargin
 
   // DuckDB: sequential-fold squared-L2 distance (mirrors VectorFunctions
   // .l2sqD's evaluation order exactly).
@@ -238,6 +243,29 @@ object SimilarityQueries {
         "embedding", k = 3, index = idx)
     },
 
+    // SemDeDup-style semantic dedup: k-means co-membership candidates
+    // (top-2 multi-assignment) + exact cosine verify — data-adaptive
+    // partitions vs cosinePairs' fixed LSH buckets.
+    "dedup_semantic" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 5,
+        iters = 2)
+      Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, index = idx, nprobe = 2)
+    },
+
+    // IVF-PQ: coarse cluster prune (nprobe=2) + ADC over PQ codes within
+    // probed clusters — the standard billion-scale index, composed.
+    "ann_ivfpq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val coarse = Similarity.ivfFit(emb, "label", "embedding")
+      val pq = Similarity.pqFit(emb, "vec_id", "embedding", m = 4, k = 4,
+        iters = 2)
+      Similarity.ivfPqKnn(emb, emb.filter(expr(QueryPred)), "vec_id",
+        "embedding", clusterCol = "label", k = 3, nprobe = 2,
+        coarse = coarse, pq = pq)
+    },
+
     // Multi-probe LSH: home bucket + all Hamming-1 buckets.
     "ann_lsh_multiprobe" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -315,6 +343,52 @@ object SimilarityQueries {
          |  round(f0.d2 + f1.d2 + f2.d2 + f3.d2, 6) AS recon_d2
          |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
          |  JOIN f3 USING (vec_id)""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH ${kmeansCtes(k = 5, iters = 2)},
+         |${kmAssignCte("probe2", "cent2", n = 2)},
+         |pa AS (SELECT p.vec_id AS id_a, e.embedding AS va, p.label AS cluster
+         |  FROM probe2 p JOIN embeddings e USING (vec_id)),
+         |pb AS (SELECT p.vec_id AS id_b, e.embedding AS vb, p.label AS cluster
+         |  FROM probe2 p JOIN embeddings e USING (vec_id))
+         |SELECT DISTINCT id_a, id_b,
+         |  round(${dotSql("va", "vb")} /
+         |    nullif(sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")}), 0),
+         |    6) AS cosine
+         |FROM pa JOIN pb USING (cluster)
+         |WHERE id_a < id_b
+         |  AND round(${dotSql("va", "vb")} /
+         |    nullif(sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")}), 0),
+         |    6) >= 0.3""".stripMargin,
+
+    "ann_ivfpq" ->
+      s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)},
+         |${ivfCtes(nprobe = 2)},
+         |${(0 until 4).map { s =>
+             val lo = s * 16 + 1; val hi = (s + 1) * 16
+             s"""pq$s AS (SELECT vec_id AS query_id,
+                |  list_transform(embedding[$lo:$hi], e -> CAST(e AS DOUBLE)) AS qv
+                |  FROM embeddings WHERE $QueryPred),
+                |pqd$s AS MATERIALIZED (SELECT query_id, c.label,
+                |  round(${l2Sql("qv", "c.c")}, 6) AS d2
+                |  FROM pq$s, cent${s}_2 c)""".stripMargin
+           }.mkString(",\n")},
+         |adc AS (SELECT a.query_id, e.label AS cluster, e.vec_id AS cand_id,
+         |    round(q0.d2 + q1.d2 + q2.d2 + q3.d2, 6) AS adc_d2
+         |  FROM assigned a
+         |  JOIN embeddings e ON e.label = a.cluster AND e.vec_id <> a.query_id
+         |  JOIN f0 ON f0.vec_id = e.vec_id
+         |  JOIN f1 ON f1.vec_id = e.vec_id
+         |  JOIN f2 ON f2.vec_id = e.vec_id
+         |  JOIN f3 ON f3.vec_id = e.vec_id
+         |  JOIN pqd0 q0 ON q0.query_id = a.query_id AND q0.label = f0.label
+         |  JOIN pqd1 q1 ON q1.query_id = a.query_id AND q1.label = f1.label
+         |  JOIN pqd2 q2 ON q2.query_id = a.query_id AND q2.label = f2.label
+         |  JOIN pqd3 q3 ON q3.query_id = a.query_id AND q3.label = f3.label)
+         |SELECT query_id, cluster, cand_id, adc_d2, CAST(rn AS INTEGER) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_d2, cand_id) AS rn FROM adc)
+         |WHERE rn <= 3""".stripMargin,
 
     "ann_pq_adc" ->
       s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)},

@@ -486,6 +486,30 @@ object TextQueries {
       TextAnalysis.ruleFlags(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // Curation v3 — the round-4 ops composed into ONE lazy graph: rule
+    // gate (hard cuts with reasons) → boilerplate-share cut → near-dup
+    // victim removal (broadcast anti-join) → per-source token budget
+    // (pre-thinned hash-prefix window). Every stage is the plan shape its
+    // standalone gate pins.
+    "curation_pipeline_v3" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val rules = TextAnalysis.ruleFlags(docs, "doc_id", "text")
+        .filter(col("pass_all") === 1).select(col("doc_id"), col("n_words"))
+      val boiler = TextAnalysis.boilerplateShare(docs, "doc_id", "text",
+          n = 3, maxDocFrequency = 0.004)
+        .filter(col("boiler_share") <= 0.2).select(col("doc_id"))
+      val victims = Dedup.nearDuplicates(docs, "doc_id", "text",
+          minJaccard = 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val kept = docs.join(rules, Seq("doc_id"))
+        .join(boiler, Seq("doc_id"))
+        .join(victims, Seq("doc_id"), "left_anti")
+      graft.ops.Sampling.tokenBudget(kept, "doc_id", "source", "n_chars",
+          budgets = Map("src0" -> 20000L, "src1" -> 10000L),
+          defaultBudget = 5000L)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("n_words"))
+    },
+
     // BM25 keyword retrieval: top-20 docs for a bounded query-term set —
     // map-side term filter, broadcast df stats, TakeOrdered top-k.
     "text_bm25_topk" -> { (s, dir) =>
@@ -499,6 +523,42 @@ object TextQueries {
     "text_boilerplate_share" -> { (s, dir) =>
       TextAnalysis.boilerplateShare(Tables.documents(s, dir), "doc_id",
         "text", n = 3, maxDocFrequency = 0.004)
+    },
+
+    // Within-source quality percentile — the normalization that makes
+    // "top 10% of each source" a well-defined mixing recipe.
+    "quality_percentile" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+      graft.ops.Stats.percentileRank(
+        docs.select(col("doc_id"), col("source")).join(q, Seq("doc_id")),
+        "q", "source", "doc_id")
+    },
+
+    // Content-defined chunking (avgTokens=8 — the synthetic corpus has a
+    // ~31-word vocabulary, so only a mod-8 cut set is non-empty; real
+    // corpora use the default 16+).
+    "text_cdc_chunks" -> { (s, dir) =>
+      TextAnalysis.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+        avgTokens = 8)
+    },
+
+    // Cross-document shared CDC chunks: shifted/partial duplication that
+    // whole-doc hashing misses.
+    "dedup_cdc_shared" -> { (s, dir) =>
+      TextAnalysis.cdcSharedChunks(Tables.documents(s, dir), "doc_id",
+        "text", avgTokens = 8)
+    },
+
+    // Incremental ingest dedup: the "new batch vs accumulated corpus"
+    // production shape (ids >= 450 are the batch; < 450 the store).
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalPairs(
+        docs.filter(col("doc_id") >= 450),
+        docs.filter(col("doc_id") < 450),
+        "doc_id", "text", minJaccard = 0.5)
     },
 
     // Token-budget mixture sampling: per-source char budgets consumed in
@@ -1259,6 +1319,132 @@ object TextQueries {
          |    THEN round(CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / n.n_shingles, 6)
          |    ELSE 0.0 END AS boiler_share
          |FROM n LEFT JOIN b USING (doc_id)""".stripMargin,
+
+    // v3 composes the round-4 stage CTEs verbatim: the gopher rule cuts,
+    // the boilerplate-share cut (sharing the distinct-shingle CTE with the
+    // dedup chain), minhash near-dup victims, then the per-source
+    // cumulative token budget over the SURVIVOR set.
+    "curation_pipeline_v3" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")},
+         |victims AS (SELECT DISTINCT i.doc_b AS doc_id FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |m AS (SELECT d.doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |    / len(ws) AS awl,
+         |  len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
+         |    AS stop_hits,
+         |  CAST(len(d.text) - len(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g'))
+         |    AS DOUBLE) / greatest(len(d.text), 1) AS sym
+         |  FROM documents d JOIN words USING (doc_id)),
+         |rules AS (SELECT doc_id, n_words FROM m
+         |  WHERE n_words >= 50 AND n_words <= 100000 AND awl >= 3.0
+         |    AND awl <= 10.0 AND stop_hits >= 2 AND sym <= 0.1),
+         |pos AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-2, 0)),
+         |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words),
+         |hot AS (SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) > 0.004 * (SELECT count(DISTINCT doc_id) FROM documents)),
+         |nb AS (SELECT doc_id, count(*) AS n_boiler FROM pos
+         |  WHERE shingle IN (SELECT shingle FROM hot) GROUP BY 1),
+         |ns AS (SELECT doc_id, CAST(greatest(len(ws)-2, 0) AS BIGINT) AS n_shingles
+         |  FROM words),
+         |okboiler AS (SELECT ns.doc_id FROM ns LEFT JOIN nb USING (doc_id)
+         |  WHERE ns.n_shingles = 0 OR
+         |    round(CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / ns.n_shingles, 6)
+         |      <= 0.2),
+         |kept AS (SELECT d.doc_id, d.source, d.n_chars, r.n_words,
+         |  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    / 4294967296.0 AS h
+         |  FROM documents d JOIN rules r USING (doc_id)
+         |  JOIN okboiler USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)),
+         |c AS (SELECT doc_id, source, n_chars, n_words,
+         |  sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM kept)
+         |SELECT doc_id, source, n_chars, n_words FROM c
+         |WHERE cum <= CASE source WHEN 'src0' THEN 20000
+         |  WHEN 'src1' THEN 10000 ELSE 5000 END""".stripMargin,
+
+    // Explicit (rank-1)/(n-1) over a unique ordering — engine-exact,
+    // independent of percent_rank tie conventions.
+    "quality_percentile" ->
+      s"""WITH $wordsCte,
+         |q AS (SELECT doc_id, round(least(1.0, len(ws) / 50.0) *
+         |  (1.0 - CAST(len(list_filter(ws,
+         |    x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws)),
+         |  6) AS q FROM words),
+         |j AS (SELECT d.doc_id, d.source, q.q FROM documents d JOIN q USING (doc_id)),
+         |r AS (SELECT doc_id, source, q,
+         |  row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n FROM j)
+         |SELECT doc_id, source, q,
+         |  CASE WHEN n > 1 THEN round(CAST(rn - 1 AS DOUBLE) / (n - 1), 6)
+         |       ELSE 0.0 END AS pct_rank
+         |FROM r""".stripMargin,
+
+    "text_cdc_chunks" ->
+      s"""WITH $wordsCte,
+         |cut AS (SELECT doc_id, ws,
+         |  list_sort(list_distinct(list_concat(list_concat([0],
+         |    list_filter(range(1, len(ws)+1),
+         |      i -> ('0x' || substr(md5(ws[i]), 1, 6))::BIGINT % 8 = 0)),
+         |    [len(ws)]))) AS bounds
+         |  FROM words)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+         |  ('0x' || substr(md5(chunk), 1, 12))::BIGINT AS chunk_hash
+         |FROM (SELECT doc_id,
+         |  generate_subscripts(list_transform(range(1, len(bounds)),
+         |    j -> array_to_string(ws[bounds[j]+1:bounds[j+1]], ' ')), 1) - 1
+         |    AS chunk_idx,
+         |  unnest(list_transform(range(1, len(bounds)),
+         |    j -> array_to_string(ws[bounds[j]+1:bounds[j+1]], ' '))) AS chunk
+         |  FROM cut)""".stripMargin,
+
+    "dedup_cdc_shared" ->
+      s"""WITH $wordsCte,
+         |cut AS (SELECT doc_id, ws,
+         |  list_sort(list_distinct(list_concat(list_concat([0],
+         |    list_filter(range(1, len(ws)+1),
+         |      i -> ('0x' || substr(md5(ws[i]), 1, 6))::BIGINT % 8 = 0)),
+         |    [len(ws)]))) AS bounds
+         |  FROM words),
+         |ch AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(bounds)),
+         |    j -> array_to_string(ws[bounds[j]+1:bounds[j+1]], ' '))) AS chunk
+         |  FROM cut)
+         |SELECT ('0x' || substr(md5(chunk), 1, 12))::BIGINT AS chunk_hash,
+         |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+         |  CAST(max(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens
+         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    // Corpus-side df cap (>10% of corpus docs), denominators from the
+    // UNCAPPED shingle sets of both sides.
+    "dedup_incremental" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |hotc AS (SELECT shingle FROM sh WHERE doc_id < 450 GROUP BY shingle
+         |  HAVING count(*) > 0.1 *
+         |    (SELECT count(DISTINCT doc_id) FROM documents WHERE doc_id < 450)),
+         |i AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         |    count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id >= 450 AND b.doc_id < 450
+         |  WHERE a.shingle NOT IN (SELECT shingle FROM hotc)
+         |  GROUP BY 1, 2)
+         |SELECT new_id, corpus_id, inter,
+         |  round(CAST(inter AS DOUBLE) / (x.sz + y.sz - inter), 6) AS jaccard
+         |FROM i JOIN szs x ON i.new_id = x.doc_id
+         |  JOIN szs y ON i.corpus_id = y.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / (x.sz + y.sz - inter), 6) >= 0.5""".stripMargin,
 
     // Cumulative weight in deterministic hash order; the cum column only
     // gates the WHERE, so its engine-side type never reaches the compare.

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Stats, TextAnalysis}
+
+/** Round-4 batch D: within-group percentile rank, content-defined
+  * chunking, and incremental ingest dedup.
+  */
+class IngestOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("percentileRank: explicit (rank-1)/(n-1), single-row group = 0") {
+    val df = Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "a", 20.0),
+      (4L, "b", 99.0)).toDF("id", "g", "v")
+    val got = Stats.percentileRank(df, "v", "g", "id")
+      .select("id", "pct_rank").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.0, 3L -> 0.5, 2L -> 1.0, 4L -> 0.0), got.toString)
+  }
+
+  // A token whose 24-bit md5 hash is ≡ 0 (mod 8) — found at runtime so the
+  // test doesn't bake in hash values.
+  private def cutWord(mod: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Iterator.from(0).map(i => s"w$i").find { w =>
+      val hex = md.digest(w.getBytes("UTF-8")).take(3)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % mod == 0
+    }.get
+  }
+
+  test("cdcChunks: chunks reassemble the doc and survive a head insertion") {
+    val cw = cutWord(8)
+    val tail = s"alpha beta $cw gamma delta epsilon"
+    val a = (1L, tail)
+    val b = (2L, s"inserted words here $cw $tail") // head edit, own cut
+    val chunks = TextAnalysis.cdcChunks(Seq(a, b).toDF("doc_id", "text"),
+        "doc_id", "text", avgTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // Chunk hashes after the first boundary of doc 2 must re-align with
+    // doc 1's despite the inserted head — the CDC property fixed-size
+    // chunking lacks.
+    val h1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val h2 = chunks.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    assert(h1.nonEmpty && h2.length > h1.length - 1)
+    assert(h2.takeRight(h1.length - 1) == h1.takeRight(h1.length - 1) ||
+      h2.takeRight(h1.length) == h1,
+      s"suffix chunks must re-align: doc1=$h1 doc2=$h2")
+    // Shared-chunk report sees the alignment.
+    val shared = TextAnalysis.cdcSharedChunks(Seq(a, b).toDF("doc_id", "text"),
+      "doc_id", "text", avgTokens = 8).count()
+    assert(shared >= 1, "at least one chunk shared across the two docs")
+  }
+
+  test("incrementalPairs finds batch-vs-corpus near-copies only, cap-safe denominators") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    // Corpus: the original + unrelated docs, 60% of which share a hot
+    // 3-gram run (df > 10% → capped away); batch: a near-copy of doc 1
+    // AND two identical new docs (new×new — must NOT be reported).
+    val hot = "h1 h2 h3"
+    val corpus = Seq((1L, base)) ++ (2L to 10L).map { i =>
+      val filler = s"c${i}a c${i}b c${i}c c${i}d c${i}e"
+      (i, if (i <= 6) s"$filler $hot" else filler)
+    }
+    val batch = Seq(
+      (100L, base + " thirteen"),
+      (101L, "fresh new content with no overlap at all"),
+      (102L, "fresh new content with no overlap at all"))
+    val got = Dedup.incrementalPairs(batch.toDF("doc_id", "text"),
+        corpus.toDF("doc_id", "text"), "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((100L, 1L)),
+      s"exactly the planted cross pair (never new×new): ${got.toSeq}")
+    // Denominators from UNCAPPED sizes: base has 10 shingles, the copy 11,
+    // 10 shared → jaccard 10/11.
+    assert(math.abs(got.head._3 - math.rint(1000000.0 * 10 / 11) / 1000000.0) < 1e-9,
+      s"jaccard must be 10/11 rounded: ${got.head._3}")
+  }
+}

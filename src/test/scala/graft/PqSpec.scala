@@ -75,6 +75,39 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: nprobe=1 reads only the query's own cluster and still ranks true mates") {
+    val emb = fixture
+    val coarse = Similarity.ivfFit(emb, "truth", "embedding")
+    val pq = Similarity.pqFit(emb, "vec_id", "embedding", m = 2, k = 3, iters = 3)
+    val res = Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", clusterCol = "truth", k = 2, nprobe = 1,
+        coarse = coarse, pq = pq)
+      .join(emb.select(col("vec_id").as("query_id"), col("truth").as("qt")), Seq("query_id"))
+      .collect()
+    assert(res.length == 6, s"3 queries × k=2: ${res.length}")
+    res.foreach { r =>
+      assert(r.getAs[Int]("cluster") == r.getAs[Int]("qt"),
+        s"nprobe=1 must only surface the query's own coarse cluster: $r")
+    }
+  }
+
+  test("semanticDedupPairs finds exactly the within-cluster pairs on separated data") {
+    val emb = fixture
+    val idx = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 3, iters = 3)
+    val got = Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+        threshold = 0.9, index = idx, nprobe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Ground truth: jitter is ±0.2 on ±10 coordinates, so cluster-mates
+    // sit at cosine ≈ 1 and cross-cluster pairs far below 0.9 — the
+    // expected set is exactly the same-truth pairs.
+    val truth = fixture.select("vec_id", "truth").as[(Long, Int)].collect()
+    val expect = (for {
+      (a, ta) <- truth; (b, tb) <- truth if a < b && ta == tb
+    } yield (a, b)).toSet
+    assert(expect.size == 45, "3 clusters × C(6,2)")
+    assert(got == expect, s"missing ${expect -- got}, extra ${got -- expect}")
+  }
+
   test("pqFit survives k > distinct vectors (empty-cluster collapse)") {
     val emb = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f)), (3L, Seq(5f, 6f)))
       .toDF("vec_id", "embedding")
