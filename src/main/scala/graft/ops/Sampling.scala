@@ -131,6 +131,10 @@ object Sampling {
     * per-stratum window touches ~safety × budget worth of rows regardless
     * of corpus size. `preThinSafety = None` disables thinning. Weights
     * must be non-negative; budget-0 strata keep nothing.
+    *
+    * NB: the pre-thin consumes `df` TWICE (stratum weight sums + the main
+    * path). If `df` is itself an expensive derived frame, cache it
+    * (e.g. `OpCaches.scoped`) before calling — see curation_pipeline_v3.
     */
   def tokenBudget(df: DataFrame, keyCol: String, stratumCol: String,
                   weightCol: String, budgets: Map[String, Long],

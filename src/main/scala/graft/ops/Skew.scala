@@ -39,4 +39,25 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("n"))
+
+  /** Skew diagnosis report — the measurement that decides WHEN the guards
+    * above (and the df caps / salting elsewhere) are needed, instead of
+    * guessing: the top-`k` heaviest join/aggregation keys with their share
+    * of all rows and their ratio to the mean key load. ratio ≫ salts means
+    * that key still straggles after salting; ratio ≈ 1 means salting is
+    * wasted replication. One hash-agg + a broadcast 1-row total + a
+    * distributed top-k (`TakeOrderedAndProject`) — safe on any key
+    * cardinality.
+    */
+  def diagnose(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("__total"),
+      count(lit(1)).cast("double").as("__nkeys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt") / col("__total"), 6).as("share"),
+        round(col("cnt") * col("__nkeys") / col("__total"), 6).as("ratio_to_mean"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
+  }
 }

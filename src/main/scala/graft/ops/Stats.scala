@@ -173,6 +173,30 @@ object Stats {
       .drop("__rn", "__n")
   }
 
+  /** Per-group winsorization: values clamped to the group's exact
+    * [pLow, pHigh] quantile band — the standard outlier treatment before
+    * training-statistics aggregation (a sensor glitch or a parse artifact
+    * should saturate, not dominate a mean). Exact `percentile` (not the
+    * t-digest approximation) so the clamp bounds are engine-reproducible;
+    * the per-group bound table is small by construction (one row per
+    * group) and broadcast back onto the stream — one aggregation exchange
+    * plus a map-side clamp.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+                pLow: Double, pHigh: Double): DataFrame = {
+    val bounds = df.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($valueCol, $pLow)"), 6).as("__lo"),
+      round(expr(s"percentile($valueCol, $pHigh)"), 6).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_wins",
+        round(least(greatest(col(valueCol).cast("double"), col("__lo")),
+          col("__hi")), 6))
+      .withColumn("clamped",
+        (col(valueCol).cast("double") < col("__lo") ||
+          col(valueCol).cast("double") > col("__hi")).cast("int"))
+      .drop("__lo", "__hi")
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

@@ -444,17 +444,24 @@ object TextAnalysis {
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 avgTokens: Int = 16): DataFrame = {
-    val ws = words(col(textCol))
-    val n = size(ws)
+    // Staged projections, not one nested expression: Catalyst does no CSE
+    // inside lambda bodies, so an `element_at(bounds, j)` whose `bounds`
+    // is the full cut-scan EXPRESSION re-runs n md5 hashes per lookup —
+    // O(n²) per document (measured 22 s at sf0.1). Materializing __ws and
+    // __bounds as columns makes each lookup a bound reference.
+    val withWs = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    val n = size(col("__ws"))
     // Cut AFTER token i when hash24(w_i) % avgTokens == 0; bounds are the
     // distinct sorted cut positions with 0 and n as sentinels.
     val cuts = filter(sequence(lit(1), n),
-      i => wordCode24(element_at(ws, i)) % avgTokens === 0)
-    val bounds = array_distinct(concat(array(lit(0)), cuts, array(n)))
-    val chunks = transform(sequence(lit(1), size(bounds) - 1), j =>
-      array_join(slice(ws, element_at(bounds, j) + 1,
-        element_at(bounds, j + 1) - element_at(bounds, j)), " "))
-    docs.select(col(idCol), posexplode(chunks))
+      i => wordCode24(element_at(col("__ws"), i)) % avgTokens === 0)
+    val withBounds = withWs.withColumn("__bounds",
+      array_distinct(concat(array(lit(0)), cuts, array(n))))
+    val chunks = transform(sequence(lit(1), size(col("__bounds")) - 1), j =>
+      array_join(slice(col("__ws"), element_at(col("__bounds"), j) + 1,
+        element_at(col("__bounds"), j + 1) - element_at(col("__bounds"), j)),
+        " "))
+    withBounds.select(col(idCol), posexplode(chunks))
       .select(col(idCol), col("pos").as("chunk_idx"),
         size(split(col("col"), " ")).cast("long").as("n_tokens"),
         conv(substring(md5(col("col")), 1, 12), 16, 10).cast("long")
@@ -473,6 +480,44 @@ object TextAnalysis {
         count(lit(1)).as("n_occurrences"),
         max(col("n_tokens")).as("n_tokens"))
       .filter(col("n_docs") > 1)
+
+  /** Boilerplate STRIPPING — the destructive sibling of
+    * [[boilerplateShare]]: tokens covered by any hot-shingle occurrence
+    * (df > `maxDocFrequency` of docs) are removed and the document
+    * reassembled (the C4-style "drop boilerplate lines" step, at shingle
+    * granularity). Same bounded hot set as the share op; the cover test
+    * is per-row array logic over the doc's own hot-start list, so the
+    * only joins are the bounded broadcast and a per-doc starts
+    * aggregation. Docs with no hot positions pass through unchanged.
+    */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxDocFrequency: Double = 0.05): DataFrame = {
+    val nDocs = docs.agg(countDistinct(col(idCol)).cast("double").as("__nd"))
+    val hot = Dedup.shingleSets(docs, idCol, textCol, n, None)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") > lit(maxDocFrequency) * col("__nd"))
+      .select(col("shingle"))
+    // 1-based start positions of hot shingle occurrences, per doc.
+    val starts = docs.select(col(idCol),
+        posexplode(wordShingles(words(col(textCol)), n)))
+      .withColumnRenamed("col", "shingle")
+      .join(broadcast(hot), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos") + 1)).as("__starts"))
+    // Token t (1-based) is covered iff some hot start s ∈ [t-n+1, t].
+    val covered = (t: org.apache.spark.sql.Column) =>
+      exists(col("__starts"), s => s >= t - (n - 1) && s <= t)
+    docs.join(starts, Seq(idCol), "left")
+      .select(col(idCol), words(col(textCol)).as("__ws"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
+      .select(col(idCol),
+        array_join(filter(col("__ws"),
+          (w, i) => !covered(i + 1)), " ").as("text_clean"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(filter(sequence(lit(1), size(col("__ws"))),
+          t => covered(t))).cast("long").as("n_removed"))
+  }
 
   /** Rule-based quality gate (the Gopher/C4 recipe): per-document boolean
     * flags for word-count bounds, mean word length, stopword presence, and

@@ -132,6 +132,17 @@ object ScalarQueries {
         round(expr("percentile(value, 0.9)"), 6).as("p90"))
     },
 
+    // W13: per-group winsorization — exact [p05, p95] clamp, broadcast
+    // bounds, map-side saturation.
+    "w13_winsorize" -> { (s, dir) =>
+      graft.ops.Stats.winsorize(
+          Tables.events(s, dir).select(col("event_id"), col("event_type"),
+            col("value")),
+          "value", "event_type", pLow = 0.05, pHigh = 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_wins"), col("clamped"))
+    },
+
     // A16: ingest data-quality profile — nulls and cardinality per column
     // in one pass over the table.
     "profile_columns" -> { (s, dir) =>
@@ -272,6 +283,16 @@ object ScalarQueries {
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY 1""".stripMargin,
+
+    "w13_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  round(least(greatest(value, lo), hi), 6) AS value_wins,
+        |  CAST(value < lo OR value > hi AS INTEGER) AS clamped
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
 
     // DuckDB has no initcap: capitalize each lower-cased word by hand.
     "f9_label_format" ->

@@ -501,9 +501,13 @@ object TextQueries {
       val victims = Dedup.nearDuplicates(docs, "doc_id", "text",
           minJaccard = 0.8)
         .select(col("doc_b").as("doc_id")).distinct()
-      val kept = docs.join(rules, Seq("doc_id"))
+      // Scoped-cache the survivor set: tokenBudget's pre-thin consumes its
+      // input twice (stratum sizes + the window), and this input is three
+      // joined corpus passes — without the cache the whole upstream runs
+      // twice (measured 9.2 s → ~4 s at sf0.1).
+      val kept = graft.ops.OpCaches.scoped(docs.join(rules, Seq("doc_id"))
         .join(boiler, Seq("doc_id"))
-        .join(victims, Seq("doc_id"), "left_anti")
+        .join(victims, Seq("doc_id"), "left_anti"))
       graft.ops.Sampling.tokenBudget(kept, "doc_id", "source", "n_chars",
           budgets = Map("src0" -> 20000L, "src1" -> 10000L),
           defaultBudget = 5000L)
@@ -522,6 +526,13 @@ object TextQueries {
     // construction and broadcast.
     "text_boilerplate_share" -> { (s, dir) =>
       TextAnalysis.boilerplateShare(Tables.documents(s, dir), "doc_id",
+        "text", n = 3, maxDocFrequency = 0.004)
+    },
+
+    // Boilerplate STRIPPING: hot-shingle-covered tokens removed, document
+    // reassembled — the destructive C4-style cleanup step.
+    "text_boilerplate_strip" -> { (s, dir) =>
+      TextAnalysis.boilerplateStrip(Tables.documents(s, dir), "doc_id",
         "text", n = 3, maxDocFrequency = 0.004)
     },
 
@@ -549,6 +560,46 @@ object TextQueries {
     "dedup_cdc_shared" -> { (s, dir) =>
       TextAnalysis.cdcSharedChunks(Tables.documents(s, dir), "doc_id",
         "text", avgTokens = 8)
+    },
+
+    // Dedup modality evaluation: precision/recall of each APPROXIMATE
+    // pair miner against exact-Jaccard ground truth (τ=0.5) — recall is a
+    // measured number per modality, not a hope. One row per modality.
+    "dedup_modality_eval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleSets(docs, "doc_id", "text")
+      val truth = graft.ops.OpCaches.scoped(
+        Dedup.jaccardPairs(sh, "doc_id", minJaccard = 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      val lsh = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val simhash = Dedup.simhashPairs(docs, "doc_id", "text",
+        bits = 16, maxHamming = 2).select(col("doc_a"), col("doc_b"))
+      val chunks = TextAnalysis.cdcChunks(docs, "doc_id", "text", avgTokens = 8)
+        .select(col("doc_id"), col("chunk_hash")).distinct()
+      val cdc = chunks.select(col("doc_id").as("doc_a"), col("chunk_hash"))
+        .join(chunks.select(col("doc_id").as("doc_b"), col("chunk_hash")),
+          Seq("chunk_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      def evalRow(name: String, pred: DataFrame) = {
+        val p = graft.ops.OpCaches.scoped(pred)
+        p.agg(count(lit(1)).as("n_pred"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(p.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hits")))
+          .select(lit(name).as("modality"), col("n_pred"), col("n_truth"),
+            col("n_hits"),
+            coalesce(round(col("n_hits").cast("double") /
+              nullif(col("n_pred").cast("double"), lit(0.0)), 6), lit(0.0))
+              .as("precision"),
+            coalesce(round(col("n_hits").cast("double") /
+              nullif(col("n_truth").cast("double"), lit(0.0)), 6), lit(0.0))
+              .as("recall"))
+      }
+      evalRow("lsh_jaccard", lsh)
+        .unionByName(evalRow("simhash", simhash))
+        .unionByName(evalRow("cdc_chunks", cdc))
     },
 
     // Incremental ingest dedup: the "new batch vs accumulated corpus"
@@ -1300,6 +1351,34 @@ object TextQueries {
          |FROM s GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
+    // Token t is covered iff a hot-shingle start lies in [t-2, t]; kept
+    // tokens reassemble in order.
+    "text_boilerplate_strip" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |hot AS (SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) > 0.004 * (SELECT count(DISTINCT doc_id) FROM documents)),
+         |spos AS (SELECT doc_id, u.s AS start FROM (
+         |  SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-2, 0)),
+         |    i -> struct_pack(s := i + 1,
+         |      sh := ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS u
+         |  FROM words) WHERE u.sh IN (SELECT shingle FROM hot)),
+         |starts AS (SELECT doc_id, list_sort(list(start)) AS starts
+         |  FROM spos GROUP BY 1),
+         |j AS (SELECT w.doc_id, w.ws, COALESCE(s.starts, []) AS starts
+         |  FROM words w LEFT JOIN starts s USING (doc_id))
+         |SELECT doc_id,
+         |  -- COALESCE: DuckDB's array_to_string([]) is NULL; Spark's
+         |  -- array_join of an empty array is '' (a fully-stripped doc).
+         |  COALESCE(array_to_string(list_transform(list_filter(range(1, len(ws)+1),
+         |    t -> len(list_filter(starts, s -> s >= t - 2 AND s <= t)) = 0),
+         |    t -> ws[t]), ' '), '') AS text_clean,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(range(1, len(ws)+1),
+         |    t -> len(list_filter(starts, s -> s >= t - 2 AND s <= t)) > 0))
+         |    AS BIGINT) AS n_removed
+         |FROM j""".stripMargin,
+
     // Hot set = shingles in > 0.4% of docs (distinct doc-shingle df);
     // the share counts ALL positions, not distinct shingles.
     "text_boilerplate_share" ->
@@ -1424,6 +1503,74 @@ object TextQueries {
          |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
          |  CAST(max(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens
          |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    // Bespoke CTE names (the shared interCte can only instantiate once):
+    // truth = uncapped exact Jaccard; lsh mirrors nearDuplicates (capped
+    // shingles, LSH candidates, capped sizes); simhash and CDC mirror
+    // their standalone gates.
+    "dedup_modality_eval" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |tsz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |ti AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ti
+         |  JOIN tsz x ON ti.doc_a = x.doc_id JOIN tsz y ON ti.doc_b = y.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5),
+         |lsz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+         |li AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN shf a ON a.doc_id = c.doc_a
+         |  JOIN shf b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |lshp AS MATERIALIZED (SELECT l.doc_a, l.doc_b FROM li l
+         |  JOIN lsz x ON l.doc_a = x.doc_id JOIN lsz y ON l.doc_b = y.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5),
+         |tok AS (SELECT doc_id, unnest(ws) AS word FROM words),
+         |hx AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h16 FROM tok),
+         |bits AS (SELECT doc_id, b, sum(((h16 >> CAST(b AS INTEGER)) & 1) * 2 - 1) AS s
+         |  FROM hx, (SELECT unnest(range(16)) AS b) bb GROUP BY doc_id, b),
+         |simt AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0
+         |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |simp AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM simt a JOIN simt b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |cut AS (SELECT doc_id, ws,
+         |  list_sort(list_distinct(list_concat(list_concat([0],
+         |    list_filter(range(1, len(ws)+1),
+         |      i -> ('0x' || substr(md5(ws[i]), 1, 6))::BIGINT % 8 = 0)),
+         |    [len(ws)]))) AS bounds
+         |  FROM words),
+         |chd AS (SELECT DISTINCT doc_id,
+         |  ('0x' || substr(md5(chunk), 1, 12))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(bounds)),
+         |    j -> array_to_string(ws[bounds[j]+1:bounds[j+1]], ' '))) AS chunk
+         |    FROM cut)),
+         |cdcp AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM chd a JOIN chd b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |nt AS (SELECT count(*) AS n_truth FROM truth),
+         |m AS (
+         |  SELECT 'lsh_jaccard' AS modality,
+         |    (SELECT count(*) FROM lshp) AS n_pred,
+         |    (SELECT count(*) FROM lshp JOIN truth USING (doc_a, doc_b)) AS n_hits
+         |  UNION ALL
+         |  SELECT 'simhash',
+         |    (SELECT count(*) FROM simp),
+         |    (SELECT count(*) FROM simp JOIN truth USING (doc_a, doc_b))
+         |  UNION ALL
+         |  SELECT 'cdc_chunks',
+         |    (SELECT count(*) FROM cdcp),
+         |    (SELECT count(*) FROM cdcp JOIN truth USING (doc_a, doc_b)))
+         |SELECT modality, n_pred, nt.n_truth, n_hits,
+         |  COALESCE(round(CAST(n_hits AS DOUBLE) /
+         |    nullif(CAST(n_pred AS DOUBLE), 0), 6), 0.0) AS precision,
+         |  COALESCE(round(CAST(n_hits AS DOUBLE) /
+         |    nullif(CAST(nt.n_truth AS DOUBLE), 0), 6), 0.0) AS recall
+         |FROM m, nt""".stripMargin,
 
     // Corpus-side df cap (>10% of corpus docs), denominators from the
     // UNCAPPED shingle sets of both sides.

@@ -189,6 +189,12 @@ object TimeSeriesQueries {
           (col("value") * col("weight")).as("weighted"))
     },
 
+    // Skew diagnosis: top-5 heaviest keys with share and ratio-to-mean —
+    // the measurement behind every df-cap/salting decision in the engine.
+    "skew_report" -> { (s, dir) =>
+      graft.ops.Skew.diagnose(Tables.events(s, dir), "event_type", k = 5)
+    },
+
     // J7 (beyond ref): cross-feature Pearson correlation over the aligned
     // frame — explicit moments, identical arithmetic in any engine.
     "j7_feature_corr" -> { (s, dir) =>
@@ -427,6 +433,14 @@ object TimeSeriesQueries {
         |    60.0 + CAST(user_id % 40 AS DOUBLE) AS weight FROM events)
         |SELECT e.event_id, e.user_id, d.weight, e.value * d.weight AS weighted
         |FROM events e JOIN dim d USING (user_id)""".stripMargin,
+
+    "skew_report" ->
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+        |  CAST(count(*) AS DOUBLE) AS nk FROM c)
+        |SELECT event_type, cnt, round(cnt / total, 6) AS share,
+        |  round(cnt * nk / total, 6) AS ratio_to_mean
+        |FROM c, t ORDER BY cnt DESC, event_type LIMIT 5""".stripMargin,
 
     "j7_feature_corr" ->
       """WITH al AS (SELECT user_id,

@@ -25,6 +25,19 @@ object StreamDedup {
   def withContentHash(stream: DataFrame, textCol: String): DataFrame =
     stream.withColumn("content_hash", md5(col(textCol)))
 
+  /** Novelty gate against a STATIC fingerprint store — the streaming face
+    * of [[graft.ops.Dedup.incrementalPairs]]' exact tier: each micro-batch
+    * anti-joins the accumulated corpus store (a parquet table of content
+    * hashes), so only never-seen documents pass. The store re-reads per
+    * batch (stream-static join semantics) — at scale keep it as a compact
+    * hash-only table, optionally bucketed by the hash for a shuffle-free
+    * probe; pair with [[exactWithinWatermark]] upstream for within-stream
+    * duplicates the store hasn't absorbed yet.
+    */
+  def novelAgainstStore(stream: DataFrame, store: DataFrame,
+                        keyCols: Seq[String]): DataFrame =
+    stream.join(store, keyCols, "left_anti")
+
   /** SimHash key for NEAR-dup streaming dedup: the signature is invariant
     * to token order and collapses token-multiset-identical documents
     * (shuffled boilerplate, reordered lists) that content-hash dedup

@@ -54,6 +54,36 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(shared >= 1, "at least one chunk shared across the two docs")
   }
 
+  test("boilerplateStrip removes exactly the hot-covered tokens") {
+    // 8 of 10 docs end with the same 5-token run; maxDf=0.5 → its 3 fully-
+    // interior trigrams are hot, covering tokens 4..8 of each planted doc.
+    val boiler = "b1 b2 b3 b4 b5"
+    val docs = ((1 to 8).map(i => (i.toLong, s"u${i}a u${i}b u${i}c $boiler")) ++
+      Seq((9L, "x1 x2 x3 x4 x5 x6 x7"))).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateStrip(docs, "doc_id", "text",
+        n = 3, maxDocFrequency = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("u1a u1b u1c", 8L, 5L)), s"planted doc: ${got(1L)}")
+    assert(got(9L) == (("x1 x2 x3 x4 x5 x6 x7", 7L, 0L)),
+      s"clean doc unchanged: ${got(9L)}")
+  }
+
+  test("winsorize clamps exactly the out-of-band values to exact quantiles") {
+    // 1..20 plus outlier 1000: p05 of 21 values = 2.0, p95 = 20.0 exactly
+    // (the interpolation (n-1)p+1 lands on integer ranks) — so value 1
+    // saturates up to 2, 1000 saturates down to 20, everything else passes.
+    val df = ((1 to 20).map(v => (v.toLong, "g", v.toDouble)) :+
+      (21L, "g", 1000.0)).toDF("id", "grp", "value")
+    val got = graft.ops.Stats.winsorize(df, "value", "grp", 0.05, 0.95)
+      .select("id", "value_wins", "clamped")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((2.0, 1)), s"low outlier saturates: ${got(1L)}")
+    assert(got(21L) == ((20.0, 1)), s"high outlier saturates: ${got(21L)}")
+    assert(got(10L) == ((10.0, 0)), s"in-band untouched: ${got(10L)}")
+    assert(got.values.count(_._2 == 1) == 2, "exactly two clamped rows")
+  }
+
   test("incrementalPairs finds batch-vs-corpus near-copies only, cap-safe denominators") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     // Corpus: the original + unrelated docs, 60% of which share a hot

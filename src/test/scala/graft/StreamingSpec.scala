@@ -213,6 +213,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static novelty gate drops docs already in the corpus store") {
+    import org.apache.spark.sql.Encoder
+    // Static store: content hashes of the accumulated corpus.
+    val store = graft.streaming.StreamDedup.withContentHash(
+      Seq(("c1", "alpha beta"), ("c2", "gamma delta")).toDF("doc_id", "text"),
+      "text").select("content_hash")
+    val input = MemoryStream[(String, Long, String)](
+      implicitly[Encoder[(String, Long, String)]], spark)
+    val stream = input.toDF().toDF("doc_id", "ts_us", "text")
+    val novel = graft.streaming.StreamDedup.novelAgainstStore(
+      graft.streaming.StreamDedup.withContentHash(stream, "text"),
+      store, Seq("content_hash"))
+    val q = novel.writeStream.outputMode("append")
+      .format("memory").queryName("stream_novel").start()
+    try {
+      input.addData(Seq(("n1", us(0), "alpha beta"),      // already stored
+        ("n2", us(1), "fresh content one"),
+        ("n3", us(2), "gamma delta")))                    // already stored
+      q.processAllAvailable()
+      input.addData(Seq(("n4", us(3), "fresh content two")))
+      q.processAllAvailable()
+      val kept = spark.table("stream_novel").select("doc_id")
+        .as[String].collect().sorted.toSeq
+      assert(kept == Seq("n2", "n4"),
+        s"only never-stored content passes: $kept")
+    } finally q.stop()
+  }
+
   test("streaming simhash dedup drops order-permuted near-dups exact hashing misses") {
     import org.apache.spark.sql.Encoder
     // The map-side streaming simhash projection must equal the batch
