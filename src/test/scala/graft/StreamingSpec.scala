@@ -213,6 +213,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVF cluster assignment composes into a streaming projection") {
+    import org.apache.spark.sql.Encoder
+    // The map-side assignment (plan-time centroid literals, no join/agg)
+    // must run unchanged on a stream — the ingest-time routing that lets
+    // a streaming sink write cluster-partitioned embeddings.
+    val corpus = (0 until 12).map { i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i % 3) * 10 + j * 0.1).toFloat))
+    }
+    val idx = graft.ops.Similarity.kmeansFit(corpus.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3, iters = 2)
+    val batch = graft.ops.Similarity.ivfAssign(corpus.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx)
+      .as[(Long, Int)].collect().toMap
+
+    val input = MemoryStream[(Long, Seq[Float])](
+      implicitly[Encoder[(Long, Seq[Float])]], spark)
+    val assigned = graft.ops.Similarity.ivfAssign(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", idx)
+    val q = assigned.writeStream.outputMode("append")
+      .format("memory").queryName("stream_ivf").start()
+    try {
+      input.addData(corpus)
+      q.processAllAvailable()
+      val got = spark.table("stream_ivf").as[(Long, Int)].collect().toMap
+      assert(got == batch, "streaming assignment must equal the batch one")
+    } finally q.stop()
+  }
+
   test("stream-static novelty gate drops docs already in the corpus store") {
     import org.apache.spark.sql.Encoder
     // Static store: content hashes of the accumulated corpus.
