@@ -9,6 +9,10 @@ object Verify {
     // Optional 3rd arg: comma-separated query names — targeted local
     // iteration; the driver always invokes with exactly two args.
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    // A typo'd name would otherwise just silently not run and the
+    // targeted iteration would look green.
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] WARNING: unknown query name '$n'")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"),

@@ -143,11 +143,14 @@ object Dedup {
       .join(szNew.select(col(idCol).as("new_id"), col("sz_new")), Seq("new_id"))
       .join(szCorp.select(col(idCol).as("corpus_id"), col("sz_corpus")),
         Seq("corpus_id"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_new") + col("sz_corpus") - col("inter")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("new_id"), col("corpus_id"), col("inter"), col("jaccard"))
+      // Threshold on the UNROUNDED similarity (matching jaccardPairs /
+      // nearDuplicates — the incremental path must cut the same boundary
+      // pairs as a batch backfill); rounding is output formatting only.
+      .withColumn("__j", col("inter").cast("double") /
+        (col("sz_new") + col("sz_corpus") - col("inter")))
+      .filter(col("__j") >= minJaccard)
+      .select(col("new_id"), col("corpus_id"), col("inter"),
+        round(col("__j"), 6).as("jaccard"))
   }
 
   /** Exact pairwise n-gram Jaccard via shingle-set equi-join, keeping pairs

@@ -289,20 +289,29 @@ object Similarity {
     * RNG-seeded k-means. Cosine assignment = spherical k-means, the
     * standard for embedding spaces.
     */
+  /** The ONE deterministic seeding recipe both k-means variants share —
+    * oracle-parity-critical: the k vectors with the smallest md5(id)
+    * prefix (id tie-break), components rounded to 6 dp. Any change here
+    * must land in the SQL oracles' cent0 CTEs too.
+    */
+  private def seedVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                          k: Int): Seq[Seq[Double]] =
+    corpus.select(
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("__h"), col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(k)
+      .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
+
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): IvfIndex = {
     require(k > 0, "k must be positive")
     def foldNorm(vec: Seq[Double]): Double =
       math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
-    val seed = corpus.select(
-        transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"),
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast("long").as("__h"), col(idCol).as("__id"))
-      .orderBy(col("__h"), col("__id")).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0))
-    var cents: Seq[IvfCentroid] = seed.toSeq.zipWithIndex.map { case (v, i) =>
-      IvfCentroid(i, v, foldNorm(v))
-    }
+    var cents: Seq[IvfCentroid] =
+      seedVectors(corpus, idCol, vecCol, k).zipWithIndex.map { case (v, i) =>
+        IvfCentroid(i, v, foldNorm(v))
+      }
     for (_ <- 1 to iters) {
       val assigned = corpus.withColumn("cluster",
         element_at(probeClusters(col(vecCol), normD(col(vecCol)),
@@ -373,6 +382,35 @@ object Similarity {
         round(dotD(col("__va"), col("__vb")) / nullif(col("__na") * col("__nb"), lit(0.0)), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
+  }
+
+  /** Hard-negative mining for contrastive training: each anchor's top-k
+    * nearest neighbors EXCLUDING the near-duplicate band (cosine ≥
+    * `dupThreshold`) — the "close but not the same" examples that make
+    * embedding training losses informative; duplicates in the negative
+    * set actively poison the loss. Same scan-the-corpus /
+    * broadcast-the-queries shape as [[bruteForceKnn]]; the duplicate cut
+    * happens BEFORE the rank window, so the k slots are all genuine
+    * negatives. Compose with the ANN paths for corpus-scale anchors.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    dupThreshold: Double = 0.95): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      normD(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+      normD(col(vecCol)).as("__cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        round(dotD(col("__qv"), col("__cv")) /
+          nullif(col("__qn") * col("__cn"), lit(0.0)), 6))
+      .filter(col("cosine") < dupThreshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
   }
 
   /** SemDeDup-style semantic near-duplicate mining: candidates come from
@@ -509,15 +547,10 @@ object Similarity {
   private[ops] def kmeansFitL2(corpus: DataFrame, idCol: String, vecCol: String,
                                k: Int, iters: Int): Seq[IvfCentroid] = {
     require(k > 0, "k must be positive")
-    val seed = corpus.select(
-        transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"),
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast("long").as("__h"), col(idCol).as("__id"))
-      .orderBy(col("__h"), col("__id")).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0))
-    var cents: Seq[IvfCentroid] = seed.toSeq.zipWithIndex.map { case (v, i) =>
-      IvfCentroid(i, v, 0.0) // norm unused under L2
-    }
+    var cents: Seq[IvfCentroid] =
+      seedVectors(corpus, idCol, vecCol, k).zipWithIndex.map { case (v, i) =>
+        IvfCentroid(i, v, 0.0) // norm unused under L2
+      }
     for (_ <- 1 to iters) {
       val assigned = corpus.withColumn("cluster",
         element_at(scoredL2(col(vecCol), cents), 1).getField("label"))
@@ -539,15 +572,33 @@ object Similarity {
     */
   def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): PqIndex = {
-    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    // The fit drives 1 + m×(1 + iters) driver actions over this frame
+    // (dim probe, per-subspace seed + centroid collects) — scope-cache the
+    // two columns it needs so that isn't 13+ re-reads of the source.
+    val base = OpCaches.scoped(corpus.select(col(idCol), col(vecCol)))
+    val d = base.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"vector dim $d must divide into m=$m subspaces")
     val subDim = d / m
     PqIndex(subDim, (0 until m).map { s =>
       kmeansFitL2(
-        corpus.select(col(idCol), subVec(col(vecCol), s, subDim).as("__sv")),
+        base.select(col(idCol), subVec(col(vecCol), s, subDim).as("__sv")),
         idCol, "__sv", k, iters)
     })
   }
+
+  /** Per-subspace nearest-code assignment structs (position 1 of the
+    * sorted score array per subspace) — the ONE definition of "a vector's
+    * PQ codes", shared by [[pqEncode]] and [[ivfPqKnn]] so stored codes
+    * and ADC candidates can never drift apart.
+    */
+  private def pqBest(vecCol: String, index: PqIndex) =
+    (0 until index.m).map { s =>
+      element_at(scoredL2(subVec(col(vecCol), s, index.subDim),
+        index.codebooks(s)), 1)
+    }
+
+  private def pqCodes(vecCol: String, index: PqIndex) =
+    array(pqBest(vecCol, index).map(_.getField("label").cast("int")): _*)
 
   /** Encode every vector as its per-subspace nearest-centroid codes, plus
     * the total squared reconstruction error (the PQ quality audit).
@@ -557,27 +608,39 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                index: PqIndex): DataFrame = {
-    val best = (0 until index.m).map { s =>
-      element_at(scoredL2(subVec(col(vecCol), s, index.subDim),
-        index.codebooks(s)), 1)
-    }
+    val best = pqBest(vecCol, index)
     corpus.select(col(idCol),
-      array(best.map(_.getField("label").cast("int")): _*).as("codes"),
+      pqCodes(vecCol, index).as("codes"),
       round(best.map(_.getField("d2")).reduce(_ + _), 6).as("recon_d2"))
   }
 
-  /** Asymmetric-distance (ADC) kNN over PQ codes: each query precomputes a
-    * (subspace × code) table of rounded squared-L2 distances to every
-    * codebook centroid — m×k doubles, plan-time literal centroids — and a
-    * candidate then scores with m table lookups instead of d float ops.
-    * The corpus side carries ONLY its codes: at scale this is the
-    * scan-the-codes / broadcast-the-queries shape of [[bruteForceKnn]]
-    * with a d/m-fold smaller corpus row. Lookups are label-equality
-    * when-chains (gap-safe after empty-cluster collapse; k is small by
-    * construction — swap to element_at over a dense table for k ≥ 64).
-    * Returns (query_id, cand_id, adc_d2, rn); rank ascending by rounded
-    * distance, id tie-break.
+  /** Persist a fitted product quantizer like [[ivfSave]] persists an IVF
+    * index: one row per (subspace, code) centroid. PQ codebooks are the
+    * artifact a 100 TB encode job broadcasts — fit once, encode forever;
+    * a re-fit would re-code the whole store.
     */
+  def pqSave(spark: SparkSession, index: PqIndex, path: String): Unit = {
+    import spark.implicits._
+    index.codebooks.zipWithIndex.flatMap { case (cents, s) =>
+      cents.map(c => (s, labelKey(c.label)._2.toInt, c.vec))
+    }.toDF("subspace", "label", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Restore an index written by [[pqSave]]; encodes bit-identically to
+    * the fresh fit (labels and vectors round-trip exactly).
+    */
+  def pqLoad(spark: SparkSession, path: String): PqIndex = {
+    val rows = spark.read.parquet(path)
+      .select(col("subspace"), col("label"), col("centroid")).collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.toSeq.map(r => IvfCentroid(r.getInt(1), r.getSeq[Double](2), 0.0))
+        .sortBy(c => labelKey(c.label))
+    }
+    require(books.nonEmpty, s"no PQ codebooks at $path")
+    PqIndex(books.head.head.vec.size, books)
+  }
+
   /** Per-query ADC distance-table columns `__dt_{s}_{label}` (rounded
     * squared-L2 from the query's subvector to every codebook centroid).
     */
@@ -601,6 +664,18 @@ object Similarity {
       }
     }.reduce(_ + _)
 
+  /** Asymmetric-distance (ADC) kNN over PQ codes: each query precomputes a
+    * (subspace × code) table of rounded squared-L2 distances to every
+    * codebook centroid — m×k doubles, plan-time literal centroids — and a
+    * candidate then scores with m table lookups instead of d float ops.
+    * The corpus side carries ONLY its codes: at scale this is the
+    * scan-the-codes / broadcast-the-queries shape of [[bruteForceKnn]]
+    * with a d/m-fold smaller corpus row. Lookups are label-equality
+    * when-chains (gap-safe after empty-cluster collapse; k is small by
+    * construction — swap to element_at over a dense table for k ≥ 64).
+    * Returns (query_id, cand_id, adc_d2, rn); rank ascending by rounded
+    * distance, id tie-break.
+    */
   def pqAdcKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, index: PqIndex): DataFrame = {
     val q = queries.select(col(idCol).as("query_id") +: adcTableCols(vecCol, index): _*)
@@ -633,13 +708,11 @@ object Similarity {
         explode(probeClusters(col(vecCol), normD(col(vecCol)), coarse, nprobe))
           .as("cluster") +:
         adcTableCols(vecCol, pq): _*)
-    // One map-side projection: codes + cluster together (no self-join).
-    val best = (0 until pq.m).map { s =>
-      element_at(scoredL2(subVec(col(vecCol), s, pq.subDim), pq.codebooks(s)), 1)
-    }
+    // One map-side projection: codes + cluster together (no self-join);
+    // the code assignment is pqCodes — the same definition pqEncode stores.
     val codes = corpus.select(col(idCol).as("cand_id"),
       col(clusterCol).as("cluster"),
-      array(best.map(_.getField("label").cast("int")): _*).as("codes"))
+      pqCodes(vecCol, pq).as("codes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("cand_id"))
     codes.join(broadcast(q), Seq("cluster"))

@@ -490,14 +490,24 @@ object TextAnalysis {
     * only joins are the bounded broadcast and a per-doc starts
     * aggregation. Docs with no hot positions pass through unchanged.
     */
-  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, maxDocFrequency: Double = 0.05): DataFrame = {
+  /** The ONE hot-shingle ("corpus stop-shingle") derivation shared by
+    * [[boilerplateShare]] and [[boilerplateStrip]]: distinct doc-shingle
+    * df strictly above `maxDocFrequency` × distinct docs. Bounded by
+    * (avg shingles per doc)/maxDf rows — broadcastable by construction.
+    */
+  private def hotShingleSet(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, maxDocFrequency: Double): DataFrame = {
     val nDocs = docs.agg(countDistinct(col(idCol)).cast("double").as("__nd"))
-    val hot = Dedup.shingleSets(docs, idCol, textCol, n, None)
+    Dedup.shingleSets(docs, idCol, textCol, n, None)
       .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("__df") > lit(maxDocFrequency) * col("__nd"))
       .select(col("shingle"))
+  }
+
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxDocFrequency: Double = 0.05): DataFrame = {
+    val hot = hotShingleSet(docs, idCol, textCol, n, maxDocFrequency)
     // 1-based start positions of hot shingle occurrences, per doc.
     val starts = docs.select(col(idCol),
         posexplode(wordShingles(words(col(textCol)), n)))
@@ -615,12 +625,7 @@ object TextAnalysis {
     */
   def boilerplateShare(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, maxDocFrequency: Double = 0.05): DataFrame = {
-    val nDocs = docs.agg(countDistinct(col(idCol)).cast("double").as("__nd"))
-    val hot = Dedup.shingleSets(docs, idCol, textCol, n, None)
-      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("__df") > lit(maxDocFrequency) * col("__nd"))
-      .select(col("shingle"))
+    val hot = hotShingleSet(docs, idCol, textCol, n, maxDocFrequency)
     val positions = docs.select(col(idCol),
       explode(wordShingles(words(col(textCol)), n)).as("shingle"))
     val boiler = positions.join(broadcast(hot), Seq("shingle"), "left_semi")

@@ -243,6 +243,15 @@ object SimilarityQueries {
         "embedding", k = 3, index = idx)
     },
 
+    // Hard-negative mining: top-3 nearest below the near-dup band
+    // (cosine < 0.9) — contrastive-training negatives with duplicates
+    // excluded BEFORE ranking.
+    "ann_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(expr(QueryPred)), "vec_id",
+        "embedding", k = 3, dupThreshold = 0.9)
+    },
+
     // SemDeDup-style semantic dedup: k-means co-membership candidates
     // (top-2 multi-assignment) + exact cosine verify — data-adaptive
     // partitions vs cosinePairs' fixed LSH buckets.
@@ -522,6 +531,18 @@ object SimilarityQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
          |  FROM p)
          |SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "ann_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $QueryPred),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |p AS (SELECT query_id, cand_id,
+         |  round(${dotSql("qv", "cv")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
+         |  FROM q, c WHERE query_id <> cand_id),
+         |r AS (SELECT query_id, cand_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+         |  FROM p WHERE cosine < 0.9)
+         |SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 3""".stripMargin,
 
     "ann_lsh_bucketed" ->
       s"""WITH sig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket

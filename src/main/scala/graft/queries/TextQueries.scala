@@ -1591,7 +1591,7 @@ object TextQueries {
          |  round(CAST(inter AS DOUBLE) / (x.sz + y.sz - inter), 6) AS jaccard
          |FROM i JOIN szs x ON i.new_id = x.doc_id
          |  JOIN szs y ON i.corpus_id = y.doc_id
-         |WHERE round(CAST(inter AS DOUBLE) / (x.sz + y.sz - inter), 6) >= 0.5""".stripMargin,
+         |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5""".stripMargin,
 
     // Cumulative weight in deterministic hash order; the cum column only
     // gates the WHERE, so its engine-side type never reaches the compare.

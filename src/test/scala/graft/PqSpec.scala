@@ -108,6 +108,36 @@ class PqSpec extends AnyFunSuite {
     assert(got == expect, s"missing ${expect -- got}, extra ${got -- expect}")
   }
 
+  test("pqSave/pqLoad round-trips: the loaded index encodes bit-identically") {
+    val emb = fixture
+    val idx = Similarity.pqFit(emb, "vec_id", "embedding", m = 2, k = 3, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pq_store").toString
+    Similarity.pqSave(spark, idx, dir)
+    val loaded = Similarity.pqLoad(spark, dir)
+    assert(loaded.subDim == idx.subDim && loaded.m == idx.m)
+    val a = Similarity.pqEncode(emb, "vec_id", "embedding", idx)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).sortBy(_._1)
+    val b = Similarity.pqEncode(emb, "vec_id", "embedding", loaded)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "loaded quantizer must encode identically")
+  }
+
+  test("hardNegatives excludes the duplicate band before ranking") {
+    val emb = fixture
+    // dupThreshold 0.9: cluster-mates (cosine ≈ 1) are excluded, so every
+    // returned negative comes from a DIFFERENT cluster.
+    val got = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3, dupThreshold = 0.9)
+      .join(emb.select(col("vec_id").as("cand_id"), col("truth").as("ct")), Seq("cand_id"))
+      .join(emb.select(col("vec_id").as("query_id"), col("truth").as("qt")), Seq("query_id"))
+      .collect()
+    assert(got.length == 9, s"3 queries × k=3: ${got.length}")
+    got.foreach { r =>
+      assert(r.getAs[Int]("ct") != r.getAs[Int]("qt"),
+        s"negatives must come from outside the anchor's cluster: $r")
+    }
+  }
+
   test("pqFit survives k > distinct vectors (empty-cluster collapse)") {
     val emb = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f)), (3L, Seq(5f, 6f)))
       .toDF("vec_id", "embedding")
