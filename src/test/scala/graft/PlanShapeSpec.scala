@@ -203,4 +203,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(win >= 0 && thin > win,
       s"pre-thin filter must feed the rank window:\n${p.take(1500)}")
   }
+
+  test("token-budget sampling pre-thins before the cumulative-sum window") {
+    val p = plan("sample_token_budget")
+    val win = p.indexOf("Window")
+    val thin = p.indexOf("least(1.0,")
+    assert(win >= 0 && thin > win,
+      s"pre-thin filter must feed the budget window:\n${p.take(1500)}")
+  }
+
+  test("BM25 ranks via distributed top-k with a broadcast df side") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"BM25 top-k must be TakeOrderedAndProject:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-term document frequencies (≤ |terms| rows) must broadcast")
+  }
+
+  test("boilerplate share and strip broadcast the bounded hot-shingle set") {
+    Seq("text_boilerplate_share", "text_boilerplate_strip").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+        s"$q must probe the hot set via broadcast semi-join:\n${p.take(1200)}")
+    }
+  }
+
+  test("hard-negative mining broadcasts the anchor side (no corpus shuffle)") {
+    val p = plan("ann_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("Exchange hashpartitioning(cand_id"),
+      "the corpus must stream, never shuffle by candidate")
+  }
 }
