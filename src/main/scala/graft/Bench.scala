@@ -63,7 +63,12 @@ object Bench {
     // Warm-up pass: run every query once untimed so the timed pass measures
     // steady-state execution (codegen compilation and JIT dominate first
     // runs by 3-8×), then time each query.
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run for targeted iteration on a
+    // few queries (the driver's full run sets no filter).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       release()

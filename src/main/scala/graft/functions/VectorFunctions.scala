@@ -34,12 +34,24 @@ object VectorFunctions {
 
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
-  /** Squared L2 distance — sequential left fold in index order, the same
-    * evaluation order as DuckDB `list_sum(list_transform(range(len(a)),
-    * i -> (a[i+1]-b[i+1])*(a[i+1]-b[i+1])))`, so PQ assignment and ADC
-    * scores are bit-identical across engines.
+  /** Squared L2 distance in double precision — backed by the native
+    * codegen'd [[VectorExpressions.L2SqD]] (tight primitive loop; no
+    * intermediate zipped array). Bit-identical to [[l2sqFold]]: the same
+    * sequential left fold in index order as DuckDB `list_sum(
+    * list_transform(range(len(a)), i -> (a[i+1]-b[i+1])*(a[i+1]-b[i+1])))`,
+    * so PQ assignment and ADC scores are unchanged across engines.
     */
-  def l2sqD(a: Column, b: Column): Column =
+  def l2sqD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    CatalystBridge.column(VectorExpressions.L2SqD(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+  }
+
+  /** Reference formulation of [[l2sqD]] via built-in higher-order
+    * functions — the differential-testing baseline, portable to engines
+    * without expression extension points.
+    */
+  def l2sqFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
         (x.cast("double") - y.cast("double"))),

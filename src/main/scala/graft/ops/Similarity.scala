@@ -516,102 +516,176 @@ object Similarity {
     def m: Int = codebooks.size
   }
 
-  /** Subvector `s` of a vector column as doubles (1-based slice). */
-  private def subVec(v: org.apache.spark.sql.Column, s: Int, subDim: Int) =
-    transform(slice(v, s * subDim + 1, subDim), x => x.cast("double"))
-
-  /** Per-centroid (rounded squared-L2, label) structs sorted ascending with
-    * label tie-break — position 1 is the assignment; its `d2` field is the
-    * reconstruction error contribution. All plan-time literals: zero
-    * shuffles for assignment, same mechanism as [[probeClusters]].
+  /** Strict numeric→Int label. PQ/L2-k-means labels are Int by
+    * construction (seeds 0..k−1, then groupBy of that value); anything
+    * else fails loudly here instead of silently collapsing codes — e.g.
+    * mapping every label to slot 0 in a persisted codebook.
     */
-  private def scoredL2(v: org.apache.spark.sql.Column,
-                       cents: Seq[IvfCentroid]): org.apache.spark.sql.Column = {
-    val scored = array(cents.map { c =>
-      struct(round(l2sqD(v, typedlit(c.vec)), 6).as("d2"), lit(c.label).as("label"))
-    }: _*)
-    array_sort(scored, (l, r) =>
-      when(l.getField("d2") < r.getField("d2"), -1)
-        .when(l.getField("d2") > r.getField("d2"), 1)
-        .when(l.getField("label") < r.getField("label"), -1)
-        .when(l.getField("label") > r.getField("label"), 1)
-        .otherwise(0))
+  private def intLabel(label: Any): Int = label match {
+    case n: java.lang.Number => n.intValue()
+    case x => throw new IllegalArgumentException(
+      s"expected a numeric centroid label, got: $x")
   }
 
-  /** Deterministic EUCLIDEAN k-means on a (sub)vector column — the PQ
-    * codebook trainer. Same recipe as [[kmeansFit]] (smallest-md5 seeding,
-    * 6-dp rounded centroid updates, label tie-breaks) but with squared-L2
-    * assignment: subvector magnitude carries information, so spherical
-    * assignment would be wrong here.
+  /** Dense distance table for one L2 codebook: slot `label+1` (1-based,
+    * for element_at) holds the rounded squared-L2 from `sv` to that
+    * label's centroid; labels gapped by empty-cluster collapse hold NaN —
+    * never selected, because NaN orders above every real double in
+    * Spark's `array_min`, and stored codes only take live labels (a gap
+    * slot holds an all-NaN centroid, so its distance is NaN by
+    * arithmetic). Zero shuffles: the whole codebook is ONE plan-time
+    * `array<array<double>>` literal swept by a single `transform` — k
+    * separate per-centroid literal expressions made Catalyst
+    * analysis/codegen of a k=256 plan cost tens of seconds, the matrix
+    * form is O(1) plan size at any k. The dense layout is what keeps both
+    * encode-side argmin and candidate-side ADC scoring O(1)-per-lookup at
+    * ANY codebook size — k=256, the PQ standard, included — where the
+    * former label-equality when-chain was an O(k) conditional per
+    * subspace per row and capped practical codebooks below 64.
+    *
+    * `sv` MUST be a materialized projection column (attribute), not a
+    * computed expression: the lambda body re-evaluates per element, and
+    * there is no CSE inside Catalyst lambda bodies.
     */
-  private[ops] def kmeansFitL2(corpus: DataFrame, idCol: String, vecCol: String,
-                               k: Int, iters: Int): Seq[IvfCentroid] = {
-    require(k > 0, "k must be positive")
-    var cents: Seq[IvfCentroid] =
-      seedVectors(corpus, idCol, vecCol, k).zipWithIndex.map { case (v, i) =>
-        IvfCentroid(i, v, 0.0) // norm unused under L2
-      }
-    for (_ <- 1 to iters) {
-      val assigned = corpus.withColumn("cluster",
-        element_at(scoredL2(col(vecCol), cents), 1).getField("label"))
-      cents = centroids(assigned, "cluster", vecCol).collect().toSeq.map { r =>
-        IvfCentroid(r.get(0), r.getSeq[Double](1), 0.0)
-      }.sortBy(c => labelKey(c.label))
-    }
-    cents
+  private def denseD2Table(sv: org.apache.spark.sql.Column,
+                           cents: Seq[IvfCentroid]): org.apache.spark.sql.Column = {
+    val byLabel = cents.map(c => intLabel(c.label) -> c.vec).toMap
+    val subDim = cents.head.vec.size
+    val mat: Seq[Seq[Double]] = (0 to byLabel.keys.max).map(l =>
+      byLabel.getOrElse(l, Seq.fill(subDim)(Double.NaN)))
+    // Native fused table (bit-identical to
+    // `transform(typedlit(mat), c => round(l2sqD(sv, c), 6))`, pinned by a
+    // differential property test): one codegen'd call per row instead of k
+    // interpreted lambda dispatches per subspace.
+    import org.apache.spark.sql.graft.CatalystBridge
+    CatalystBridge.column(graft.functions.VectorExpressions.L2SqTableD(
+      CatalystBridge.expression(sv),
+      CatalystBridge.expression(typedlit(mat))))
   }
+
+  /** Argmin over a dense table column: 1-based position of the FIRST
+    * minimum − 1 = the smallest live label holding the minimum rounded
+    * distance — the same (d2 asc, label asc) tie-break the sorted-struct
+    * formulation used. The table column must be a materialized projection
+    * column (it is referenced twice).
+    */
+  private def argminCode(dt: org.apache.spark.sql.Column) =
+    (array_position(dt, array_min(dt)) - 1).cast("int")
 
   /** Fit a product quantizer: split the `d`-dim space into `m` contiguous
-    * subspaces (`d % m == 0`) and train an independent k-means codebook in
-    * each. PQ is the memory lever BEYOND [[quantizeInt8]]: a vector
-    * compresses to m small codes (m bytes at k ≤ 256) instead of d floats
-    * — the difference between an embedding store that fits executor memory
-    * at 100 TB corpus scale and one that doesn't. m sequential fits, each
-    * the [[kmeansFitL2]] shape (map-side assignment, one distributed mean
-    * aggregation per iteration).
+    * subspaces (`d % m == 0`) and train an independent EUCLIDEAN k-means
+    * codebook in each — same recipe as [[kmeansFit]] (smallest-md5
+    * seeding, 6-dp rounded centroid updates, label tie-breaks) but with
+    * squared-L2 assignment: subvector magnitude carries information, so
+    * spherical assignment would be wrong here. PQ is the memory lever
+    * BEYOND [[quantizeInt8]]: a vector compresses to m small codes
+    * (m bytes at k ≤ 256) instead of d floats — the difference between an
+    * embedding store that fits executor memory at 100 TB corpus scale and
+    * one that doesn't.
+    *
+    * All m Lloyd chains advance together: seeding is ONE collect (the k
+    * smallest-md5 full vectors seed every subspace — a subspace seed is
+    * the slice of a full-vector seed, numerically identical to seeding
+    * each subspace separately), and each iteration is ONE distributed
+    * aggregation (map-side per-subspace argmin assignment, then a single
+    * grouped mean over (subspace, code, component)). The naive
+    * m-sequential form costs m×(1+iters) driver round-trips — at m=8
+    * that made driver latency, not compute, the fit wall-time.
     */
   def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): PqIndex = {
-    // The fit drives 1 + m×(1 + iters) driver actions over this frame
-    // (dim probe, per-subspace seed + centroid collects) — scope-cache the
-    // two columns it needs so that isn't 13+ re-reads of the source.
-    val base = OpCaches.scoped(corpus.select(col(idCol), col(vecCol)))
+    require(k > 0, "k must be positive")
+    // The fit drives 2 + iters driver actions over this frame (dim probe,
+    // seed collect, one fused update per iteration) — scope-cache the two
+    // columns it needs so that isn't iters+2 re-reads of the source, and
+    // REPARTITION it across the cluster first: an iterative fit re-sweeps
+    // the same (small relative to the corpus) training frame every round,
+    // and a sample that arrived in one or few input splits would otherwise
+    // pin every Lloyd pass to as many cores. One tiny shuffle buys
+    // cluster-wide assignment parallelism for all iterations.
+    val base = OpCaches.scoped(corpus.select(col(idCol), col(vecCol))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism))
     val d = base.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"vector dim $d must divide into m=$m subspaces")
     val subDim = d / m
-    PqIndex(subDim, (0 until m).map { s =>
-      kmeansFitL2(
-        base.select(col(idCol), subVec(col(vecCol), s, subDim).as("__sv")),
-        idCol, "__sv", k, iters)
-    })
+    val seeds = seedVectors(base, idCol, vecCol, k)
+    var books: Seq[Seq[IvfCentroid]] = (0 until m).map { s =>
+      seeds.zipWithIndex.map { case (v, i) =>
+        IvfCentroid(i, v.slice(s * subDim, (s + 1) * subDim), 0.0)
+      }
+    }
+    for (_ <- 1 to iters) {
+      // (subspace, code, subvector) triples for every row, assignment
+      // entirely map-side; then one shuffle: mean per (s, code, pos),
+      // rounded to 6 dp — the same update centroids() applies, keyed by
+      // subspace as well.
+      val sliced = base.select((0 until m).map(s =>
+        slice(col(vecCol), s * subDim + 1, subDim).as(svCol(s))): _*)
+      val tabled = sliced.select((0 until m).map(s => col(svCol(s))) ++
+        (0 until m).map(s => denseD2Table(col(svCol(s)), books(s)).as(dtCol(s))): _*)
+      val triples = tabled.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), argminCode(col(dtCol(s))).as("code"),
+          col(svCol(s)).as("sv"))): _*)).as("e"))
+      val rows = triples
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.sv")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("c"))
+        .groupBy(col("s"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), round(col("c"), 6).as("c"))))
+          .as("__a"))
+        .select(col("s"), col("code"),
+          transform(col("__a"), x => x.getField("c")).as("centroid"))
+        .collect()
+      books = (0 until m).map { s =>
+        rows.filter(_.getInt(0) == s).toSeq.map { r =>
+          IvfCentroid(r.getInt(1), r.getSeq[Double](2), 0.0)
+        }.sortBy(c => labelKey(c.label))
+      }
+    }
+    PqIndex(subDim, books)
   }
 
-  /** Per-subspace nearest-code assignment structs (position 1 of the
-    * sorted score array per subspace) — the ONE definition of "a vector's
-    * PQ codes", shared by [[pqEncode]] and [[ivfPqKnn]] so stored codes
-    * and ADC candidates can never drift apart.
-    */
-  private def pqBest(vecCol: String, index: PqIndex) =
-    (0 until index.m).map { s =>
-      element_at(scoredL2(subVec(col(vecCol), s, index.subDim),
-        index.codebooks(s)), 1)
-    }
+  private def svCol(s: Int) = s"__sv_$s"
+  private def dtCol(s: Int) = s"__dt_$s"
 
-  private def pqCodes(vecCol: String, index: PqIndex) =
-    array(pqBest(vecCol, index).map(_.getField("label").cast("int")): _*)
+  /** Append per-subspace dense distance tables to `keep` in TWO explicit
+    * projections: subvector slices first, tables second. Each alias is
+    * non-cheap and referenced many times by the next layer (a slice by k
+    * distance terms, a table by argmin + min), so CollapseProject keeps
+    * the layers separate and every slice/table is computed once per row —
+    * the materialize-before-reuse discipline (SCALE.md).
+    */
+  private def withDenseTables(df: DataFrame, keep: Seq[String],
+                              vecCol: String, index: PqIndex): DataFrame = {
+    val sliced = df.select(keep.map(col) ++ (0 until index.m).map(s =>
+      slice(col(vecCol), s * index.subDim + 1, index.subDim).as(svCol(s))): _*)
+    sliced.select(keep.map(col) ++ (0 until index.m).map(s =>
+      denseD2Table(col(svCol(s)), index.codebooks(s)).as(dtCol(s))): _*)
+  }
+
+  /** A row's PQ codes from its dense tables (argmin per subspace) — the
+    * ONE definition of "a vector's PQ codes", shared by [[pqEncode]] and
+    * [[ivfPqKnn]] so stored codes and ADC candidates can never drift
+    * apart.
+    */
+  private def pqCodesFromTables(index: PqIndex) =
+    array((0 until index.m).map(s => argminCode(col(dtCol(s)))): _*)
 
   /** Encode every vector as its per-subspace nearest-centroid codes, plus
     * the total squared reconstruction error (the PQ quality audit).
-    * Entirely map-side — the codebooks are plan-time literals; a
-    * PlanShapeSpec guard pins the no-exchange shape. The error sums the
+    * Entirely map-side — the codebooks are plan-time literals; three
+    * stacked projections (slices → dense tables → argmin codes), no
+    * exchange; a PlanShapeSpec guard pins the shape. The error sums the
     * per-subspace minima left-to-right in subspace order (engine-stable).
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                index: PqIndex): DataFrame = {
-    val best = pqBest(vecCol, index)
-    corpus.select(col(idCol),
-      pqCodes(vecCol, index).as("codes"),
-      round(best.map(_.getField("d2")).reduce(_ + _), 6).as("recon_d2"))
+    val tabled = withDenseTables(corpus, Seq(idCol), vecCol, index)
+    tabled.select(col(idCol),
+      pqCodesFromTables(index).as("codes"),
+      round((0 until index.m).map(s => array_min(col(dtCol(s)))).reduce(_ + _), 6)
+        .as("recon_d2"))
   }
 
   /** Persist a fitted product quantizer like [[ivfSave]] persists an IVF
@@ -622,7 +696,9 @@ object Similarity {
   def pqSave(spark: SparkSession, index: PqIndex, path: String): Unit = {
     import spark.implicits._
     index.codebooks.zipWithIndex.flatMap { case (cents, s) =>
-      cents.map(c => (s, labelKey(c.label)._2.toInt, c.vec))
+      // intLabel throws on a non-numeric label — corrupting the persisted
+      // index (every code collapsed to one slot) must fail loudly.
+      cents.map(c => (s, intLabel(c.label), c.vec))
     }.toDF("subspace", "label", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
@@ -641,44 +717,32 @@ object Similarity {
     PqIndex(books.head.head.vec.size, books)
   }
 
-  /** Per-query ADC distance-table columns `__dt_{s}_{label}` (rounded
-    * squared-L2 from the query's subvector to every codebook centroid).
-    */
-  private def adcTableCols(vecCol: String, index: PqIndex) =
-    (0 until index.m).flatMap { s =>
-      index.codebooks(s).map { c =>
-        round(l2sqD(subVec(col(vecCol), s, index.subDim), typedlit(c.vec)), 6)
-          .as(s"__dt_${s}_${labelKey(c.label)._2.toInt}")
-      }
-    }
-
-  /** Candidate ADC distance: m label-equality lookups into the query-side
-    * `__dt_*` columns, summed left-to-right in subspace order.
+  /** Candidate ADC distance: m element_at lookups into the query-side
+    * dense `__dt_*` tables (the stored code selects the slot), summed
+    * left-to-right in subspace order — O(1) per lookup at any codebook
+    * size.
     */
   private def adcDist(index: PqIndex): org.apache.spark.sql.Column =
     (0 until index.m).map { s =>
-      val code = element_at(col("codes"), s + 1)
-      index.codebooks(s).foldRight(lit(Double.NaN)) { (c, acc) =>
-        when(code === lit(labelKey(c.label)._2.toInt),
-          col(s"__dt_${s}_${labelKey(c.label)._2.toInt}")).otherwise(acc)
-      }
+      element_at(col(dtCol(s)), element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
 
-  /** Asymmetric-distance (ADC) kNN over PQ codes: each query precomputes a
-    * (subspace × code) table of rounded squared-L2 distances to every
-    * codebook centroid — m×k doubles, plan-time literal centroids — and a
-    * candidate then scores with m table lookups instead of d float ops.
-    * The corpus side carries ONLY its codes: at scale this is the
-    * scan-the-codes / broadcast-the-queries shape of [[bruteForceKnn]]
-    * with a d/m-fold smaller corpus row. Lookups are label-equality
-    * when-chains (gap-safe after empty-cluster collapse; k is small by
-    * construction — swap to element_at over a dense table for k ≥ 64).
+  /** Asymmetric-distance (ADC) kNN over PQ codes: each query precomputes m
+    * dense distance tables — rounded squared-L2 from its subvector to
+    * every codebook centroid, m arrays of ≤k doubles, plan-time literal
+    * centroids — and a candidate then scores with m element_at lookups
+    * instead of d float ops. The corpus side carries ONLY its codes: at
+    * scale this is the scan-the-codes / broadcast-the-queries shape of
+    * [[bruteForceKnn]] with a d/m-fold smaller corpus row, and the dense
+    * tables keep scoring O(m) at the PQ-standard k=256.
     * Returns (query_id, cand_id, adc_d2, rn); rank ascending by rounded
     * distance, id tie-break.
     */
   def pqAdcKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, index: PqIndex): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id") +: adcTableCols(vecCol, index): _*)
+    val q = withDenseTables(
+      queries.select(col(idCol).as("query_id"), col(vecCol)),
+      Seq("query_id"), vecCol, index)
     val codes = pqEncode(corpus, idCol, vecCol, index)
       .select(col(idCol).as("cand_id"), col("codes"))
     val w = Window.partitionBy(col("query_id"))
@@ -703,16 +767,20 @@ object Similarity {
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, clusterCol: String, k: Int, nprobe: Int,
                coarse: IvfIndex, pq: PqIndex): DataFrame = {
-    val q = queries.select(
-      col(idCol).as("query_id") +:
-        explode(probeClusters(col(vecCol), normD(col(vecCol)), coarse, nprobe))
-          .as("cluster") +:
-        adcTableCols(vecCol, pq): _*)
-    // One map-side projection: codes + cluster together (no self-join);
-    // the code assignment is pqCodes — the same definition pqEncode stores.
-    val codes = corpus.select(col(idCol).as("cand_id"),
-      col(clusterCol).as("cluster"),
-      pqCodes(vecCol, pq).as("codes"))
+    val probed = queries.select(
+      col(idCol).as("query_id"),
+      explode(probeClusters(col(vecCol), normD(col(vecCol)), coarse, nprobe))
+        .as("cluster"),
+      col(vecCol))
+    val q = withDenseTables(probed, Seq("query_id", "cluster"), vecCol, pq)
+    // Map-side projections only: codes + cluster together (no self-join);
+    // the code assignment is pqCodesFromTables — the same definition
+    // pqEncode stores.
+    val codes = withDenseTables(
+      corpus.select(col(idCol).as("cand_id"), col(clusterCol).as("cluster"),
+        col(vecCol)),
+      Seq("cand_id", "cluster"), vecCol, pq)
+      .select(col("cand_id"), col("cluster"), pqCodesFromTables(pq).as("codes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("cand_id"))
     codes.join(broadcast(q), Seq("cluster"))

@@ -86,5 +86,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dot_product_d"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.VectorExpressions.DotProductD(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("l2sq_d"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.VectorExpressions.L2SqD].getName,
+        "l2sq_d"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VectorExpressions.L2SqD(exprs(0), exprs(1))))
   }
 }

@@ -138,6 +138,75 @@ object SimilarityQueries {
        |${(0 until m).map(subChain).mkString(",\n")}""".stripMargin
   }
 
+  // Oracle for Similarity.pqAdcKnn at arbitrary m: per-subspace query
+  // distance tables (qd{s}) joined to the stored codes (f{s}) by label —
+  // relational form of the engine's dense element_at lookup.
+  private def pqAdcSql(m: Int, k: Int, iters: Int, dims: Int,
+                       knn: Int): String = {
+    val subDim = dims / m
+    val qctes = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"""q$s AS MATERIALIZED (SELECT vec_id AS query_id,
+         |  list_transform(embedding[$lo:$hi], e -> CAST(e AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE $QueryPred),
+         |qd$s AS MATERIALIZED (SELECT query_id, c.label, round(${l2Sql("qv", "c.c")}, 6) AS d2
+         |  FROM q$s, cent${s}_$iters c)""".stripMargin
+    }.mkString(",\n")
+    val fJoins = (1 until m).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
+    val qJoins = (0 until m).map {
+      case 0 => "JOIN qd0 q0 ON q0.label = f0.label"
+      case s => s"JOIN qd$s q$s ON q$s.label = f$s.label AND q$s.query_id = q0.query_id"
+    }.mkString("\n  ")
+    val dsum = (0 until m).map(s => s"q$s.d2").mkString(" + ")
+    s"""WITH ${pqCtes(m, k, iters, dims)},
+       |$qctes,
+       |adc AS (SELECT q0.query_id, f0.vec_id AS cand_id,
+       |    round($dsum, 6) AS adc_d2
+       |  FROM f0 $fJoins
+       |  $qJoins
+       |  WHERE f0.vec_id <> q0.query_id)
+       |SELECT query_id, cand_id, adc_d2, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_d2, cand_id) AS rn FROM adc)
+       |WHERE rn <= $knn""".stripMargin
+  }
+
+  // Oracle for Similarity.ivfPqKnn at arbitrary m: coarse IVF probe
+  // (ivfCtes' `assigned`) restricting the candidate set, then the same
+  // label-join ADC scoring as pqAdcSql.
+  private def ivfPqSql(m: Int, k: Int, iters: Int, dims: Int, knn: Int,
+                       nprobe: Int): String = {
+    val subDim = dims / m
+    val qctes = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"""pq$s AS (SELECT vec_id AS query_id,
+         |  list_transform(embedding[$lo:$hi], e -> CAST(e AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE $QueryPred),
+         |pqd$s AS MATERIALIZED (SELECT query_id, c.label,
+         |  round(${l2Sql("qv", "c.c")}, 6) AS d2
+         |  FROM pq$s, cent${s}_$iters c)""".stripMargin
+    }.mkString(",\n")
+    val fJoins = (0 until m).map(s => s"JOIN f$s ON f$s.vec_id = e.vec_id")
+      .mkString("\n  ")
+    val qJoins = (0 until m).map(s =>
+      s"JOIN pqd$s q$s ON q$s.query_id = a.query_id AND q$s.label = f$s.label")
+      .mkString("\n  ")
+    val dsum = (0 until m).map(s => s"q$s.d2").mkString(" + ")
+    s"""WITH ${pqCtes(m, k, iters, dims)},
+       |${ivfCtes(nprobe)},
+       |$qctes,
+       |adc AS (SELECT a.query_id, e.label AS cluster, e.vec_id AS cand_id,
+       |    round($dsum, 6) AS adc_d2
+       |  FROM assigned a
+       |  JOIN embeddings e ON e.label = a.cluster AND e.vec_id <> a.query_id
+       |  $fJoins
+       |  $qJoins)
+       |SELECT query_id, cluster, cand_id, adc_d2, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_d2, cand_id) AS rn FROM adc)
+       |WHERE rn <= $knn""".stripMargin
+  }
+
   private def lshBucketSql(v: String): String =
     s"""CAST(list_sum(list_transform(range($Planes), p ->
        |  CASE WHEN list_sum(list_transform(range(len($v)), j ->
@@ -233,11 +302,14 @@ object SimilarityQueries {
           col("recon_d2"))
     },
 
-    // ADC kNN over the PQ codes: each candidate scores with m table
-    // lookups instead of d float ops.
+    // ADC kNN over the PQ codes: each candidate scores with m element_at
+    // lookups into dense per-query distance tables instead of d float
+    // ops. m=8 × k=256 is the PQ-STANDARD configuration (one byte per
+    // subspace) — the dense-table scoring path is exercised at the real
+    // codebook size, not a toy one.
     "ann_pq_adc" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val idx = Similarity.pqFit(emb, "vec_id", "embedding", m = 4, k = 4,
+      val idx = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 256,
         iters = 2)
       Similarity.pqAdcKnn(emb, emb.filter(expr(QueryPred)), "vec_id",
         "embedding", k = 3, index = idx)
@@ -264,11 +336,12 @@ object SimilarityQueries {
     },
 
     // IVF-PQ: coarse cluster prune (nprobe=2) + ADC over PQ codes within
-    // probed clusters — the standard billion-scale index, composed.
+    // probed clusters — the standard billion-scale index, composed, at
+    // the PQ-standard m=8 × k=256 codebook size.
     "ann_ivfpq" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val coarse = Similarity.ivfFit(emb, "label", "embedding")
-      val pq = Similarity.pqFit(emb, "vec_id", "embedding", m = 4, k = 4,
+      val pq = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 256,
         iters = 2)
       Similarity.ivfPqKnn(emb, emb.filter(expr(QueryPred)), "vec_id",
         "embedding", clusterCol = "label", k = 3, nprobe = 2,
@@ -370,58 +443,10 @@ object SimilarityQueries {
          |    nullif(sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")}), 0),
          |    6) >= 0.3""".stripMargin,
 
-    "ann_ivfpq" ->
-      s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)},
-         |${ivfCtes(nprobe = 2)},
-         |${(0 until 4).map { s =>
-             val lo = s * 16 + 1; val hi = (s + 1) * 16
-             s"""pq$s AS (SELECT vec_id AS query_id,
-                |  list_transform(embedding[$lo:$hi], e -> CAST(e AS DOUBLE)) AS qv
-                |  FROM embeddings WHERE $QueryPred),
-                |pqd$s AS MATERIALIZED (SELECT query_id, c.label,
-                |  round(${l2Sql("qv", "c.c")}, 6) AS d2
-                |  FROM pq$s, cent${s}_2 c)""".stripMargin
-           }.mkString(",\n")},
-         |adc AS (SELECT a.query_id, e.label AS cluster, e.vec_id AS cand_id,
-         |    round(q0.d2 + q1.d2 + q2.d2 + q3.d2, 6) AS adc_d2
-         |  FROM assigned a
-         |  JOIN embeddings e ON e.label = a.cluster AND e.vec_id <> a.query_id
-         |  JOIN f0 ON f0.vec_id = e.vec_id
-         |  JOIN f1 ON f1.vec_id = e.vec_id
-         |  JOIN f2 ON f2.vec_id = e.vec_id
-         |  JOIN f3 ON f3.vec_id = e.vec_id
-         |  JOIN pqd0 q0 ON q0.query_id = a.query_id AND q0.label = f0.label
-         |  JOIN pqd1 q1 ON q1.query_id = a.query_id AND q1.label = f1.label
-         |  JOIN pqd2 q2 ON q2.query_id = a.query_id AND q2.label = f2.label
-         |  JOIN pqd3 q3 ON q3.query_id = a.query_id AND q3.label = f3.label)
-         |SELECT query_id, cluster, cand_id, adc_d2, CAST(rn AS INTEGER) AS rn
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc_d2, cand_id) AS rn FROM adc)
-         |WHERE rn <= 3""".stripMargin,
+    "ann_ivfpq" -> ivfPqSql(m = 8, k = 256, iters = 2, dims = 64, knn = 3,
+      nprobe = 2),
 
-    "ann_pq_adc" ->
-      s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)},
-         |${(0 until 4).map { s =>
-             val lo = s * 16 + 1; val hi = (s + 1) * 16
-             s"""q$s AS MATERIALIZED (SELECT vec_id AS query_id,
-                |  list_transform(embedding[$lo:$hi], e -> CAST(e AS DOUBLE)) AS qv
-                |  FROM embeddings WHERE $QueryPred),
-                |qd$s AS MATERIALIZED (SELECT query_id, c.label, round(${l2Sql("qv", "c.c")}, 6) AS d2
-                |  FROM q$s, cent${s}_2 c)""".stripMargin
-           }.mkString(",\n")},
-         |adc AS (SELECT q0.query_id, f0.vec_id AS cand_id,
-         |    round(q0.d2 + q1.d2 + q2.d2 + q3.d2, 6) AS adc_d2
-         |  FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
-         |    JOIN f3 USING (vec_id)
-         |  JOIN qd0 q0 ON q0.label = f0.label
-         |  JOIN qd1 q1 ON q1.label = f1.label AND q1.query_id = q0.query_id
-         |  JOIN qd2 q2 ON q2.label = f2.label AND q2.query_id = q0.query_id
-         |  JOIN qd3 q3 ON q3.label = f3.label AND q3.query_id = q0.query_id
-         |  WHERE f0.vec_id <> q0.query_id)
-         |SELECT query_id, cand_id, adc_d2, CAST(rn AS INTEGER) AS rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc_d2, cand_id) AS rn FROM adc)
-         |WHERE rn <= 3""".stripMargin,
+    "ann_pq_adc" -> pqAdcSql(m = 8, k = 256, iters = 2, dims = 64, knn = 3),
 
     "dedup_hybrid_pairs" ->
       s"""WITH ${TextQueries.wordsCte},

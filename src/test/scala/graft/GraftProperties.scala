@@ -92,6 +92,34 @@ object GraftProperties extends Properties("graft") {
         java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
 
+  property("native l2sq table ≡ transform(round(l2sq_fold)) on arbitrary codebooks") =
+    forAll(Gen.choose(1, 8).flatMap { d =>
+      Gen.zip(
+        Gen.listOfN(d, Gen.choose(-10.0, 10.0)),
+        Gen.choose(1, 16).flatMap(k => Gen.listOfN(k,
+          Gen.oneOf(
+            Gen.listOfN(d, Gen.choose(-10.0, 10.0)),
+            // gap slots in a dense PQ table are all-NaN centroids
+            Gen.const(List.fill(d)(Double.NaN))))))
+    }) { case (sv, mat) =>
+      import org.apache.spark.sql.functions.{col => c, round, transform, typedlit}
+      import org.apache.spark.sql.graft.CatalystBridge
+      import graft.functions.{VectorExpressions, VectorFunctions}
+      val df = Seq(Tuple1(sv)).toDF("sv")
+      val native = CatalystBridge.column(VectorExpressions.L2SqTableD(
+        CatalystBridge.expression(c("sv")),
+        CatalystBridge.expression(typedlit(mat))))
+      val reference = transform(typedlit(mat),
+        x => round(VectorFunctions.l2sqFold(c("sv"), x), 6))
+      val r = df.select(native.as("fast"), reference.as("ref")).head()
+      val fast = r.getSeq[java.lang.Double](0)
+      val ref = r.getSeq[java.lang.Double](1)
+      Prop(fast.size == ref.size && fast.zip(ref).forall { case (a, b) =>
+        (a == null && b == null) || (a != null && b != null &&
+          java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b))
+      })
+    }
+
   property("sequence packing tiles each shard: contiguous offsets, bounded pos (L65)") =
     forAll(Gen.listOfN(40, Gen.choose(1, 400))) { tokenCounts =>
       (tokenCounts.nonEmpty) ==> {
