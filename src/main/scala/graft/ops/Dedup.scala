@@ -120,8 +120,10 @@ object Dedup {
     * df-capped (hot shingles carry no signal but would route the corpus
     * through one reducer — same guard as [[nearDuplicates]]). Jaccard
     * denominators use the UNCAPPED set sizes of both sides, computed
-    * before the cap, so scores are exact (intersections touching dropped
-    * hot shingles undercount — the documented cap trade-off). Pair
+    * before the cap; intersections are a LOWER BOUND when the cap drops a
+    * shared hot shingle, so reported scores are conservative (never
+    * inflated) but not exact near the threshold — don't rely on exactness
+    * there. Pair
     * new×new duplication separately with [[nearDuplicates]] on the batch.
     */
   def incrementalPairs(newDocs: DataFrame, corpus: DataFrame, idCol: String,

@@ -130,7 +130,9 @@ object Sampling {
     * budget (P[miss] vanishes by Chernoff at the 10× safety), while the
     * per-stratum window touches ~safety × budget worth of rows regardless
     * of corpus size. `preThinSafety = None` disables thinning. Weights
-    * must be non-negative; budget-0 strata keep nothing.
+    * must be non-negative — rows with negative weight are dropped (the
+    * guard that keeps the running sum monotone); budget-0 strata keep
+    * nothing.
     *
     * NB: the pre-thin consumes `df` TWICE (stratum weight sums + the main
     * path). If `df` is itself an expensive derived frame, cache it
@@ -163,7 +165,13 @@ object Sampling {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(keyUniform(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.withColumn("__cum", sum(col(weightCol)).over(w))
+    // Enforce the documented non-negative-weight precondition: a negative
+    // weight makes the running sum non-monotone, so `cum <= budget` would
+    // no longer select a prefix of the hash order and the result would
+    // silently diverge from the greedy cut (and the SQL oracle). Dropping
+    // the row keeps the running sum monotone and fails conservatively.
+    base.filter(col(weightCol) >= 0)
+      .withColumn("__cum", sum(col(weightCol)).over(w))
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
