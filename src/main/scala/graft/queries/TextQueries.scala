@@ -624,6 +624,23 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // GOLDEN-FILE oracle: DuckDB has no deflate, so the expected output is
+    // a committed once-computed parquet (tools/golden/, regenerate via
+    // tools/make_golden.sh after any deliberate semantic change). The
+    // WHERE clause selects the golden matching the corpus the gate runs
+    // against — total text length discriminates the three driver sfs
+    // (row counts cannot: sf0.001 and sf0.01 both hold 500 docs) — so the
+    // gate is a real value comparison at any driver sf instead of the
+    // rows-only check it sat at for two rounds. GoldenSpec independently
+    // re-derives a golden sample against java.util.zip ground truth.
+    "text_compression_ratio" -> Seq(
+      153156L -> "sf0_001", 149174L -> "sf0_01", 1485576L -> "sf0_1")
+      .map { case (totalLen, tag) =>
+        s"""SELECT g.doc_id, g.n_bytes, g.deflate_bytes, g.compress_ratio
+           |FROM read_parquet('/root/repo/tools/golden/text_compression_ratio_$tag.parquet') g
+           |WHERE (SELECT sum(length(text)) FROM documents) = $totalLen""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens_ws,

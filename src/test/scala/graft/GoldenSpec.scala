@@ -103,6 +103,38 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("text_compression_ratio matches its committed golden file and raw zlib") {
+    // The gate for this query is a GOLDEN-FILE oracle (DuckDB cannot
+    // deflate): this spec is the hash-pin behind it — the live engine
+    // output must equal the committed parquet bit-for-bit, and the
+    // deflate sizes must equal an INDEPENDENT java.util.zip recompute
+    // (non-circular ground truth; same level-6 raw-deflate convention).
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("deflate_bytes"), r.getAs[Double]("compress_ratio"))
+    val got = graft.ops.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(key).sortBy(_._1).toSeq
+    val golden = spark.read
+      .parquet("tools/golden/text_compression_ratio_sf0_001.parquet")
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(got == golden,
+      "engine output diverged from tools/golden — regenerate ONLY for a deliberate semantic change")
+    val zlib = docs.select("doc_id", "text").collect().map { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](1024)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      r.getLong(0) -> total
+    }.toMap
+    got.foreach { case (id, _, defl, _) =>
+      assert(zlib(id) == defl, s"doc $id: zlib ground truth ${zlib(id)} vs $defl")
+    }
+  }
+
   test("query history round-trips specs through the catalog (§1.1)") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_hist")
     spark.sql("DROP TABLE IF EXISTS graft_hist.history")
