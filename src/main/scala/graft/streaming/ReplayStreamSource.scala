@@ -1,22 +1,23 @@
 package graft.streaming
 
-import java.util.{Map => JMap}
+import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
-import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** DataSourceV2 micro-batch REPLAY source — the reference simulator's
-  * contract (`stream_sim.py:15-83`: serve batches of N distinct event
-  * timestamps, seek via start_time, wrap-around at end of data) as a real
-  * Structured Streaming source, so the seek/pace semantics run under the
-  * engine's own offset tracking, checkpointing and trigger loop instead of
-  * the [[Replay.cursorBatches]] iterator harness.
+/** Micro-batch REPLAY source — the reference simulator's contract
+  * (`stream_sim.py:15-83`: serve batches of N distinct event timestamps,
+  * seek via start_time, wrap-around at end of data) as a real Structured
+  * Streaming source, so the seek/pace semantics run under the engine's own
+  * offset tracking, checkpointing and trigger loop instead of the
+  * [[Replay.cursorBatches]] iterator harness.
   *
   * Usage:
   * {{{
@@ -39,28 +40,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * query's `Trigger.ProcessingTime` (use [[Replay.paceMillis]] to derive
   * it).
   *
-  * Scale note: like the reference simulator (which holds the replay table
-  * in memory) and Spark's own `MemoryStream`, this is a SIMULATION
-  * harness — the table is loaded once driver-side and served as
-  * per-timestamp row slices. The production ingest path is the file
-  * source (`readStream` over the append directory, see `FileStreamSpec`);
-  * replay exists to re-drive stored history deterministically.
+  * Scale: the driver holds ONLY the distinct-timestamp cursor — O(distinct
+  * event times), independent of row count. Each micro-batch is a REAL
+  * parquet scan filtered to the batch's event-time range (executors read
+  * their own splits; the timestamp predicate reaches the scan as a pushed
+  * filter for row-group pruning), so replaying a large stored history
+  * never materializes rows on the driver — unlike the reference simulator,
+  * which loads all three tables into memory. Implemented against the V1
+  * `Source` API precisely because its `getBatch` returns a DataFrame: the
+  * batch can BE the filtered distributed scan (the same mechanism Spark's
+  * own file stream source uses), where the V2 partition route would have
+  * to ship driver-collected rows.
   */
-class ReplayStreamSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SparkSession.active.read.parquet(ReplayStreamSource.path(options)).schema
+class ReplayStreamSource extends StreamSourceProvider {
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val opts = CaseInsensitiveMap(parameters)
+    ("graft_replay", schema.getOrElse(
+      sqlContext.sparkSession.read.parquet(ReplayStreamSource.path(opts)).schema))
+  }
 
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new ReplayTable(schema)
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new ReplaySource(sqlContext.sparkSession, CaseInsensitiveMap(parameters))
 }
 
 object ReplayStreamSource {
-  private[streaming] def path(options: CaseInsensitiveStringMap): String = {
-    val p = options.get("path")
-    require(p != null, "replay source requires a 'path' option")
-    p
-  }
+  private[streaming] def path(options: Map[String, String]): String =
+    options.getOrElse("path",
+      throw new IllegalArgumentException("replay source requires a 'path' option"))
 
   /** `yyyy-MM-dd HH:mm:ss[.SSS...]` interpreted in UTC (the engine's
     * session time zone, SURVEY §1.2) → epoch micros.
@@ -71,128 +81,121 @@ object ReplayStreamSource {
   }
 }
 
-private[streaming] class ReplayTable(tableSchema: StructType)
-    extends Table with SupportsRead {
-  override def name(): String = "graft_replay"
-  override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new ReplayScan(tableSchema, options)
-    }
-}
-
-private[streaming] class ReplayScan(schema: StructType,
-                                    options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = schema
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ReplayMicroBatchStream(options)
-}
-
-/** Offset = number of distinct-timestamp slices served (serve order). */
-private[streaming] case class ReplayOffset(idx: Long) extends Offset {
-  override def json(): String = idx.toString
-}
-
-/** One replay slice (all rows of one distinct event timestamp). UnsafeRow
-  * is Externalizable, so the slice ships to executors like MemoryStream's
-  * blocks do.
+/** The V1 streaming source behind [[ReplayStreamSource]]. Offset = number
+  * of distinct-timestamp slices served (serve order, post-seek rotation).
   */
-private[streaming] case class ReplayInputPartition(rows: Array[InternalRow])
-    extends InputPartition
-
-private[streaming] class ReplayMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+private[streaming] class ReplaySource(spark: SparkSession,
+                                      options: Map[String, String])
+    extends Source {
 
   private val pathOpt = ReplayStreamSource.path(options)
-  private val tsCol = Option(options.get("tsCol")).getOrElse("ts")
-  private val perTrigger =
-    Option(options.get("timestampsPerTrigger")).map(_.toInt).getOrElse(1)
+  private val tsCol = options.getOrElse("tsCol", "ts")
+  private val perTrigger = options.get("timestampsPerTrigger").map(_.toInt).getOrElse(1)
   private val simAdvanceUs =
-    Option(options.get("simAdvancePerTriggerSec")).map(_.toDouble * 1e6).getOrElse(0.0)
+    options.get("simAdvancePerTriggerSec").map(_.toDouble * 1e6).getOrElse(0.0)
   private val startingTs =
-    Option(options.get("startingTimestamp")).map(ReplayStreamSource.parseMicros)
-  private val wrap = Option(options.get("wrap")).exists(_.toBoolean)
+    options.get("startingTimestamp").map(ReplayStreamSource.parseMicros)
+  private val wrap = options.get("wrap").exists(_.toBoolean)
   require(perTrigger > 0, "timestampsPerTrigger must be positive")
 
-  // Driver-side cursor materialization, once per stream: rows grouped by
-  // event time, ordered ascending, then rotated for seek/wrap. (ts, rows)
-  // is retained so simAdvance batching can walk simulated time.
-  private lazy val slices: Array[(Long, Array[InternalRow])] = {
-    val df = SparkSession.active.read.parquet(pathOpt)
-    val ord = df.schema.fieldIndex(tsCol)
-    df.schema(ord).dataType match {
-      case TimestampType | TimestampNTZType | LongType => ()
-      case t => throw new IllegalArgumentException(
-        s"tsCol '$tsCol' must be a timestamp or epoch-long column, got $t")
-    }
-    val rows = df.queryExecution.executedPlan.executeCollect()
-      .filter(!_.isNullAt(ord)) // a null event time has no replay position
-    val grouped = rows.groupBy(_.getLong(ord)).toArray.sortBy(_._1)
+  private val table: DataFrame = spark.read.parquet(pathOpt)
+  private val tsField = table.schema(
+    table.schema.fieldIndex(tsCol)) // throws with a clear message if absent
+  tsField.dataType match {
+    case TimestampType | TimestampNTZType | LongType => ()
+    case t => throw new IllegalArgumentException(
+      s"tsCol '$tsCol' must be a timestamp or epoch-long column, got $t")
+  }
+
+  override def schema: StructType = table.schema
+
+  /** The ONLY driver-side state: distinct event times (micros) in serve
+    * order — ascending, then rotated for seek/wrap
+    * (stream_sim.py:60-61: after the seek position is exhausted, replay
+    * continues from the beginning up to the seek point, then ends).
+    * Row slices are never collected; they stay executor-side in the
+    * per-batch scans.
+    */
+  private lazy val cursor: Array[Long] = {
+    val distinct = table
+      .filter(col(tsCol).isNotNull) // a null event time has no replay position
+      .select(col(tsCol)).distinct().orderBy(col(tsCol))
+      .queryExecution.executedPlan.executeCollect().map(_.getLong(0))
     startingTs match {
-      case None => grouped
+      case None => distinct
       case Some(s0) =>
-        val (pre, post) = grouped.partition(_._1 < s0)
-        // Wrap-around (stream_sim.py:60-61): after the seek position is
-        // exhausted, replay continues from the beginning up to the seek
-        // point, then ends (one full cycle).
+        val (pre, post) = distinct.partition(_ < s0)
         if (wrap) post ++ pre else post
     }
   }
 
-  // How far latestOffset has advanced. deserializeOffset bumps it on
-  // checkpoint restore so a recovered query never plans end < start.
+  // How far getOffset has advanced. getBatch/commit bump it on checkpoint
+  // restore (the restored offset arrives there) so a recovered query never
+  // plans end < start.
   private var served: Long = 0L
 
-  override def initialOffset(): Offset = ReplayOffset(0L)
-
-  override def latestOffset(): Offset = {
-    val n = slices.length.toLong
+  override def getOffset: Option[Offset] = {
+    val n = cursor.length.toLong
     if (served < n) {
       if (simAdvanceUs > 0) {
         // Time-based batching: serve every slice whose event time falls in
         // the next simAdvance window. A wrap point (event time jumps
         // backwards in serve order) ends the batch; the next trigger
         // starts a fresh window at the wrapped timestamp.
-        val startTs = slices(served.toInt)._1
+        val startTs = cursor(served.toInt)
         var e = served + 1
-        while (e < n && slices(e.toInt)._1 >= startTs &&
-               slices(e.toInt)._1 < startTs + simAdvanceUs) e += 1
+        while (e < n && cursor(e.toInt) >= startTs &&
+               cursor(e.toInt) < startTs + simAdvanceUs) e += 1
         served = e
       } else served = math.min(served + perTrigger, n)
     }
-    ReplayOffset(served)
+    if (served == 0) None else Some(LongOffset(served))
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ReplayOffset].idx.toInt
-    val e = end.asInstanceOf[ReplayOffset].idx.toInt
-    (s until e).map(i => ReplayInputPartition(slices(i)._2)).toArray
+  /** LongOffset live; anything else (SerializedOffset on restore) by its
+    * json payload — both are the plain slice index.
+    */
+  private def toIdx(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new ReplayReaderFactory
+  // Event-time literal in the column's own type (all three accepted types
+  // store micros internally).
+  private def tsLit(us: Long) =
+    CatalystBridge.column(Literal(us, tsField.dataType))
 
-  override def deserializeOffset(json: String): Offset = {
-    val o = ReplayOffset(json.trim.toLong)
-    served = math.max(served, o.idx)
-    o
+  // The batch scan's base relation, resolved once and marked isStreaming
+  // (a V1 micro-batch must be; see CatalystBridge.streamingFileScan).
+  private lazy val streamingTable: DataFrame =
+    CatalystBridge.streamingFileScan(spark, "parquet", pathOpt)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val s = start.map(toIdx).getOrElse(0L)
+    val e = toIdx(end)
+    served = math.max(served, e)
+    val ts = (s until e).map(i => cursor(i.toInt))
+    if (ts.isEmpty) return streamingTable.filter(lit(false))
+    // The slice indices are contiguous in serve order; event times ascend
+    // except at the single wrap point, so the batch is at most two
+    // ascending runs. Each run of consecutive DISTINCT timestamps is
+    // exactly the rows in [lo, hi] — a range predicate the parquet scan
+    // prunes row groups with.
+    val runs = ArrayBuffer.empty[(Long, Long)]
+    var lo = ts.head
+    var prev = ts.head
+    ts.tail.foreach { t =>
+      if (t < prev) { runs += ((lo, prev)); lo = t }
+      prev = t
+    }
+    runs += ((lo, prev))
+    streamingTable.filter(runs.map { case (rLo, rHi) =>
+      col(tsCol) >= tsLit(rLo) && col(tsCol) <= tsLit(rHi)
+    }.reduce(_ || _))
   }
 
   override def commit(end: Offset): Unit =
-    served = math.max(served, end.asInstanceOf[ReplayOffset].idx)
+    served = math.max(served, toIdx(end))
 
   override def stop(): Unit = ()
-}
-
-private[streaming] class ReplayReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[ReplayInputPartition].rows
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = rows(i)
-      override def close(): Unit = ()
-    }
-  }
 }
