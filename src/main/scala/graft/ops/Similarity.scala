@@ -792,6 +792,58 @@ object Similarity {
         col("rn"))
   }
 
+  /** Write the IVF-PQ store: one row per vector — (id, PQ codes) — laid
+    * out `partitionBy(cluster)`. This is the 100 TB serving artifact the
+    * pieces compose into: each row is m small codes instead of d floats
+    * (the PQ memory lever), and the cluster directory layout makes a
+    * probe's cluster predicate a PARTITION filter, so a query reads only
+    * its probed clusters' files ([[ivfPqKnnStored]]; plan-guarded).
+    * Encode is [[pqCodesFromTables]] — the same definition [[pqEncode]]
+    * and [[ivfPqKnn]] use, so stored codes never drift from the live
+    * encode.
+    */
+  def pqStoreWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                   clusterCol: String, pq: PqIndex, path: String): Unit = {
+    val tabled = withDenseTables(
+      corpus.select(col(idCol), col(clusterCol).as("cluster"), col(vecCol)),
+      Seq(idCol, "cluster"), vecCol, pq)
+    tabled.select(col(idCol), col("cluster"), pqCodesFromTables(pq).as("codes"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** IVF-PQ probe against a [[pqStoreWrite]] store — the end-to-end
+    * serving path at 100 TB: coarse assignment map-side against literal
+    * centroids, STATIC partition pruning of the store scan (the union of
+    * probed clusters is driver-known because the query batch is small by
+    * contract — |queries|×nprobe labels), then ADC scoring over the
+    * stored codes with the dense query-side tables. Returns exactly
+    * [[ivfPqKnn]]'s output over the raw corpus (the `ann_ivfpq_pruned`
+    * gate shares `ann_ivfpq`'s oracle); `store` must expose
+    * (`idCol`, cluster, codes) as written by [[pqStoreWrite]].
+    */
+  def ivfPqKnnStored(store: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nprobe: Int,
+                     coarse: IvfIndex, pq: PqIndex): DataFrame = {
+    val probed = queries.select(
+      col(idCol).as("query_id"),
+      explode(probeClusters(col(vecCol), normD(col(vecCol)), coarse, nprobe))
+        .as("cluster"),
+      col(vecCol))
+    val q = withDenseTables(probed, Seq("query_id", "cluster"), vecCol, pq)
+    val toScan = probed.select(col("cluster")).distinct().collect().map(_.get(0))
+    val codes = store.filter(col("cluster").isin(toScan.toSeq: _*))
+      .select(col(idCol).as("cand_id"), col("cluster"), col("codes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("cand_id"))
+    codes.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc_d2", round(adcDist(pq), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cluster"), col("cand_id"), col("adc_d2"),
+        col("rn"))
+  }
+
   /** Per-label norm statistics (sanity profile of an embedding corpus). */
   def normStats(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
     emb.select(col(labelCol), normD(col(vecCol)).as("__n"))

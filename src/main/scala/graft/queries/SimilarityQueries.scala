@@ -348,6 +348,24 @@ object SimilarityQueries {
         coarse = coarse, pq = pq)
     },
 
+    // IVF-PQ over the cluster-PARTITIONED code store: same answer as
+    // ann_ivfpq (shared oracle), but the corpus side is the persisted
+    // (id, codes) store laid out partitionBy(cluster) and the probe scans
+    // ONLY the probed clusters' partitions (PartitionFilters,
+    // plan-guarded) — the composed 100 TB serving path.
+    "ann_ivfpq_pruned" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val coarse = Similarity.ivfFit(emb, "label", "embedding")
+      val pq = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 256,
+        iters = 2)
+      val storeDir = System.getProperty("java.io.tmpdir") +
+        "/graft_pq_store_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.pqStoreWrite(emb, "vec_id", "embedding", "label", pq, storeDir)
+      Similarity.ivfPqKnnStored(s.read.parquet(storeDir),
+        emb.filter(expr(QueryPred)), "vec_id", "embedding", k = 3, nprobe = 2,
+        coarse = coarse, pq = pq)
+    },
+
     // Multi-probe LSH: home bucket + all Hamming-1 buckets.
     "ann_lsh_multiprobe" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -445,6 +463,11 @@ object SimilarityQueries {
 
     "ann_ivfpq" -> ivfPqSql(m = 8, k = 256, iters = 2, dims = 64, knn = 3,
       nprobe = 2),
+
+    // Same answer as ann_ivfpq by construction — the store is just a
+    // partition-pruned layout of the same codes.
+    "ann_ivfpq_pruned" -> ivfPqSql(m = 8, k = 256, iters = 2, dims = 64,
+      knn = 3, nprobe = 2),
 
     "ann_pq_adc" -> pqAdcSql(m = 8, k = 256, iters = 2, dims = 64, knn = 3),
 

@@ -235,4 +235,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(cand_id"),
       "the corpus must stream, never shuffle by candidate")
   }
+
+  test("IVF-PQ store probe prunes partitions on the cluster column") {
+    // The composed 100 TB serving path: the store scan must carry the
+    // probed clusters as a PARTITION filter (directory pruning — most of
+    // the corpus is never read), not a post-scan row filter, and the
+    // query side must broadcast.
+    val p = plan("ann_ivfpq_pruned")
+    assert("""PartitionFilters: \[[^\]]*cluster""".r.findFirstIn(p).isDefined,
+      s"probe must prune store partitions by cluster:\n${p.take(1200)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the bounded query side must broadcast")
+  }
 }
