@@ -372,14 +372,30 @@ object Dedup {
     * (the minimum member) per document — the final dedup step: keep one doc
     * per cluster.
     *
-    * Iterative min-label propagation: each round every node adopts the
-    * minimum label in its neighborhood; converges in O(diameter) rounds
-    * (near-dup clusters are tiny, so a handful). Each round is one
-    * edge-join + aggregation; lineage is truncated per round via
-    * localCheckpoint so the loop doesn't accumulate a mega-plan.
+    * Iterative min-label propagation WITH POINTER DOUBLING: each round
+    * every node adopts min(own label, neighborhood labels, its label's
+    * label). The neighbor step moves information one hop; the jump step
+    * (label(label(v)) — labels are always node ids, so the label table
+    * self-joins) doubles how far a minimum has effectively traveled, so
+    * convergence is O(log₂ diameter) rounds instead of O(diameter) — the
+    * difference between 17 rounds and 80,000 on a chain-shaped component
+    * (spec-measured on a 100k-edge graph). Labels only decrease and only
+    * ever take values of connected nodes, so the fixed point is exactly
+    * the per-component minimum. Each round is two joins + one
+    * aggregation; lineage is truncated per round via localCheckpoint so
+    * the loop doesn't accumulate a mega-plan.
     */
   def clusters(pairs: DataFrame, maxIterations: Int = 20,
-               driverPairLimit: Long = 2000000L): DataFrame = {
+               driverPairLimit: Long = 2000000L): DataFrame =
+    clustersWithRounds(pairs, maxIterations, driverPairLimit)._1
+
+  /** [[clusters]] plus the number of propagation rounds the distributed
+    * path used (0 on the driver-local fast path) — the spec hook behind
+    * the log-convergence claim.
+    */
+  private[graft] def clustersWithRounds(
+      pairs: DataFrame, maxIterations: Int = 20,
+      driverPairLimit: Long = 2000000L): (DataFrame, Int) = {
     val p = OpCaches.scoped(
       pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long")))
     // Small-graph fast path: the near-dup pair graph is orders of magnitude
@@ -395,7 +411,7 @@ object Dedup {
       if (driverPairLimit < Int.MaxValue.toLong)
         p.limit(driverPairLimit.toInt + 1).count()
       else p.count()
-    if (probed <= driverPairLimit) return clustersLocal(p)
+    if (probed <= driverPairLimit) return (clustersLocal(p), 0)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
@@ -409,9 +425,20 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      // Materialized before the self-join below reads it twice.
+      val oneHop = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      // Pointer jump: follow the label's own label (cluster ids ARE node
+      // ids, so the table self-joins) — doubles the hop radius a minimum
+      // covers per round; this is what makes long chains log-round.
+      val updated = oneHop
+        .join(oneHop.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("__parent")), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("__parent"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
       val changed = updated.alias("u")
@@ -424,12 +451,12 @@ object Dedup {
     }
     // Partially-converged labels would silently split long chains into
     // several cluster ids and keep duplicates downstream — fail loudly
-    // instead (raise maxIterations: rounds needed = component diameter).
+    // instead (raise maxIterations: rounds needed ≈ log₂(diameter)).
     if (!converged) throw new IllegalStateException(
       s"label propagation did not converge in $maxIterations rounds; " +
-        "the pair graph has a component with a longer diameter — " +
+        "the pair graph has a component with a far longer diameter — " +
         "raise maxIterations")
-    labels
+    (labels, i)
   }
 
   /** The final dedup step: one SURVIVOR per near-dup cluster, chosen by a

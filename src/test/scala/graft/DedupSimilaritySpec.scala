@@ -133,6 +133,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dist == expect)
   }
 
+  test("distributed components converge in ~log2(diameter) rounds on a 100k-edge graph") {
+    // The worst case for min-label propagation: one chain component whose
+    // diameter equals its edge count — plain one-hop propagation would
+    // need 65k rounds here; pointer doubling must finish in ~log2.
+    val chainN = 65536L
+    val chain = (0L until chainN - 1).map(i => (i, i + 1))
+    // A second large component (its min id sits at the far end) plus
+    // isolated pairs prove labels don't bleed across components.
+    val off = 10000000L
+    val chain2 = (0L until 30000L).map(i => (off + i, off + i + 1))
+    val pairs = (chain ++ chain2 ++ Seq((99000000L, 99000001L)))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.clustersWithRounds(pairs,
+      maxIterations = 25, driverPairLimit = 0)
+    val bound = (math.log(chainN.toDouble) / math.log(2.0)).ceil.toInt + 2
+    assert(rounds <= bound, s"pointer doubling must be log-round: " +
+      s"$rounds rounds for diameter $chainN (bound $bound)")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == chainN + 30001L + 2L)
+    got.foreach { case (id, cl) =>
+      val expect = if (id < chainN) 0L else if (id >= 99000000L) 99000000L else off
+      assert(cl == expect, s"node $id labeled $cl, expected $expect")
+    }
+  }
+
   test("language ID picks the marker-rich language") {
     val d = Seq((1L, "the cat and the dog is a pet"),
       (2L, "el la de que y el la"), (3L, "xyz qqq zzz")).toDF("doc_id", "text")
