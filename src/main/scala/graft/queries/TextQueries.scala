@@ -18,8 +18,9 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   // Shared DuckDB CTE: whitespace tokenization + distinct 3-word shingles.
-  private[queries] val wordsCte =
-    "words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)"
+  private[queries] def wordsCteFor(tbl: String) =
+    s"words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM $tbl)"
+  private[queries] val wordsCte = wordsCteFor("documents")
   private[queries] val shinglesCte =
     """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(ws)-2, 0)),
       |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words)""".stripMargin
@@ -28,10 +29,24 @@ object TextQueries {
   // dropped before any join. On this testdata max df is < 2%, so capped
   // and uncapped results coincide — the spec plants a hot shingle to prove
   // the mechanism.
-  private[queries] val cappedCte =
-    """shf AS (SELECT doc_id, shingle FROM sh
-      |  WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle
-      |    HAVING count(*) > 0.1 * (SELECT count(DISTINCT doc_id) FROM documents)))""".stripMargin
+  private[queries] def cappedCteFor(tbl: String) =
+    s"""shf AS (SELECT doc_id, shingle FROM sh
+       |  WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle
+       |    HAVING count(*) > 0.1 * (SELECT count(DISTINCT doc_id) FROM $tbl)))""".stripMargin
+  private[queries] val cappedCte = cappedCteFor("documents")
+
+  // Zipf-skew stress corpus, derived deterministically from the documents
+  // table: every doc_id divisible by 5 (20% of the corpus) gets the SAME
+  // text — one giant near-dup cluster whose shingles all exceed the 10%
+  // df cap. This is the adversarial input behind SURVEY §4's top scale
+  // risk; the skew_stress_* gates prove the capped operators stay bounded
+  // AND still match a cap-mirroring oracle on it.
+  private[queries] val HotText =
+    "the hot template sentence repeats verbatim across one fifth of this corpus"
+  private[queries] val skewedDocsCte =
+    s"""docs_skewed AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN '$HotText' ELSE text END AS text
+       |  FROM documents)""".stripMargin
   private[queries] def sigCte(src: String) =
     s"""sig AS (SELECT doc_id, b, min(substr(md5(shingle), 1 + 8*b, 8)) AS minhash
        |  FROM $src, (SELECT unnest(range(4)) AS b) bands GROUP BY doc_id, b)""".stripMargin
@@ -82,6 +97,31 @@ object TextQueries {
       Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.8)
         .select(col("doc_a"), col("doc_b"), col("inter"),
           round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // Skewed derived corpus for the stress gates (see skewedDocsCte).
+    // Same operator calls as dedup_near_duplicates / dedup_containment —
+    // the POINT is that the default df cap keeps the hot 20%-identical
+    // cluster from exploding into C(0.2n, 2) candidate pairs.
+    "skew_stress_near_dups" -> { (s, dir) =>
+      val skewed = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(HotText))
+          .otherwise(col("text")).as("text"))
+      Dedup.nearDuplicates(skewed, "doc_id", "text", minJaccard = 0.8)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    "skew_stress_containment" -> { (s, dir) =>
+      val skewed = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(HotText))
+          .otherwise(col("text")).as("text"))
+      val sh = Dedup.shingleSets(skewed, "doc_id", "text")
+      Dedup.containmentPairs(sh, "doc_id", minContainment = 0.8,
+        docs = Some(skewed))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("cont_a"), 6).as("cont_a"),
+          round(col("cont_b"), 6).as("cont_b"))
     },
 
     "dedup_jaccard_exact" -> { (s, dir) =>
@@ -710,6 +750,38 @@ object TextQueries {
          |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8""".stripMargin,
+
+    "skew_stress_near_dups" ->
+      s"""WITH $skewedDocsCte,
+         |${wordsCteFor("docs_skewed")},
+         |$shinglesCte,
+         |${cappedCteFor("docs_skewed")},
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")}
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8""".stripMargin,
+
+    "skew_stress_containment" ->
+      s"""WITH $skewedDocsCte,
+         |${wordsCteFor("docs_skewed")},
+         |$shinglesCte,
+         |${cappedCteFor("docs_skewed")},
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / x.sz, 6) AS cont_a,
+         |  round(CAST(i.inter AS DOUBLE) / y.sz, 6) AS cont_b
+         |FROM inter i
+         |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE greatest(CAST(i.inter AS DOUBLE) / x.sz,
+         |               CAST(i.inter AS DOUBLE) / y.sz) >= 0.8""".stripMargin,
 
     "dedup_jaccard_exact" ->
       s"""WITH $wordsCte,

@@ -195,6 +195,23 @@ object TimeSeriesQueries {
       graft.ops.Skew.diagnose(Tables.events(s, dir), "event_type", k = 5)
     },
 
+    // Salted join under REAL skew: 20% of event rows collapse onto one
+    // hot user (Zipf-head shape) — without salting that key is one
+    // straggler reducer; with salts=8 it spreads across 8. The oracle is
+    // the plain join on the same derived key, so the gate proves salting
+    // changes only the shuffle layout even when the skew is extreme.
+    "skew_stress_salted_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        when(pmod(col("user_id"), lit(5)) === 0, lit(0L))
+          .otherwise(col("user_id")).as("user_id"),
+        col("value"))
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("weight", lit(60.0) + (col("user_id") % 40).cast("double"))
+      graft.ops.Skew.saltedJoin(ev, dim, Seq("user_id"), salts = 8)
+        .select(col("event_id"), col("user_id"), col("weight"),
+          (col("value") * col("weight")).as("weighted"))
+    },
+
     // J7 (beyond ref): cross-feature Pearson correlation over the aligned
     // frame — explicit moments, identical arithmetic in any engine.
     "j7_feature_corr" -> { (s, dir) =>
@@ -433,6 +450,15 @@ object TimeSeriesQueries {
         |    60.0 + CAST(user_id % 40 AS DOUBLE) AS weight FROM events)
         |SELECT e.event_id, e.user_id, d.weight, e.value * d.weight AS weighted
         |FROM events e JOIN dim d USING (user_id)""".stripMargin,
+
+    "skew_stress_salted_join" ->
+      """WITH ev AS (SELECT event_id,
+        |    CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id END AS user_id,
+        |    value FROM events),
+        |dim AS (SELECT DISTINCT user_id,
+        |    60.0 + CAST(user_id % 40 AS DOUBLE) AS weight FROM ev)
+        |SELECT e.event_id, e.user_id, d.weight, e.value * d.weight AS weighted
+        |FROM ev e JOIN dim d USING (user_id)""".stripMargin,
 
     "skew_report" ->
       """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),

@@ -41,6 +41,52 @@ class AggSkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The engine's first line of defense against join skew is AQE's
+    // runtime split (GraftSession enables it); salting is the explicit
+    // fallback for hash joins/aggs. Prove the AQE path actually engages:
+    // a 20%-hot key, broadcast disabled (forcing a shuffle join), and
+    // thresholds at test scale — the final adaptive plan must mark the
+    // skewed partition split.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+      // Incompressible payload: AQE judges partition size from COMPRESSED
+      // shuffle bytes, and 160k identical hot-key longs lz4 down to ~2 KB
+      // — below any threshold. Hash-salted strings keep the bytes honest.
+      val big = (1 to 500000)
+        .map(i => (if (i % 5 != 0) 0L else i.toLong,
+          java.lang.Long.toHexString(i * 2654435761L) +
+            java.lang.Long.toHexString(i * 0x9e3779b97f4a7c15L)))
+        .toDF("k", "v") // 80% of rows on key 0
+      // The dim must reach the join as a BARE shuffle stage: a post-shuffle
+      // aggregate between the sort and the exchange breaks
+      // OptimizeSkewedJoin's SMJ(Sort(Shuffle), Sort(Shuffle)) pattern and
+      // the rule skips the join entirely.
+      val small = (0L +: (1 to 500000).filter(_ % 5 == 0).map(_.toLong))
+        .toDF("k").withColumn("w", $"k" % 7)
+      val joined = big.join(small, Seq("k"))
+      // collect() drives joined's OWN QueryExecution, so the adaptive
+      // plan below is final (count() would plan a separate query).
+      assert(joined.collect().length == 500000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew="), s"no skew handling in plan:\n${plan.take(1500)}")
+      assert(plan.contains("skewed"), // AQEShuffleRead marks split partitions
+        s"AQE must split the hot partition:\n${plan.take(1500)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     val df = (1 to 500).map(i => ("HOT", i.toDouble)).toDF("k", "v")
     val got = Skew.saltedSumCount(df, Seq("k"), "v", salts = 4)

@@ -236,6 +236,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "the corpus must stream, never shuffle by candidate")
   }
 
+  test("skew-stress salted join fans the hot key across salts") {
+    val p = plan("skew_stress_salted_join")
+    // The shuffle must be keyed on (user_id, __salt) — the hot key's rows
+    // land on 8 reducers, not 1 — and the salt must not survive into the
+    // output projection.
+    assert("""hashpartitioning\(user_id[^)]*__salt""".r.findFirstIn(p).isDefined
+      || p.contains("__salt"),
+      s"join must shuffle on the salted key:\n${p.take(1200)}")
+  }
+
   test("IVF-PQ store probe prunes partitions on the cluster column") {
     // The composed 100 TB serving path: the store scan must carry the
     // probed clusters as a PARTITION filter (directory pruning — most of
