@@ -353,6 +353,90 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("replay → novelty gate → quality → compacted store equals the batch cut") {
+    // The reference's full lifecycle (§3.2), composed from gated units:
+    // ReplayStreamSource re-drives stored history in event-time order;
+    // each micro-batch scores quality, anti-joins the ACCUMULATED
+    // fingerprint store (StreamDedup.novelAgainstStore — the store absorbs
+    // each batch's survivors, so cross-batch re-ingests drop), appends
+    // survivors to the curated table and compacts it
+    // (TableStore.compactParquet). The curated output must equal the batch
+    // recompute: quality cut + seed-store anti-join + first-arrival-per-
+    // content-hash.
+    val base = java.nio.file.Files.createTempDirectory("stream_cur").toString
+    val rawDir = s"$base/raw"; val storeDir = s"$base/store"
+    val curatedDir = s"$base/curated"
+    val good = (tag: String) =>
+      s"completely $tag original content streams in with many fine words here"
+    val rows = Seq(
+      ("d1", us(10), good("first")),
+      ("d2", us(10), "the the the the"),       // low quality
+      ("d3", us(10), good("seeded")),          // already in the seed store
+      ("d4", us(20), good("second")),
+      ("d5", us(20), good("first")),           // cross-batch dup of d1
+      ("d6", us(30), good("third")),
+      ("d7", us(30), good("second")),          // cross-batch dup of d4
+      ("d8", us(30), "a a a a"))               // low quality
+    rows.toDF("doc_id", "ts_us", "text")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .write.parquet(rawDir)
+    // Seed store: d3's content hash is already-curated corpus.
+    Seq(good("seeded")).toDF("text").select(md5(col("text")).as("content_hash"))
+      .write.parquet(storeDir)
+    def qualityGate(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamDedup.withContentHash(df, "text")
+        .withColumn("q",
+          least(lit(1.0), size(split(trim(col("text")), " ")) / lit(50.0)) *
+            (lit(1.0) - size(filter(split(trim(col("text")), " "),
+              w => w.isin(graft.functions.TextFunctions.Stopwords: _*))) /
+              size(split(trim(col("text")), " ")).cast("double")))
+        .filter(col("q") >= 0.1)
+    val stream = spark.readStream
+      .format(classOf[graft.streaming.ReplayStreamSource].getName)
+      .option("path", rawDir).option("tsCol", "ts")
+      .option("timestampsPerTrigger", "1") // 3 distinct ts → 3 micro-batches
+      .load()
+    var nBatches = 0
+    val q = qualityGate(stream).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          // Fresh store read per batch: the static side of a stream-static
+          // join pins its file listing, so the accumulate-then-probe loop
+          // belongs in foreachBatch.
+          val store = spark.read.parquet(storeDir)
+          val novel = graft.streaming.StreamDedup
+            .novelAgainstStore(b, store, Seq("content_hash")).cache()
+          novel.select("doc_id", "ts_us", "text")
+            .write.mode("append").parquet(curatedDir)
+          novel.select("content_hash").write.mode("append").parquet(storeDir)
+          graft.sources.TableStore.compactParquet(spark, curatedDir)
+          novel.unpersist()
+          nBatches += 1
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(nBatches == 3, s"3 distinct timestamps must serve 3 batches: $nBatches")
+    val got = spark.read.parquet(curatedDir).select("doc_id")
+      .as[String].collect().sorted.toSeq
+    // Batch reference over the whole raw table: quality cut, seed-store
+    // anti-join, first arrival per content hash (ts then doc_id).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("ts_us"), col("doc_id"))
+    val expect = qualityGate(spark.read.parquet(rawDir))
+      .join(Seq(good("seeded")).toDF("text")
+        .select(md5(col("text")).as("content_hash")), Seq("content_hash"), "left_anti")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(got == expect, s"stream=$got batch=$expect")
+    assert(got == Seq("d1", "d4", "d6"))
+    // Compaction holds: the curated table is one file, not one per batch.
+    val parts = new java.io.File(curatedDir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts == 1, s"compaction must leave a single data file: $parts")
+  }
+
   test("cursor replay mirrors the simulator's distinct-timestamp batches (O3)") {
     val df = batches.flatten.toDF("userId", "tsUs", "value")
       .withColumn("ts", timestamp_micros(col("tsUs")))
