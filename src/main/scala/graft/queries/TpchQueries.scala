@@ -95,6 +95,27 @@ object TpchQueries {
           col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
+    },
+
+    // TPC-H Q17-style small-quantity revenue: the CORRELATED-SUBQUERY
+    // shape (l_quantity < 0.2 × that part's average quantity),
+    // decorrelated the way Catalyst would: ONE per-part aggregation over
+    // the fact (a single exchange on l_partkey — plan-guarded), joined
+    // back to the fact. The per-part threshold rounds to 6 dp so both
+    // engines cut on the identical double; the filtered part dim
+    // broadcasts. Reported per brand (Q17 reports one global row — too
+    // weak a hash check).
+    "q17_small_quantity" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val thresholds = li.groupBy(col("l_partkey"))
+        .agg(round(lit(0.2) * avg(col("l_quantity")), 6).as("qty_threshold"))
+      val part = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      li.join(thresholds, Seq("l_partkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
     }
   )
 
@@ -144,6 +165,18 @@ object TpchQueries {
         |SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH th AS (SELECT l_partkey,
+        |    round(0.2 * avg(l_quantity), 6) AS qty_threshold
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN th USING (l_partkey)
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND l.l_quantity < th.qty_threshold
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -236,6 +236,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "the corpus must stream, never shuffle by candidate")
   }
 
+  test("q17 decorrelated subquery aggregates the fact exactly once") {
+    // The correlated threshold subquery must become ONE per-part
+    // aggregation (one exchange on l_partkey) — a naive decorrelation
+    // that re-shuffles the fact per reference, or a re-aggregation after
+    // the join-back, would show up as extra partkey exchanges.
+    val p = plan("q17_small_quantity")
+    val partkeyExchanges =
+      """Exchange hashpartitioning\(l_partkey""".r.findAllIn(p).size
+    assert(partkeyExchanges == 1,
+      s"expected exactly 1 subquery-agg exchange, got $partkeyExchanges:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), "filtered part dim must broadcast")
+  }
+
   test("skew-stress salted join fans the hot key across salts") {
     val p = plan("skew_stress_salted_join")
     // The shuffle must be keyed on (user_id, __salt) — the hot key's rows
