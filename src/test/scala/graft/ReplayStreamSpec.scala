@@ -117,6 +117,32 @@ class ReplayStreamSpec extends AnyFunSuite {
       p.take(600))
   }
 
+  test("replay resumes from a checkpoint without re-serving completed slices") {
+    // Exercises the V1 restore path: on restart the engine hands the
+    // source its committed offset as a SerializedOffset (via the
+    // initializing getBatch call) — the source must resume the cursor
+    // there, not wrap to slice 0 and re-serve history into the sink.
+    val base = java.nio.file.Files.createTempDirectory("replay_ckpt").toString
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def run(): Unit = {
+      val q = spark.readStream.format(classOf[ReplayStreamSource].getName)
+        .option("path", dataDir).option("tsCol", "ts")
+        .option("timestampsPerTrigger", "2")
+        .load().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == rows.size)
+    run() // restart against the same checkpoint: nothing left to serve
+    val afterSecond = spark.read.parquet(out)
+      .select("userId", "tsUs", "value").as[(Long, Long, Double)]
+      .collect().sorted.toSeq
+    assert(afterSecond == rows.sorted,
+      "a restarted replay must neither duplicate nor re-serve slices")
+  }
+
   test("replay handles a 10x-distinct-timestamp table with the same contract") {
     // 200 distinct timestamps × 10 rows each; the driver-side state is the
     // 200-entry cursor only — batches stream through filtered scans.
