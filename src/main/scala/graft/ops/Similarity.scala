@@ -303,6 +303,39 @@ object Similarity {
       .orderBy(col("__h"), col("__id")).limit(k)
       .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
 
+  /** Dense rounded-cosine table against an index: ONE matrix literal of
+    * (centroid, norm) structs swept by a transform — position i holds the
+    * score against `index.centroids(i)`. O(1) plan size at any nlist,
+    * where the sorted-struct probe builds nlist per-centroid expressions
+    * (the same plan-size cliff the dense ADC tables fixed). Values are
+    * bit-identical to [[probeClusters]]' scores: same dotD, same
+    * precomputed norm, same 6-dp rounding. `v` and `n` MUST be
+    * materialized projection columns — the lambda body re-evaluates per
+    * element and Catalyst does no CSE inside lambda bodies.
+    */
+  private def denseCosTable(v: org.apache.spark.sql.Column,
+                            n: org.apache.spark.sql.Column,
+                            index: IvfIndex): org.apache.spark.sql.Column = {
+    val mat = typedlit(index.centroids.map(c => (c.vec, c.norm)))
+    transform(mat, c => round(dotD(v, c.getField("_1")) /
+      nullif(n * c.getField("_2"), lit(0.0)), 6))
+  }
+
+  /** Centroid labels in index (= position) order, as an array literal —
+    * maps an argmax POSITION back to the label, so dense assignment works
+    * for arbitrary label values (data-derived labels need not be dense
+    * ints). Positions ascend by label ([[ivfFit]]/[[kmeansFit]] sort), so
+    * the FIRST maximum is the smallest label — exactly [[probeClusters]]'
+    * (score desc, label asc) tie-break.
+    */
+  private def labelArray(index: IvfIndex) =
+    array(index.centroids.map(c => lit(c.label)): _*)
+
+  /** Argmax-by-position cluster from a materialized dense score column. */
+  private def argmaxLabel(cos: org.apache.spark.sql.Column, index: IvfIndex) =
+    element_at(labelArray(index),
+      array_position(cos, array_max(cos)).cast("int"))
+
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): IvfIndex = {
     require(k > 0, "k must be positive")
@@ -313,9 +346,14 @@ object Similarity {
         IvfCentroid(i, v, foldNorm(v))
       }
     for (_ <- 1 to iters) {
-      val assigned = corpus.withColumn("cluster",
-        element_at(probeClusters(col(vecCol), normD(col(vecCol)),
-          IvfIndex(cents), 1), 1))
+      // Corpus-side assignment goes through the dense table (this pass
+      // touches every row every iteration; the sorted-struct probe stays
+      // on bounded query sides only).
+      val idx = IvfIndex(cents)
+      val assigned = corpus
+        .withColumn("__n", normD(col(vecCol)))
+        .withColumn("__cos", denseCosTable(col(vecCol), col("__n"), idx))
+        .withColumn("cluster", argmaxLabel(col("__cos"), idx))
       cents = centroids(assigned, "cluster", vecCol).collect().toSeq.map { r =>
         val vec = r.getSeq[Double](1)
         IvfCentroid(r.get(0), vec, foldNorm(vec))
@@ -324,14 +362,15 @@ object Similarity {
     IvfIndex(cents)
   }
 
-  /** Map-side cluster assignment against a fitted index (argmax cosine,
-    * rounded-score + label tie-break) — zero shuffles.
+  /** Map-side cluster assignment against a fitted index (argmax rounded
+    * cosine, smallest-label tie-break) — zero shuffles, O(1) plan size at
+    * any nlist via the dense score table.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 index: IvfIndex): DataFrame =
-    corpus.select(col(idCol),
-      element_at(probeClusters(col(vecCol), normD(col(vecCol)), index, 1), 1)
-        .as("cluster"))
+    corpus.select(col(idCol), col(vecCol), normD(col(vecCol)).as("__n"))
+      .withColumn("__cos", denseCosTable(col(vecCol), col("__n"), index))
+      .select(col(idCol), argmaxLabel(col("__cos"), index).as("cluster"))
 
   /** IVF ANN: each query probes its `nprobe` nearest centroids' clusters
     * and scores only those clusters' vectors. At 100 TB the corpus is read
