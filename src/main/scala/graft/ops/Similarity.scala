@@ -467,10 +467,35 @@ object Similarity {
   def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, index: IvfIndex,
                          nprobe: Int = 2): DataFrame = {
-    val assigned = OpCaches.scoped(emb.select(col(idCol), col(vecCol),
-      normD(col(vecCol)).as("__n"),
-      explode(probeClusters(col(vecCol), normD(col(vecCol)), index, nprobe))
-        .as("cluster")))
+    // Dense top-nprobe probe, CORPUS-side: nprobe argmax-and-mask layers
+    // over ONE (centroid, norm) matrix literal — every row is probed every
+    // pass, and SemDeDup-scale coarse quantizers run thousands of
+    // clusters, so this must stay O(nprobe) plan size where the
+    // sorted-struct probe is O(nlist) (the sorted form remains only on
+    // bounded query sides). Selection order matches the sorted probe
+    // exactly: max rounded score first, smallest label on ties, chosen
+    // position nulled before the next argmax. Every alias is materialized
+    // before reuse (multi-reference, and no CSE inside lambda bodies).
+    var staged = emb.select(col(idCol), col(vecCol),
+        normD(col(vecCol)).as("__n"))
+      .withColumn("__cos1", denseCosTable(col(vecCol), col("__n"), index))
+    (1 to nprobe).foreach { p =>
+      staged = staged.withColumn(s"__p$p",
+        array_position(col(s"__cos$p"), array_max(col(s"__cos$p"))))
+      if (p < nprobe)
+        staged = staged.withColumn(s"__cos${p + 1}",
+          transform(col(s"__cos$p"), (x, i) =>
+            when(i === col(s"__p$p").cast("int") - 1,
+              lit(null).cast("double")).otherwise(x)))
+    }
+    // A position is null once live clusters run out (nprobe > nlist): a
+    // null cluster never equi-joins, so those rows drop exactly like the
+    // sorted probe's shorter slice.
+    val probedClusters = array((1 to nprobe).map(p =>
+      element_at(labelArray(index), col(s"__p$p").cast("int"))): _*)
+    val assigned = OpCaches.scoped(staged
+      .withColumn("cluster", explode(probedClusters))
+      .select(col(idCol), col(vecCol), col("__n"), col("cluster")))
     val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       col("__n").as("__na"), col("cluster"))
     val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
