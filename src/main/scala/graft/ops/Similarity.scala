@@ -659,9 +659,9 @@ object Similarity {
   def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): PqIndex = {
     require(k > 0, "k must be positive")
-    // The fit drives 2 + iters driver actions over this frame (dim probe,
-    // seed collect, one fused update per iteration) — scope-cache the two
-    // columns it needs so that isn't iters+2 re-reads of the source, and
+    // The fit drives 1 + iters driver actions over this frame (seed
+    // collect, one fused update per iteration) — scope-cache the two
+    // columns it needs so that isn't iters+1 re-reads of the source, and
     // REPARTITION it across the cluster first: an iterative fit re-sweeps
     // the same (small relative to the corpus) training frame every round,
     // and a sample that arrived in one or few input splits would otherwise
@@ -669,10 +669,12 @@ object Similarity {
     // cluster-wide assignment parallelism for all iterations.
     val base = OpCaches.scoped(corpus.select(col(idCol), col(vecCol))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism))
-    val d = base.select(size(col(vecCol))).head().getInt(0)
+    val seeds = seedVectors(base, idCol, vecCol, k)
+    require(seeds.nonEmpty, "cannot fit a product quantizer on an empty corpus")
+    // The seed collect doubles as the dimensionality probe.
+    val d = seeds.head.size
     require(d % m == 0, s"vector dim $d must divide into m=$m subspaces")
     val subDim = d / m
-    val seeds = seedVectors(base, idCol, vecCol, k)
     var books: Seq[Seq[IvfCentroid]] = (0 until m).map { s =>
       seeds.zipWithIndex.map { case (v, i) =>
         IvfCentroid(i, v.slice(s * subDim, (s + 1) * subDim), 0.0)
