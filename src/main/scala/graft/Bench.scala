@@ -64,9 +64,12 @@ object Bench {
     // steady-state execution (codegen compilation and JIT dominate first
     // runs by 3-8×), then time each query.
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for targeted iteration on a
-    // few queries (the driver's full run sets no filter).
+    // few queries (the driver's full run sets no filter). A typo'd name
+    // would otherwise silently benchmark nothing and look green.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] WARNING: unknown query name '$n'")))
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
