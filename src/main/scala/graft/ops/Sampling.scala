@@ -130,8 +130,9 @@ object Sampling {
     * budget (P[miss] vanishes by Chernoff at the 10× safety), while the
     * per-stratum window touches ~safety × budget worth of rows regardless
     * of corpus size. `preThinSafety = None` disables thinning. Weights
-    * must be non-negative — rows with negative weight are dropped (the
-    * guard that keeps the running sum monotone); budget-0 strata keep
+    * must be non-negative — rows with negative or null weight are dropped
+    * BEFORE the pre-thin's stratum sums (the guard that keeps the running
+    * sum monotone and the keep rates well-defined); budget-0 strata keep
     * nothing.
     *
     * NB: the pre-thin consumes `df` TWICE (stratum weight sums + the main
@@ -147,17 +148,25 @@ object Sampling {
       case (acc, (stratum, n)) =>
         when(col(stratumCol) === stratum, lit(n)).otherwise(acc)
     }
+    // Enforce the documented non-negative-weight precondition BEFORE
+    // anything reads the weights: a negative weight makes the running sum
+    // non-monotone (the cum <= budget cut stops being a prefix), and a
+    // negative-or-null weight in the pre-thin's per-stratum sums corrupts
+    // the keep rate for every OTHER row of that stratum (a net-negative
+    // sum makes the rate negative and drops the whole stratum). Dropping
+    // such rows up front keeps both stages consistent and conservative.
+    val clean = df.filter(col(weightCol) >= 0)
     val base = preThinSafety match {
-      case None => df
+      case None => clean
       case Some(safety) =>
         // Null-safe stratum join, same reasoning as stratifiedExact.
-        val sizes = df.groupBy(col(stratumCol))
+        val sizes = clean.groupBy(col(stratumCol))
           .agg(sum(col(weightCol)).cast("double").as("__wsum"),
             count(lit(1)).as("__n"))
           .withColumnRenamed(stratumCol, "__stratum")
         val expectKeep = greatest(lit(safety) * budget,
           lit(1000.0) * col("__wsum") / col("__n"))
-        df.join(broadcast(sizes), col(stratumCol) <=> col("__stratum"))
+        clean.join(broadcast(sizes), col(stratumCol) <=> col("__stratum"))
           .filter(keyUniform(col(keyCol)) <
             least(lit(1.0), expectKeep / col("__wsum")))
           .drop("__stratum", "__wsum", "__n")
@@ -165,13 +174,7 @@ object Sampling {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(keyUniform(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Enforce the documented non-negative-weight precondition: a negative
-    // weight makes the running sum non-monotone, so `cum <= budget` would
-    // no longer select a prefix of the hash order and the result would
-    // silently diverge from the greedy cut (and the SQL oracle). Dropping
-    // the row keeps the running sum monotone and fails conservatively.
-    base.filter(col(weightCol) >= 0)
-      .withColumn("__cum", sum(col(weightCol)).over(w))
+    base.withColumn("__cum", sum(col(weightCol)).over(w))
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }

@@ -331,10 +331,15 @@ object Similarity {
   private def labelArray(index: IvfIndex) =
     array(index.centroids.map(c => lit(c.label)): _*)
 
-  /** Argmax-by-position cluster from a materialized dense score column. */
+  /** Argmax-by-position cluster from a materialized dense score column.
+    * Degenerate rows whose every score is null (zero-norm vectors: the
+    * nullif guard) fall back to the smallest label — the sorted-struct
+    * probe's behavior for all-equal scores — instead of a NULL cluster
+    * that would silently drop the row from every downstream equi-join.
+    */
   private def argmaxLabel(cos: org.apache.spark.sql.Column, index: IvfIndex) =
     element_at(labelArray(index),
-      array_position(cos, array_max(cos)).cast("int"))
+      coalesce(array_position(cos, array_max(cos)).cast("int"), lit(1)))
 
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): IvfIndex = {
@@ -488,11 +493,17 @@ object Similarity {
             when(i === col(s"__p$p").cast("int") - 1,
               lit(null).cast("double")).otherwise(x)))
     }
-    // A position is null once live clusters run out (nprobe > nlist): a
-    // null cluster never equi-joins, so those rows drop exactly like the
-    // sorted probe's shorter slice.
-    val probedClusters = array((1 to nprobe).map(p =>
-      element_at(labelArray(index), col(s"__p$p").cast("int"))): _*)
+    // A null position means either live clusters ran out (nprobe > nlist
+    // — the resulting null cluster never equi-joins, matching the sorted
+    // probe's shorter slice) or a degenerate all-null score row, which
+    // falls back to the p-th smallest label like the sorted probe's
+    // stable order would produce.
+    val probedClusters = array((1 to nprobe).map { p =>
+      val pos = if (p <= index.centroids.size)
+        coalesce(col(s"__p$p").cast("int"), lit(p))
+      else col(s"__p$p").cast("int")
+      element_at(labelArray(index), pos)
+    }: _*)
     val assigned = OpCaches.scoped(staged
       .withColumn("cluster", explode(probedClusters))
       .select(col(idCol), col(vecCol), col("__n"), col("cluster")))
@@ -786,12 +797,16 @@ object Similarity {
   /** Candidate ADC distance: m element_at lookups into the query-side
     * dense `__dt_*` tables (the stored code selects the slot), summed
     * left-to-right in subspace order — O(1) per lookup at any codebook
-    * size.
+    * size. A malformed candidate (null/wrong-dimension vector ⇒ null
+    * codes) scores NaN, which sorts GREATER than every real distance —
+    * ranked last, never displacing a real neighbor (ascending rank would
+    * put a null FIRST; the old when-chain's NaN fallthrough had the same
+    * rank-last behavior).
     */
   private def adcDist(index: PqIndex): org.apache.spark.sql.Column =
-    (0 until index.m).map { s =>
+    coalesce((0 until index.m).map { s =>
       element_at(col(dtCol(s)), element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
+    }.reduce(_ + _), lit(Double.NaN))
 
   /** Asymmetric-distance (ADC) kNN over PQ codes: each query precomputes m
     * dense distance tables — rounded squared-L2 from its subvector to
@@ -890,11 +905,15 @@ object Similarity {
   def ivfPqKnnStored(store: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, nprobe: Int,
                      coarse: IvfIndex, pq: PqIndex): DataFrame = {
-    val probed = queries.select(
+    // Scope-cached: the probed query frame is read twice (driver collect
+    // of the partition-prune list + the broadcast join side) — without
+    // the cache an expensive or nondeterministic query frame could make
+    // the pruned partition set diverge from the join's probe side.
+    val probed = OpCaches.scoped(queries.select(
       col(idCol).as("query_id"),
       explode(probeClusters(col(vecCol), normD(col(vecCol)), coarse, nprobe))
         .as("cluster"),
-      col(vecCol))
+      col(vecCol)))
     val q = withDenseTables(probed, Seq("query_id", "cluster"), vecCol, pq)
     val toScan = probed.select(col("cluster")).distinct().collect().map(_.get(0))
     val codes = store.filter(col("cluster").isin(toScan.toSeq: _*))

@@ -358,8 +358,11 @@ object SimilarityQueries {
       val coarse = Similarity.ivfFit(emb, "label", "embedding")
       val pq = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 256,
         iters = 2)
+      // Per-process path: concurrent harnesses (a Verify and a Bench on
+      // the same sf dir) must not overwrite each other's store mid-read.
       val storeDir = System.getProperty("java.io.tmpdir") +
-        "/graft_pq_store_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        "/graft_pq_store_" + ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
       Similarity.pqStoreWrite(emb, "vec_id", "embedding", "label", pq, storeDir)
       Similarity.ivfPqKnnStored(s.read.parquet(storeDir),
         emb.filter(expr(QueryPred)), "vec_id", "embedding", k = 3, nprobe = 2,

@@ -667,6 +667,10 @@ object TextQueries {
     // GOLDEN-FILE oracle: DuckDB has no deflate, so the expected output is
     // a committed once-computed parquet (tools/golden/, regenerate via
     // tools/make_golden.sh after any deliberate semantic change). The
+    // path is ABSOLUTE on purpose: the driver's DuckDB gate runs with an
+    // unspecified cwd (a relative path would break there; a worktree
+    // clone re-running the gate reads the main checkout's goldens, which
+    // for a value-pinning oracle is the intent). The
     // WHERE clause selects the golden matching the corpus the gate runs
     // against — total text length discriminates the three driver sfs
     // (row counts cannot: sf0.001 and sf0.01 both hold 500 docs) — so the

@@ -63,8 +63,20 @@ class ReplayStreamSource extends StreamSourceProvider {
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
-    new ReplaySource(sqlContext.sparkSession, CaseInsensitiveMap(parameters))
+                            parameters: Map[String, String]): Source = {
+    val opts = CaseInsensitiveMap(parameters)
+    // The batch scans read the parquet table's own schema; silently
+    // accepting a different user-supplied one would surface later as a
+    // confusing batch-vs-source schema mismatch inside the stream engine.
+    schema.foreach { s =>
+      val inferred = sqlContext.sparkSession.read
+        .parquet(ReplayStreamSource.path(opts)).schema
+      require(s == inferred,
+        s"replay source infers its schema from the parquet table ($inferred); " +
+          "drop the explicit .schema(...) or make it identical")
+    }
+    new ReplaySource(sqlContext.sparkSession, opts)
+  }
 }
 
 object ReplayStreamSource {
