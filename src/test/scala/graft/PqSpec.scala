@@ -138,6 +138,41 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed candidates rank last in ADC, never displacing real neighbors") {
+    // A wrong-dimension vector gets null codes (its distance table is
+    // all-null); its ADC distance must be NaN — GREATER than every real
+    // distance under Spark ordering — not null, which ascending rank
+    // would put FIRST.
+    val emb = fixture
+    val idx = Similarity.pqFit(emb, "vec_id", "embedding", m = 2, k = 3, iters = 2)
+    val malformed = Seq((99L, Seq(1f, 2f))).toDF("vec_id", "embedding") // 2-dim vs 8
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+      .unionByName(malformed.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")))
+    val got = Similarity.pqAdcKnn(corpus, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = corpus.count().toInt, index = idx)
+      .select("cand_id", "adc_d2", "rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val worst = got.maxBy(_._3)
+    assert(worst._1 == 99L && worst._2.isNaN,
+      s"the malformed candidate must rank last with NaN distance: ${worst}")
+    assert(got.filter(_._1 != 99L).forall(t => !t._2.isNaN))
+  }
+
+  test("zero-norm vectors still receive a cluster under dense assignment") {
+    val emb = fixture.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((99L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
+    val idx = Similarity.kmeansFit(fixture, "vec_id", "embedding", k = 3, iters = 2)
+    val got = Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    // All-null cosine scores fall back to the smallest label — the row
+    // stays routable instead of vanishing from every downstream equi-join.
+    assert(got(99L) != null, "zero-norm row must not get a NULL cluster")
+    assert(got(99L) == idx.centroids.map(c => c.label.asInstanceOf[Int]).min)
+  }
+
   test("pqFit survives k > distinct vectors (empty-cluster collapse)") {
     val emb = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f)), (3L, Seq(5f, 6f)))
       .toDF("vec_id", "embedding")

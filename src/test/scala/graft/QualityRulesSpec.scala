@@ -99,6 +99,24 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(got == expect, s"got $got expected $expect")
   }
 
+  test("tokenBudget drops invalid weights without corrupting the stratum cut") {
+    // A net-negative stratum sum once made the pre-thin keep rate
+    // negative and silently dropped the WHOLE stratum; invalid rows must
+    // be excluded before any weight sum so valid rows still fill the
+    // budget.
+    val docs = Seq(
+      (1L, "s0", java.lang.Long.valueOf(2L)),
+      (2L, "s0", java.lang.Long.valueOf(-10L)), // invalid: negative
+      (3L, "s0", java.lang.Long.valueOf(3L)),
+      (4L, "s0", null.asInstanceOf[java.lang.Long]) // invalid: null
+    ).toDF("doc_id", "source", "w")
+    val got = Sampling.tokenBudget(docs, "doc_id", "source", "w",
+        budgets = Map("s0" -> 100L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L),
+      s"valid rows fit the budget; invalid ones drop: $got")
+  }
+
   test("tokenBudget pre-thin genuinely drops rows yet preserves the answer") {
     // 3000 rows of weight 10 in one stratum, budget 200, safety 10 →
     // expectKeep = max(10*200, 1000*10) = 10000 < Σw = 30000, so the thin
