@@ -238,6 +238,129 @@ object VectorExpressions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Runtime kernel shared by [[CosTableD]]'s eval and codegen paths:
+    * rounded cosine from (`v`, its precomputed norm `n`) to every
+    * (centroid, norm) row of the matrix. Entry semantics replicate the
+    * higher-order formulation `round(dot(v,c) / nullif(n·cn, 0), 6)`
+    * exactly: null when the lengths differ, an element is null, or the
+    * norm product is zero.
+    */
+  def cosTable(v: ArrayData, n: Double, mat: ArrayData,
+               vIsFloat: Boolean): ArrayData = {
+    val k = mat.numElements()
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val row = mat.getStruct(j, 2)
+      val c = row.getArray(0)
+      val cn = row.getDouble(1)
+      val len = v.numElements()
+      if (len != c.numElements()) { out(j) = null }
+      else {
+        var dot = 0.0
+        var ok = true
+        var i = 0
+        while (ok && i < len) {
+          if (v.isNullAt(i) || c.isNullAt(i)) ok = false
+          else {
+            val x = if (vIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            dot += x * c.getDouble(i)
+            i += 1
+          }
+        }
+        val denom = n * cn
+        out(j) = if (!ok || denom == 0.0) null else round6(dot / denom)
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** `cos_table_d(array<float|double>, double, array<struct<array<double>,
+    * double>>) → array<double>`: the whole dense cosine table in ONE
+    * codegen'd expression — entry `j` is `round(dot(v, mat(j).vec) /
+    * nullif(n × mat(j).norm, 0), 6)`. The spherical twin of
+    * [[L2SqTableD]]: corpus-side IVF assignment / Lloyd passes / SemDeDup
+    * probes evaluate it once per row per centroid, and the `transform`
+    * formulation dispatches its lambda interpreted per element. Null
+    * semantics per ENTRY match the lambda form; a null vector or norm
+    * yields an all-null table (not a null array) for the same reason.
+    * Pinned bit-identical to the transform formulation by a differential
+    * property test.
+    */
+  case class CosTableD(vec: Expression, norm: Expression, mat: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+    override def first: Expression = vec
+    override def second: Expression = norm
+    override def third: Expression = mat
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def nullable: Boolean = false
+    override def prettyName: String = "cos_table_d"
+
+    private def vIsFloat: Boolean = vec.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (vec.dataType, norm.dataType, mat.dataType) match {
+        case (ArrayType(vt, _), DoubleType,
+              ArrayType(StructType(Array(f1, f2)), _))
+            if (vt == FloatType || vt == DoubleType) &&
+              f1.dataType == ArrayType(DoubleType, false) &&
+              f2.dataType == DoubleType =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<float|double>, double, " +
+            s"array<struct<array<double>, double>>), got " +
+            s"${vec.dataType.simpleString}, ${norm.dataType.simpleString}, " +
+            s"${mat.dataType.simpleString}")
+      }
+
+    // A null vector/norm must yield an all-null TABLE (what the lambda
+    // formulation computes), not a null array — so eval is hand-rolled
+    // instead of nullSafeEval.
+    override def eval(
+        input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val m = mat.eval(input).asInstanceOf[ArrayData]
+      if (m == null) return null // matrix is a literal; never null in practice
+      val v = vec.eval(input)
+      val n = norm.eval(input)
+      if (v == null || n == null)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](m.numElements()))
+      cosTable(v.asInstanceOf[ArrayData], n.asInstanceOf[Double], m, vIsFloat)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val vE = vec.genCode(ctx)
+      val nE = norm.genCode(ctx)
+      val mE = mat.genCode(ctx)
+      val code =
+        s"""
+           |${vE.code}
+           |${nE.code}
+           |${mE.code}
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value};
+           |if (${vE.isNull} || ${nE.isNull}) {
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |    new Object[${mE.value}.numElements()]);
+           |} else {
+           |  ${ev.value} = graft.functions.VectorExpressions.cosTable(
+           |    ${vE.value}, ${nE.value}, ${mE.value}, $vIsFloat);
+           |}
+         """.stripMargin
+      ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+        .BlockHelper(new StringContext(code)).code(),
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): CosTableD =
+      copy(vec = f, norm = s, mat = t)
+  }
+
   /** `l2sq_table_d(array<float|double>, array<array<double>>) →
     * array<double>`: the whole dense PQ/ADC distance table in ONE
     * expression — entry `j` is `round(l2sq_d(sv, mat[j]), 6)`. Exists

@@ -317,8 +317,15 @@ object Similarity {
                             n: org.apache.spark.sql.Column,
                             index: IvfIndex): org.apache.spark.sql.Column = {
     val mat = typedlit(index.centroids.map(c => (c.vec, c.norm)))
-    transform(mat, c => round(dotD(v, c.getField("_1")) /
-      nullif(n * c.getField("_2"), lit(0.0)), 6))
+    // Native fused kernel — bit-identical (differential-property-tested)
+    // to `transform(mat, c => round(dotD(v, c._1) / nullif(n * c._2, 0),
+    // 6))`, but one codegen'd call per row instead of k interpreted
+    // lambda dispatches: these tables run corpus-side (assignment, Lloyd,
+    // SemDeDup probes).
+    import org.apache.spark.sql.graft.CatalystBridge
+    CatalystBridge.column(graft.functions.VectorExpressions.CosTableD(
+      CatalystBridge.expression(v), CatalystBridge.expression(n),
+      CatalystBridge.expression(mat)))
   }
 
   /** Centroid labels in index (= position) order, as an array literal —

@@ -120,6 +120,37 @@ object GraftProperties extends Properties("graft") {
       })
     }
 
+  property("native cosine table ≡ transform(round(dot/nullif)) on arbitrary codebooks") =
+    forAll(Gen.choose(1, 8).flatMap { d =>
+      Gen.zip(
+        // include the zero vector (zero norm) to hit the nullif path
+        Gen.oneOf(Gen.listOfN(d, Gen.choose(-10.0, 10.0)),
+          Gen.const(List.fill(d)(0.0))),
+        Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,
+          Gen.oneOf(Gen.listOfN(d, Gen.choose(-10.0, 10.0)),
+            Gen.const(List.fill(d)(0.0))))))
+    }) { case (sv, cents) =>
+      import org.apache.spark.sql.functions.{col => c, lit, nullif, round, transform, typedlit}
+      import org.apache.spark.sql.graft.CatalystBridge
+      import graft.functions.{VectorExpressions, VectorFunctions}
+      def foldNorm(v: Seq[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      val mat = cents.map(v => (v, foldNorm(v)))
+      val df = Seq((sv, foldNorm(sv))).toDF("sv", "n")
+      val native = CatalystBridge.column(VectorExpressions.CosTableD(
+        CatalystBridge.expression(c("sv")), CatalystBridge.expression(c("n")),
+        CatalystBridge.expression(typedlit(mat))))
+      val reference = transform(typedlit(mat), x =>
+        round(VectorFunctions.dotD(c("sv"), x.getField("_1")) /
+          nullif(c("n") * x.getField("_2"), lit(0.0)), 6))
+      val r = df.select(native.as("fast"), reference.as("ref")).head()
+      val fast = r.getSeq[java.lang.Double](0)
+      val ref = r.getSeq[java.lang.Double](1)
+      Prop(fast.size == ref.size && fast.zip(ref).forall { case (a, b) =>
+        (a == null && b == null) || (a != null && b != null &&
+          java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b))
+      })
+    }
+
   property("sequence packing tiles each shard: contiguous offsets, bounded pos (L65)") =
     forAll(Gen.listOfN(40, Gen.choose(1, 400))) { tokenCounts =>
       (tokenCounts.nonEmpty) ==> {

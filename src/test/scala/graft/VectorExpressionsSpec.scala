@@ -144,6 +144,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
       perPair.collect().map(_.getSeq[Double](0)).toSeq)
   }
 
+  test("cos_table_d stays in whole-stage codegen and matches the lambda form") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.graft.CatalystBridge
+    import graft.functions.VectorExpressions
+    def foldNorm(v: Seq[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val cents = (0 until 3).map(j => (0 until 64).map(i => ((i * 5 + j) % 7) * 0.1 - 0.3))
+    val mat = cents.map(v => (v, foldNorm(v)))
+    val base = emb.select(col("embedding"),
+      VectorFunctions.normD(col("embedding")).as("n"))
+    val native = CatalystBridge.column(VectorExpressions.CosTableD(
+      CatalystBridge.expression(col("embedding")),
+      CatalystBridge.expression(col("n")),
+      CatalystBridge.expression(typedlit(mat))))
+    val df = base.select(native.as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[cos_table_d""".r.findFirstIn(plan).isDefined,
+      plan.take(500))
+    val reference = base.select(transform(typedlit(mat), x =>
+      round(VectorFunctions.dotD(col("embedding"), x.getField("_1")) /
+        nullif(col("n") * x.getField("_2"), lit(0.0)), 6)).as("t"))
+    assert(df.collect().map(_.getSeq[Double](0)).toSeq ==
+      reference.collect().map(_.getSeq[Double](0)).toSeq)
+  }
+
   test("dot product participates in whole-stage codegen (no fallback)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val df = emb.select(VectorFunctions.dotD(col("embedding"), col("embedding")).as("d"))
