@@ -371,17 +371,43 @@ object TextAnalysis {
     * a tag column: the corpus is tokenized/shingled ONCE and split by tag,
     * instead of two full scans — the shape to prefer when the benchmark is
     * a partition of the same store.
+    *
+    * Scale shape: the benchmark shingle set is NOT broadcast to the exact
+    * join. Instead a fixed-size Bloom filter (capped at 16 MiB regardless
+    * of benchmark size) is fitted over it and applied as a MAP-SIDE
+    * prefilter on the training side, so only probable hits reach the
+    * equi-join; the join itself is left to AQE, which broadcasts the
+    * benchmark side only when it actually fits. The filter has no false
+    * negatives and the exact join removes false positives, so results are
+    * identical to the direct join at any fpp.
     */
   def contaminationTagged(docs: DataFrame, idCol: String, textCol: String,
                           tagCol: String, benchTag: String,
-                          n: Int = 3): DataFrame = {
+                          n: Int = 3, bloomPrefilter: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions._
     val sh = docs.select(col(tagCol), col(idCol),
       explode(array_distinct(wordShingles(words(col(textCol)), n))).as("shingle"))
-    val benchSh = sh.filter(col(tagCol) === benchTag)
-      .select(col("shingle")).distinct()
-    sh.filter(col(tagCol) =!= benchTag)
-      .join(broadcast(benchSh), Seq("shingle"))
+    // Cached: read by the Bloom fit (an action) and again by the exact join.
+    val benchSh = OpCaches.scoped(sh.filter(col(tagCol) === benchTag)
+      .select(col("shingle")).distinct())
+    val train = sh.filter(col(tagCol) =!= benchTag)
+    val probed =
+      if (!bloomPrefilter) train
+      else {
+        // Size the filter from the actual distinct-shingle count (a cheap
+        // action on the cached frame): ~16 bits/item ⇒ fpp ≈ 0.5%. An
+        // oversized filter is NOT free — every partial aggregate allocates
+        // and ships the full bitset, so a fixed "safe" 8 MiB filter costs
+        // 32×8 MiB of merge traffic even for a 100k-shingle suite
+        // (measured 2× slower than sizing from the count). The 16 MiB cap
+        // bounds the driver artifact; past ~8M shingles fpp degrades
+        // gracefully — still a prefilter, never a correctness input.
+        val expected = math.max(benchSh.count(), 1L)
+        val bits = math.min(math.max(expected * 16L, 1024L), 1L << 27)
+        val bf = Sketches.bloomFit(benchSh, "shingle", expected, bits)
+        train.filter(Sketches.mightContain(bf, col("shingle")))
+      }
+    probed.join(benchSh, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }

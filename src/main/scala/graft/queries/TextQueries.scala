@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, OpCaches, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline text operators over the `documents` table:
@@ -333,21 +333,28 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       // ONE shingle derivation feeds candidates, sizes, and verification
       // (calling nearDuplicates separately would tokenize + LSH-join the
-      // corpus a second time for the same numbers).
-      val sh = Dedup.shingleSets(docs, "doc_id", "text", 3, Some(0.1))
-      val cand = Dedup.lshCandidates(Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
+      // corpus a second time for the same numbers). The three stage frames
+      // are cached: the report reads cand twice (its own count + the
+      // verification join) and pairs three times (count, clusters' probe
+      // action, clusters' propagation input) — uncached, each extra reader
+      // re-executes the whole tokenize→MinHash→LSH-join chain (round-5
+      // bench measured the funnel at >4 s vs 1.8 s for exactly this).
+      val sh = OpCaches.scoped(
+        Dedup.shingleSets(docs, "doc_id", "text", 3, Some(0.1)))
+      val cand = OpCaches.scoped(
+        Dedup.lshCandidates(Dedup.minhashSignatures(sh, "doc_id"), "doc_id"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
           Seq("doc_b", "shingle"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      val pairs = inter
+      val pairs = OpCaches.scoped(inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
         .filter(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")) >= 0.8)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")))
       val cl = Dedup.clusters(pairs)
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))

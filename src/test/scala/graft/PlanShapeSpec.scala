@@ -88,10 +88,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"single-partition exchange below the top-k operator:\n${p.take(1200)}")
   }
 
-  test("decontamination broadcasts the benchmark shingle set") {
+  test("decontamination bloom-prefilters the training side before the exact join") {
     val p = plan("text_decontaminate")
-    assert(p.contains("BroadcastHashJoin"),
-      s"benchmark side must broadcast (training side streams):\n${p.take(800)}")
+    // The benchmark shingle set is no longer hint-broadcast (a large
+    // benchmark suite would be driver-limited); a fitted Bloom filter
+    // prefilters the training side map-side, and the exact join input is
+    // the prefiltered stream. AQE still broadcasts the bench side at
+    // runtime when it fits — the hint is gone, not the optimization.
+    val join = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .map(p.indexOf).filter(_ >= 0).minOption.getOrElse(-1)
+    val bloom = p.indexOf("might_contain")
+    assert(join >= 0, s"exact shingle join missing:\n${p.take(800)}")
+    assert(bloom > join,
+      s"bloom prefilter must sit below the exact join (train input):\n${p.take(1200)}")
   }
 
   test("IVF probe assignment is map-side: exactly one Window (the final top-k)") {
