@@ -23,7 +23,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val HistoryPath = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.json"))
+  // Two floors: a query WITH a history entry gets max(2 s, 2×prev) — the
+  // old flat 4 s floor let a cheap composite query regress 2.2× before
+  // flagging (round-5's dedup_funnel_report went 1.78→4+ s silently until
+  // it crossed 4 s). A query WITHOUT history (first round it exists) keeps
+  // the looser 4 s floor: there is no baseline to regress from, and first
+  // measurements carry codegen/JIT noise.
   private val FloorSec = 4.0
+  private val TrackedFloorSec = 2.0
 
   /** {"query":seconds,...} from the previous run AT THE SAME SCALE FACTOR
     * (empty otherwise — budgets derived from a different sf would flag or
@@ -98,7 +105,7 @@ object Bench {
     val failed = results.collect { case (n, t) if t < 0 => n }
     val history = loadHistory(sfDir)
     def budget(q: String): Double =
-      history.get(q).filter(_ > 0).map(t => math.max(FloorSec, 2.0 * t))
+      history.get(q).filter(_ > 0).map(t => math.max(TrackedFloorSec, 2.0 * t))
         .getOrElse(FloorSec)
     val overBudget = results.collect { case (n, t) if t > budget(n) => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -509,13 +509,31 @@ object Dedup {
     * rows sharing a cheap block key (first token, phonetic code, length
     * bucket, …) before the quadratic-per-pair Levenshtein runs — the
     * classic blocking+verify shape for title/name dedup; never all-pairs.
-    * Block-key skew behaves like any hot join key (AQE skew split / cap
-    * oversized blocks upstream).
+    *
+    * A hot block is quadratic no matter how cheap the per-pair check is
+    * (a 20%-identical block key at 1M titles is 2×10¹⁰ candidate pairs),
+    * so blocks larger than `maxBlockSize` are DROPPED from candidate
+    * generation by default — the same lossy-by-design shape as the
+    * hot-shingle df cap in [[shingleSets]]: a block key shared by
+    * thousands of rows carries no discriminating signal (think titles
+    * whose second token is "the"). Pass None to disable; the hot-block
+    * list is tiny by construction, so the exclusion is one broadcast
+    * anti-join.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         blockExpr: org.apache.spark.sql.Column,
-                        maxDist: Int): DataFrame = {
-    val p = docs.select(col(idCol), col(textCol), blockExpr.as("__blk"))
+                        maxDist: Int,
+                        maxBlockSize: Option[Long] = Some(1000L)): DataFrame = {
+    val p0 = docs.select(col(idCol), col(textCol), blockExpr.as("__blk"))
+    val p = maxBlockSize match {
+      case None => p0
+      case Some(cap) =>
+        // Cached: feeds both the block-size aggregation and the anti-join.
+        val pc = OpCaches.scoped(p0)
+        val hot = pc.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap).select(col("__blk"))
+        pc.join(broadcast(hot), Seq("__blk"), "left_anti")
+    }
     val a = p.select(col(idCol).as("id_a"), col(textCol).as("__ta"), col("__blk"))
     val b = p.select(col(idCol).as("id_b"), col(textCol).as("__tb"), col("__blk"))
     a.join(b, Seq("__blk"))

@@ -305,6 +305,23 @@ object TextQueries {
         blockExpr = split_part(col("p_name"), lit(" "), lit(2)), maxDist = 3)
     },
 
+    // Hot-block stress for the edit-distance blocker: 20% of names get a
+    // shared second token, so without the block-size cap candidates are
+    // C(0.2n, 2)-quadratic. Cap lowered to 300 so the drop actually
+    // triggers at the sf0.01 gate scale (hot block = 400 rows there); the
+    // DuckDB oracle encodes the same rule, proving cap parity exactly.
+    "skew_stress_title_edit" -> { (s, dir) =>
+      val names = Tables.part(s, dir).groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      val skewed = names.select(col("name_id"),
+        when(pmod(col("name_id"), lit(5)) === 0,
+          concat(lit("zz hotblk "), col("p_name")))
+          .otherwise(col("p_name")).as("p_name"))
+      Dedup.editDistancePairs(skewed, "name_id", "p_name",
+        blockExpr = split_part(col("p_name"), lit(" "), lit(2)), maxDist = 3,
+        maxBlockSize = Some(300L))
+    },
+
     // Exact-count mixture quotas per source (rows, not rates).
     "sample_exact_quota" -> { (s, dir) =>
       graft.ops.Sampling.stratifiedExact(Tables.documents(s, dir), "doc_id",
@@ -1064,6 +1081,21 @@ object TextQueries {
         |SELECT a.name_id AS id_a, b.name_id AS id_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM p a JOIN p b ON a.blk = b.blk AND a.name_id < b.name_id
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    "skew_stress_title_edit" ->
+      """WITH names AS (SELECT p_name, min(p_partkey) AS name_id
+        |  FROM part GROUP BY 1),
+        |sk AS (SELECT name_id, CASE WHEN name_id % 5 = 0
+        |    THEN 'zz hotblk ' || p_name ELSE p_name END AS p_name FROM names),
+        |p AS (SELECT name_id, p_name, split_part(p_name, ' ', 2) AS blk
+        |  FROM sk),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 300),
+        |pf AS (SELECT p.* FROM p JOIN ok USING (blk))
+        |SELECT a.name_id AS id_a, b.name_id AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM pf a JOIN pf b ON a.blk = b.blk AND a.name_id < b.name_id
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
 

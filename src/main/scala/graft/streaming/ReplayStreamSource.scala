@@ -2,22 +2,26 @@ package graft.streaming
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.graft.CatalystBridge
-import org.apache.spark.sql.sources.StreamSourceProvider
-import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.ParquetScanBridge
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Micro-batch REPLAY source — the reference simulator's contract
   * (`stream_sim.py:15-83`: serve batches of N distinct event timestamps,
-  * seek via start_time, wrap-around at end of data) as a real Structured
-  * Streaming source, so the seek/pace semantics run under the engine's own
-  * offset tracking, checkpointing and trigger loop instead of the
-  * [[Replay.cursorBatches]] iterator harness.
+  * seek via start_time, wrap-around at end of data) as a DataSourceV2
+  * `MicroBatchStream`, so the seek/pace semantics run under the engine's
+  * own offset tracking, checkpointing, trigger loop and admission control
+  * instead of the [[Replay.cursorBatches]] iterator harness.
   *
   * Usage:
   * {{{
@@ -32,50 +36,52 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, Times
   *   .load()
   * }}}
   *
-  * Offsets are indices into the distinct-timestamp cursor (serve order),
-  * so a restart from a checkpoint resumes at the exact replay position.
-  * TIME COMPRESSION ("1 simulated hour per N wall seconds",
-  * reference `viz.py:583`) composes from two knobs: simulated time per
-  * trigger here (`simAdvancePerTriggerSec`), wall time per trigger via the
-  * query's `Trigger.ProcessingTime` (use [[Replay.paceMillis]] to derive
-  * it).
+  * Offsets are indices into the distinct-timestamp cursor (serve order), so
+  * a restart from a checkpoint resumes at the exact replay position — in V2
+  * the engine owns the restore entirely (`planInputPartitions` receives the
+  * committed offset; no source-side restore state at all). TIME COMPRESSION
+  * ("1 simulated hour per N wall seconds", reference `viz.py:583`) composes
+  * from two knobs: simulated time per trigger here
+  * (`simAdvancePerTriggerSec`), wall time per trigger via the query's
+  * `Trigger.ProcessingTime` (use [[Replay.paceMillis]] to derive it).
+  * Admission control maps `ReadMaxRows` onto the cursor (max distinct
+  * timestamps per batch — row counts per slice are executor-side knowledge)
+  * and serves everything remaining under `Trigger.AvailableNow`'s
+  * `ReadAllAvailable`.
   *
-  * Scale: the driver holds ONLY the distinct-timestamp cursor — O(distinct
-  * event times), independent of row count. Each micro-batch is a REAL
-  * parquet scan filtered to the batch's event-time range (executors read
-  * their own splits; the timestamp predicate reaches the scan as a pushed
-  * filter for row-group pruning), so replaying a large stored history
-  * never materializes rows on the driver — unlike the reference simulator,
-  * which loads all three tables into memory. Implemented against the V1
-  * `Source` API precisely because its `getBatch` returns a DataFrame: the
-  * batch can BE the filtered distributed scan (the same mechanism Spark's
-  * own file stream source uses), where the V2 partition route would have
-  * to ship driver-collected rows.
+  * Scale: the driver holds ONLY the distinct-timestamp cursor (O(distinct
+  * event times), independent of row count) plus the table's file listing.
+  * Each micro-batch is planned by delegating to Spark's own V2 parquet
+  * batch scan with the batch's event-time ranges pushed down
+  * ([[ParquetScanBridge.parquetBatch]]): executors read their own file
+  * splits with row-group pruning, and a thin [[ReplayReaderFactory]]
+  * wrapper enforces the exact row-level range on top (parquet pushdown
+  * prunes row groups; it does not promise row precision). Rows never touch
+  * the driver — unlike the reference simulator, which loads all three
+  * tables into memory.
   */
-class ReplayStreamSource extends StreamSourceProvider {
-  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String]): (String, StructType) = {
-    val opts = CaseInsensitiveMap(parameters)
-    ("graft_replay", schema.getOrElse(
-      sqlContext.sparkSession.read.parquet(ReplayStreamSource.path(opts)).schema))
+class ReplayStreamSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = ReplayStreamSource.scalaOptions(options)
+    spark.read.parquet(ReplayStreamSource.path(opts)).schema
   }
 
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-                            schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source = {
-    val opts = CaseInsensitiveMap(parameters)
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = ReplayStreamSource.scalaOptions(
+      new CaseInsensitiveStringMap(properties))
     // The batch scans read the parquet table's own schema; silently
     // accepting a different user-supplied one would surface later as a
     // confusing batch-vs-source schema mismatch inside the stream engine.
-    schema.foreach { s =>
-      val inferred = sqlContext.sparkSession.read
-        .parquet(ReplayStreamSource.path(opts)).schema
-      require(s == inferred,
-        s"replay source infers its schema from the parquet table ($inferred); " +
-          "drop the explicit .schema(...) or make it identical")
-    }
-    new ReplaySource(sqlContext.sparkSession, opts)
+    val inferred = spark.read.parquet(ReplayStreamSource.path(opts)).schema
+    require(schema == inferred,
+      s"replay source infers its schema from the parquet table ($inferred); " +
+        "drop the explicit .schema(...) or make it identical")
+    new ReplayTable(inferred, opts)
   }
 }
 
@@ -83,6 +89,12 @@ object ReplayStreamSource {
   private[streaming] def path(options: Map[String, String]): String =
     options.getOrElse("path",
       throw new IllegalArgumentException("replay source requires a 'path' option"))
+
+  private[streaming] def scalaOptions(m: CaseInsensitiveStringMap): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    m.entrySet().forEach(e => b += (e.getKey -> e.getValue))
+    CaseInsensitiveMap(b.result())
+  }
 
   /** `yyyy-MM-dd HH:mm:ss[.SSS...]` interpreted in UTC (the engine's
     * session time zone, SURVEY §1.2) → epoch micros.
@@ -93,12 +105,31 @@ object ReplayStreamSource {
   }
 }
 
-/** The V1 streaming source behind [[ReplayStreamSource]]. Offset = number
-  * of distinct-timestamp slices served (serve order, post-seek rotation).
+/** V2 table: static parquet history, readable as a micro-batch stream. */
+private[streaming] class ReplayTable(tableSchema: StructType,
+                                     options: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_replay(${ReplayStreamSource.path(options)})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = tableSchema
+      override def description(): String = name()
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ReplayMicroBatchStream(SparkSession.active, tableSchema, options)
+    }
+}
+
+/** The micro-batch stream behind [[ReplayStreamSource]]. Offset = number of
+  * distinct-timestamp slices served (serve order, post-seek rotation).
   */
-private[streaming] class ReplaySource(spark: SparkSession,
-                                      options: Map[String, String])
-    extends Source {
+private[graft] class ReplayMicroBatchStream(spark: SparkSession,
+                                                tableSchema: StructType,
+                                                options: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val pathOpt = ReplayStreamSource.path(options)
   private val tsCol = options.getOrElse("tsCol", "ts")
@@ -110,16 +141,14 @@ private[streaming] class ReplaySource(spark: SparkSession,
   private val wrap = options.get("wrap").exists(_.toBoolean)
   require(perTrigger > 0, "timestampsPerTrigger must be positive")
 
-  private val table: DataFrame = spark.read.parquet(pathOpt)
-  private val tsField = table.schema(
-    table.schema.fieldIndex(tsCol)) // throws with a clear message if absent
+  private val tsField = tableSchema(
+    tableSchema.fieldIndex(tsCol)) // throws with a clear message if absent
   tsField.dataType match {
     case TimestampType | TimestampNTZType | LongType => ()
     case t => throw new IllegalArgumentException(
       s"tsCol '$tsCol' must be a timestamp or epoch-long column, got $t")
   }
-
-  override def schema: StructType = table.schema
+  private val tsOrdinal = tableSchema.fieldIndex(tsCol)
 
   /** The ONLY driver-side state: distinct event times (micros) in serve
     * order — ascending, then rotated for seek/wrap
@@ -129,7 +158,7 @@ private[streaming] class ReplaySource(spark: SparkSession,
     * per-batch scans.
     */
   private lazy val cursor: Array[Long] = {
-    val distinct = table
+    val distinct = spark.read.parquet(pathOpt)
       .filter(col(tsCol).isNotNull) // a null event time has no replay position
       .select(col(tsCol)).distinct().orderBy(col(tsCol))
       .queryExecution.executedPlan.executeCollect().map(_.getLong(0))
@@ -141,58 +170,67 @@ private[streaming] class ReplaySource(spark: SparkSession,
     }
   }
 
-  // How far getOffset has advanced. getBatch/commit bump it on checkpoint
-  // restore (the restored offset arrives there) so a recovered query never
-  // plans end < start.
-  private var served: Long = 0L
+  // One file listing, shared by every batch (the history is static).
+  private lazy val index = ParquetScanBridge.fileIndex(spark, pathOpt)
 
-  override def getOffset: Option[Offset] = {
+  private def idx(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  override def initialOffset(): Offset = LongOffset(0L)
+  override def deserializeOffset(json: String): Offset = LongOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (simAdvanceUs > 0) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(perTrigger)
+
+  /** Admission-controlled advance. `maxRows` counts cursor slices (distinct
+    * event times): per-slice row counts live executor-side by design, so
+    * the cursor is the only granularity the driver can admit by.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = idx(start)
     val n = cursor.length.toLong
-    if (served < n) {
+    if (s >= n) return LongOffset(n)
+    val e =
       if (simAdvanceUs > 0) {
         // Time-based batching: serve every slice whose event time falls in
         // the next simAdvance window. A wrap point (event time jumps
         // backwards in serve order) ends the batch; the next trigger
         // starts a fresh window at the wrapped timestamp.
-        val startTs = cursor(served.toInt)
-        var e = served + 1
-        while (e < n && cursor(e.toInt) >= startTs &&
-               cursor(e.toInt) < startTs + simAdvanceUs) e += 1
-        served = e
-      } else served = math.min(served + perTrigger, n)
-    }
-    if (served == 0) None else Some(LongOffset(served))
+        val startTs = cursor(s.toInt)
+        var e0 = s + 1
+        while (e0 < n && cursor(e0.toInt) >= startTs &&
+               cursor(e0.toInt) < startTs + simAdvanceUs) e0 += 1
+        e0
+      } else limit match {
+        case _: ReadAllAvailable => n // Trigger.AvailableNow: drain
+        case r: ReadMaxRows      => s + math.max(1L, r.maxRows())
+        case _                   => s + perTrigger
+      }
+    LongOffset(math.min(e, n))
   }
 
-  /** LongOffset live; anything else (SerializedOffset on restore) by its
-    * json payload — both are the plain slice index.
-    */
-  private def toIdx(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other         => other.json.trim.toLong
-  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
   // Event-time literal in the column's own type (all three accepted types
   // store micros internally).
-  private def tsLit(us: Long) =
-    CatalystBridge.column(Literal(us, tsField.dataType))
+  private def tsLit(us: Long) = Literal(us, tsField.dataType)
 
-  // The batch scan's base relation, resolved once and marked isStreaming
-  // (a V1 micro-batch must be; see CatalystBridge.streamingFileScan).
-  private lazy val streamingTable: DataFrame =
-    CatalystBridge.streamingFileScan(spark, "parquet", pathOpt)
-
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val s = start.map(toIdx).getOrElse(0L)
-    val e = toIdx(end)
-    served = math.max(served, e)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = idx(start)
+    val e = idx(end)
     val ts = (s until e).map(i => cursor(i.toInt))
-    if (ts.isEmpty) return streamingTable.filter(lit(false))
+    if (ts.isEmpty) return Array.empty
     // The slice indices are contiguous in serve order; event times ascend
     // except at the single wrap point, so the batch is at most two
     // ascending runs. Each run of consecutive DISTINCT timestamps is
-    // exactly the rows in [lo, hi] — a range predicate the parquet scan
-    // prunes row groups with.
+    // exactly the rows in [lo, hi] — a range predicate pushed into the
+    // parquet scan for row-group pruning, then enforced row-level by
+    // [[ReplayReaderFactory]].
     val runs = ArrayBuffer.empty[(Long, Long)]
     var lo = ts.head
     var prev = ts.head
@@ -201,13 +239,67 @@ private[streaming] class ReplaySource(spark: SparkSession,
       prev = t
     }
     runs += ((lo, prev))
-    streamingTable.filter(runs.map { case (rLo, rHi) =>
-      col(tsCol) >= tsLit(rLo) && col(tsCol) <= tsLit(rHi)
-    }.reduce(_ || _))
+    val attr = AttributeReference(tsCol, tsField.dataType, tsField.nullable)()
+    val pushed: Seq[Expression] =
+      if (runs.size == 1)
+        Seq(GreaterThanOrEqual(attr, tsLit(runs.head._1)),
+          LessThanOrEqual(attr, tsLit(runs.head._2)))
+      else Seq(runs.map { case (rLo, rHi) =>
+        And(GreaterThanOrEqual(attr, tsLit(rLo)),
+          LessThanOrEqual(attr, tsLit(rHi))): Expression
+      }.reduce(Or(_, _)))
+    val (parts, factory) = ParquetScanBridge.parquetBatch(spark, index, tableSchema, pushed)
+    val los = runs.map(_._1).toArray
+    val his = runs.map(_._2).toArray
+    parts.map(p => ReplayInputPartition(p, factory, los, his, tsOrdinal))
   }
 
-  override def commit(end: Offset): Unit =
-    served = math.max(served, toIdx(end))
+  override def createReaderFactory(): PartitionReaderFactory = new ReplayReaderFactory
 
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** A delegate file partition plus the batch's event-time ranges. The
+  * delegate parquet reader factory rides along so the batch-specific scan
+  * configuration (pushed filters, schema, hadoop conf) stays attached to
+  * the partitions it planned — [[ReplayMicroBatchStream.createReaderFactory]]
+  * is stateless by construction.
+  */
+private[graft] case class ReplayInputPartition(
+    delegate: InputPartition, delegateFactory: PartitionReaderFactory,
+    runLos: Array[Long], runHis: Array[Long], tsOrdinal: Int)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+/** Executor-side: Spark's own parquet reader for the split, wrapped with
+  * the exact row-level event-time predicate (row groups that straddle a
+  * range boundary would otherwise leak neighboring slices into the batch).
+  */
+private[streaming] class ReplayReaderFactory extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rp = partition.asInstanceOf[ReplayInputPartition]
+    val inner = rp.delegateFactory.createReader(rp.delegate)
+    new PartitionReader[InternalRow] {
+      private def inRange(row: InternalRow): Boolean = {
+        if (row.isNullAt(rp.tsOrdinal)) return false
+        val v = row.getLong(rp.tsOrdinal)
+        var i = 0
+        while (i < rp.runLos.length) {
+          if (v >= rp.runLos(i) && v <= rp.runHis(i)) return true
+          i += 1
+        }
+        false
+      }
+      override def next(): Boolean = {
+        while (inner.next()) if (inRange(inner.get())) return true
+        false
+      }
+      override def get(): InternalRow = inner.get()
+      override def close(): Unit = inner.close()
+    }
+  }
 }

@@ -96,25 +96,48 @@ class ReplayStreamSpec extends AnyFunSuite {
   }
 
   test("replay micro-batches are pushed-down parquet scans, not driver-shipped rows") {
+    // The V2 plan string shows only the opaque MicroBatchScan node, so the
+    // 100 TB property is asserted structurally on the planned partitions:
+    // each must be a REAL parquet file split (executor-side scan) whose
+    // delegate reader factory carries the batch's event-time range as
+    // pushed parquet filters (row-group pruning) — a driver-materialized
+    // source would plan local rows, not file splits.
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val stream = new graft.streaming.ReplayMicroBatchStream(spark,
+      spark.read.parquet(dataDir).schema,
+      Map("path" -> dataDir, "tsCol" -> "ts", "timestampsPerTrigger" -> "2"))
+    val parts = stream.planInputPartitions(LongOffset(0L), LongOffset(2L))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val rp = p.asInstanceOf[graft.streaming.ReplayInputPartition]
+      assert(rp.delegate.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.FilePartition],
+        s"micro-batch partition must be a parquet file split: ${rp.delegate}")
+      val pushed = rp.delegateFactory.asInstanceOf[Product].productIterator
+        .collectFirst { case a: Array[org.apache.spark.sql.sources.Filter] => a }
+        .getOrElse(fail(s"no pushed-filter array on ${rp.delegateFactory}"))
+        .map(_.toString).mkString(",")
+      assert(pushed.contains("GreaterThanOrEqual(ts") &&
+        pushed.contains("LessThanOrEqual(ts"),
+        s"event-time range must reach the parquet reader: [$pushed]")
+      // Slices 0-1 are {0, 1} minutes — one contiguous run.
+      assert(rp.runLos.toSeq == Seq(us(0)) && rp.runHis.toSeq == Seq(us(1)))
+    }
+    // And the executed micro-batch plan must not be a driver-side
+    // LocalTableScan (the V1-era failure mode this spec guards against).
     val q = spark.readStream.format(classOf[ReplayStreamSource].getName)
       .option("path", dataDir).option("tsCol", "ts")
       .option("timestampsPerTrigger", "2")
       .load().writeStream
       .foreachBatch { (b: Dataset[Row], _: Long) => b.count(); () }
       .start()
-    val p = try {
+    val plan = try {
       q.processAllAvailable()
       org.apache.spark.sql.graft.CatalystBridge.lastMicroBatchPlan(q)
         .getOrElse(fail("no micro-batch executed"))
     } finally q.stop()
-    // A batch reads the stored file itself (executor-side scan) with the
-    // batch's event-time range pushed into the scan for row-group pruning
-    // — the 100 TB path; a driver-materialized source would show a
-    // LocalTableScan/RDD scan and no pushed filters.
-    assert(p.contains("FileScan parquet"), p.take(600))
-    assert(p.contains("PushedFilters: [") &&
-      p.contains("GreaterThanOrEqual(ts") && p.contains("LessThanOrEqual(ts"),
-      p.take(600))
+    assert(plan.contains("MicroBatchScan") && !plan.contains("LocalTableScan"),
+      plan.take(600))
   }
 
   test("replay resumes from a checkpoint without re-serving completed slices") {
@@ -141,6 +164,28 @@ class ReplayStreamSpec extends AnyFunSuite {
       .collect().sorted.toSeq
     assert(afterSecond == rows.sorted,
       "a restarted replay must neither duplicate nor re-serve slices")
+  }
+
+  test("admission control: ReadMaxRows caps cursor slices, AvailableNow drains") {
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val stream = new graft.streaming.ReplayMicroBatchStream(spark,
+      spark.read.parquet(dataDir).schema,
+      Map("path" -> dataDir, "tsCol" -> "ts", "timestampsPerTrigger" -> "2"))
+    // Default limit derives from the source's own pacing knob.
+    stream.getDefaultReadLimit match {
+      case r: ReadMaxRows => assert(r.maxRows() == 2L)
+      case other => fail(s"expected ReadMaxRows, got $other")
+    }
+    def at(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+      o.json().trim.toLong
+    // maxRows admits that many cursor slices (5 distinct ts in the fixture).
+    assert(at(stream.latestOffset(LongOffset(0L), ReadLimit.maxRows(2))) == 2L)
+    assert(at(stream.latestOffset(LongOffset(2L), ReadLimit.maxRows(10))) == 5L)
+    // Trigger.AvailableNow's ReadAllAvailable drains the remaining cursor.
+    assert(at(stream.latestOffset(LongOffset(1L), ReadLimit.allAvailable())) == 5L)
+    // Exhausted: no further advance.
+    assert(at(stream.latestOffset(LongOffset(5L), ReadLimit.maxRows(2))) == 5L)
   }
 
   test("replay handles a 10x-distinct-timestamp table with the same contract") {
