@@ -84,7 +84,15 @@ object VectorFunctions {
     * literals).
     */
   def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    lshBucketAt(v, planes, dims, 0)
+
+  /** [[lshBucket]] drawing planes from the GLOBAL plane sequence starting
+    * at `planeOffset` — independent hash tables for AND-OR amplification
+    * share one deterministic coefficient stream (table t uses planes
+    * [t·P, (t+1)·P), so adding tables never re-randomizes existing ones).
+    */
+  def lshBucketAt(v: Column, planes: Int, dims: Int, planeOffset: Int): Column =
     (0 until planes).map { p =>
-      when(planeDot(v, p, dims) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(planeDot(v, planeOffset + p, dims) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -593,4 +593,40 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sum(when(col("s") >= 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0L))
         .as("simhash"))
+
+  /** Near-dup pairs by cosine over [[TextAnalysis.hashEmbeddingSparse]]
+    * integer vectors: dot products and squared norms are exact integer
+    * sums (portable to any engine), only the final division is floating —
+    * which is what lets a hash-value oracle verify a *semantic* dedup op
+    * end to end. This is the EXACT baseline: candidate pairs share at
+    * least one hash bucket, and with dim ≈ 64 most doc pairs do, so the
+    * bucket join degenerates toward all-pairs on a large corpus. At scale,
+    * route [[TextAnalysis.hashEmbedding]]'s dense vectors through the ANN
+    * stack (LSH buckets or IVF, `Similarity`) and keep this op for
+    * verification cohorts and gate oracles.
+    */
+  def hashCosinePairs(sparse: DataFrame, idCol: String,
+                      minCos: Double): DataFrame = {
+    val sp = OpCaches.scoped(
+      sparse.select(col(idCol), col("bucket"), col("weight")))
+    val a = sp.select(col(idCol).as("doc_a"), col("bucket"),
+      col("weight").as("__wa"))
+    val b = sp.select(col(idCol).as("doc_b"), col("bucket"),
+      col("weight").as("__wb"))
+    val dot = a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("__wa") * col("__wb")).as("dot"))
+    val norms = sp.groupBy(col(idCol))
+      .agg(sum(col("weight") * col("weight")).as("__nsq"))
+    dot
+      .join(norms.select(col(idCol).as("doc_a"), col("__nsq").as("__na")),
+        Seq("doc_a"))
+      .join(norms.select(col(idCol).as("doc_b"), col("__nsq").as("__nb")),
+        Seq("doc_b"))
+      .withColumn("cos", round(col("dot").cast("double") /
+        (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("cos"))
+  }
 }

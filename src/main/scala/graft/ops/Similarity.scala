@@ -435,6 +435,53 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
   }
 
+  /** AND-OR amplified LSH pair mining — the scale path for [[cosinePairs]].
+    *
+    * A single table's bucket count is FIXED (2^planes), so bucket occupancy
+    * grows linearly with the corpus and within-bucket candidate pairs
+    * quadratically — the 10× derived-corpus probe measured 46× runtime for
+    * the single-table op (SCALE.md). The classic fix is AND-OR
+    * amplification: raise `planes` so per-bucket occupancy stays bounded
+    * (candidate volume shrinks exponentially in P), and mine `tables`
+    * INDEPENDENT plane sets to buy back the recall the extra AND bits cost
+    * — P(pair collides somewhere | angle θ) = 1 − (1 − p^P)^T with
+    * p = 1 − θ/π. Size P ≈ log₂(n / targetBucketSize) as the corpus grows;
+    * T from the recall target.
+    *
+    * Candidates are the DISTINCT union of per-table bucket collisions
+    * (a pair colliding in several tables verifies once); verification is
+    * the exact cosine. Each table's planes come from the shared
+    * deterministic coefficient stream at offset t·P, so results are
+    * reproducible across engines and runs.
+    */
+  def cosinePairsMultiTable(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, planes: Int, tables: Int,
+                            dims: Int): DataFrame = {
+    require(tables > 0, "tables must be positive")
+    val base = OpCaches.scoped(emb.select(col(idCol), col(vecCol),
+      normD(col(vecCol)).as("__n")))
+    val sigs = (0 until tables).map { t =>
+      base.select(col(idCol), lit(t).as("__tbl"),
+        lshBucketAt(col(vecCol), planes, dims, t * planes).as("__bucket"))
+    }.reduce(_.unionByName(_))
+    val cand = sigs.select(col(idCol).as("id_a"), col("__tbl"), col("__bucket"))
+      .join(sigs.select(col(idCol).as("id_b"), col("__tbl"), col("__bucket")),
+        Seq("__tbl", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("cosine",
+        round(dotD(col("__va"), col("__vb")) /
+          nullif(col("__na") * col("__nb"), lit(0.0)), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Hard-negative mining for contrastive training: each anchor's top-k
     * nearest neighbors EXCLUDING the near-duplicate band (cosine ≥
     * `dupThreshold`) — the "close but not the same" examples that make

@@ -666,4 +666,109 @@ object TextAnalysis {
           round(col("n_boiler").cast("double") / col("n_shingles"), 6))
           .otherwise(lit(0.0)))
   }
+
+  /** Feature-hashed bag-of-words embedding ("hashing trick"), SPARSE form:
+    * bucket = md5-24(token) mod `dim`, sign = parity of the next md5 hex
+    * digit, weight = Σ ±1 over token occurrences (multiplicity counts).
+    * Integer weights are exactly portable across engines (no float
+    * accumulation order), which is what makes the op oracle-verifiable;
+    * zero-weight buckets are dropped. This is the model-free text→vector
+    * bridge: [[hashEmbedding]] densifies + L2-normalizes the result into
+    * the shape the ANN/clustering stack ([[Similarity]]) consumes, so a
+    * corpus WITHOUT a precomputed embedding table still gets semantic
+    * dedup/kNN. One explode + one aggregation; map-side partial combine
+    * applies (bucket cardinality ≤ dim per doc).
+    */
+  def hashEmbeddingSparse(docs: DataFrame, idCol: String, textCol: String,
+                          dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val tok = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+    tok.select(col(idCol),
+        pmod(wordCode24(col("w")), lit(dim.toLong)).as("bucket"),
+        (lit(1L) - lit(2L) * pmod(
+          conv(substring(md5(col("w")), 7, 1), 16, 10).cast("long"),
+          lit(2L))).as("s"))
+      .groupBy(col(idCol), col("bucket")).agg(sum(col("s")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  /** [[hashEmbeddingSparse]] densified to an L2-normalized `array<float>`
+    * — drop-in for the `embeddings` table's vector column. All-zero
+    * embeddings (empty/degenerate docs) keep a zero vector rather than
+    * dividing by zero.
+    */
+  def hashEmbedding(docs: DataFrame, idCol: String, textCol: String,
+                    dim: Int = 64): DataFrame = {
+    val dense = hashEmbeddingSparse(docs, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("weight")))).as("__m"))
+      .select(col(idCol), transform(sequence(lit(0L), lit(dim - 1L)),
+        i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+        .as("__v"))
+    // Docs whose every token hashed to weight 0 vanish from the sparse
+    // frame — restore them with a zero vector so the embedding is total.
+    val norm = sqrt(aggregate(col("__v"), lit(0.0), (acc, x) => acc + x * x))
+    docs.select(col(idCol))
+      .join(dense, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__v").isNull,
+          array_repeat(lit(0.0f), dim))
+          .otherwise(transform(col("__v"), x =>
+            (x / when(norm > 0, norm).otherwise(lit(1.0))).cast("float")))
+          .as("embedding"))
+  }
+
+  /** Unicode hygiene scrub: strip control characters (C0 minus \t\n\r,
+    * DEL) and zero-width code points (ZWSP/ZWNJ/ZWJ/BOM), then collapse
+    * runs of spaces introduced by the removal. Counts are reported for
+    * audit aggregation (share of affected docs is a standard corpus-health
+    * metric). Single-pass codegen'd regexps; the character classes are
+    * spelled with explicit \x{...} ranges so the same pattern runs
+    * verbatim under RE2-family engines.
+    */
+  val CtrlClass = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
+  val ZeroWidthClass = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  def unicodeScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val stripped = regexp_replace(regexp_replace(t, CtrlClass, ""),
+      ZeroWidthClass, "")
+    docs.select(col(idCol),
+      trim(regexp_replace(stripped, "  +", " ")).as("text_clean"),
+      // Counted as length deltas, not regexp_count: the subtraction form
+      // is portable to engines without a count function.
+      (length(t) - length(regexp_replace(t, CtrlClass, "")))
+        .cast("long").as("n_ctrl"),
+      (length(t) - length(regexp_replace(t, ZeroWidthClass, "")))
+        .cast("long").as("n_zero_width"))
+  }
+
+  /** Per-document script profile: character counts per script family
+    * (Latin letters, Cyrillic, CJK unified ideographs, digits) and the
+    * dominant family — the multilingual-pipeline routing signal. Classes
+    * are explicit code-point ranges (NOT \p{script=...}, whose names
+    * differ between regex engines). Dominance ties break by the fixed
+    * order latin > cyrillic > cjk > digit > other.
+    */
+  def scriptShare(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val latin = cnt("[A-Za-z]")
+    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
+    val cjk = cnt("[\\x{4E00}-\\x{9FFF}]")
+    val digit = cnt("[0-9]")
+    val other = (length(t).cast("long") - latin - cyr - cjk - digit)
+    docs.select(col(idCol), latin.as("n_latin"), cyr.as("n_cyrillic"),
+        cjk.as("n_cjk"), digit.as("n_digit"), other.as("n_other"))
+      .withColumn("dominant",
+        when(col("n_latin") >= greatest(col("n_cyrillic"), col("n_cjk"),
+          col("n_digit"), col("n_other")), "latin")
+          .when(col("n_cyrillic") >= greatest(col("n_cjk"), col("n_digit"),
+            col("n_other")), "cyrillic")
+          .when(col("n_cjk") >= greatest(col("n_digit"), col("n_other")), "cjk")
+          .when(col("n_digit") >= col("n_other"), "digit")
+          .otherwise("other"))
+  }
 }

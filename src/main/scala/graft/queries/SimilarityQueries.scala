@@ -207,10 +207,15 @@ object SimilarityQueries {
        |WHERE rn <= $knn""".stripMargin
   }
 
-  private def lshBucketSql(v: String): String =
-    s"""CAST(list_sum(list_transform(range($Planes), p ->
+  private def lshBucketSql(v: String): String = lshBucketSqlAt(v, Planes, 0)
+
+  // Bucket from the GLOBAL plane stream starting at `offset` (mirrors
+  // VectorFunctions.lshBucketAt: table t of an AND-OR construction hashes
+  // planes [t·P, (t+1)·P)).
+  private def lshBucketSqlAt(v: String, planes: Int, offset: Int): String =
+    s"""CAST(list_sum(list_transform(range($planes), p ->
        |  CASE WHEN list_sum(list_transform(range(len($v)), j ->
-       |    (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 4))::BIGINT
+       |    (('0x' || substr(md5(CAST(p + $offset AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 4))::BIGINT
        |      - 32768) * CAST($v[j+1] AS DOUBLE))) >= 0
        |  THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
 
@@ -422,6 +427,15 @@ object SimilarityQueries {
     "dedup_embedding_cosine" -> { (s, dir) =>
       Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.3, planes = Planes, dims = 64)
+    },
+
+    // AND-OR amplified multi-table LSH pair mining — the bounded-occupancy
+    // scale path for dedup_embedding_cosine (the sf1 probe measured the
+    // fixed-bucket single table at 46× runtime for 10× corpus; planes↑
+    // bound occupancy, tables↑ restore recall). Same exact-verify contract.
+    "dedup_embedding_cosine_mt" -> { (s, dir) =>
+      Similarity.cosinePairsMultiTable(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.3, planes = 6, tables = 2, dims = 64)
     },
 
     // Semantic dedup end-to-end: cosine pair graph → connected components
@@ -704,6 +718,24 @@ object SimilarityQueries {
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
          |  FROM a JOIN b ON a.bucket = b.bucket AND id_a < id_b)
          |SELECT id_a, id_b, bucket, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
+
+    "dedup_embedding_cosine_mt" ->
+      s"""WITH s0 AS (SELECT vec_id, 0 AS tbl,
+         |  ${lshBucketSqlAt("embedding", 6, 0)} AS bucket FROM embeddings),
+         |s1 AS (SELECT vec_id, 1 AS tbl,
+         |  ${lshBucketSqlAt("embedding", 6, 6)} AS bucket FROM embeddings),
+         |sig AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id),
+         |v AS (SELECT id_a, id_b,
+         |  round(${dotSql("ea.embedding", "eb.embedding")} /
+         |    (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
+         |     sqrt(${dotSql("eb.embedding", "eb.embedding")})), 6) AS cosine
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+         |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
+         |SELECT id_a, id_b, cosine FROM v WHERE cosine >= 0.3""".stripMargin,
 
     "dedup_embedding_clusters" ->
       s"""WITH RECURSIVE sig AS (SELECT vec_id, embedding,

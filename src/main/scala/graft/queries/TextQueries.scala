@@ -322,6 +322,53 @@ object TextQueries {
         maxBlockSize = Some(300L))
     },
 
+    // Feature-hashed bag-of-words embedding (hashing trick), sparse
+    // integer form — the model-free text→vector bridge into the ANN stack.
+    // Integer ±1 weights keep the op exactly oracle-verifiable.
+    "text_hash_embedding" -> { (s, dir) =>
+      TextAnalysis.hashEmbeddingSparse(Tables.documents(s, dir),
+        "doc_id", "text", dim = 64)
+    },
+
+    // Semantic near-dup pairs over the hashed embeddings: exact integer
+    // dot/norms, one float division at the end — the SemDeDup shape
+    // without a model. The op is the EXACT baseline (the dim-wide bucket
+    // join is near-all-pairs by construction), so the gate runs it on a
+    // 20% verification cohort — its documented scale contract; corpus
+    // scale composes hashEmbedding with the ANN stack instead.
+    "dedup_semantic_text" -> { (s, dir) =>
+      val cohort = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.hashCosinePairs(
+        TextAnalysis.hashEmbeddingSparse(cohort, "doc_id", "text", dim = 64),
+        "doc_id", minCos = 0.8)
+    },
+
+    // Unicode hygiene on a deterministically dirtied corpus (the synthetic
+    // table is clean ASCII, so the injection is what makes the gate
+    // meaningful): control chars + zero-width code points in, clean text
+    // + audit counts out.
+    "text_unicode_scrub" -> { (s, dir) =>
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("\u0007bad "), col("text"),
+            lit(" \u200B \u200Dtail\uFEFF")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.unicodeScrub(dirty, "doc_id", "text")
+    },
+
+    // Script profile on a deterministically multilingual-ized corpus:
+    // char counts per script family + dominant-family routing label.
+    "text_script_share" -> { (s, dir) =>
+      val multi = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" Привет мир 42")))
+          .when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" 你好世界")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.scriptShare(multi, "doc_id", "text")
+    },
+
     // Exact-count mixture quotas per source (rows, not rates).
     "sample_exact_quota" -> { (s, dir) =>
       graft.ops.Sampling.stratifiedExact(Tables.documents(s, dir), "doc_id",
@@ -1098,6 +1145,76 @@ object TextQueries {
         |FROM pf a JOIN pf b ON a.blk = b.blk AND a.name_id < b.name_id
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    "text_hash_embedding" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 64 AS bucket,
+         |  1 - 2 * (('0x' || substr(md5(w), 7, 1))::BIGINT % 2) AS s FROM tok)
+         |SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+         |FROM h GROUP BY 1, 2 HAVING sum(s) <> 0""".stripMargin,
+
+    "dedup_semantic_text" ->
+      s"""WITH cohort AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |${wordsCteFor("cohort")},
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 64 AS bucket,
+         |  1 - 2 * (('0x' || substr(md5(w), 7, 1))::BIGINT % 2) AS s FROM tok),
+         |sp AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+         |  FROM h GROUP BY 1, 2 HAVING sum(s) <> 0),
+         |nrm AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nsq
+         |  FROM sp GROUP BY 1),
+         |d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(a.weight * b.weight) AS BIGINT) AS dot
+         |  FROM sp a JOIN sp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |v AS (SELECT doc_a, doc_b, dot,
+         |  round(CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cos
+         |  FROM d JOIN nrm na ON d.doc_a = na.doc_id
+         |         JOIN nrm nb ON d.doc_b = nb.doc_id)
+         |SELECT doc_a, doc_b, dot, cos FROM v WHERE cos >= 0.8""".stripMargin,
+
+    "text_unicode_scrub" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN chr(7) || 'bad ' || text || ' ' ||
+        |    chr(8203) || ' ' || chr(8205) || 'tail' || chr(65279)
+        |  ELSE text END AS text FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g') AS t1
+        |  FROM dirty),
+        |s2 AS (SELECT doc_id, text, t1,
+        |  regexp_replace(t1, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS t2 FROM s1)
+        |SELECT doc_id, trim(regexp_replace(t2, '  +', ' ', 'g')) AS text_clean,
+        |  CAST(length(text) - length(t1) AS BIGINT) AS n_ctrl,
+        |  CAST(length(t1) -
+        |    length(regexp_replace(t1, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')) AS BIGINT)
+        |    AS n_zero_width
+        |FROM s2""".stripMargin,
+
+    "text_script_share" ->
+      """WITH multi AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' Привет мир 42'
+        |       WHEN doc_id % 11 = 0 THEN text || ' 你好世界'
+        |  ELSE text END AS text FROM documents),
+        |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        |  FROM multi),
+        |o AS (SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit,
+        |  n - n_latin - n_cyrillic - n_cjk - n_digit AS n_other FROM c)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit, n_other,
+        |  CASE
+        |    WHEN n_latin >= greatest(n_cyrillic, n_cjk, n_digit, n_other) THEN 'latin'
+        |    WHEN n_cyrillic >= greatest(n_cjk, n_digit, n_other) THEN 'cyrillic'
+        |    WHEN n_cjk >= greatest(n_digit, n_other) THEN 'cjk'
+        |    WHEN n_digit >= n_other THEN 'digit'
+        |    ELSE 'other' END AS dominant
+        |FROM o""".stripMargin,
 
     "sample_exact_quota" ->
       """SELECT doc_id, source, lang FROM (

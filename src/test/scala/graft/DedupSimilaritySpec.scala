@@ -208,4 +208,110 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("cand_id").as[Long].collect().toSet
     assert(got.contains(2L)) // same bucket guaranteed for identical vectors
   }
+
+  test("multi-table cosine pairs recover at least the single-table pairs") {
+    // Table 0 of the AND-OR construction hashes the SAME planes as the
+    // single-table op (offset 0), so its candidates — and therefore the
+    // verified pairs — are a superset at equal planes. The extra tables
+    // only ever ADD recall.
+    val emb = Seq.tabulate(40) { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (math.sin(i * 17 + j * 3) + (if (i % 7 == 0) 2.0 else 0.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = pairSet(Similarity.cosinePairs(emb, "vec_id", "embedding",
+      threshold = 0.5, planes = 3, dims = 8))
+    val multi = pairSet(Similarity.cosinePairsMultiTable(emb, "vec_id",
+      "embedding", threshold = 0.5, planes = 3, tables = 3, dims = 8))
+    assert(single.subsetOf(multi),
+      s"missing: ${single.diff(multi)} (single=${single.size}, multi=${multi.size})")
+  }
+
+  test("hash embedding: dense form is the L2-normalized sparse form, total over docs") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"), // identical → identical embedding
+      (3L, "unrelated totally other words here")
+    ).toDF("doc_id", "text")
+    val sparse = TextAnalysis.hashEmbeddingSparse(d, "doc_id", "text", dim = 16)
+      .as[(Long, Long, Long)].collect()
+    // weights are ±1 sums; doc 1 and 2 agree bucket-for-bucket
+    val w1 = sparse.filter(_._1 == 1L).map(t => (t._2, t._3)).toMap
+    val w2 = sparse.filter(_._1 == 2L).map(t => (t._2, t._3)).toMap
+    assert(w1 == w2 && w1.nonEmpty)
+    val dense = TextAnalysis.hashEmbedding(d, "doc_id", "text", dim = 16)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(dense.keySet == Set(1L, 2L, 3L), "embedding must be total over docs")
+    dense.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"unit norm expected, got $n")
+    }
+    assert(dense(1L).toSeq == dense(2L).toSeq)
+    // identical docs max-cosine; unrelated doc is far from both
+    val cos13 = dense(1L).zip(dense(3L)).map { case (a, b) => a * b }.sum
+    assert(cos13 < 0.9)
+  }
+
+  test("hashCosinePairs scores identical docs at cos 1.0 via integer math") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.hashCosinePairs(
+        TextAnalysis.hashEmbeddingSparse(d, "doc_id", "text", 16), "doc_id", 0.9)
+      .select("doc_a", "doc_b", "cos").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
+
+  test("edit-distance block cap drops only the oversized block") {
+    val rows = (1L to 30L).map(i => (i, s"hot common$i")) ++ // one 30-row block
+      Seq((100L, "cold alpha"), (101L, "cold alphb"))        // 2-row block, dist 1
+    val df = rows.toDF("id", "name")
+    val capped = Dedup.editDistancePairs(df, "id", "name",
+        blockExpr = org.apache.spark.sql.functions.split_part(
+          $"name", org.apache.spark.sql.functions.lit(" "),
+          org.apache.spark.sql.functions.lit(1)),
+        maxDist = 2, maxBlockSize = Some(10L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      "hot block must be excluded, small blocks fully mined")
+    val uncapped = Dedup.editDistancePairs(df, "id", "name",
+        blockExpr = org.apache.spark.sql.functions.split_part(
+          $"name", org.apache.spark.sql.functions.lit(" "),
+          org.apache.spark.sql.functions.lit(1)),
+        maxDist = 2, maxBlockSize = None)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.size > 1,
+      "cap disabled ⇒ hot block mined")
+  }
+
+  test("unicode scrub strips control/zero-width chars and reports counts") {
+    val d = Seq(
+      (1L, "clean text"),
+      (2L, "a\u0007b \u200Bc\u200D d\uFEFF"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unicodeScrub(d, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, "clean text", 0L, 0L)))
+    assert(got(1) == ((2L, "ab c d", 1L, 3L)))
+    assert(got(2) == ((3L, "", 0L, 0L)))
+  }
+
+  test("script share counts families and routes the dominant label") {
+    val d = Seq(
+      (1L, "hello world"),
+      (2L, "Привет мир"),
+      (3L, "你好"),
+      (4L, "1234 56"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptShare(d, "doc_id", "text")
+      .select("doc_id", "dominant").as[(Long, String)].collect().toMap
+    assert(got(1L) == "latin" && got(2L) == "cyrillic" && got(3L) == "cjk")
+    assert(got(4L) == "digit")
+    assert(got(5L) == "latin", "empty text ties resolve by fixed precedence")
+  }
 }
