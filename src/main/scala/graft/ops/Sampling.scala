@@ -244,4 +244,59 @@ object Sampling {
       .filter(col("__rank") <= quota)
       .drop("__rank")
   }
+
+  /** DSIR-style importance weights for data selection: score each
+    * source-domain document by how target-like it is under hashed
+    * bag-of-words multinomial language models of the target vs source
+    * partitions (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling" — public method, re-derived here):
+    *
+    *   log w(x) = Σ_buckets c_b(x) · (log p̂_target(b) − log p̂_source(b))
+    *
+    * with add-one smoothing over the `dim` hashed buckets. Feature
+    * hashing bounds BOTH model tables at `dim` rows — they broadcast by
+    * construction at any corpus size (unlike raw-vocabulary LMs, which
+    * deliberately stay shuffle-joined — see TextAnalysis.unigramLogProb).
+    * The per-document sum folds in bucket order over a sorted array, so
+    * the result is bit-stable across engines and partitionings; compose
+    * the returned `logw` with [[weightedTopN]] / [[tokenBudget]] for the
+    * actual resampling cut.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        tagCol: String, targetTag: String,
+                        dim: Int = 256): DataFrame = {
+    import graft.functions.TextFunctions._
+    require(dim > 0, "dim must be positive")
+    val feat = OpCaches.scoped(docs.select(col(tagCol), col(idCol),
+      explode(words(col(textCol))).as("__w"))
+      .select(col(tagCol), col(idCol),
+        pmod(wordCode24(col("__w")), lit(dim.toLong)).as("bucket")))
+    val ct = feat.filter(col(tagCol) === targetTag)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__ct"))
+    val cs = feat.filter(col(tagCol) =!= targetTag)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__cs"))
+    val tt = feat.filter(col(tagCol) === targetTag)
+      .agg(count(lit(1)).as("__tt"))
+    val ts = feat.filter(col(tagCol) =!= targetTag)
+      .agg(count(lit(1)).as("__ts"))
+    // dim-bounded model table: smoothed log-ratio per bucket.
+    val ratio = feat.select(col("bucket")).distinct()
+      .join(ct, Seq("bucket"), "left")
+      .join(cs, Seq("bucket"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(ts))
+      .select(col("bucket"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
+          (col("__tt") + lit(dim.toDouble))) -
+         log((coalesce(col("__cs"), lit(0L)) + lit(1.0)) /
+          (col("__ts") + lit(dim.toDouble)))).as("__lr"))
+    val docBuckets = feat.filter(col(tagCol) =!= targetTag)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
+    // Value-sorted fold (list_sort → list_sum on the oracle side) — the
+    // house idiom for bit-stable cross-engine double sums.
+    docBuckets.join(broadcast(ratio), Seq("bucket"))
+      .select(col(idCol), (col("__c") * col("__lr")).as("__term"))
+      .groupBy(col(idCol))
+      .agg(round(aggregate(sort_array(collect_list(col("__term"))), lit(0.0),
+        (acc, x) => acc + x), 6).as("logw"))
+  }
 }

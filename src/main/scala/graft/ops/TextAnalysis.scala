@@ -695,10 +695,14 @@ object TextAnalysis {
   /** [[hashEmbeddingSparse]] densified to an L2-normalized `array<float>`
     * — drop-in for the `embeddings` table's vector column. All-zero
     * embeddings (empty/degenerate docs) keep a zero vector rather than
-    * dividing by zero.
+    * dividing by zero. `normalize = false` keeps the RAW integer-valued
+    * weights (exact in float32): cosine-based consumers are
+    * scale-invariant, and exact integer components are what lets a SQL
+    * oracle reproduce a whole downstream pipeline (e.g. the text→IVF
+    * compose gate) without float-construction divergence.
     */
   def hashEmbedding(docs: DataFrame, idCol: String, textCol: String,
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64, normalize: Boolean = true): DataFrame = {
     val dense = hashEmbeddingSparse(docs, idCol, textCol, dim)
       .groupBy(col(idCol))
       .agg(map_from_entries(collect_list(
@@ -709,13 +713,15 @@ object TextAnalysis {
     // Docs whose every token hashed to weight 0 vanish from the sparse
     // frame — restore them with a zero vector so the embedding is total.
     val norm = sqrt(aggregate(col("__v"), lit(0.0), (acc, x) => acc + x * x))
+    val scaled =
+      if (normalize) transform(col("__v"), x =>
+        (x / when(norm > 0, norm).otherwise(lit(1.0))).cast("float"))
+      else transform(col("__v"), _.cast("float"))
     docs.select(col(idCol))
       .join(dense, Seq(idCol), "left")
       .select(col(idCol),
-        when(col("__v").isNull,
-          array_repeat(lit(0.0f), dim))
-          .otherwise(transform(col("__v"), x =>
-            (x / when(norm > 0, norm).otherwise(lit(1.0))).cast("float")))
+        when(col("__v").isNull, array_repeat(lit(0.0f), dim))
+          .otherwise(scaled)
           .as("embedding"))
   }
 

@@ -50,30 +50,33 @@ object SimilarityQueries {
 
   // Spherical-k-means oracle pieces (mirror Similarity.kmeansFit):
   // top-`n` argmax-cosine assignment against a centroid table.
-  private def kmAssignCte(name: String, centTable: String, n: Int = 1) =
+  private def kmAssignCte(name: String, centTable: String, n: Int = 1,
+                          src: String = "embeddings") =
     s"""$name AS (SELECT vec_id, label FROM (
        |  SELECT e.vec_id, c.label, row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY round(${dotSql("e.embedding", "c.c")} /
        |      nullif(sqrt(${dotSql("e.embedding", "e.embedding")}) *
        |             sqrt(${dotSql("c.c", "c.c")}), 0), 6) DESC, c.label) AS rn
-       |  FROM embeddings e, $centTable c) WHERE rn <= $n)""".stripMargin
+       |  FROM $src e, $centTable c) WHERE rn <= $n)""".stripMargin
 
   // CTE chain: smallest-md5 seeding (cent0) + `iters` unrolled Lloyd
   // rounds ending at cent$iters.
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int,
+                         src: String = "embeddings"): String = {
     def centCte(name: String, assignTable: String) =
       s"""$name AS MATERIALIZED (SELECT label, list(cr ORDER BY pos) AS c FROM (
          |  SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr FROM (
          |    SELECT a.label, generate_subscripts(e.embedding, 1) AS pos,
          |      unnest(e.embedding) AS v
-         |    FROM embeddings e JOIN $assignTable a USING (vec_id))
+         |    FROM $src e JOIN $assignTable a USING (vec_id))
          |  GROUP BY 1, 2) GROUP BY label)""".stripMargin
     val chain = (1 to iters).map { i =>
-      kmAssignCte(s"a$i", s"cent${i - 1}") + ",\n" + centCte(s"cent$i", s"a$i")
+      kmAssignCte(s"a$i", s"cent${i - 1}", src = src) + ",\n" +
+        centCte(s"cent$i", s"a$i")
     }.mkString(",\n")
     s"""s0 AS (SELECT vec_id, embedding,
        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
-       |  FROM embeddings),
+       |  FROM $src),
        |cent0 AS (SELECT CAST(rn - 1 AS INTEGER) AS label,
        |    list_transform(embedding, e -> round(CAST(e AS DOUBLE), 6)) AS c
        |  FROM (SELECT embedding, row_number() OVER (ORDER BY h, vec_id) AS rn
@@ -253,6 +256,23 @@ object SimilarityQueries {
         .select(col("doc_a"), col("doc_b"),
           when(col("l") === 1 && col("s") === 1, "both")
             .when(col("l") === 1, "lexical").otherwise("semantic").as("modality"))
+    },
+
+    // Text → ANN compose: hash-trick embedding (raw integer weights —
+    // cosine is scale-invariant, and exact integer components keep the
+    // whole downstream pipeline oracle-verifiable) → deterministic
+    // spherical k-means → map-side IVF assignment. Proves the model-free
+    // text→vector bridge (L130) feeds the ANN stack end to end.
+    "ann_text_ivf" -> { (s, dir) =>
+      // Cached: the derived embedding feeds each Lloyd-round action of the
+      // fit plus the final assignment — uncached, the tokenize+hash chain
+      // would re-execute per action (same lesson as the funnel report).
+      val emb = graft.ops.OpCaches.scoped(graft.ops.TextAnalysis.hashEmbedding(
+          Tables.documents(s, dir), "doc_id", "text", dim = 64,
+          normalize = false)
+        .withColumnRenamed("doc_id", "vec_id"))
+      val idx = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 5, iters = 2)
+      Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
     },
 
     // Deterministic spherical k-means (k=5, 2 Lloyd rounds) + map-side
@@ -450,6 +470,24 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = Map(
     "ivf_kmeans_assign" -> kmeansAssignSql(k = 5, iters = 2),
+
+    "ann_text_ivf" ->
+      s"""WITH ${TextQueries.wordsCte},
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+         |hh AS (SELECT doc_id,
+         |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 64 AS bucket,
+         |  1 - 2 * (('0x' || substr(md5(w), 7, 1))::BIGINT % 2) AS s FROM tok),
+         |sp AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+         |  FROM hh GROUP BY 1, 2 HAVING sum(s) <> 0),
+         |mm AS (SELECT doc_id, map(list(bucket ORDER BY bucket),
+         |    list(weight ORDER BY bucket)) AS m FROM sp GROUP BY 1),
+         |temb AS (SELECT d.doc_id AS vec_id,
+         |  list_transform(range(64), i ->
+         |    CAST(coalesce(map_extract(mm.m, i)[1], 0) AS DOUBLE)) AS embedding
+         |  FROM documents d LEFT JOIN mm ON d.doc_id = mm.doc_id),
+         |${kmeansCtes(5, 2, src = "temb")},
+         |${kmAssignCte("afinal", "cent2", src = "temb")}
+         |SELECT vec_id, CAST(label AS INTEGER) AS cluster FROM afinal""".stripMargin,
 
     "pq_encode" ->
       s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)}

@@ -369,6 +369,15 @@ object TextQueries {
       TextAnalysis.scriptShare(multi, "doc_id", "text")
     },
 
+    // DSIR-style importance weights: target-vs-source hashed-LM log
+    // ratio per source doc (src2 is the target domain, as in the
+    // decontamination gates). Compose with weightedTopN/tokenBudget for
+    // the resampling cut.
+    "sample_importance_weights" -> { (s, dir) =>
+      graft.ops.Sampling.importanceWeights(Tables.documents(s, dir),
+        "doc_id", "text", tagCol = "source", targetTag = "src2", dim = 256)
+    },
+
     // Exact-count mixture quotas per source (rows, not rates).
     "sample_exact_quota" -> { (s, dir) =>
       graft.ops.Sampling.stratifiedExact(Tables.documents(s, dir), "doc_id",
@@ -1215,6 +1224,27 @@ object TextQueries {
         |    WHEN n_digit >= n_other THEN 'digit'
         |    ELSE 'other' END AS dominant
         |FROM o""".stripMargin,
+
+    "sample_importance_weights" ->
+      """WITH words AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(ws) AS w FROM words),
+        |f AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS bucket FROM tok),
+        |ct AS (SELECT bucket, count(*) AS c FROM f WHERE source = 'src2' GROUP BY 1),
+        |cs AS (SELECT bucket, count(*) AS c FROM f WHERE source <> 'src2' GROUP BY 1),
+        |tt AS (SELECT count(*) AS n FROM f WHERE source = 'src2'),
+        |tsx AS (SELECT count(*) AS n FROM f WHERE source <> 'src2'),
+        |r AS (SELECT b.bucket,
+        |  ln((coalesce(ct.c, 0) + 1.0) / (tt.n + 256.0)) -
+        |  ln((coalesce(cs.c, 0) + 1.0) / (tsx.n + 256.0)) AS lr
+        |  FROM (SELECT DISTINCT bucket FROM f) b
+        |  LEFT JOIN ct USING (bucket) LEFT JOIN cs USING (bucket), tt, tsx),
+        |db AS (SELECT doc_id, bucket, count(*) AS c FROM f
+        |  WHERE source <> 'src2' GROUP BY 1, 2),
+        |terms AS (SELECT doc_id, c * lr AS term FROM db JOIN r USING (bucket))
+        |SELECT doc_id, round(list_sum(list_sort(list(term))), 6) AS logw
+        |FROM terms GROUP BY doc_id""".stripMargin,
 
     "sample_exact_quota" ->
       """SELECT doc_id, source, lang FROM (

@@ -144,4 +144,19 @@ class QualityRulesSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(3L), s"stratum a has budget 0: $got")
   }
+
+  test("importance weights rank target-like source docs above unrelated ones") {
+    val d = Seq(
+      (1L, "machine learning models train on data", "tgt"),
+      (2L, "machine learning models train on data", "tgt"),
+      (10L, "machine learning models train on corpora", "src"), // target-like
+      (11L, "cooking pasta requires boiling salted water", "src") // unrelated
+    ).toDF("doc_id", "text", "dom")
+    val w = Sampling.importanceWeights(d, "doc_id", "text", "dom", "tgt",
+        dim = 64)
+      .as[(Long, Double)].collect().toMap
+    assert(w.keySet == Set(10L, 11L), s"only source docs are weighted: $w")
+    assert(w(10L) > w(11L),
+      s"target-vocabulary doc must out-weigh the unrelated one: $w")
+  }
 }
