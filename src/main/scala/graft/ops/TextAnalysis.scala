@@ -252,6 +252,55 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("freq").desc, col("pair"))))
   }
 
+  /** Apply a learned BPE merge list to the corpus
+    * ([[graft.functions.BpeFunctions.BpeEncode]]) — the inference half of
+    * the tokenizer lifecycle whose training statistics come from
+    * [[bpePairCounts]]. Map-side only (the merge table is a plan-time
+    * artifact); reports the token count plus the first 32 tokens, the
+    * audit slice a tokenization-health dashboard shows.
+    */
+  def bpeTokens(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.BpeFunctions.bpeEncode(col(textCol), merges).as("__t"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("__t"), 1, 32)).as("tokens_head"))
+
+  /** Learn a BPE merge list from the corpus — the standard trainer loop
+    * (Sennrich et al. 2016): per iteration, re-segment every word with the
+    * merges learned so far, count adjacent TOKEN pairs corpus-wide, and
+    * adopt the most frequent pair (count desc, pair asc tie-break) as the
+    * next merge. One distributed aggregation per iteration, one row to
+    * the driver per iteration — `nMerges` passes total, the classic
+    * trade-off (tokenizer training is run once per corpus, not per
+    * query). Segmentation happens INSIDE a per-word lambda so pairs never
+    * cross word boundaries.
+    */
+  def bpeLearn(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    import graft.functions.BpeFunctions
+    var merges = Vector.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val toks = transform(words(col(textCol)),
+        w => BpeFunctions.bpeEncode(w, merges))
+      val top = docs.select(explode(toks).as("__ts"))
+        .filter(size(col("__ts")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("__ts")) - 2),
+          i => struct(element_at(col("__ts"), i + 1).as("a"),
+            element_at(col("__ts"), i + 2).as("b")))).as("__p"))
+        .groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("__p"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val p = top.head.getStruct(0)
+        merges :+= ((p.getString(0), p.getString(1)))
+      }
+    }
+    merges
+  }
+
   /** Compression-ratio quality signal: deflate(text)/raw bytes — low
     * ratios flag repetitive/templated/generated text that token-level
     * heuristics miss (long-range repetition). Per-row projection via the

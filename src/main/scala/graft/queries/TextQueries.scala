@@ -60,7 +60,25 @@ object TextQueries {
        |  FROM $src a JOIN $src b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  // Fixed English merge list for the BPE-apply gate (priority-ordered;
+  // real deployments feed a learned artifact — see the mine→apply spec).
+  private[graft] val GateBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n",
+    "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r", "an" -> "d", "in" -> "g",
+    "o" -> "u", "s" -> "t", "e" -> "s", "a" -> "r", "o" -> "f", "i" -> "s",
+    "i" -> "t", "a" -> "l", "e" -> "d", "er" -> "s", "c" -> "h", "l" -> "e",
+    "r" -> "o", "m" -> "e", "b" -> "e", "w" -> "h", "n" -> "d", "u" -> "r")
+
   def defs: Map[String, Q] = Map(
+    // BPE tokenizer application (merge list as plan-time artifact,
+    // map-side only). Golden-file oracle: per-word sequential merging has
+    // no DuckDB surface; GoldenSpec pins the golden against an
+    // independent reimplementation.
+    "text_bpe_tokens" -> { (s, dir) =>
+      TextAnalysis.bpeTokens(Tables.documents(s, dir), "doc_id", "text",
+        GateBpeMerges)
+    },
+
     "text_token_count" -> { (s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
     },
@@ -762,6 +780,16 @@ object TextQueries {
       .map { case (totalLen, tag) =>
         s"""SELECT g.doc_id, g.n_bytes, g.deflate_bytes, g.compress_ratio
            |FROM read_parquet('/root/repo/tools/golden/text_compression_ratio_$tag.parquet') g
+           |WHERE (SELECT sum(length(text)) FROM documents) = $totalLen""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    // Same golden-file mechanism (and the same corpus-length
+    // discriminator) as text_compression_ratio.
+    "text_bpe_tokens" -> Seq(
+      153156L -> "sf0_001", 149174L -> "sf0_01", 1485576L -> "sf0_1")
+      .map { case (totalLen, tag) =>
+        s"""SELECT g.doc_id, g.n_tokens, g.tokens_head
+           |FROM read_parquet('/root/repo/tools/golden/text_bpe_tokens_$tag.parquet') g
            |WHERE (SELECT sum(length(text)) FROM documents) = $totalLen""".stripMargin
       }.mkString("\nUNION ALL\n"),
 

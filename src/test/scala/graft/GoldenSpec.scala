@@ -135,6 +135,42 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bpe_tokens matches its committed golden file and a naive reimplementation") {
+    // Same non-circular structure as the compression pin: engine output ==
+    // committed golden (value compare), and the tokens must equal an
+    // INDEPENDENT naive BPE implementation (recursive list-based, distinct
+    // from the expression's in-place merge loop).
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = graft.queries.TextQueries.GateBpeMerges
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("tokens_head"))
+    val got = graft.ops.TextAnalysis.bpeTokens(docs, "doc_id", "text", merges)
+      .collect().map(key).sortBy(_._1).toSeq
+    val golden = spark.read
+      .parquet("tools/golden/text_bpe_tokens_sf0_001.parquet")
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(got == golden,
+      "engine output diverged from tools/golden — regenerate ONLY for a deliberate semantic change")
+    // Independent oracle: recursive merge over immutable lists.
+    val rank = merges.zipWithIndex.toMap
+    def enc(parts: List[String]): List[String] = {
+      val cands: List[(Int, Int)] = parts.zip(parts.drop(1)).zipWithIndex
+        .flatMap { pi => rank.get(pi._1).map(r => (r, pi._2)).toList }
+      if (cands.isEmpty) parts
+      else {
+        val i: Int = cands.min._2
+        enc(parts.take(i) ++ List(parts(i) + parts(i + 1)) ++ parts.drop(i + 2))
+      }
+    }
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(' ').filter(_.nonEmpty).toList
+        .flatMap(w => enc(w.map(_.toString).toList))
+      (r.getLong(0), toks.length.toLong, toks.take(32).mkString(" "))
+    }.sortBy(_._1).toSeq
+    assert(got == expected, "expression diverged from the naive reimplementation")
+  }
+
   test("query history round-trips specs through the catalog (§1.1)") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_hist")
     spark.sql("DROP TABLE IF EXISTS graft_hist.history")

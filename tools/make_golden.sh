@@ -8,7 +8,9 @@ cd "$(dirname "$0")/.."
 for sf in 0.001 0.01 0.1; do
   out=/tmp/golden_$sf
   rm -rf "$out"
-  sbt -batch "runMain graft.Verify /root/testdata/sf$sf $out text_compression_ratio"
-  cp "$out"/text_compression_ratio/part-*.parquet \
-    "tools/golden/text_compression_ratio_sf${sf//./_}.parquet"
+  sbt -batch "runMain graft.Verify /root/testdata/sf$sf $out text_compression_ratio,text_bpe_tokens"
+  for gate in text_compression_ratio text_bpe_tokens; do
+    cp "$out"/$gate/part-*.parquet \
+      "tools/golden/${gate}_sf${sf//./_}.parquet"
+  done
 done
