@@ -652,6 +652,36 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("n_chars"), col("n_words"))
     },
 
+    // Round-6 composite: unicode scrub → script routing (keep
+    // latin-dominant) → DSIR importance weighting toward the src2 target
+    // domain → keep the 50 most target-leaning docs. The corpus is
+    // deterministically dirtied (control/zero-width chars on %7, a CJK
+    // replacement on %13) so every stage actually transforms/filters.
+    "curation_pipeline_v4" -> { (s, dir) =>
+      val raw = Tables.documents(s, dir)
+      val dirty = raw.select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("你好世界 机器 学习 模型 训练 数据"))
+          .when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("\u0007bad "), col("text"),
+              lit(" \u200B \u200Dtail\uFEFF")))
+          .otherwise(col("text")).as("text"))
+      val clean = TextAnalysis.unicodeScrub(dirty, "doc_id", "text")
+        .join(dirty.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // Scoped-cache the survivor set: importanceWeights reads it for the
+      // target model, the source model, AND the per-doc features.
+      val kept = OpCaches.scoped(clean.join(
+        TextAnalysis.scriptShare(clean, "doc_id", "text_clean")
+          .filter(col("dominant") === "latin").select(col("doc_id")),
+        Seq("doc_id")))
+      graft.ops.Sampling.importanceWeights(kept, "doc_id", "text_clean",
+          "source", "src2")
+        .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .orderBy(col("logw").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("source"), col("logw"))
+    },
+
     // BM25 keyword retrieval: top-20 docs for a bounded query-term set —
     // map-side term filter, broadcast df stats, TakeOrdered top-k.
     "text_bm25_topk" -> { (s, dir) =>
@@ -1902,6 +1932,53 @@ object TextQueries {
 
     // Cumulative weight in deterministic hash order; the cum column only
     // gates the WHERE, so its engine-side type never reaches the compare.
+    "curation_pipeline_v4" ->
+      """WITH dirty AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 13 = 0 THEN '你好世界 机器 学习 模型 训练 数据'
+        |       WHEN doc_id % 7 = 0 THEN chr(7) || 'bad ' || text || ' ' ||
+        |         chr(8203) || ' ' || chr(8205) || 'tail' || chr(65279)
+        |  ELSE text END AS text FROM documents),
+        |s1 AS (SELECT doc_id, source,
+        |  regexp_replace(text, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g') AS t1
+        |  FROM dirty),
+        |cln AS (SELECT doc_id, source, trim(regexp_replace(
+        |  regexp_replace(t1, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |  '  +', ' ', 'g')) AS tc FROM s1),
+        |sc AS (SELECT doc_id, CAST(length(tc) AS BIGINT) AS n,
+        |  CAST(length(tc) - length(regexp_replace(tc, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(tc) - length(regexp_replace(tc, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(tc) - length(regexp_replace(tc, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(tc) - length(regexp_replace(tc, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        |  FROM cln),
+        |keep AS (SELECT cln.* FROM cln JOIN (
+        |  SELECT doc_id FROM (SELECT doc_id, n_latin, n_cyrillic, n_cjk,
+        |    n_digit, n - n_latin - n_cyrillic - n_cjk - n_digit AS n_other
+        |    FROM sc)
+        |  WHERE n_latin >= greatest(n_cyrillic, n_cjk, n_digit, n_other)) k
+        |  USING (doc_id)),
+        |words AS (SELECT doc_id, source, string_split(trim(tc), ' ') AS ws
+        |  FROM keep),
+        |tok AS (SELECT doc_id, source, unnest(ws) AS w FROM words),
+        |f AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS bucket FROM tok),
+        |ct AS (SELECT bucket, count(*) AS c FROM f WHERE source = 'src2' GROUP BY 1),
+        |cs AS (SELECT bucket, count(*) AS c FROM f WHERE source <> 'src2' GROUP BY 1),
+        |tt AS (SELECT count(*) AS n FROM f WHERE source = 'src2'),
+        |tsx AS (SELECT count(*) AS n FROM f WHERE source <> 'src2'),
+        |r AS (SELECT b.bucket,
+        |  ln((coalesce(ct.c, 0) + 1.0) / (tt.n + 256.0)) -
+        |  ln((coalesce(cs.c, 0) + 1.0) / (tsx.n + 256.0)) AS lr
+        |  FROM (SELECT DISTINCT bucket FROM f) b
+        |  LEFT JOIN ct USING (bucket) LEFT JOIN cs USING (bucket), tt, tsx),
+        |db AS (SELECT doc_id, bucket, count(*) AS c FROM f
+        |  WHERE source <> 'src2' GROUP BY 1, 2),
+        |terms AS (SELECT doc_id, c * lr AS term FROM db JOIN r USING (bucket)),
+        |lw AS (SELECT doc_id, round(list_sum(list_sort(list(term))), 6) AS logw
+        |  FROM terms GROUP BY doc_id)
+        |SELECT lw.doc_id, k.source, lw.logw
+        |FROM lw JOIN keep k USING (doc_id)
+        |ORDER BY lw.logw DESC, lw.doc_id LIMIT 50""".stripMargin,
+
     "sample_token_budget" ->
       """WITH u AS (SELECT doc_id, source, n_chars,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

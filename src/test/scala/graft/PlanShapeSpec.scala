@@ -280,4 +280,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       "the bounded query side must broadcast")
   }
+
+  test("importance weights broadcast the dim-bounded model side") {
+    // The per-bucket log-ratio table is bounded by dim (256 rows), so the
+    // doc-side join must be a broadcast — a shuffle join here would move
+    // the whole featurized corpus for a model table that fits in a page.
+    val p = plan("sample_importance_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model side must broadcast:\n${p.take(1000)}")
+  }
+
+  test("BPE tokenization is map-side only: no exchange below the projection") {
+    // The merge table is a plan-time literal; encoding must be scan →
+    // project with no shuffle of any kind.
+    val p = plan("text_bpe_tokens")
+    assert(!p.contains("Exchange"),
+      s"BPE apply must not shuffle:\n${p.take(1000)}")
+  }
+
+  test("multi-table LSH pair mining never goes nested-loop or cartesian") {
+    val p = plan("dedup_embedding_cosine_mt")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the per-table bucket equi-join:\n${p.take(1200)}")
+  }
 }
