@@ -806,14 +806,19 @@ object TextAnalysis {
     * differ between regex engines). Dominance ties break by the fixed
     * order latin > cyrillic > cjk > digit > other.
     */
+  val LatinClass = "[A-Za-z]"
+  val CyrillicClass = "[\\x{0400}-\\x{04FF}]"
+  val CjkClass = "[\\x{4E00}-\\x{9FFF}]"
+  val DigitClass = "[0-9]"
+
   def scriptShare(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     def cnt(cls: String) =
       (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
-    val latin = cnt("[A-Za-z]")
-    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
-    val cjk = cnt("[\\x{4E00}-\\x{9FFF}]")
-    val digit = cnt("[0-9]")
+    val latin = cnt(LatinClass)
+    val cyr = cnt(CyrillicClass)
+    val cjk = cnt(CjkClass)
+    val digit = cnt(DigitClass)
     val other = (length(t).cast("long") - latin - cyr - cjk - digit)
     docs.select(col(idCol), latin.as("n_latin"), cyr.as("n_cyrillic"),
         cjk.as("n_cjk"), digit.as("n_digit"), other.as("n_other"))

@@ -60,6 +60,42 @@ object TextQueries {
        |  FROM $src a JOIN $src b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  // Shared dirty-corpus injection for the unicode-scrub and composite
+  // gates: ONE definition on each side of the oracle boundary (the Scala
+  // literal and its chr() SQL rendering must stay character-identical).
+  private def dirtyInject(text: org.apache.spark.sql.Column) =
+    concat(lit("\u0007bad "), text, lit(" \u200B \u200Dtail\uFEFF"))
+  private val dirtyInjectSql =
+    "chr(7) || 'bad ' || text || ' ' || chr(8203) || ' ' || chr(8205) || 'tail' || chr(65279)"
+
+  // DuckDB length-difference character-class count (same formula the
+  // engine uses; the \x{..} classes in TextAnalysis are RE2-compatible,
+  // so the SAME constants serve both engines).
+  private def classCountSql(src: String, cls: String): String =
+    s"CAST(length($src) - length(regexp_replace($src, '$cls', '', 'g')) AS BIGINT)"
+
+  // DSIR oracle CTE chain over a words table `(doc_id, source, ws)` —
+  // shared by the standalone gate and the composite pipeline so the
+  // smoothing/hashing/fold conventions have one SQL definition.
+  private def dsirCtes(dim: Int, targetTag: String): String =
+    s"""tok AS (SELECT doc_id, source, unnest(ws) AS w FROM words),
+       |f AS (SELECT doc_id, source,
+       |  ('0x' || substr(md5(w), 1, 6))::BIGINT % $dim AS bucket FROM tok),
+       |ct AS (SELECT bucket, count(*) AS c FROM f WHERE source = '$targetTag' GROUP BY 1),
+       |cs AS (SELECT bucket, count(*) AS c FROM f WHERE source <> '$targetTag' GROUP BY 1),
+       |tt AS (SELECT count(*) AS n FROM f WHERE source = '$targetTag'),
+       |tsx AS (SELECT count(*) AS n FROM f WHERE source <> '$targetTag'),
+       |r AS (SELECT b.bucket,
+       |  ln((coalesce(ct.c, 0) + 1.0) / (tt.n + $dim.0)) -
+       |  ln((coalesce(cs.c, 0) + 1.0) / (tsx.n + $dim.0)) AS lr
+       |  FROM (SELECT DISTINCT bucket FROM f) b
+       |  LEFT JOIN ct USING (bucket) LEFT JOIN cs USING (bucket), tt, tsx),
+       |db AS (SELECT doc_id, bucket, count(*) AS c FROM f
+       |  WHERE source <> '$targetTag' GROUP BY 1, 2),
+       |terms AS (SELECT doc_id, c * lr AS term FROM db JOIN r USING (bucket)),
+       |lw AS (SELECT doc_id, round(list_sum(list_sort(list(term))), 6) AS logw
+       |  FROM terms GROUP BY doc_id)""".stripMargin
+
   // Fixed English merge list for the BPE-apply gate (priority-ordered;
   // real deployments feed a learned artifact — see the mine→apply spec).
   private[graft] val GateBpeMerges: Seq[(String, String)] = Seq(
@@ -368,9 +404,7 @@ object TextQueries {
     // + audit counts out.
     "text_unicode_scrub" -> { (s, dir) =>
       val dirty = Tables.documents(s, dir).select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          concat(lit("\u0007bad "), col("text"),
-            lit(" \u200B \u200Dtail\uFEFF")))
+        when(pmod(col("doc_id"), lit(7)) === 0, dirtyInject(col("text")))
           .otherwise(col("text")).as("text"))
       TextAnalysis.unicodeScrub(dirty, "doc_id", "text")
     },
@@ -662,18 +696,20 @@ object TextQueries {
       val dirty = raw.select(col("doc_id"), col("source"),
         when(pmod(col("doc_id"), lit(13)) === 0,
           lit("你好世界 机器 学习 模型 训练 数据"))
-          .when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(lit("\u0007bad "), col("text"),
-              lit(" \u200B \u200Dtail\uFEFF")))
+          .when(pmod(col("doc_id"), lit(7)) === 0, dirtyInject(col("text")))
           .otherwise(col("text")).as("text"))
       val clean = TextAnalysis.unicodeScrub(dirty, "doc_id", "text")
         .join(dirty.select(col("doc_id"), col("source")), Seq("doc_id"))
-      // Scoped-cache the survivor set: importanceWeights reads it for the
-      // target model, the source model, AND the per-doc features.
-      val kept = OpCaches.scoped(clean.join(
-        TextAnalysis.scriptShare(clean, "doc_id", "text_clean")
-          .filter(col("dominant") === "latin").select(col("doc_id")),
-        Seq("doc_id")))
+      // Scoped-cache the survivor set (only the three columns downstream
+      // consumers read): importanceWeights' feature projection reads it
+      // once and the final source join-back reads it again — uncached,
+      // the scrub+script upstream would run twice.
+      val kept = OpCaches.scoped(clean
+        .select(col("doc_id"), col("source"), col("text_clean"))
+        .join(
+          TextAnalysis.scriptShare(clean, "doc_id", "text_clean")
+            .filter(col("dominant") === "latin").select(col("doc_id")),
+          Seq("doc_id")))
       graft.ops.Sampling.importanceWeights(kept, "doc_id", "text_clean",
           "source", "src2")
         .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -1245,64 +1281,46 @@ object TextQueries {
          |SELECT doc_a, doc_b, dot, cos FROM v WHERE cos >= 0.8""".stripMargin,
 
     "text_unicode_scrub" ->
-      """WITH dirty AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 0 THEN chr(7) || 'bad ' || text || ' ' ||
-        |    chr(8203) || ' ' || chr(8205) || 'tail' || chr(65279)
-        |  ELSE text END AS text FROM documents),
-        |s1 AS (SELECT doc_id, text,
-        |  regexp_replace(text, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g') AS t1
-        |  FROM dirty),
-        |s2 AS (SELECT doc_id, text, t1,
-        |  regexp_replace(t1, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS t2 FROM s1)
-        |SELECT doc_id, trim(regexp_replace(t2, '  +', ' ', 'g')) AS text_clean,
-        |  CAST(length(text) - length(t1) AS BIGINT) AS n_ctrl,
-        |  CAST(length(t1) -
-        |    length(regexp_replace(t1, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')) AS BIGINT)
-        |    AS n_zero_width
-        |FROM s2""".stripMargin,
+      s"""WITH dirty AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN $dirtyInjectSql
+         |  ELSE text END AS text FROM documents),
+         |s1 AS (SELECT doc_id, text,
+         |  regexp_replace(text, '${TextAnalysis.CtrlClass}', '', 'g') AS t1
+         |  FROM dirty),
+         |s2 AS (SELECT doc_id, text, t1,
+         |  regexp_replace(t1, '${TextAnalysis.ZeroWidthClass}', '', 'g') AS t2 FROM s1)
+         |SELECT doc_id, trim(regexp_replace(t2, '  +', ' ', 'g')) AS text_clean,
+         |  CAST(length(text) - length(t1) AS BIGINT) AS n_ctrl,
+         |  CAST(length(t1) - length(t2) AS BIGINT) AS n_zero_width
+         |FROM s2""".stripMargin,
 
     "text_script_share" ->
-      """WITH multi AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 0 THEN text || ' Привет мир 42'
-        |       WHEN doc_id % 11 = 0 THEN text || ' 你好世界'
-        |  ELSE text END AS text FROM documents),
-        |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
-        |  CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
-        |  CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
-        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
-        |  FROM multi),
-        |o AS (SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit,
-        |  n - n_latin - n_cyrillic - n_cjk - n_digit AS n_other FROM c)
-        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit, n_other,
-        |  CASE
-        |    WHEN n_latin >= greatest(n_cyrillic, n_cjk, n_digit, n_other) THEN 'latin'
-        |    WHEN n_cyrillic >= greatest(n_cjk, n_digit, n_other) THEN 'cyrillic'
-        |    WHEN n_cjk >= greatest(n_digit, n_other) THEN 'cjk'
-        |    WHEN n_digit >= n_other THEN 'digit'
-        |    ELSE 'other' END AS dominant
-        |FROM o""".stripMargin,
+      s"""WITH multi AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || ' Привет мир 42'
+         |       WHEN doc_id % 11 = 0 THEN text || ' 你好世界'
+         |  ELSE text END AS text FROM documents),
+         |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         |  ${classCountSql("text", TextAnalysis.LatinClass)} AS n_latin,
+         |  ${classCountSql("text", TextAnalysis.CyrillicClass)} AS n_cyrillic,
+         |  ${classCountSql("text", TextAnalysis.CjkClass)} AS n_cjk,
+         |  ${classCountSql("text", TextAnalysis.DigitClass)} AS n_digit
+         |  FROM multi),
+         |o AS (SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit,
+         |  n - n_latin - n_cyrillic - n_cjk - n_digit AS n_other FROM c)
+         |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit, n_other,
+         |  CASE
+         |    WHEN n_latin >= greatest(n_cyrillic, n_cjk, n_digit, n_other) THEN 'latin'
+         |    WHEN n_cyrillic >= greatest(n_cjk, n_digit, n_other) THEN 'cyrillic'
+         |    WHEN n_cjk >= greatest(n_digit, n_other) THEN 'cjk'
+         |    WHEN n_digit >= n_other THEN 'digit'
+         |    ELSE 'other' END AS dominant
+         |FROM o""".stripMargin,
 
     "sample_importance_weights" ->
-      """WITH words AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
-        |  FROM documents),
-        |tok AS (SELECT doc_id, source, unnest(ws) AS w FROM words),
-        |f AS (SELECT doc_id, source,
-        |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS bucket FROM tok),
-        |ct AS (SELECT bucket, count(*) AS c FROM f WHERE source = 'src2' GROUP BY 1),
-        |cs AS (SELECT bucket, count(*) AS c FROM f WHERE source <> 'src2' GROUP BY 1),
-        |tt AS (SELECT count(*) AS n FROM f WHERE source = 'src2'),
-        |tsx AS (SELECT count(*) AS n FROM f WHERE source <> 'src2'),
-        |r AS (SELECT b.bucket,
-        |  ln((coalesce(ct.c, 0) + 1.0) / (tt.n + 256.0)) -
-        |  ln((coalesce(cs.c, 0) + 1.0) / (tsx.n + 256.0)) AS lr
-        |  FROM (SELECT DISTINCT bucket FROM f) b
-        |  LEFT JOIN ct USING (bucket) LEFT JOIN cs USING (bucket), tt, tsx),
-        |db AS (SELECT doc_id, bucket, count(*) AS c FROM f
-        |  WHERE source <> 'src2' GROUP BY 1, 2),
-        |terms AS (SELECT doc_id, c * lr AS term FROM db JOIN r USING (bucket))
-        |SELECT doc_id, round(list_sum(list_sort(list(term))), 6) AS logw
-        |FROM terms GROUP BY doc_id""".stripMargin,
+      s"""WITH words AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+         |  FROM documents),
+         |${dsirCtes(dim = 256, targetTag = "src2")}
+         |SELECT doc_id, logw FROM lw""".stripMargin,
 
     "sample_exact_quota" ->
       """SELECT doc_id, source, lang FROM (
@@ -1933,51 +1951,34 @@ object TextQueries {
     // Cumulative weight in deterministic hash order; the cum column only
     // gates the WHERE, so its engine-side type never reaches the compare.
     "curation_pipeline_v4" ->
-      """WITH dirty AS (SELECT doc_id, source,
-        |  CASE WHEN doc_id % 13 = 0 THEN '你好世界 机器 学习 模型 训练 数据'
-        |       WHEN doc_id % 7 = 0 THEN chr(7) || 'bad ' || text || ' ' ||
-        |         chr(8203) || ' ' || chr(8205) || 'tail' || chr(65279)
-        |  ELSE text END AS text FROM documents),
-        |s1 AS (SELECT doc_id, source,
-        |  regexp_replace(text, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g') AS t1
-        |  FROM dirty),
-        |cln AS (SELECT doc_id, source, trim(regexp_replace(
-        |  regexp_replace(t1, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
-        |  '  +', ' ', 'g')) AS tc FROM s1),
-        |sc AS (SELECT doc_id, CAST(length(tc) AS BIGINT) AS n,
-        |  CAST(length(tc) - length(regexp_replace(tc, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
-        |  CAST(length(tc) - length(regexp_replace(tc, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
-        |  CAST(length(tc) - length(regexp_replace(tc, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
-        |  CAST(length(tc) - length(regexp_replace(tc, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
-        |  FROM cln),
-        |keep AS (SELECT cln.* FROM cln JOIN (
-        |  SELECT doc_id FROM (SELECT doc_id, n_latin, n_cyrillic, n_cjk,
-        |    n_digit, n - n_latin - n_cyrillic - n_cjk - n_digit AS n_other
-        |    FROM sc)
-        |  WHERE n_latin >= greatest(n_cyrillic, n_cjk, n_digit, n_other)) k
-        |  USING (doc_id)),
-        |words AS (SELECT doc_id, source, string_split(trim(tc), ' ') AS ws
-        |  FROM keep),
-        |tok AS (SELECT doc_id, source, unnest(ws) AS w FROM words),
-        |f AS (SELECT doc_id, source,
-        |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS bucket FROM tok),
-        |ct AS (SELECT bucket, count(*) AS c FROM f WHERE source = 'src2' GROUP BY 1),
-        |cs AS (SELECT bucket, count(*) AS c FROM f WHERE source <> 'src2' GROUP BY 1),
-        |tt AS (SELECT count(*) AS n FROM f WHERE source = 'src2'),
-        |tsx AS (SELECT count(*) AS n FROM f WHERE source <> 'src2'),
-        |r AS (SELECT b.bucket,
-        |  ln((coalesce(ct.c, 0) + 1.0) / (tt.n + 256.0)) -
-        |  ln((coalesce(cs.c, 0) + 1.0) / (tsx.n + 256.0)) AS lr
-        |  FROM (SELECT DISTINCT bucket FROM f) b
-        |  LEFT JOIN ct USING (bucket) LEFT JOIN cs USING (bucket), tt, tsx),
-        |db AS (SELECT doc_id, bucket, count(*) AS c FROM f
-        |  WHERE source <> 'src2' GROUP BY 1, 2),
-        |terms AS (SELECT doc_id, c * lr AS term FROM db JOIN r USING (bucket)),
-        |lw AS (SELECT doc_id, round(list_sum(list_sort(list(term))), 6) AS logw
-        |  FROM terms GROUP BY doc_id)
-        |SELECT lw.doc_id, k.source, lw.logw
-        |FROM lw JOIN keep k USING (doc_id)
-        |ORDER BY lw.logw DESC, lw.doc_id LIMIT 50""".stripMargin,
+      s"""WITH dirty AS (SELECT doc_id, source,
+         |  CASE WHEN doc_id % 13 = 0 THEN '你好世界 机器 学习 模型 训练 数据'
+         |       WHEN doc_id % 7 = 0 THEN $dirtyInjectSql
+         |  ELSE text END AS text FROM documents),
+         |s1 AS (SELECT doc_id, source,
+         |  regexp_replace(text, '${TextAnalysis.CtrlClass}', '', 'g') AS t1
+         |  FROM dirty),
+         |cln AS (SELECT doc_id, source, trim(regexp_replace(
+         |  regexp_replace(t1, '${TextAnalysis.ZeroWidthClass}', '', 'g'),
+         |  '  +', ' ', 'g')) AS tc FROM s1),
+         |sc AS (SELECT doc_id, CAST(length(tc) AS BIGINT) AS n,
+         |  ${classCountSql("tc", TextAnalysis.LatinClass)} AS n_latin,
+         |  ${classCountSql("tc", TextAnalysis.CyrillicClass)} AS n_cyrillic,
+         |  ${classCountSql("tc", TextAnalysis.CjkClass)} AS n_cjk,
+         |  ${classCountSql("tc", TextAnalysis.DigitClass)} AS n_digit
+         |  FROM cln),
+         |keep AS (SELECT cln.* FROM cln JOIN (
+         |  SELECT doc_id FROM (SELECT doc_id, n_latin, n_cyrillic, n_cjk,
+         |    n_digit, n - n_latin - n_cyrillic - n_cjk - n_digit AS n_other
+         |    FROM sc)
+         |  WHERE n_latin >= greatest(n_cyrillic, n_cjk, n_digit, n_other)) k
+         |  USING (doc_id)),
+         |words AS (SELECT doc_id, source, string_split(trim(tc), ' ') AS ws
+         |  FROM keep),
+         |${dsirCtes(dim = 256, targetTag = "src2")}
+         |SELECT lw.doc_id, k.source, lw.logw
+         |FROM lw JOIN keep k USING (doc_id)
+         |ORDER BY lw.logw DESC, lw.doc_id LIMIT 50""".stripMargin,
 
     "sample_token_budget" ->
       """WITH u AS (SELECT doc_id, source, n_chars,
