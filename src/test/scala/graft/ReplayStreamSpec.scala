@@ -188,6 +188,23 @@ class ReplayStreamSpec extends AnyFunSuite {
     assert(at(stream.latestOffset(LongOffset(5L), ReadLimit.maxRows(2))) == 5L)
   }
 
+  test("Trigger.AvailableNow drains the full cursor and terminates") {
+    val name = "replay_avail_now"
+    val q = spark.readStream.format(classOf[ReplayStreamSource].getName)
+      .option("path", dataDir).option("tsCol", "ts")
+      .option("timestampsPerTrigger", "2")
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(60000),
+      "AvailableNow query must self-terminate once the cursor drains")
+    finally q.stop()
+    val got = spark.table(name).select("userId", "tsUs", "value")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got == rows.sorted, "drain must serve every stored row exactly once")
+  }
+
   test("replay handles a 10x-distinct-timestamp table with the same contract") {
     // 200 distinct timestamps × 10 rows each; the driver-side state is the
     // 200-entry cursor only — batches stream through filtered scans.
