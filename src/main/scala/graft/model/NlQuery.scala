@@ -84,15 +84,22 @@ object NlQuery {
                               schema: Schema): Option[CohortSelection] = {
     val ids = userIds(clause)
     if (ids.nonEmpty) return Some(ByIds(schema.idCol, ids))
-    val filters =
-      numericFilter(clause, Seq("aged", "ages", "age", "years old", "year-old",
-        "older", "younger"), schema.ageCol, schema) ++
-      numericFilter(clause, Seq("weighing", "weighs", "weight", "weigh", "kg",
-        "kilograms", "heavier", "lighter"), schema.weightCol, schema) ++
-      numericFilter(clause, Seq("height", "tall", "cm", "centimeters",
-        "taller", "shorter"), schema.heightCol, schema) ++
-      stateFilter(clause, schema)
-    if (filters.nonEmpty) Some(ByAttributes(filters.toSeq)) else None
+    val filters = numericFilters(clause, schema) ++ stateFilter(clause, schema)
+    if (filters.nonEmpty) Some(ByAttributes(filters)) else None
+  }
+
+  private val AttrKeywords: Seq[(String, Seq[String])] = Seq(
+    "age" -> Seq("aged", "ages", "age", "years old", "year-old",
+      "older", "younger"),
+    "weight" -> Seq("weighing", "weighs", "weight", "weigh", "kg",
+      "kilograms", "heavier", "lighter"),
+    "height" -> Seq("height", "tall", "cm", "centimeters",
+      "taller", "shorter"))
+
+  private def attrCol(key: String, schema: Schema): String = key match {
+    case "age"    => schema.ageCol
+    case "weight" => schema.weightCol
+    case _        => schema.heightCol
   }
 
   /** "users 3, 5 and 9" / "user ids 1,2,3" → the id list. */
@@ -104,68 +111,104 @@ object NlQuery {
     }
   }
 
-  /** Attribute range bound to the NEAREST of `keywords`: "between X and
-    * Y", "X to Y" / "X-Y", or one-sided "over/under X" closed against the
-    * attribute's slider bounds. Every range pattern in the clause is a
-    * candidate; each keyword occurrence claims the candidate closest to
-    * it (within 32 characters), so "aged 30 to 45 weighing between 60 and
-    * 90 kg" binds each range to its own attribute even though both ranges
-    * sit inside both keywords' neighborhoods.
+  /** A numeric-range mention: position plus optionally-open bounds (an
+    * open side closes against the claiming attribute's slider bounds).
     */
-  private[model] def numericFilter(clause: String, keywords: Seq[String],
-                                   colName: String,
-                                   schema: Schema): Option[AttrFilter] = {
-    val lower = clause.toLowerCase
-    val (defLo, defHi) = schema.bounds.getOrElse(colName, (0.0, 1e9))
+  private[model] final case class RangeCand(start: Int, end: Int,
+      lo: Option[Double], hi: Option[Double])
+
+  /** Every range pattern in the clause — "between X and Y", "X to Y" /
+    * "X-Y", one-sided "over/under X" — EXCLUDING anything overlapping an
+    * ISO date (the span pattern would otherwise read "2024-01" inside
+    * "2024-01-05" as the range 2024..1).
+    */
+  private[model] def rangeCandidates(lower: String): Seq[RangeCand] = {
     val between = s"""between\\s+$Num\\s+and\\s+$Num""".r
     val span = s"""$Num\\s*(?:-|to)\\s*$Num""".r
     val over =
       s"""(?:over|above|more\\s+than|at\\s+least|older\\s+than|heavier\\s+than|taller\\s+than|>=?)\\s*$Num""".r
     val under =
       s"""(?:under|below|less\\s+than|at\\s+most|younger\\s+than|lighter\\s+than|shorter\\s+than|<=?)\\s*$Num""".r
-    // All range candidates in the clause, with their positions. Two-sided
-    // patterns are collected before one-sided ones so that at EQUAL
-    // distance (e.g. "aged between 30 and 50", where the span "30 and"
-    // does not match but "over"-less text could tie) the more specific
-    // pattern wins.
-    val candidates: Seq[(Int, NumericRange)] =
-      between.findAllMatchIn(lower).map(m => m.start ->
-        NumericRange(colName, m.group(1).toDouble, m.group(2).toDouble)).toSeq ++
-      span.findAllMatchIn(lower).map(m => m.start ->
-        NumericRange(colName, m.group(1).toDouble, m.group(2).toDouble)).toSeq ++
-      over.findAllMatchIn(lower).map(m => m.start ->
-        NumericRange(colName, m.group(1).toDouble, defHi)).toSeq ++
-      under.findAllMatchIn(lower).map(m => m.start ->
-        NumericRange(colName, defLo, m.group(1).toDouble)).toSeq
-    if (candidates.isEmpty) return None
-    val kwPositions = keywords.flatMap { kw =>
-      var out = List.empty[Int]
-      var from = lower.indexOf(kw)
-      while (from >= 0) {
-        out ::= from + kw.length
-        from = lower.indexOf(kw, from + 1)
+    val dates = DateRe.findAllMatchIn(lower).map(m => (m.start, m.end)).toSeq
+    def clearOfDates(a: Int, b: Int) =
+      !dates.exists { case (ds, de) => a < de && b > ds }
+    val all: Seq[RangeCand] =
+      between.findAllMatchIn(lower).map(m => RangeCand(m.start, m.end,
+        Some(m.group(1).toDouble), Some(m.group(2).toDouble))).toSeq ++
+      span.findAllMatchIn(lower).map(m => RangeCand(m.start, m.end,
+        Some(m.group(1).toDouble), Some(m.group(2).toDouble))).toSeq ++
+      over.findAllMatchIn(lower).map(m => RangeCand(m.start, m.end,
+        Some(m.group(1).toDouble), None)).toSeq ++
+      under.findAllMatchIn(lower).map(m => RangeCand(m.start, m.end,
+        None, Some(m.group(1).toDouble))).toSeq
+    // Two-sided patterns were collected first, so a same-position overlap
+    // resolves to the more specific reading.
+    all.filter(c => clearOfDates(c.start, c.end))
+      .distinctBy(_.start).sortBy(_.start)
+  }
+
+  /** Attribute ranges with GLOBAL arbitration: each candidate belongs to
+    * the attribute whose keyword sits nearest to it (within 32 chars) —
+    * never to every attribute whose keyword happens to be nearby. "users
+    * older than 60 weighing 70 kg" therefore yields ONE age filter, not a
+    * fabricated weight range claimed by the adjacent "weighing".
+    */
+  private[model] def numericFilters(clause: String,
+                                    schema: Schema): Seq[AttrFilter] = {
+    val lower = clause.toLowerCase
+    val cands = rangeCandidates(lower)
+    if (cands.isEmpty) return Seq.empty
+    val kwPositions: Seq[(String, Int)] = AttrKeywords.flatMap {
+      case (attr, kws) => kws.flatMap { kw =>
+        var out = List.empty[(String, Int)]
+        var from = lower.indexOf(kw)
+        while (from >= 0) {
+          out ::= (attr, from + kw.length)
+          from = lower.indexOf(kw, from + 1)
+        }
+        out
       }
-      out
     }
-    val claimed = kwPositions.flatMap { kEnd =>
-      val best = candidates.minBy { case (mStart, _) =>
-        math.abs(mStart - kEnd)
+    if (kwPositions.isEmpty) return Seq.empty
+    // candidate → owning attribute (nearest keyword, ≤ 32 chars; ties
+    // break by AttrKeywords order via the stable minBy).
+    val owned: Seq[(String, RangeCand)] = cands.flatMap { c =>
+      val (attr, d) = AttrKeywords.flatMap { case (a, _) =>
+        val ds = kwPositions.collect { case (`a`, kEnd) =>
+          math.abs(c.start - kEnd) }
+        if (ds.isEmpty) None else Some((a, ds.min))
+      }.minBy(_._2)
+      if (d <= 32) Some((attr, c)) else None
+    }
+    AttrKeywords.flatMap { case (attr, _) =>
+      owned.collectFirst { case (`attr`, c) =>
+        val colName = attrCol(attr, schema)
+        val (defLo, defHi) = schema.bounds.getOrElse(colName, (0.0, 1e9))
+        NumericRange(colName, c.lo.getOrElse(defLo), c.hi.getOrElse(defHi))
       }
-      if (math.abs(best._1 - kEnd) <= 32) Some(best) else None
     }
-    claimed.sortBy { case (mStart, _) => mStart }.headOption.map(_._2)
   }
 
   /** Any known state names in the clause (word-boundary, case-insensitive)
-    * → a categorical filter, canonical capitalization preserved.
+    * → a categorical filter, canonical capitalization preserved. An
+    * occurrence lying INSIDE a longer matched state's occurrence is that
+    * longer name's substring, not an independent mention ("West Virginia"
+    * must not also select "Virginia" — but "Virginia and West Virginia"
+    * keeps both, because the short name also occurs standalone).
     */
   private[model] def stateFilter(clause: String,
                                  schema: Schema): Option[AttrFilter] = {
     val lower = clause.toLowerCase
-    val hit = schema.states.filter { s =>
-      s"""(?i)\\b${java.util.regex.Pattern.quote(s.toLowerCase)}\\b""".r
-        .findFirstIn(lower).isDefined
+    val occs: Seq[(String, Int, Int)] = schema.states.flatMap { st =>
+      s"""\\b${java.util.regex.Pattern.quote(st.toLowerCase)}\\b""".r
+        .findAllMatchIn(lower).map(m => (st, m.start, m.end)).toSeq
     }
+    val standalone = occs.filterNot { case (st, a, b) =>
+      occs.exists { case (st2, a2, b2) =>
+        st2 != st && (b2 - a2) > (b - a) && a2 <= a && b <= b2
+      }
+    }
+    val hit = schema.states.filter(s => standalone.exists(_._1 == s))
     if (hit.nonEmpty) Some(CategoricalIn(schema.stateCol, hit)) else None
   }
 

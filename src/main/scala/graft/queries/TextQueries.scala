@@ -1224,13 +1224,21 @@ object TextQueries {
         |      / 4294967296.0 < rate""".stripMargin,
 
     "dedup_title_edit" ->
+      // The ok-CTE mirrors the engine's DEFAULT hot-block cap
+      // (maxBlockSize = 1000): at test scales no block comes close
+      // (~22 rows/block at sf0.01), but the oracle must encode the cap so
+      // parity holds at ANY sf — at sf1 the ~92 second-token blocks hold
+      // >2000 names each and the capped engine would return zero pairs
+      // against an uncapped oracle.
       """WITH names AS (SELECT p_name, min(p_partkey) AS name_id
         |  FROM part GROUP BY 1),
         |p AS (SELECT name_id, p_name, split_part(p_name, ' ', 2) AS blk
-        |  FROM names)
+        |  FROM names),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 1000),
+        |pf AS (SELECT p.* FROM p JOIN ok USING (blk))
         |SELECT a.name_id AS id_a, b.name_id AS id_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-        |FROM p a JOIN p b ON a.blk = b.blk AND a.name_id < b.name_id
+        |FROM pf a JOIN pf b ON a.blk = b.blk AND a.name_id < b.name_id
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
 

@@ -65,19 +65,31 @@ class ReplayStreamSource extends TableProvider {
 
   private def spark: SparkSession = SparkSession.active
 
+  // Schema inference lists files and reads parquet footers on the driver;
+  // Spark calls inferSchema and then hands the result back to getTable on
+  // the SAME provider instance, so the one inference is cached and
+  // getTable re-reads the table only when the user supplied an explicit
+  // schema that bypassed inferSchema.
+  @volatile private var inferredFor: Option[(String, StructType)] = None
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ReplayStreamSource.scalaOptions(options)
-    spark.read.parquet(ReplayStreamSource.path(opts)).schema
+    val p = ReplayStreamSource.path(opts)
+    val schema = spark.read.parquet(p).schema
+    inferredFor = Some((p, schema))
+    schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = ReplayStreamSource.scalaOptions(
       new CaseInsensitiveStringMap(properties))
+    val p = ReplayStreamSource.path(opts)
     // The batch scans read the parquet table's own schema; silently
     // accepting a different user-supplied one would surface later as a
     // confusing batch-vs-source schema mismatch inside the stream engine.
-    val inferred = spark.read.parquet(ReplayStreamSource.path(opts)).schema
+    val inferred = inferredFor.collect { case (`p`, s) => s }
+      .getOrElse(spark.read.parquet(p).schema)
     require(schema == inferred,
       s"replay source infers its schema from the parquet table ($inferred); " +
         "drop the explicit .schema(...) or make it identical")
@@ -181,20 +193,29 @@ private[graft] class ReplayMicroBatchStream(spark: SparkSession,
   override def initialOffset(): Offset = LongOffset(0L)
   override def deserializeOffset(json: String): Offset = LongOffset(json.trim.toLong)
 
+  // In time-based mode there is no slice-count pacing, so the default is
+  // an UNBOUNDED maxRows sentinel rather than ReadAllAvailable — keeping
+  // ReadAllAvailable reserved for an actual Trigger.AvailableNow drain
+  // (which must win over windowing in BOTH modes; a default of
+  // allAvailable would make the two indistinguishable and the drain
+  // request unreachable).
   override def getDefaultReadLimit: ReadLimit =
-    if (simAdvanceUs > 0) ReadLimit.allAvailable()
+    if (simAdvanceUs > 0) ReadLimit.maxRows(Long.MaxValue)
     else ReadLimit.maxRows(perTrigger)
 
   /** Admission-controlled advance. `maxRows` counts cursor slices (distinct
     * event times): per-slice row counts live executor-side by design, so
     * the cursor is the only granularity the driver can admit by.
+    * `ReadAllAvailable` (Trigger.AvailableNow) drains the remaining cursor
+    * regardless of pacing mode.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = idx(start)
     val n = cursor.length.toLong
     if (s >= n) return LongOffset(n)
-    val e =
-      if (simAdvanceUs > 0) {
+    val e = limit match {
+      case _: ReadAllAvailable => n // Trigger.AvailableNow: drain
+      case _ if simAdvanceUs > 0 =>
         // Time-based batching: serve every slice whose event time falls in
         // the next simAdvance window. A wrap point (event time jumps
         // backwards in serve order) ends the batch; the next trigger
@@ -204,11 +225,12 @@ private[graft] class ReplayMicroBatchStream(spark: SparkSession,
         while (e0 < n && cursor(e0.toInt) >= startTs &&
                cursor(e0.toInt) < startTs + simAdvanceUs) e0 += 1
         e0
-      } else limit match {
-        case _: ReadAllAvailable => n // Trigger.AvailableNow: drain
-        case r: ReadMaxRows      => s + math.max(1L, r.maxRows())
-        case _                   => s + perTrigger
-      }
+      case r: ReadMaxRows =>
+        // Saturating add: the unbounded-maxRows sentinel must not overflow.
+        val step = math.max(1L, r.maxRows())
+        if (step >= n - s) n else s + step
+      case _ => s + perTrigger
+    }
     LongOffset(math.min(e, n))
   }
 

@@ -14,23 +14,6 @@ object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** A file-source DataFrame whose logical plan is marked `isStreaming` —
-    * what a V1 streaming `Source.getBatch` must return so a micro-batch
-    * can BE a real distributed scan (the same `LogicalRelation(…,
-    * isStreaming = true)` mechanism Spark's own `FileStreamSource` uses;
-    * the constructor is `private[sql]`, hence this bridge).
-    */
-  def streamingFileScan(spark: org.apache.spark.sql.SparkSession,
-                        format: String, path: String): DataFrame = {
-    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val rel = org.apache.spark.sql.execution.datasources
-      .DataSource(cs, className = format, paths = Seq(path))
-      .resolveRelation(checkFilesExist = false)
-    org.apache.spark.sql.classic.Dataset.ofRows(cs,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(
-        rel, isStreaming = true))
-  }
-
   /** The physical plan of a streaming query's last executed micro-batch
     * (None before the first batch) — for plan-shape assertions on
     * streaming sources; `StreamingQueryWrapper` is `private[sql]`.

@@ -65,6 +65,37 @@ class NlQuerySpec extends AnyFunSuite {
     assert(q2 == defaults, "nothing mentioned ⇒ defaults verbatim")
   }
 
+  test("ISO dates are never swallowed as numeric ranges") {
+    // The span pattern ("X to Y" / "X-Y") must not read "2024-01" inside
+    // "2024-01-05" as a range: with no real comparator near "aged", the
+    // age slot stays at its default instead of becoming 2024..1.
+    val q = NlQuery.parse(
+      "users aged 40 from 2024-01-05 to 2024-02-10", defaults)
+    assert(q.subjectSelection == AllUsers,
+      s"no fabricated range from date text: ${q.subjectSelection}")
+    assert(q.startDate == "2024-01-05" && q.endDate == "2024-02-10")
+  }
+
+  test("a range binds to ONE attribute even when other keywords sit nearby") {
+    // "weighing 70 kg" has no comparator, so weight has no candidate of
+    // its own — and it must NOT claim the age range next door.
+    val q = NlQuery.parse("users older than 60 weighing 70 kg", defaults)
+    assert(q.subjectSelection ==
+      ByAttributes(Seq(NumericRange("age", 60, 120))),
+      s"got: ${q.subjectSelection}")
+  }
+
+  test("compound state names do not also select their substring states") {
+    val q = NlQuery.parse("show people from West Virginia", defaults)
+    assert(q.subjectSelection == ByAttributes(Seq(
+      CategoricalIn("state_of_residence", Seq("West Virginia")))))
+    val q2 = NlQuery.parse(
+      "show people from Virginia and West Virginia", defaults)
+    assert(q2.subjectSelection == ByAttributes(Seq(
+      CategoricalIn("state_of_residence", Seq("Virginia", "West Virginia")))),
+      "a standalone short-name mention must survive")
+  }
+
   test("parsed spec round-trips through QuerySpec JSON") {
     val q = NlQuery.parse(
       "users aged between 30 and 50 from Texas compared with users older than 60",

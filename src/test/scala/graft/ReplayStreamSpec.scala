@@ -188,6 +188,30 @@ class ReplayStreamSpec extends AnyFunSuite {
     assert(at(stream.latestOffset(LongOffset(5L), ReadLimit.maxRows(2))) == 5L)
   }
 
+  test("AvailableNow drains in time-based mode; normal triggers still window") {
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val stream = new graft.streaming.ReplayMicroBatchStream(spark,
+      spark.read.parquet(dataDir).schema,
+      Map("path" -> dataDir, "tsCol" -> "ts",
+        "simAdvancePerTriggerSec" -> "300"))
+    def at(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+      o.json().trim.toLong
+    // Time-based mode's default is the unbounded maxRows sentinel, NOT
+    // ReadAllAvailable — otherwise an actual AvailableNow drain request
+    // would be indistinguishable and unreachable.
+    stream.getDefaultReadLimit match {
+      case r: ReadMaxRows => assert(r.maxRows() == Long.MaxValue)
+      case other => fail(s"expected unbounded ReadMaxRows, got $other")
+    }
+    // Normal trigger: one 5-minute sim window {0,1,2}min.
+    assert(at(stream.latestOffset(LongOffset(0L),
+      stream.getDefaultReadLimit)) == 3L)
+    // AvailableNow: drain everything.
+    assert(at(stream.latestOffset(LongOffset(0L),
+      ReadLimit.allAvailable())) == 5L)
+  }
+
   test("Trigger.AvailableNow drains the full cursor and terminates") {
     val name = "replay_avail_now"
     val q = spark.readStream.format(classOf[ReplayStreamSource].getName)
