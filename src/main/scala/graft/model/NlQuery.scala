@@ -158,15 +158,15 @@ object NlQuery {
     val lower = clause.toLowerCase
     val cands = rangeCandidates(lower)
     if (cands.isEmpty) return Seq.empty
+    // Word-boundary matching, not raw indexOf: "age" inside "messages"/
+    // "average" or "kg" inside "background" must not claim a nearby
+    // numeric range. Lookarounds (not \b) because keywords may contain
+    // non-word chars ("year-old").
     val kwPositions: Seq[(String, Int)] = AttrKeywords.flatMap {
       case (attr, kws) => kws.flatMap { kw =>
-        var out = List.empty[(String, Int)]
-        var from = lower.indexOf(kw)
-        while (from >= 0) {
-          out ::= (attr, from + kw.length)
-          from = lower.indexOf(kw, from + 1)
-        }
-        out
+        val re = ("(?<![a-z0-9])" + java.util.regex.Pattern.quote(kw) +
+          "(?![a-z0-9])").r
+        re.findAllMatchIn(lower).map(m => (attr, m.end)).toSeq
       }
     }
     if (kwPositions.isEmpty) return Seq.empty

@@ -417,6 +417,16 @@ object Similarity {
     * vectors — the corpus is never self-joined at large, only within
     * buckets. Recall is tunable via `planes` (fewer planes → bigger buckets
     * → higher recall, more work).
+    *
+    * SIZING RULE (measured, SCALE.md "sf0.1 → sf1 scaling probe"): the
+    * bucket count is FIXED at 2^planes, so per-bucket occupancy grows
+    * linearly with the corpus and candidate pairs quadratically — 46×
+    * runtime at 10× rows once occupancy left the ~10 range. Use this op
+    * only while n / 2^planes ≲ 10⁴ candidate pairs per bucket-space
+    * stays comfortable (n ≲ 10⁴ vectors at the default planes); past
+    * that, switch to [[cosinePairsMultiTable]] with
+    * P ≈ log₂(n / targetBucketSize) and T from the recall target —
+    * same exact-verify contract, bounded occupancy at any n.
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, planes: Int, dims: Int): DataFrame = {
@@ -480,6 +490,43 @@ object Similarity {
           nullif(col("__na") * col("__nb"), lit(0.0)), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Multi-table LSH kNN — the top-k counterpart of
+    * [[cosinePairsMultiTable]]: every vector hashes into `tables`
+    * independent AND-OR buckets computed in ONE scan (explode over
+    * per-table bucket structs, not `tables` re-scans), candidates are the
+    * union of per-table collisions verified once by exact cosine, and the
+    * per-query window keeps the top `k`. Same sizing rule as the pair
+    * miner: P ≈ log₂(n / targetBucketSize) bounds occupancy, T restores
+    * recall per 1 − (1 − p^P)^T. The query side broadcasts.
+    */
+  def lshKnnMultiTable(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, planes: Int, tables: Int,
+                       dims: Int): DataFrame = {
+    require(tables > 0, "tables must be positive")
+    def sigs(df: DataFrame, idAs: String, vecAs: String, nAs: String) = {
+      val buckets = array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          lshBucketAt(col(vecCol), planes, dims, t * planes).as("b"))
+      }: _*)
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          normD(col(vecCol)).as(nAs), explode(buckets).as("__tb"))
+        .select(col(idAs), col(vecAs), col(nAs),
+          col("__tb.t").as("__tbl"), col("__tb.b").as("__bucket"))
+    }
+    val q = sigs(queries, "query_id", "__qv", "__qn")
+    val c = sigs(corpus, "cand_id", "__cv", "__cn")
+    val scored = c.join(broadcast(q), Seq("__tbl", "__bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dotD(col("__qv"), col("__cv")) /
+          nullif(col("__qn") * col("__cn"), lit(0.0)), 6).as("cosine"))
+      .distinct() // a pair can collide in several tables; verify once
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
   }
 
   /** Hard-negative mining for contrastive training: each anchor's top-k

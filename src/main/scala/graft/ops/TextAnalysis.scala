@@ -448,11 +448,15 @@ object TextAnalysis {
         // oversized filter is NOT free — every partial aggregate allocates
         // and ships the full bitset, so a fixed "safe" 8 MiB filter costs
         // 32×8 MiB of merge traffic even for a 100k-shingle suite
-        // (measured 2× slower than sizing from the count). The 16 MiB cap
-        // bounds the driver artifact; past ~8M shingles fpp degrades
-        // gracefully — still a prefilter, never a correctness input.
-        val expected = math.max(benchSh.count(), 1L)
-        val bits = math.min(math.max(expected * 16L, 1024L), 1L << 27)
+        // (measured 2× slower than sizing from the count). Caps mirror
+        // BloomFilterAggregate's checkInputDataTypes limits (numBits ≤
+        // spark.sql.optimizer.runtime.bloomFilter.maxNumBits = 2^26,
+        // items ≤ maxNumItems = 4M by default) — exceeding either is an
+        // analysis-time IllegalArgumentException, not graceful
+        // degradation. Past ~4M shingles fpp degrades instead — still a
+        // prefilter, never a correctness input.
+        val expected = math.min(math.max(benchSh.count(), 1L), 4000000L)
+        val bits = math.min(math.max(expected * 16L, 1024L), 1L << 26)
         val bf = Sketches.bloomFit(benchSh, "shingle", expected, bits)
         train.filter(Sketches.mightContain(bf, col("shingle")))
       }

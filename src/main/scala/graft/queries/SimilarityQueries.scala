@@ -19,6 +19,14 @@ object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val Planes = 4
+  // AND-OR multi-table miner sizings: the test-scale config (occupancy
+  // comfortable at sf0.01–0.1) and the production config SCALE.md derives
+  // for sf1+ (P ≈ log₂(n/targetBucketSize) ≈ 10, T = 3 for the recall
+  // target). Both gated; ann_recall_lsh_mt pins recall at the latter.
+  private val MtPlanes = 6
+  private val MtTables = 2
+  private val MtProdPlanes = 10
+  private val MtProdTables = 3
   private val QueryPred = "vec_id < 10"
 
   // DuckDB: sequential-fold dot product of two list columns in double.
@@ -222,6 +230,36 @@ object SimilarityQueries {
        |      - 32768) * CAST($v[j+1] AS DOUBLE))) >= 0
        |  THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
 
+  // AND-OR multi-table LSH pair-mining CTE chain mirroring
+  // Similarity.cosinePairsMultiTable — per-table signatures from the
+  // global plane stream, DISTINCT bucket collisions, exact-cosine verify
+  // with the engine's nullif zero-norm guard (a zero-norm embedding drops
+  // the pair in both engines rather than comparing NaN ≥ threshold in
+  // DuckDB only). One definition serves every gate that routes through
+  // the miner, so engine and oracle defaults cannot drift (the r6
+  // cap-parity lesson). Ends at CTE `mtpairs(id_a, id_b, cosine)`.
+  private def mtPairsCtes(planes: Int, tables: Int,
+                          threshold: Double): String = {
+    val sigs = (0 until tables).map { t =>
+      s"""SELECT vec_id, $t AS tbl,
+         |  ${lshBucketSqlAt("embedding", planes, t * planes)} AS bucket
+         |  FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""msig AS ($sigs),
+       |mcand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM msig a JOIN msig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |mtpairs AS (SELECT id_a, id_b, cosine FROM (
+       |  SELECT id_a, id_b,
+       |    round(${dotSql("ea.embedding", "eb.embedding")} /
+       |      nullif(sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
+       |        sqrt(${dotSql("eb.embedding", "eb.embedding")}), 0), 6) AS cosine
+       |  FROM mcand
+       |  JOIN embeddings ea ON ea.vec_id = mcand.id_a
+       |  JOIN embeddings eb ON eb.vec_id = mcand.id_b)
+       |  WHERE cosine >= $threshold)""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
     "knn_cosine_bruteforce" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -247,8 +285,13 @@ object SimilarityQueries {
       val lex = graft.ops.Dedup.nearDuplicates(Tables.documents(s, dir),
           "doc_id", "text", minJaccard = 0.8)
         .select(col("doc_a"), col("doc_b"), lit(1).as("lex"), lit(0).as("sem"))
-      val sem = Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id",
-          "embedding", threshold = 0.3, planes = Planes, dims = 64)
+      // Semantic branch routes through the AND-OR multi-table miner — the
+      // single-table miner's fixed 2^planes buckets measured 46× runtime
+      // at 10× rows (SCALE.md); bounded occupancy is the composed-path
+      // default, not an opt-in.
+      val sem = Similarity.cosinePairsMultiTable(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.3, planes = MtPlanes,
+          tables = MtTables, dims = 64)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           lit(0).as("lex"), lit(1).as("sem"))
       lex.unionByName(sem).groupBy(col("doc_a"), col("doc_b"))
@@ -441,30 +484,50 @@ object SimilarityQueries {
       Similarity.recallAtK(ann, truth, k = 3)
     },
 
-    // Embedding-cosine near-duplicate mining, LSH-candidate-limited.
+    // Embedding-cosine near-duplicate mining via the AND-OR multi-table
+    // miner — the bounded-occupancy default (the fixed-bucket single-table
+    // cosinePairs measured 46× runtime at 10× rows, SCALE.md; it remains
+    // available for ≲10⁴-vector corpora and verification cohorts).
     // (This corpus has no planted vector dups, so the threshold is low
     // enough to yield pairs; SimilaritySpec covers the ≥0.95 dup case.)
     "dedup_embedding_cosine" -> { (s, dir) =>
-      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.3, planes = Planes, dims = 64)
+      Similarity.cosinePairsMultiTable(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.3, planes = MtPlanes, tables = MtTables,
+        dims = 64)
     },
 
-    // AND-OR amplified multi-table LSH pair mining — the bounded-occupancy
-    // scale path for dedup_embedding_cosine (the sf1 probe measured the
-    // fixed-bucket single table at 46× runtime for 10× corpus; planes↑
-    // bound occupancy, tables↑ restore recall). Same exact-verify contract.
+    // The same miner at the PRODUCTION sizing SCALE.md derives for the
+    // sf1-and-beyond corpus (P ≈ log₂(n/targetBucketSize) ≈ 10, T = 3
+    // from the recall target) — proves the sizing rule runs, not just
+    // derives; ann_recall_lsh_mt pins its recall against brute force.
     "dedup_embedding_cosine_mt" -> { (s, dir) =>
       Similarity.cosinePairsMultiTable(Tables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.3, planes = 6, tables = 2, dims = 64)
+        "embedding", threshold = 0.3, planes = MtProdPlanes,
+        tables = MtProdTables, dims = 64)
     },
 
-    // Semantic dedup end-to-end: cosine pair graph → connected components
-    // → one cluster id per vector (keep-one-per-cluster downstream).
+    // Semantic dedup end-to-end: multi-table cosine pair graph → connected
+    // components → one cluster id per vector (keep-one-per-cluster
+    // downstream).
     "dedup_embedding_clusters" -> { (s, dir) =>
-      val pairs = Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id",
-          "embedding", threshold = 0.3, planes = Planes, dims = 64)
+      val pairs = Similarity.cosinePairsMultiTable(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.3, planes = MtPlanes,
+          tables = MtTables, dims = 64)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       graft.ops.Dedup.clusters(pairs)
+    },
+
+    // Recall@3 of multi-table LSH kNN at the PRODUCTION AND-OR sizing
+    // (planes=10, tables=3) vs brute-force ground truth — the
+    // 1−(1−p^P)^T recall formula demonstrated on data, not just derived
+    // in SCALE.md. DedupSimilaritySpec asserts the aggregate floor.
+    "ann_recall_lsh_mt" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(expr(QueryPred))
+      val truth = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 3)
+      val ann = Similarity.lshKnnMultiTable(emb, queries, "vec_id", "embedding",
+        k = 3, planes = MtProdPlanes, tables = MtProdTables, dims = 64)
+      Similarity.recallAtK(ann, truth, k = 3)
     }
   )
 
@@ -537,17 +600,8 @@ object SimilarityQueries {
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
-         |esig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
-         |  FROM embeddings),
-         |ea AS (SELECT vec_id AS doc_a, embedding AS qv, bucket FROM esig),
-         |eb AS (SELECT vec_id AS doc_b, embedding AS cv, bucket FROM esig),
-         |sem AS (SELECT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b,
-         |    round(${dotSql("qv", "cv")} /
-         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6)
-         |      AS cosine
-         |  FROM ea JOIN eb ON ea.bucket = eb.bucket AND doc_a < doc_b)
-         |  WHERE cosine >= 0.3),
+         |${mtPairsCtes(6, 2, 0.3)},
+         |sem AS (SELECT id_a AS doc_a, id_b AS doc_b FROM mtpairs),
          |u AS (SELECT doc_a, doc_b, 1 AS l, 0 AS s FROM lex
          |  UNION ALL SELECT doc_a, doc_b, 0, 1 FROM sem)
          |SELECT doc_a, doc_b,
@@ -747,51 +801,62 @@ object SimilarityQueries {
          |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
-      s"""WITH sig AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
-         |  FROM embeddings),
-         |a AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM sig),
-         |b AS (SELECT vec_id AS id_b, embedding AS cv, bucket FROM sig),
-         |p AS (SELECT id_a, id_b, a.bucket,
-         |  round(${dotSql("qv", "cv")} /
-         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
-         |  FROM a JOIN b ON a.bucket = b.bucket AND id_a < id_b)
-         |SELECT id_a, id_b, bucket, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
+      s"""WITH ${mtPairsCtes(6, 2, 0.3)}
+         |SELECT id_a, id_b, cosine FROM mtpairs""".stripMargin,
 
     "dedup_embedding_cosine_mt" ->
-      s"""WITH s0 AS (SELECT vec_id, 0 AS tbl,
-         |  ${lshBucketSqlAt("embedding", 6, 0)} AS bucket FROM embeddings),
-         |s1 AS (SELECT vec_id, 1 AS tbl,
-         |  ${lshBucketSqlAt("embedding", 6, 6)} AS bucket FROM embeddings),
-         |sig AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
-         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
-         |    AND a.vec_id < b.vec_id),
-         |v AS (SELECT id_a, id_b,
-         |  round(${dotSql("ea.embedding", "eb.embedding")} /
-         |    (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
-         |     sqrt(${dotSql("eb.embedding", "eb.embedding")})), 6) AS cosine
-         |  FROM cand
-         |  JOIN embeddings ea ON ea.vec_id = cand.id_a
-         |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
-         |SELECT id_a, id_b, cosine FROM v WHERE cosine >= 0.3""".stripMargin,
+      s"""WITH ${mtPairsCtes(10, 3, 0.3)}
+         |SELECT id_a, id_b, cosine FROM mtpairs""".stripMargin,
 
     "dedup_embedding_clusters" ->
-      s"""WITH RECURSIVE sig AS (SELECT vec_id, embedding,
-         |  ${lshBucketSql("embedding")} AS bucket FROM embeddings),
-         |a AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM sig),
-         |b AS (SELECT vec_id AS id_b, embedding AS cv, bucket FROM sig),
-         |prs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
-         |  round(${dotSql("qv", "cv")} /
-         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cosine
-         |  FROM a JOIN b ON a.bucket = b.bucket AND id_a < id_b)
-         |  WHERE cosine >= 0.3),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION SELECT id_b, id_a FROM prs),
+      s"""WITH RECURSIVE ${mtPairsCtes(6, 2, 0.3)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mtpairs
+         |  UNION SELECT id_b, id_a FROM mtpairs),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |FROM reach GROUP BY src""".stripMargin
+         |FROM reach GROUP BY src""".stripMargin,
+
+    "ann_recall_lsh_mt" ->
+      s"""WITH msig AS (
+         |  SELECT vec_id, embedding, 0 AS tbl,
+         |    ${lshBucketSqlAt("embedding", 10, 0)} AS bucket FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, embedding, 1 AS tbl,
+         |    ${lshBucketSqlAt("embedding", 10, 10)} AS bucket FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, embedding, 2 AS tbl,
+         |    ${lshBucketSqlAt("embedding", 10, 20)} AS bucket FROM embeddings),
+         |qb AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE $QueryPred),
+         |cb AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("qv", "cv")} /
+         |      nullif(sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")}), 0),
+         |      6) DESC, cand_id) AS rn
+         |  FROM qb, cb WHERE query_id <> cand_id) WHERE rn <= 3),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket
+         |  FROM msig WHERE $QueryPred),
+         |cs AS (SELECT vec_id AS cand_id, embedding AS cv, tbl, bucket
+         |  FROM msig),
+         |annp AS (SELECT DISTINCT query_id, cand_id,
+         |  round(${dotSql("qv", "cv")} /
+         |    nullif(sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")}), 0),
+         |    6) AS cosine
+         |  FROM qs JOIN cs ON qs.tbl = cs.tbl AND qs.bucket = cs.bucket
+         |    AND query_id <> cand_id),
+         |ann AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, cand_id) AS rn FROM annp) WHERE rn <= 3),
+         |hits AS (SELECT t.query_id, count(*) AS hits FROM truth t
+         |  JOIN ann a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1),
+         |tk AS (SELECT query_id, count(*) AS truth_k FROM truth GROUP BY 1)
+         |SELECT tk.query_id, COALESCE(hits.hits, 0) AS hits, tk.truth_k,
+         |  round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / tk.truth_k, 6) AS recall
+         |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin
   )
 }

@@ -228,6 +228,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"missing: ${single.diff(multi)} (single=${single.size}, multi=${multi.size})")
   }
 
+  test("multi-table LSH kNN at production sizing (P=10, T=3) holds the derived recall floor") {
+    // A corpus big enough that the 2^10-bucket tables actually separate
+    // points (2400 vectors ⇒ ~2.3 per bucket per table): each query's true
+    // neighbors are same-cluster perturbations at cosine ≈ 0.99, where
+    // 1 − (1 − p^P)^T predicts ≳ 0.9 recall — the SCALE.md sizing rule
+    // demonstrated on data, not just derived. Deterministic (sin-based)
+    // corpus keeps the asserted floor stable across runs.
+    val emb = Seq.tabulate(2400) { i =>
+      val c = i / 40 // cluster
+      (i.toLong, Array.tabulate(16) { j =>
+        (math.sin(c * 31 + j * 7) + 0.05 * math.sin(i * 13 + j * 5)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 20)
+    val truth = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 3)
+    val ann = Similarity.lshKnnMultiTable(emb, q, "vec_id", "embedding",
+      k = 3, planes = 10, tables = 3, dims = 16)
+    val mean = Similarity.recallAtK(ann, truth, k = 3)
+      .agg(org.apache.spark.sql.functions.avg($"recall")).as[Double].head()
+    assert(mean >= 0.8, s"mean recall@3 $mean below floor at production sizing")
+  }
+
   test("hash embedding: dense form is the L2-normalized sparse form, total over docs") {
     val d = Seq(
       (1L, "alpha beta gamma alpha"),
