@@ -604,19 +604,57 @@ object Dedup {
     * route [[TextAnalysis.hashEmbedding]]'s dense vectors through the ANN
     * stack (LSH buckets or IVF, `Similarity`) and keep this op for
     * verification cohorts and gate oracles.
+    *
+    * `maxBucketSize` is the same lossy-by-design occupancy cap as the
+    * hot-shingle df cap and the edit-distance hot-block cap: buckets
+    * holding more than `maxBucketSize` docs are dropped from CANDIDATE
+    * GENERATION ONLY — a dimension most of the corpus collides in carries
+    * no discriminating signal, and one hot bucket is quadratic no matter
+    * how cheap the verify step is. Candidate volume is thereby bounded at
+    * dim × cap² pairs REGARDLESS of corpus size. Crucially the cap never
+    * touches the verify arithmetic: surviving pairs get their dot product
+    * over ALL buckets (hot ones included), so every emitted cosine is
+    * exact; the only loss is recall on pairs whose every shared bucket is
+    * hot. Pass None for the historical fused all-bucket join (candidate
+    * set identical when no bucket exceeds the cap).
     */
   def hashCosinePairs(sparse: DataFrame, idCol: String,
-                      minCos: Double): DataFrame = {
+                      minCos: Double,
+                      maxBucketSize: Option[Long] = Some(1000L)): DataFrame = {
     val sp = OpCaches.scoped(
       sparse.select(col(idCol), col("bucket"), col("weight")))
-    val a = sp.select(col(idCol).as("doc_a"), col("bucket"),
-      col("weight").as("__wa"))
-    val b = sp.select(col(idCol).as("doc_b"), col("bucket"),
-      col("weight").as("__wb"))
-    val dot = a.join(b, Seq("bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("__wa") * col("__wb")).as("dot"))
+    val dot = maxBucketSize match {
+      case None =>
+        // Fused shape: the bucket join IS the dot product.
+        val a = sp.select(col(idCol).as("doc_a"), col("bucket"),
+          col("weight").as("__wa"))
+        val b = sp.select(col(idCol).as("doc_b"), col("bucket"),
+          col("weight").as("__wb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("__wa") * col("__wb")).as("dot"))
+      case Some(cap) =>
+        // Two-phase: candidates from non-hot buckets only, then the exact
+        // dot over ALL buckets for survivors — the cap bounds work, never
+        // the arithmetic. The hot list is ≤ dim rows: broadcast anti-join.
+        val hot = sp.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap).select(col("bucket"))
+        val cold = sp.join(broadcast(hot), Seq("bucket"), "left_anti")
+        val cand = cold.select(col(idCol).as("doc_a"), col("bucket"))
+          .join(cold.select(col(idCol).as("doc_b"), col("bucket")),
+            Seq("bucket"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        cand
+          .join(sp.select(col(idCol).as("doc_a"), col("bucket"),
+            col("weight").as("__wa")), Seq("doc_a"))
+          .join(sp.select(col(idCol).as("doc_b"), col("bucket"),
+            col("weight").as("__wb")), Seq("doc_b", "bucket"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("__wa") * col("__wb")).as("dot"))
+    }
     val norms = sp.groupBy(col(idCol))
       .agg(sum(col("weight") * col("weight")).as("__nsq"))
     dot

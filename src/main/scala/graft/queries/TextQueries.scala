@@ -60,6 +60,40 @@ object TextQueries {
        |  FROM $src a JOIN $src b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  // Hash-cosine pair mining over the 20% cohort, parameterized by the
+  // bucket-occupancy cap — ONE SQL definition for both the default-cap
+  // gate and the skew-stress gate, mirroring Dedup.hashCosinePairs'
+  // two-phase shape: candidates only from buckets at/below `cap`, exact
+  // dot over ALL buckets for survivors.
+  private def hashCosineOracleSql(cap: Long, minCos: Double): String =
+    s"""WITH cohort AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |${wordsCteFor("cohort")},
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 64 AS bucket,
+       |  1 - 2 * (('0x' || substr(md5(w), 7, 1))::BIGINT % 2) AS s FROM tok),
+       |sp AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+       |  FROM h GROUP BY 1, 2 HAVING sum(s) <> 0),
+       |hot AS (SELECT bucket FROM sp GROUP BY bucket HAVING count(*) > $cap),
+       |cold AS (SELECT doc_id, bucket FROM sp
+       |  WHERE bucket NOT IN (SELECT bucket FROM hot)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM cold a JOIN cold b ON a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id),
+       |nrm AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nsq
+       |  FROM sp GROUP BY 1),
+       |d AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(sum(a.weight * b.weight) AS BIGINT) AS dot
+       |  FROM cand c JOIN sp a ON a.doc_id = c.doc_a
+       |       JOIN sp b ON b.doc_id = c.doc_b AND b.bucket = a.bucket
+       |  GROUP BY 1, 2),
+       |v AS (SELECT doc_a, doc_b, dot,
+       |  round(CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cos
+       |  FROM d JOIN nrm na ON d.doc_a = na.doc_id
+       |         JOIN nrm nb ON d.doc_b = nb.doc_id)
+       |SELECT doc_a, doc_b, dot, cos FROM v WHERE cos >= $minCos""".stripMargin
+
   // Shared dirty-corpus injection for the unicode-scrub and composite
   // gates: ONE definition on each side of the oracle boundary (the Scala
   // literal and its chr() SQL rendering must stay character-identical).
@@ -389,13 +423,32 @@ object TextQueries {
     // without a model. The op is the EXACT baseline (the dim-wide bucket
     // join is near-all-pairs by construction), so the gate runs it on a
     // 20% verification cohort — its documented scale contract; corpus
-    // scale composes hashEmbedding with the ANN stack instead.
+    // scale composes hashEmbedding with the ANN stack instead. The
+    // default 1000-doc bucket-occupancy cap is in force (and encoded in
+    // the oracle), though it never binds at gate scale — occupancy tops
+    // out ~97 here; the skew gate below is where it bites.
     "dedup_semantic_text" -> { (s, dir) =>
       val cohort = Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(5)) === 0)
       Dedup.hashCosinePairs(
         TextAnalysis.hashEmbeddingSparse(cohort, "doc_id", "text", dim = 64),
         "doc_id", minCos = 0.8)
+    },
+
+    // Hot-bucket stress for the hash-cosine miner: on the same cohort the
+    // hash dimensions' occupancy runs 6–97 docs, so an explicit cap of 50
+    // bisects the bucket set — candidate pairs may only arise in the cold
+    // dimensions, while each survivor's dot product still sums over ALL
+    // 64 (survivor cosines near 0.87 are unreachable from cold buckets
+    // alone). A cap-mirroring oracle proves the drop rule exactly: the
+    // cap bounds candidate WORK (dim × cap² at any corpus size), never
+    // the verify arithmetic.
+    "skew_stress_semantic_hash" -> { (s, dir) =>
+      val cohort = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.hashCosinePairs(
+        TextAnalysis.hashEmbeddingSparse(cohort, "doc_id", "text", dim = 64),
+        "doc_id", minCos = 0.5, maxBucketSize = Some(50L))
     },
 
     // Unicode hygiene on a deterministically dirtied corpus (the synthetic
@@ -1266,27 +1319,14 @@ object TextQueries {
          |SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
          |FROM h GROUP BY 1, 2 HAVING sum(s) <> 0""".stripMargin,
 
-    "dedup_semantic_text" ->
-      s"""WITH cohort AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-         |${wordsCteFor("cohort")},
-         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
-         |h AS (SELECT doc_id,
-         |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 64 AS bucket,
-         |  1 - 2 * (('0x' || substr(md5(w), 7, 1))::BIGINT % 2) AS s FROM tok),
-         |sp AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
-         |  FROM h GROUP BY 1, 2 HAVING sum(s) <> 0),
-         |nrm AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nsq
-         |  FROM sp GROUP BY 1),
-         |d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(sum(a.weight * b.weight) AS BIGINT) AS dot
-         |  FROM sp a JOIN sp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |v AS (SELECT doc_a, doc_b, dot,
-         |  round(CAST(dot AS DOUBLE) /
-         |    (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cos
-         |  FROM d JOIN nrm na ON d.doc_a = na.doc_id
-         |         JOIN nrm nb ON d.doc_b = nb.doc_id)
-         |SELECT doc_a, doc_b, dot, cos FROM v WHERE cos >= 0.8""".stripMargin,
+    // Both hash-cosine oracles mirror the engine's two-phase cap exactly:
+    // candidates from buckets at/below the occupancy cap, dot over ALL
+    // buckets for survivors (the fa730a2 cap-parity rule — a
+    // behavior-changing default lives in every oracle that crosses it).
+    "dedup_semantic_text" -> hashCosineOracleSql(cap = 1000L, minCos = 0.8),
+
+    "skew_stress_semantic_hash" ->
+      hashCosineOracleSql(cap = 50L, minCos = 0.5),
 
     "text_unicode_scrub" ->
       s"""WITH dirty AS (SELECT doc_id,

@@ -287,6 +287,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L, 1.0)))
   }
 
+  test("hashCosinePairs occupancy cap drops hot-bucket-only pairs, keeps exact dot") {
+    // Bucket 0 is hot (all 10 docs), bucket 1 cold (docs 1,2). With cap=5
+    // candidates may only form in bucket 1 → the sole survivor is (1,2);
+    // its dot must still include the HOT bucket's 5·5 term (two-phase
+    // contract: the cap bounds candidate work, never the arithmetic).
+    val sparse = ((1L to 10L).map(i => (i, 0L, 5L)) ++
+      Seq((1L, 1L, 3L), (2L, 1L, 3L))).toDF("doc_id", "bucket", "weight")
+    val capped = Dedup.hashCosinePairs(sparse, "doc_id", minCos = 0.0,
+        maxBucketSize = Some(5L))
+      .select("doc_a", "doc_b", "dot", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(capped == Seq((1L, 2L, 34L, 1.0)))
+    val uncapped = Dedup.hashCosinePairs(sparse, "doc_id", minCos = 0.0,
+      maxBucketSize = None)
+    assert(uncapped.count() == 45L, "uncapped = all C(10,2) pairs")
+  }
+
   test("edit-distance block cap drops only the oversized block") {
     val rows = (1L to 30L).map(i => (i, s"hot common$i")) ++ // one 30-row block
       Seq((100L, "cold alpha"), (101L, "cold alphb"))        // 2-row block, dist 1
