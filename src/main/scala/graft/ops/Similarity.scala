@@ -464,6 +464,28 @@ object Similarity {
     * deterministic coefficient stream at offset t·P, so results are
     * reproducible across engines and runs.
     */
+  /** The multi-table sizing rule applied, so callers don't hand-derive it:
+    * the smallest P with expected bucket occupancy n/2^P ≤
+    * `targetBucketSize`, i.e. P = ⌈log₂(n / targetBucketSize)⌉, clamped to
+    * [`minPlanes`, `maxPlanes`]. The sf1 probe (SCALE.md round-7
+    * extension) measures the two sides of this rule on one corpus: the
+    * same miner runs 16× at 10× rows when P is pinned below the rule and
+    * 3.8× at the prescribed P. The clamp floor keeps tiny corpora from
+    * degenerating to planes=0 (one bucket = all-pairs); the ceiling bounds
+    * signature cost — past P≈24 raise `targetBucketSize` instead. Pick
+    * `tables` from the recall target via 1 − (1 − p^P)^T (T=3 covers the
+    * probe corpus at recall ≥ the gate floor, `ann_recall_lsh_mt`).
+    */
+  def planesFor(n: Long, targetBucketSize: Long = 10000L,
+                minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    require(n >= 0 && targetBucketSize > 0 && minPlanes >= 1 &&
+      maxPlanes >= minPlanes, "invalid planesFor arguments")
+    val needed =
+      if (n <= targetBucketSize) 0
+      else math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
   def cosinePairsMultiTable(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, planes: Int, tables: Int,
                             dims: Int): DataFrame = {

@@ -339,6 +339,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(2) == ((3L, "", 0L, 0L)))
   }
 
+  test("planesFor applies the occupancy sizing rule with clamps") {
+    import graft.ops.Similarity.planesFor
+    // At or below the target bucket size the floor holds (never all-pairs).
+    assert(planesFor(0L) == 4 && planesFor(10000L) == 4)
+    // ceil(log2(n/target)): the probe corpus sizes from SCALE.md.
+    assert(planesFor(20000L) == 4) // ceil(log2(2)) = 1 → clamped to floor
+    assert(planesFor(20000L, targetBucketSize = 20L) == 10) // production row
+    assert(planesFor(1L << 40, targetBucketSize = 10000L) == 24,
+      "ceiling bounds signature cost at extreme n")
+    // Rule exactness between the clamps: occupancy lands ≤ target.
+    val p = planesFor(5000000L, targetBucketSize = 10000L)
+    assert(p == 9 && 5000000.0 / (1 << p) <= 10000.0)
+    assertThrows[IllegalArgumentException](planesFor(-1L))
+    assertThrows[IllegalArgumentException](planesFor(10L, targetBucketSize = 0L))
+  }
+
   test("script share counts families and routes the dominant label") {
     val d = Seq(
       (1L, "hello world"),
