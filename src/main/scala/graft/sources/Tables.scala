@@ -24,10 +24,18 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     name match {
       case "events" =>
-        // ts arrives as epoch-nanos Long (see GraftSession); convert to a
-        // proper µs TimestampType with integral division — a double round-trip
-        // would lose precision above 2^53 ns. Source values are µs-precision.
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // Normalize ts to a session-TZ TimestampType regardless of how the
+        // generator wrote it: TIMESTAMP(NANOS) arrives as epoch-nanos Long
+        // (integral division — a double round-trip would lose precision
+        // above 2^53 ns), TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives
+        // as TIMESTAMP_NTZ (same wall values under the UTC session TZ).
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => df
+        }
       case _ => df
     }
   }
