@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Hashed multinomial Naive Bayes text classification — the shape of a
+  * fastText-style supervised quality / language classifier (multinomial NB
+  * over a hashing-trick vocabulary; both components are public methods —
+  * McCallum & Nigam 1998 for the model, Weinberger et al. 2009 for the
+  * hashing trick). The reference has no learned classifier, but a corpus
+  * curation pipeline at 100 TB filters with exactly this: a cheap linear
+  * model fit once and applied map-side to every document.
+  *
+  * Scale design:
+  *  - FIT is two aggregations over the exploded hashed-token stream plus a
+  *    per-label document count. The model is exactly |labels| × dim rows by
+  *    construction (add-one smoothing fills unseen buckets via a label ×
+  *    bucket grid), so it broadcasts at ANY corpus size — same bounded-model
+  *    contract as [[Sampling.importanceWeights]]'s DSIR tables.
+  *  - PREDICT is a broadcast join of per-doc bucket counts against the model
+  *    plus one (doc, label) aggregation; the per-class log-likelihood sum
+  *    folds over a value-sorted array (the house idiom for bit-stable
+  *    cross-engine double sums), and the argmax is a window over ≤ |labels|
+  *    rows per doc. No shuffle touches the model side; the only exchange is
+  *    the (doc, label) aggregation, keyed by doc — even, unskewed.
+  */
+object Classify {
+
+  /** Fit: returns the dense model table `(label, bucket, loglik, logprior)`
+    * of exactly |labels| × dim rows.
+    *
+    *   loglik(b|c)  = ln((count(b,c) + 1) / (tokens(c) + dim))   (add-one)
+    *   logprior(c)  = ln(docs(c) / docs)
+    */
+  def naiveBayesFit(docs: DataFrame, labelCol: String, textCol: String,
+                    dim: Int = 256): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val lab = col(labelCol)
+    val feat = docs.select(lab,
+      explode(words(col(textCol))).as("__w"))
+      .select(lab, pmod(wordCode24(col("__w")), lit(dim.toLong)).as("bucket"))
+    val classBucket = feat.groupBy(lab, col("bucket")).agg(count(lit(1)).as("__c"))
+    val classTokens = feat.groupBy(lab).agg(count(lit(1)).as("__tot"))
+    val classDocs = docs.groupBy(lab).agg(count(lit(1)).as("__nd"))
+    val totalDocs = docs.agg(count(lit(1)).as("__ndt"))
+    // Dense |labels| × dim grid so unseen (label, bucket) pairs carry the
+    // smoothed floor — the model must be total for map-side scoring.
+    val grid = docs.select(lab).distinct()
+      .crossJoin(docs.sparkSession.range(dim).select(col("id").as("bucket")))
+    grid.join(classBucket, Seq(labelCol, "bucket"), "left")
+      .join(classTokens, Seq(labelCol))
+      .join(classDocs, Seq(labelCol))
+      .crossJoin(broadcast(totalDocs))
+      .select(lab, col("bucket"),
+        log((coalesce(col("__c"), lit(0L)) + lit(1.0)) /
+          (col("__tot") + lit(dim.toDouble))).as("loglik"),
+        log(col("__nd").cast("double") / col("__ndt")).as("logprior"))
+  }
+
+  /** Predict: one row per document that has at least one token (the same
+    * totality contract as the DSIR weigher — tokenless docs have no
+    * evidence and no row). Output: `(idCol, pred, score)` where `pred` is
+    * the argmax label (ties broken by label ascending on the 6-decimal
+    * rounded score, so the result is engine-stable) and `score` its rounded
+    * log-posterior.
+    */
+  def naiveBayesPredict(docs: DataFrame, model: DataFrame, idCol: String,
+                        textCol: String, dim: Int = 256,
+                        labelOut: String = "pred"): DataFrame = {
+    val id = col(idCol)
+    val labelCol = model.columns.head // fit keeps the label first
+    val docBuckets = docs.select(id, explode(words(col(textCol))).as("__w"))
+      .select(id, pmod(wordCode24(col("__w")), lit(dim.toLong)).as("bucket"))
+      .groupBy(id, col("bucket")).agg(count(lit(1)).as("__c"))
+    val scored = docBuckets.join(broadcast(model), Seq("bucket"))
+      .select(id, col(labelCol),
+        (col("__c") * col("loglik")).as("__term"), col("logprior"))
+      .groupBy(id, col(labelCol))
+      .agg(round(first(col("logprior")) +
+        aggregate(sort_array(collect_list(col("__term"))), lit(0.0),
+          (acc, x) => acc + x), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("score").desc, col(labelCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(id, col(labelCol).as(labelOut), col("score"))
+  }
+}

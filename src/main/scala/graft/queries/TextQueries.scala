@@ -483,6 +483,17 @@ object TextQueries {
         "doc_id", "text", tagCol = "source", targetTag = "src2", dim = 256)
     },
 
+    // Hashed multinomial Naive Bayes, fit and applied on the documents
+    // table with lang as the class — the fastText-style learned-classifier
+    // counterpart to the rule-based text_langid gate. Model is
+    // |labels|×256 rows (broadcast by construction); predict is map-side
+    // plus one doc-keyed aggregation.
+    "text_nb_langid" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.ops.Classify.naiveBayesFit(docs, "lang", "text", dim = 256)
+      graft.ops.Classify.naiveBayesPredict(docs, model, "doc_id", "text", dim = 256)
+    },
+
     // Exact-count mixture quotas per source (rows, not rates).
     "sample_exact_quota" -> { (s, dir) =>
       graft.ops.Sampling.stratifiedExact(Tables.documents(s, dir), "doc_id",
@@ -1369,6 +1380,34 @@ object TextQueries {
          |  FROM documents),
          |${dsirCtes(dim = 256, targetTag = "src2")}
          |SELECT doc_id, logw FROM lw""".stripMargin,
+
+    "text_nb_langid" ->
+      s"""WITH words AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ws
+         |  FROM documents),
+         |tok AS (SELECT doc_id, lang, unnest(ws) AS w FROM words),
+         |f AS (SELECT doc_id, lang,
+         |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS bucket FROM tok),
+         |cc AS (SELECT lang, bucket, count(*) AS c FROM f GROUP BY 1, 2),
+         |ct AS (SELECT lang, count(*) AS tot FROM f GROUP BY 1),
+         |nd AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |ndt AS (SELECT count(*) AS n FROM documents),
+         |grid AS (SELECT l.lang, b.bucket
+         |  FROM (SELECT DISTINCT lang FROM documents) l,
+         |       (SELECT DISTINCT bucket FROM f) b),
+         |model AS (SELECT g.lang, g.bucket,
+         |  ln((coalesce(cc.c, 0) + 1.0) / (ct.tot + 256.0)) AS loglik,
+         |  ln(CAST(nd.n AS DOUBLE) / ndt.n) AS logprior
+         |  FROM grid g
+         |  JOIN ct USING (lang) JOIN nd USING (lang)
+         |  LEFT JOIN cc ON g.lang = cc.lang AND g.bucket = cc.bucket, ndt),
+         |db AS (SELECT doc_id, bucket, count(*) AS c FROM f GROUP BY 1, 2),
+         |sc AS (SELECT db.doc_id, m.lang,
+         |  round(max(m.logprior) +
+         |    list_sum(list_sort(list(db.c * m.loglik))), 6) AS score
+         |  FROM db JOIN model m USING (bucket) GROUP BY 1, 2),
+         |p AS (SELECT doc_id, lang, score, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc)
+         |SELECT doc_id, lang AS pred, score FROM p WHERE rn = 1""".stripMargin,
 
     "sample_exact_quota" ->
       """SELECT doc_id, source, lang FROM (

