@@ -59,11 +59,57 @@ object MediaFunctions {
   def imageHeader(payload: Column): Column =
     CatalystBridge.column(ImageHeader(CatalystBridge.expression(payload)))
 
+  private val audioHeaderType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("data_bytes", LongType),
+    StructField("is_audio", BooleanType, nullable = false)))
+
+  /** WAV/RIFF counterpart of [[ImageHeader]]: lifts
+    * [[graft.ops.Multimodal.parseWavHeader]]'s little-endian chunk walk
+    * into the expression layer (same codegen story — `CodegenFallback`,
+    * one virtual call per row, adjacent projections stay fused).
+    */
+  case class AudioHeader(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = audioHeaderType
+    override def prettyName: String = "audio_header"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val p = input.asInstanceOf[Array[Byte]]
+      graft.ops.Multimodal.parseWavHeader(p) match {
+        case Some((ch, rate, bits, dataBytes)) =>
+          new GenericInternalRow(Array[Any](ch, rate, bits, dataBytes, true))
+        case None =>
+          new GenericInternalRow(
+            Array[Any](null, null, null, null, graft.ops.Multimodal.looksLikeWav(p)))
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): AudioHeader =
+      copy(child = newChild)
+  }
+
+  /** struct(channels, sample_rate, bits, data_bytes, is_audio) of a binary
+    * payload; null for a null payload. Fields are null when the payload is
+    * corrupt (`is_audio` true) or not RIFF/WAVE (`is_audio` false).
+    */
+  def audioHeader(payload: Column): Column =
+    CatalystBridge.column(AudioHeader(CatalystBridge.expression(payload)))
+
   /** Register the SQL name on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "image_header", exprs => {
         require(exprs.length == 1, "image_header expects exactly 1 argument")
         ImageHeader(exprs.head)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_header", exprs => {
+        require(exprs.length == 1, "audio_header expects exactly 1 argument")
+        AudioHeader(exprs.head)
+      }, "scala_udf")
+  }
 }

@@ -98,6 +98,81 @@ object Multimodal {
     } else None
   }
 
+  /** REAL audio header parse — WAV/RIFF by byte arithmetic, no codec
+    * library (the little-endian counterpart to [[parseImageHeader]]'s
+    * big-endian walks). Layout from the public RIFF/WAVE spec:
+    * "RIFF" + u32le riff-size + "WAVE", then a chunk walk (4-byte id +
+    * u32le size + payload, padded to even) — real files interleave fact /
+    * LIST / bext chunks before data, so the walk is required. The fmt
+    * chunk carries format(2) channels(2) sampleRate(4) byteRate(4)
+    * blockAlign(2) bitsPerSample(2), all little-endian; the data chunk's
+    * SIZE field is the payload length — the body itself need not be
+    * present for header decode (headers-only corpus, same convention as
+    * the image gate).
+    *
+    * Returns (channels, sampleRate, bitsPerSample, dataBytes), or None
+    * when the payload is not RIFF/WAVE or the structure is truncated.
+    */
+  private[graft] def parseWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    @inline def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def u32le(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+    @inline def tag(i: Int, s: String): Boolean =
+      p(i) == s.charAt(0).toByte && p(i + 1) == s.charAt(1).toByte &&
+        p(i + 2) == s.charAt(2).toByte && p(i + 3) == s.charAt(3).toByte
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Long] = None
+    while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = u32le(i + 4)
+      if (tag(i, "fmt ")) {
+        if (i + 8 + 16 > p.length || size < 16) return None
+        val ch = u16le(i + 10); val rate = u32le(i + 12).toInt
+        val bits = u16le(i + 22)
+        if (ch <= 0 || rate <= 0 || bits <= 0) return None
+        fmt = Some((ch, rate, bits))
+      } else if (tag(i, "data")) {
+        data = Some(size)
+      }
+      // Chunk payloads are padded to even length; the data body may be
+      // absent (header-only payload), in which case the loop just ends.
+      i += 8 + size.toInt + (size % 2).toInt
+    }
+    for ((ch, rate, bits) <- fmt; d <- data) yield (ch, rate, bits, d)
+  }
+
+  /** True when the payload starts with the RIFF/WAVE magic. */
+  private[graft] def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == 'F'.toByte && p(8) == 'W'.toByte &&
+      p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+  /** Audio metadata extraction over (media_id, payload): WAV header parse
+    * via the native [[graft.functions.MediaFunctions.AudioHeader]]
+    * expression — a single projection, same codegen-friendly shape as
+    * [[decodeImageMeta]]. Duration derives from the parsed fields with
+    * integer arithmetic (`data_bytes × 8000 ÷ (rate × ch × bits)` ms), so
+    * the op stays exactly reproducible in any engine. Non-WAV payloads
+    * yield nulls (`is_audio` false distinguishes them from corrupt WAVs).
+    */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val hdr = graft.functions.MediaFunctions.audioHeader(col("payload"))
+    val bitrate = hdr.getField("sample_rate").cast("long") *
+      hdr.getField("channels") * hdr.getField("bits")
+    media.select(
+      col("media_id"),
+      coalesce(length(col("payload")).cast("long"), lit(0L)).as("n_bytes"),
+      hdr.getField("channels").as("channels"),
+      hdr.getField("sample_rate").as("sample_rate"),
+      hdr.getField("bits").as("bits"),
+      hdr.getField("data_bytes").as("data_bytes"),
+      when(bitrate > 0,
+        (hdr.getField("data_bytes") * lit(8000L) / bitrate).cast("long"))
+        .as("duration_ms"))
+  }
+
   /** True when the payload STARTS like a JPEG or PNG — used to decide
     * whether a failed parse means "corrupt image" (emit nulls) vs "not an
     * image at all" (stub path).

@@ -109,6 +109,45 @@ object EngineQueries {
       Multimodal.decodeImageMeta(media)
     },
 
+    // REAL WAV header decode proof: payloads are genuine RIFF/WAVE byte
+    // headers synthesized from doc_id (all multi-byte fields little-endian,
+    // a "fact" chunk interposed between "fmt " and "data" to force the
+    // chunk walk), parsed by Multimodal.parseWavHeader via the native
+    // AudioHeader expression. The oracle derives every field arithmetically
+    // — a wrong offset or endianness flips the hash.
+    "mm_audio_header_real" -> { (s, dir) =>
+      import org.apache.spark.sql.Column
+      val docs = Tables.documents(s, dir)
+      // Byte i of a non-negative long, as a 2-hex-char string (LE when
+      // concatenated low byte first). Long/long division → double in
+      // Column algebra; values < 2^32 are exact in double, truncate-cast.
+      def byteAt(x: Column, i: Int): Column =
+        lpad(hex(pmod((x / lit(math.pow(256, i).toLong)).cast("long"),
+          lit(256L))), 2, "0")
+      def le16(x: Column): Column = concat(byteAt(x, 0), byteAt(x, 1))
+      def le32(x: Column): Column =
+        concat(byteAt(x, 0), byteAt(x, 1), byteAt(x, 2), byteAt(x, 3))
+      val ch = pmod(col("doc_id"), lit(2L)) + 1
+      val rate = element_at(
+        array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+        (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+      val bits = (pmod(col("doc_id"), lit(3L)) + 1) * 8
+      val blockAlign = ch * (bits / lit(8)).cast("long")
+      val frames = pmod(col("doc_id"), lit(9973L)) + 1
+      val dataBytes = frames * blockAlign
+      val byteRate = rate * blockAlign
+      val wavHex = concat(
+        lit("52494646"), le32(lit(48L)), lit("57415645"),  // RIFF size WAVE
+        lit("666D7420"), le32(lit(16L)),                   // "fmt " len 16
+        le16(lit(1L)), le16(ch), le32(rate), le32(byteRate),
+        le16(blockAlign), le16(bits),
+        lit("66616374"), le32(lit(4L)), le32(frames),      // "fact" len 4
+        lit("64617461"), le32(dataBytes))                  // "data" size, no body
+      val media = docs.select(col("doc_id").as("media_id"),
+        unhex(wavHex).as("payload"))
+      Multimodal.decodeAudioMeta(media)
+    },
+
     "mm_frame_sample" -> { (s, dir) =>
       val media = Tables.documents(s, dir).filter(col("doc_id") < 50).select(
         col("doc_id").as("media_id"),
@@ -200,6 +239,20 @@ object EngineQueries {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3
         |       ELSE ([1,3,1,2,4])[CAST(doc_id % 5 AS INTEGER) + 1]
         |       END AS INTEGER) AS channels
+        |FROM documents""".stripMargin,
+
+    "mm_audio_header_real" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(56 AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INTEGER) + 1]
+        |    AS INTEGER) AS sample_rate,
+        |  CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS bits,
+        |  CAST((doc_id % 9973 + 1) * (doc_id % 2 + 1) * (doc_id % 3 + 1)
+        |    AS BIGINT) AS data_bytes,
+        |  CAST(((doc_id % 9973 + 1) * 1000)
+        |    // ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INTEGER) + 1]
+        |    AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
     "mm_frame_sample" ->

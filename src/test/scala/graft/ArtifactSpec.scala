@@ -79,6 +79,54 @@ class ArtifactSpec extends AnyFunSuite {
     assert(Multimodal.parseImageHeader("plain text".getBytes).isEmpty)
   }
 
+  test("WAV header parse walks interposed chunks little-endian to fmt and data") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val fmt = chunk("fmt ", le16(1) ++ le16(2) ++ le32(44100L) ++
+      le32(44100L * 2 * 2) ++ le16(4) ++ le16(16))
+    val list = chunk("LIST", "INFOsoft".getBytes ++ Array[Byte](9)) // odd → padded
+    val fact = chunk("fact", le32(1234L))
+    val dataHdr = "data".getBytes ++ le32(88200L) // size only, no body
+    val wav = "RIFF".getBytes ++ le32(4L) ++ "WAVE".getBytes ++
+      list ++ fmt ++ fact ++ dataHdr
+    assert(Multimodal.parseWavHeader(wav).contains((2, 44100, 16, 88200L)))
+    // (a header-only data chunk must be FINAL: the walk advances past the
+    // declared body size, so only a trailing absent body is recoverable —
+    // matching the spec's fmt-before-data ordering)
+    // truncated fmt / missing data / zero channels → None
+    assert(Multimodal.parseWavHeader(wav.take(30)).isEmpty)
+    assert(Multimodal.parseWavHeader(
+      "RIFF".getBytes ++ le32(4L) ++ "WAVE".getBytes ++ fmt).isEmpty)
+    val badFmt = chunk("fmt ", le16(1) ++ le16(0) ++ le32(44100L) ++
+      le32(0L) ++ le16(4) ++ le16(16))
+    assert(Multimodal.parseWavHeader(
+      "RIFF".getBytes ++ le32(4L) ++ "WAVE".getBytes ++ badFmt ++ dataHdr).isEmpty)
+    // non-audio bytes fall through to None
+    assert(Multimodal.parseWavHeader("plain text but long enough".getBytes).isEmpty)
+  }
+
+  test("corrupt WAV payloads decode to null fields; duration uses integer math") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val fmt = "fmt ".getBytes ++ le32(16L) ++ le16(1) ++ le16(1) ++
+      le32(8000L) ++ le32(8000L) ++ le16(1) ++ le16(8)
+    val good = "RIFF".getBytes ++ le32(4L) ++ "WAVE".getBytes ++ fmt ++
+      "data".getBytes ++ le32(12345L)
+    val corrupt = "RIFF".getBytes ++ le32(4L) ++ "WAVE".getBytes // magic only
+    val media = Seq((1L, good), (2L, corrupt), (3L, "not audio at all".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeAudioMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(2) == 1 && got(1L).getInt(3) == 8000 &&
+      got(1L).getInt(4) == 8 && got(1L).getLong(5) == 12345L)
+    assert(got(1L).getLong(6) == 12345L * 8000L / (8000L * 1 * 8)) // 1543 ms
+    assert(got(2L).isNullAt(2) && got(2L).isNullAt(6), "corrupt → nulls")
+    assert(got(3L).isNullAt(2), "non-audio → nulls, never fabricated")
+  }
+
   test("versionDiff classifies null-text docs by presence, not hash nullability") {
     val oldV = Seq((1L, Option("alpha")), (2L, Option.empty[String]),
       (3L, Option("gone")), (4L, Option.empty[String])).toDF("doc_id", "text")
