@@ -1060,4 +1060,40 @@ object Similarity {
         round(avg(col("__n")), 6).as("avg_norm"),
         round(min(col("__n")), 6).as("min_norm"),
         round(max(col("__n")), 6).as("max_norm"))
+
+  /** Semantic-drift monitor: cosine of each label's mean embedding against
+    * the global mean embedding. A per-source row far below 1.0 flags a
+    * source whose content has drifted from the corpus center — the
+    * embedding-space counterpart of the unigram-KL drift report
+    * (TextAnalysis.sourceKl).
+    *
+    * Scale design: one posexplode + two (label, pos)-keyed aggregations —
+    * dimension-bounded intermediates (|labels| × dims rows), so everything
+    * after the first aggregation broadcasts. Per-(label, pos) means are
+    * rounded to 6 decimals (the k-means-oracle idiom: rounding absorbs
+    * float-summation order), and the dims-length dot/norm sums fold over
+    * value-sorted arrays for cross-engine bit stability.
+    */
+  def sourceDrift(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val pe = emb.select(col(labelCol),
+      posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .select(col(labelCol), col("pos"), col("__v").cast("double").as("__v"))
+    val perLabel = pe.groupBy(col(labelCol), col("pos"))
+      .agg(round(avg(col("__v")), 6).as("__m"))
+    val global = pe.groupBy(col("pos")).agg(round(avg(col("__v")), 6).as("__g"))
+    def fold(c: org.apache.spark.sql.Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    val sums = perLabel.join(broadcast(global), Seq("pos"))
+      .groupBy(col(labelCol))
+      .agg(fold(col("__m") * col("__g")).as("__mg"),
+        fold(col("__m") * col("__m")).as("__mm"),
+        fold(col("__g") * col("__g")).as("__gg"))
+    val counts = emb.groupBy(col(labelCol)).agg(count(lit(1)).as("n_vectors"))
+    counts.join(sums, Seq(labelCol))
+      .select(col(labelCol), col("n_vectors"),
+        round(col("__mg") /
+          when(sqrt(col("__mm")) * sqrt(col("__gg")) =!= 0.0,
+            sqrt(col("__mm")) * sqrt(col("__gg"))),
+          6).as("cos_to_global"))
+  }
 }

@@ -318,6 +318,30 @@ object SimilarityQueries {
       Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
     },
 
+    // Per-source topic mix: k-means cluster shares of each document source
+    // — the curation dashboard row that answers "what is source X actually
+    // made of?". Assignment is map-side (broadcast centroids); the only
+    // exchanges are the doc_id equi-join and the (source, cluster) agg.
+    "corpus_topic_mix" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 5, iters = 2)
+      val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val mixed = docs.join(assign, docs("doc_id") === assign("vec_id"))
+        .groupBy(col("source"), col("cluster"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = mixed.groupBy(col("source")).agg(sum(col("n_docs")).as("__t"))
+      mixed.join(broadcast(totals), Seq("source"))
+        .select(col("source"), col("cluster"), col("n_docs"),
+          round(col("n_docs") / col("__t"), 6).as("share"))
+    },
+
+    // Embedding-space drift monitor: per-label mean-vector cosine against
+    // the global mean (the semantic counterpart of text_source_kl).
+    "embedding_source_drift" -> { (s, dir) =>
+      Similarity.sourceDrift(Tables.embeddings(s, dir), "label", "embedding")
+    },
+
     // Deterministic spherical k-means (k=5, 2 Lloyd rounds) + map-side
     // assignment — IVF without a precomputed cluster column.
     "ivf_kmeans_assign" -> { (s, dir) =>
@@ -533,6 +557,33 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = Map(
     "ivf_kmeans_assign" -> kmeansAssignSql(k = 5, iters = 2),
+
+    "corpus_topic_mix" ->
+      s"""WITH ${kmeansCtes(5, 2)},
+         |${kmAssignCte("afinal", "cent2")},
+         |mixed AS (SELECT d.source, CAST(a.label AS INTEGER) AS cluster,
+         |    count(*) AS n_docs
+         |  FROM documents d JOIN afinal a ON d.doc_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT source, sum(n_docs) AS t FROM mixed GROUP BY 1)
+         |SELECT m.source, m.cluster, m.n_docs,
+         |  round(CAST(m.n_docs AS DOUBLE) / t.t, 6) AS share
+         |FROM mixed m JOIN tot t USING (source)""".stripMargin,
+
+    "embedding_source_drift" ->
+      """WITH pe AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |pl AS (SELECT label, pos, round(avg(v), 6) AS m FROM pe GROUP BY 1, 2),
+        |g AS (SELECT pos, round(avg(v), 6) AS gm FROM pe GROUP BY 1),
+        |agg AS (SELECT label,
+        |    list_sum(list_sort(list(pl.m * g.gm))) AS smg,
+        |    list_sum(list_sort(list(pl.m * pl.m))) AS smm,
+        |    list_sum(list_sort(list(g.gm * g.gm))) AS sgg
+        |  FROM pl JOIN g USING (pos) GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+        |SELECT n.label, n.n_vectors,
+        |  round(smg / nullif(sqrt(smm) * sqrt(sgg), 0), 6) AS cos_to_global
+        |FROM agg JOIN n USING (label)""".stripMargin,
 
     "ann_text_ivf" ->
       s"""WITH ${TextQueries.wordsCte},

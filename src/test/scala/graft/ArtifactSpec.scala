@@ -79,6 +79,25 @@ class ArtifactSpec extends AnyFunSuite {
     assert(Multimodal.parseImageHeader("plain text".getBytes).isEmpty)
   }
 
+  test("sourceDrift: centered label reads 1.0, axis-aligned labels read their geometry") {
+    // Global mean of the 3-cluster fixture sits between the cluster axes;
+    // each label's mean is axis-aligned, so cos(label, global) is equal
+    // across labels by symmetry and strictly below 1. A fourth label AT
+    // the global mean must read exactly 1.0 after rounding.
+    val gm = Similarity.sourceDrift(emb, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gm.keySet == Set("c0", "c1", "c2"))
+    assert(gm.values.forall(v => v > 0 && v < 1))
+    assert(math.abs(gm("c0") - gm("c1")) < 1e-6 &&
+      math.abs(gm("c1") - gm("c2")) < 1e-6, s"symmetric fixture: $gm")
+    // Degenerate: every vector identical → every label centered → 1.0.
+    val flat = Seq((1L, "a", Seq(1.0, 2.0)), (2L, "b", Seq(1.0, 2.0)))
+      .toDF("vec_id", "label", "embedding")
+    val f = Similarity.sourceDrift(flat, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(f == Map("a" -> 1.0, "b" -> 1.0))
+  }
+
   test("WAV header parse walks interposed chunks little-endian to fmt and data") {
     def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
     def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
