@@ -68,6 +68,47 @@ object Trajectory {
           })).otherwise(lit(0.0)), 6).as("path_len"))
   }
 
+  /** Stay-point detection, grid-cell run-length form (the distributable
+    * simplification of Zheng et al.'s sequential stay-point scan — public
+    * method): a stay is a maximal run of CONSECUTIVE points in the same
+    * spatial cell along a user's (ts, tiebreak)-ordered trajectory; runs
+    * meeting the point-count and dwell-time floors are emitted with their
+    * enter/exit times. Gaps-and-islands via window functions: run starts
+    * where the lagged cell differs, run id is the running sum of starts.
+    *
+    * Scale design: ONE exchange keyed by user for the window pass; the
+    * (user, run) aggregation that follows is keyed by a superset of the
+    * partition key, so per-user state never concentrates. No collect, no
+    * per-group arrays — a million-point trajectory streams through the
+    * sort-based window like any other.
+    */
+  def stayPoints(df: DataFrame, userCol: String, tsCol: String,
+                 lonCol: String, latCol: String, tiebreak: String,
+                 cellDeg: Double, minPoints: Int = 3,
+                 minDwellS: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tiebreak))
+    val cell = concat(
+      floor(col(lonCol) / lit(cellDeg)).cast("long").cast("string"), lit(":"),
+      floor(col(latCol) / lit(cellDeg)).cast("long").cast("string"))
+    val runs = df
+      .withColumn("__cell", cell)
+      .withColumn("__new",
+        when(lag(col("__cell"), 1).over(w).isNull ||
+          lag(col("__cell"), 1).over(w) =!= col("__cell"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    runs.groupBy(col(userCol), col("__run"), col("__cell"))
+      .agg(unix_micros(min(col(tsCol))).as("enter_us"),
+        unix_micros(max(col(tsCol))).as("exit_us"),
+        count(lit(1)).as("n_points"))
+      .withColumn("dwell_s", // µs-exact diff, floored once (not per endpoint)
+        ((col("exit_us") - col("enter_us")) / lit(1000000L)).cast("long"))
+      .filter(col("n_points") >= minPoints && col("dwell_s") >= minDwellS)
+      .select(col(userCol), col("__cell").as("cell"), col("enter_us"),
+        col("exit_us"), col("n_points"), col("dwell_s"))
+  }
+
   /** G4: first/last vertex per user (no per-group ordering pass needed). */
   def endpoints(df: DataFrame, userCol: String, tsCol: String,
                 lonCol: String, latCol: String): DataFrame =

@@ -69,6 +69,17 @@ object GeoQueries {
           col("decoded").getField("lat").as("lat"))
     },
 
+    // G6+: stay-point detection — maximal same-cell runs along each user's
+    // ordered trajectory with point-count/dwell floors (grid-cell
+    // run-length form of the classic stay-point scan). cellDeg tuned to
+    // the testdata's spatial spread (0.5° ⇒ 48 stays at sf0.001, ~430 at
+    // sf0.01) so the gate compares actual rows.
+    "g6_stay_points" -> { (s, dir) =>
+      Trajectory.stayPoints(withPoints(Tables.events(s, dir)),
+        "user_id", "ts", "lon", "lat", tiebreak = "event_id",
+        cellDeg = 0.5, minPoints = 3)
+    },
+
     // Trajectory similarity: grid-cell Jaccard between users' paths.
     // minJaccard tuned against the testdata's spatial spread so the gate
     // emits a stable non-empty result (22 pairs at sf0.001, ~2.3k at
@@ -96,6 +107,22 @@ object GeoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "g6_stay_points" ->
+      s"""WITH $ptsCte,
+         |c AS (SELECT user_id, event_id, ts,
+         |  CAST(floor(lon/0.5) AS BIGINT) || ':' ||
+         |  CAST(floor(lat/0.5) AS BIGINT) AS cell FROM pts),
+         |r AS (SELECT *, CASE WHEN lag(cell) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) IS DISTINCT FROM cell
+         |  THEN 1 ELSE 0 END AS nr FROM c),
+         |runs AS (SELECT *, sum(nr) OVER (PARTITION BY user_id
+         |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id FROM r)
+         |SELECT user_id, cell, epoch_us(min(ts)) AS enter_us,
+         |  epoch_us(max(ts)) AS exit_us, count(*) AS n_points,
+         |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dwell_s
+         |FROM runs GROUP BY user_id, run_id, cell
+         |HAVING count(*) >= 3""".stripMargin,
+
     "g3_trajectory_assembly" ->
       s"""WITH $ptsCte
          |SELECT user_id,

@@ -51,4 +51,29 @@ class GeoFunctionsSpec extends AnyFunSuite {
       .select(col("pt.lon"), col("pt.lat")).head()
     assert(r.getDouble(0) == 3.5 && r.getDouble(1) == -7.25)
   }
+
+  test("stayPoints: runs split on cell change; a revisit is a separate stay") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user u: 3 pts in cell (0,0), 1 pt in cell (1,0), 2 pts back in (0,0).
+    // minPoints=2 keeps the first (3 pts, 20 s dwell) and last (2 pts) runs
+    // as SEPARATE stays; the middle single point drops.
+    val pts = Seq(
+      ("u", t(100), 1L, 0.1, 0.1), ("u", t(110), 2L, 0.2, 0.2),
+      ("u", t(120), 3L, 0.3, 0.1), ("u", t(130), 4L, 0.7, 0.1),
+      ("u", t(140), 5L, 0.1, 0.3), ("u", t(150), 6L, 0.2, 0.2),
+      ("v", t(100), 7L, 0.1, 0.1) // another user, below minPoints
+    ).toDF("user_id", "ts", "event_id", "lon", "lat")
+    val got = graft.ops.Trajectory.stayPoints(pts, "user_id", "ts", "lon",
+        "lat", tiebreak = "event_id", cellDeg = 0.5, minPoints = 2)
+      .orderBy("enter_us")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == Seq(("u", "0:0", 3L, 20L), ("u", "0:0", 2L, 10L)))
+    // dwell floor removes the 10 s run
+    val floored = graft.ops.Trajectory.stayPoints(pts, "user_id", "ts",
+        "lon", "lat", tiebreak = "event_id", cellDeg = 0.5, minPoints = 2,
+        minDwellS = 15L)
+      .collect().map(_.getLong(5)).toSeq
+    assert(floored == Seq(20L))
+  }
 }
