@@ -130,6 +130,39 @@ object TextQueries {
        |lw AS (SELECT doc_id, round(list_sum(list_sort(list(term))), 6) AS logw
        |  FROM terms GROUP BY doc_id)""".stripMargin
 
+  // Hashed-NB CTE chain over `src`(doc_id, lang, text): mirrors
+  // Classify.naiveBayesFit/Predict (24-bit md5 bucket hash, dense
+  // label×bucket grid with add-one smoothing, value-sorted per-class fold,
+  // 6-decimal-rounded argmax with label-ascending ties). `nb`-prefixed CTE
+  // names so compositions (curation v5) can stack it after other stages.
+  private[queries] def nbLangidCtes(src: String, dim: Int = 256): String =
+    s"""nbw AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ws
+       |  FROM $src),
+       |nbtok AS (SELECT doc_id, lang, unnest(ws) AS w FROM nbw),
+       |nbf AS (SELECT doc_id, lang,
+       |  ('0x' || substr(md5(w), 1, 6))::BIGINT % $dim AS bucket FROM nbtok),
+       |nbcc AS (SELECT lang, bucket, count(*) AS c FROM nbf GROUP BY 1, 2),
+       |nbct AS (SELECT lang, count(*) AS tot FROM nbf GROUP BY 1),
+       |nbnd AS (SELECT lang, count(*) AS n FROM $src GROUP BY 1),
+       |nbndt AS (SELECT count(*) AS n FROM $src),
+       |nbgrid AS (SELECT l.lang, b.bucket
+       |  FROM (SELECT DISTINCT lang FROM $src) l,
+       |       (SELECT DISTINCT bucket FROM nbf) b),
+       |nbmodel AS (SELECT g.lang, g.bucket,
+       |  ln((coalesce(nbcc.c, 0) + 1.0) / (nbct.tot + $dim.0)) AS loglik,
+       |  ln(CAST(nbnd.n AS DOUBLE) / nbndt.n) AS logprior
+       |  FROM nbgrid g
+       |  JOIN nbct USING (lang) JOIN nbnd USING (lang)
+       |  LEFT JOIN nbcc ON g.lang = nbcc.lang AND g.bucket = nbcc.bucket,
+       |  nbndt),
+       |nbdb AS (SELECT doc_id, bucket, count(*) AS c FROM nbf GROUP BY 1, 2),
+       |nbsc AS (SELECT nbdb.doc_id, m.lang,
+       |  round(max(m.logprior) +
+       |    list_sum(list_sort(list(nbdb.c * m.loglik))), 6) AS score
+       |  FROM nbdb JOIN nbmodel m USING (bucket) GROUP BY 1, 2),
+       |nbp AS (SELECT doc_id, lang, score, row_number() OVER (
+       |  PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM nbsc)""".stripMargin
+
   // Fixed English merge list for the BPE-apply gate (priority-ordered;
   // real deployments feed a learned artifact — see the mine→apply spec).
   private[graft] val GateBpeMerges: Seq[(String, String)] = Seq(
@@ -782,6 +815,33 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("logw"))
     },
 
+    // Curation v5 — the learned classifier composed into the funnel: rule
+    // gate (hard cuts) → hashed-NB langid FIT ON THE SURVIVORS + predicted
+    // -language filter (the model-based counterpart of v4's script-share
+    // routing) → exact-dedup survivor selection (min doc_id per content
+    // hash). Model is |labels|×256 rows (broadcast); every stage is the
+    // plan shape its standalone gate pins.
+    "curation_pipeline_v5" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pass = TextAnalysis.ruleFlags(docs, "doc_id", "text")
+        .filter(col("pass_all") === 1).select(col("doc_id"))
+      // Scoped-cache the survivors: NB fit reads them twice (class-bucket
+      // counts + doc priors), predict once more, the hash dedup once.
+      val kept = graft.ops.OpCaches.scoped(
+        docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
+          .join(pass, Seq("doc_id")))
+      val model = graft.ops.Classify.naiveBayesFit(kept, "lang", "text", dim = 256)
+      val en = graft.ops.Classify
+        .naiveBayesPredict(kept, model, "doc_id", "text", dim = 256)
+        .filter(col("pred") === "en")
+      val scored = kept.join(en, Seq("doc_id"))
+        .withColumn("__h", md5(col("text")))
+      val survivors = scored.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      scored.join(survivors, Seq("__h", "doc_id"))
+        .select(col("doc_id"), col("source"), col("lang"), col("pred"),
+          col("score"))
+    },
+
     // BM25 keyword retrieval: top-20 docs for a bounded query-term set —
     // map-side term filter, broadcast df stats, TakeOrdered top-k.
     "text_bm25_topk" -> { (s, dir) =>
@@ -1382,32 +1442,8 @@ object TextQueries {
          |SELECT doc_id, logw FROM lw""".stripMargin,
 
     "text_nb_langid" ->
-      s"""WITH words AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ws
-         |  FROM documents),
-         |tok AS (SELECT doc_id, lang, unnest(ws) AS w FROM words),
-         |f AS (SELECT doc_id, lang,
-         |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS bucket FROM tok),
-         |cc AS (SELECT lang, bucket, count(*) AS c FROM f GROUP BY 1, 2),
-         |ct AS (SELECT lang, count(*) AS tot FROM f GROUP BY 1),
-         |nd AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-         |ndt AS (SELECT count(*) AS n FROM documents),
-         |grid AS (SELECT l.lang, b.bucket
-         |  FROM (SELECT DISTINCT lang FROM documents) l,
-         |       (SELECT DISTINCT bucket FROM f) b),
-         |model AS (SELECT g.lang, g.bucket,
-         |  ln((coalesce(cc.c, 0) + 1.0) / (ct.tot + 256.0)) AS loglik,
-         |  ln(CAST(nd.n AS DOUBLE) / ndt.n) AS logprior
-         |  FROM grid g
-         |  JOIN ct USING (lang) JOIN nd USING (lang)
-         |  LEFT JOIN cc ON g.lang = cc.lang AND g.bucket = cc.bucket, ndt),
-         |db AS (SELECT doc_id, bucket, count(*) AS c FROM f GROUP BY 1, 2),
-         |sc AS (SELECT db.doc_id, m.lang,
-         |  round(max(m.logprior) +
-         |    list_sum(list_sort(list(db.c * m.loglik))), 6) AS score
-         |  FROM db JOIN model m USING (bucket) GROUP BY 1, 2),
-         |p AS (SELECT doc_id, lang, score, row_number() OVER (
-         |  PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc)
-         |SELECT doc_id, lang AS pred, score FROM p WHERE rn = 1""".stripMargin,
+      s"""WITH ${nbLangidCtes("documents")}
+         |SELECT doc_id, lang AS pred, score FROM nbp WHERE rn = 1""".stripMargin,
 
     "sample_exact_quota" ->
       """SELECT doc_id, source, lang FROM (
@@ -2066,6 +2102,31 @@ object TextQueries {
          |SELECT lw.doc_id, k.source, lw.logw
          |FROM lw JOIN keep k USING (doc_id)
          |ORDER BY lw.logw DESC, lw.doc_id LIMIT 50""".stripMargin,
+
+    "curation_pipeline_v5" ->
+      s"""WITH $wordsCte,
+         |rm AS (SELECT d.doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |    / len(ws) AS awl,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
+         |    AS BIGINT) AS stop_hits,
+         |  CAST(len(d.text) - len(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g'))
+         |    AS DOUBLE) / greatest(len(d.text), 1) AS sym
+         |  FROM documents d JOIN words USING (doc_id)),
+         |keep AS (SELECT d.doc_id, d.source, d.lang, d.text
+         |  FROM documents d JOIN rm USING (doc_id)
+         |  WHERE rm.n_words >= 50 AND rm.n_words <= 100000
+         |    AND rm.awl >= 3.0 AND rm.awl <= 10.0
+         |    AND rm.stop_hits >= 2 AND rm.sym <= 0.1),
+         |${nbLangidCtes("keep")},
+         |en AS (SELECT doc_id, lang AS pred, score FROM nbp
+         |  WHERE rn = 1 AND lang = 'en'),
+         |scored AS (SELECT k.doc_id, k.source, k.lang, e.pred, e.score,
+         |  md5(k.text) AS hh FROM keep k JOIN en e USING (doc_id)),
+         |surv AS (SELECT hh, min(doc_id) AS doc_id FROM scored GROUP BY 1)
+         |SELECT s.doc_id, s.source, s.lang, s.pred, s.score
+         |FROM scored s JOIN surv USING (hh, doc_id)""".stripMargin,
 
     "sample_token_budget" ->
       """WITH u AS (SELECT doc_id, source, n_chars,
