@@ -173,6 +173,34 @@ object Multimodal {
         .as("duration_ms"))
   }
 
+  /** Time-aligned segment plan for WAV payloads: overlapping [segMs,
+    * strideMs) windows over each clip's parsed duration, with byte ranges
+    * frame-aligned to blockAlign — the audio counterpart of
+    * [[frameSample]] (explode WITHOUT decoding; the heavy sample decode
+    * defers to whoever consumes `byte_start/byte_len`). Pure integer
+    * arithmetic from the parsed header, so the plan is exactly
+    * reproducible in any engine. Clips too short for one frame-worth of
+    * window (duration 0 ms) yield no segments.
+    */
+  def audioSegments(media: DataFrame, segMs: Long, strideMs: Long): DataFrame = {
+    require(segMs > 0 && strideMs > 0 && strideMs <= segMs,
+      "need 0 < strideMs <= segMs")
+    val meta = decodeAudioMeta(media)
+    val blockAlign = col("channels").cast("long") * (col("bits") / lit(8)).cast("long")
+    def frameAt(ms: org.apache.spark.sql.Column) = // floor(ms * rate / 1000)
+      (ms * col("sample_rate").cast("long") / lit(1000L)).cast("long")
+    meta.filter(col("duration_ms").isNotNull && col("duration_ms") > 0)
+      .withColumn("start_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(strideMs))))
+      .withColumn("seg_idx", (col("start_ms") / strideMs).cast("int"))
+      .withColumn("end_ms", least(col("start_ms") + segMs, col("duration_ms")))
+      .withColumn("byte_start", frameAt(col("start_ms")) * blockAlign)
+      .withColumn("byte_len",
+        (frameAt(col("end_ms")) - frameAt(col("start_ms"))) * blockAlign)
+      .select(col("media_id"), col("seg_idx"), col("start_ms"), col("end_ms"),
+        col("byte_start"), col("byte_len"))
+  }
+
   /** True when the payload STARTS like a JPEG or PNG — used to decide
     * whether a failed parse means "corrupt image" (emit nulls) vs "not an
     * image at all" (stub path).

@@ -32,6 +32,42 @@ object EngineQueries {
     QueryEngine.run(spec, subjects, Tables.events(s, dir), "user_id", "ts", "value")
   }
 
+  /** Genuine RIFF/WAVE byte headers synthesized from doc_id — shared by
+    * the audio gates. All multi-byte fields little-endian; a "fact" chunk
+    * interposed between "fmt " and "data" forces the chunk walk; the data
+    * chunk declares its size with no body (headers-only corpus, like the
+    * image gate).
+    */
+  private def syntheticWavMedia(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    // Byte i of a non-negative long, as a 2-hex-char string (LE when
+    // concatenated low byte first). Long/long division → double in
+    // Column algebra; values < 2^32 are exact in double, truncate-cast.
+    def byteAt(x: Column, i: Int): Column =
+      lpad(hex(pmod((x / lit(math.pow(256, i).toLong)).cast("long"),
+        lit(256L))), 2, "0")
+    def le16(x: Column): Column = concat(byteAt(x, 0), byteAt(x, 1))
+    def le32(x: Column): Column =
+      concat(byteAt(x, 0), byteAt(x, 1), byteAt(x, 2), byteAt(x, 3))
+    val ch = pmod(col("doc_id"), lit(2L)) + 1
+    val rate = element_at(
+      array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+      (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+    val bits = (pmod(col("doc_id"), lit(3L)) + 1) * 8
+    val blockAlign = ch * (bits / lit(8)).cast("long")
+    val frames = pmod(col("doc_id"), lit(9973L)) + 1
+    val dataBytes = frames * blockAlign
+    val byteRate = rate * blockAlign
+    val wavHex = concat(
+      lit("52494646"), le32(lit(48L)), lit("57415645"),  // RIFF size WAVE
+      lit("666D7420"), le32(lit(16L)),                   // "fmt " len 16
+      le16(lit(1L)), le16(ch), le32(rate), le32(byteRate),
+      le16(blockAlign), le16(bits),
+      lit("66616374"), le32(lit(4L)), le32(frames),      // "fact" len 4
+      lit("64617461"), le32(dataBytes))                  // "data" size, no body
+    docs.select(col("doc_id").as("media_id"), unhex(wavHex).as("payload"))
+  }
+
   def defs: Map[String, Q] = Map(
     "cohort_analysis_e2e" -> { (s, dir) =>
       runEngine(s, dir).kpis.select(
@@ -116,36 +152,15 @@ object EngineQueries {
     // AudioHeader expression. The oracle derives every field arithmetically
     // — a wrong offset or endianness flips the hash.
     "mm_audio_header_real" -> { (s, dir) =>
-      import org.apache.spark.sql.Column
-      val docs = Tables.documents(s, dir)
-      // Byte i of a non-negative long, as a 2-hex-char string (LE when
-      // concatenated low byte first). Long/long division → double in
-      // Column algebra; values < 2^32 are exact in double, truncate-cast.
-      def byteAt(x: Column, i: Int): Column =
-        lpad(hex(pmod((x / lit(math.pow(256, i).toLong)).cast("long"),
-          lit(256L))), 2, "0")
-      def le16(x: Column): Column = concat(byteAt(x, 0), byteAt(x, 1))
-      def le32(x: Column): Column =
-        concat(byteAt(x, 0), byteAt(x, 1), byteAt(x, 2), byteAt(x, 3))
-      val ch = pmod(col("doc_id"), lit(2L)) + 1
-      val rate = element_at(
-        array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
-        (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
-      val bits = (pmod(col("doc_id"), lit(3L)) + 1) * 8
-      val blockAlign = ch * (bits / lit(8)).cast("long")
-      val frames = pmod(col("doc_id"), lit(9973L)) + 1
-      val dataBytes = frames * blockAlign
-      val byteRate = rate * blockAlign
-      val wavHex = concat(
-        lit("52494646"), le32(lit(48L)), lit("57415645"),  // RIFF size WAVE
-        lit("666D7420"), le32(lit(16L)),                   // "fmt " len 16
-        le16(lit(1L)), le16(ch), le32(rate), le32(byteRate),
-        le16(blockAlign), le16(bits),
-        lit("66616374"), le32(lit(4L)), le32(frames),      // "fact" len 4
-        lit("64617461"), le32(dataBytes))                  // "data" size, no body
-      val media = docs.select(col("doc_id").as("media_id"),
-        unhex(wavHex).as("payload"))
-      Multimodal.decodeAudioMeta(media)
+      Multimodal.decodeAudioMeta(syntheticWavMedia(Tables.documents(s, dir)))
+    },
+
+    // Segment planning over the same synthesized clips: [200 ms, 100 ms)
+    // overlapping windows, byte ranges frame-aligned — explode without
+    // decode; integer arithmetic end to end.
+    "mm_audio_segments" -> { (s, dir) =>
+      Multimodal.audioSegments(syntheticWavMedia(Tables.documents(s, dir)),
+        segMs = 200L, strideMs = 100L)
     },
 
     "mm_frame_sample" -> { (s, dir) =>
@@ -254,6 +269,24 @@ object EngineQueries {
         |    // ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INTEGER) + 1]
         |    AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    "mm_audio_segments" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    doc_id % 2 + 1 AS ch,
+        |    ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INTEGER) + 1]
+        |      AS rate,
+        |    (doc_id % 2 + 1) * (doc_id % 3 + 1) AS ba,
+        |    doc_id % 9973 + 1 AS frames
+        |  FROM documents),
+        |d AS (SELECT *, (frames * 1000) // rate AS dur FROM m)
+        |SELECT media_id, CAST(s // 100 AS INTEGER) AS seg_idx,
+        |  CAST(s AS BIGINT) AS start_ms,
+        |  CAST(least(s + 200, dur) AS BIGINT) AS end_ms,
+        |  CAST((s * rate // 1000) * ba AS BIGINT) AS byte_start,
+        |  CAST((least(s + 200, dur) * rate // 1000 - s * rate // 1000) * ba
+        |    AS BIGINT) AS byte_len
+        |FROM d, unnest(range(0, dur, 100)) AS t(s)
+        |WHERE dur > 0""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id,

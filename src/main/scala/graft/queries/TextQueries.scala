@@ -527,6 +527,23 @@ object TextQueries {
       graft.ops.Classify.naiveBayesPredict(docs, model, "doc_id", "text", dim = 256)
     },
 
+    // Classifier eval harness: per-class accuracy of the NB langid
+    // (the classification counterpart of dedup_modality_eval /
+    // ann_rank_metrics — a model change that degrades a class flips the
+    // hash, not just a scalar).
+    "text_nb_eval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.ops.Classify.naiveBayesFit(docs, "lang", "text", dim = 256)
+      val pred = graft.ops.Classify.naiveBayesPredict(docs, model, "doc_id",
+        "text", dim = 256)
+      docs.select(col("doc_id"), col("lang")).join(pred, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct") / col("n_docs"), 6))
+    },
+
     // Exact-count mixture quotas per source (rows, not rates).
     "sample_exact_quota" -> { (s, dir) =>
       graft.ops.Sampling.stratifiedExact(Tables.documents(s, dir), "doc_id",
@@ -1444,6 +1461,16 @@ object TextQueries {
     "text_nb_langid" ->
       s"""WITH ${nbLangidCtes("documents")}
          |SELECT doc_id, lang AS pred, score FROM nbp WHERE rn = 1""".stripMargin,
+
+    "text_nb_eval" ->
+      s"""WITH ${nbLangidCtes("documents")},
+         |pred AS (SELECT doc_id, lang AS pred FROM nbp WHERE rn = 1)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END) AS n_correct,
+         |  round(CAST(sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS accuracy
+         |FROM documents d JOIN pred p USING (doc_id)
+         |GROUP BY d.lang""".stripMargin,
 
     "sample_exact_quota" ->
       """SELECT doc_id, source, lang FROM (

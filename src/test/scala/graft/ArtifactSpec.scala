@@ -146,6 +146,33 @@ class ArtifactSpec extends AnyFunSuite {
     assert(got(3L).isNullAt(2), "non-audio → nulls, never fabricated")
   }
 
+  test("audioSegments: frame-aligned byte ranges, overlap, zero-duration drop") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def wav(ch: Int, rate: Long, bits: Int, frames: Long) = {
+      val ba = ch * bits / 8
+      "RIFF".getBytes ++ le32(4L) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16L) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ba) ++ le16(ba) ++ le16(bits) ++
+        "data".getBytes ++ le32(frames * ba)
+    }
+    // 1 ch, 1000 Hz, 16-bit, 250 frames → 250 ms, blockAlign 2.
+    // segMs=100/stride=50 → starts 0,50,100,150,200; last seg 50 ms.
+    val media = Seq(
+      (1L, wav(1, 1000L, 16, 250L)),
+      (2L, wav(2, 44100L, 16, 10L)) // 10 frames @44.1k → 0 ms → drops
+    ).toDF("media_id", "payload")
+    val got = Multimodal.audioSegments(media, segMs = 100L, strideMs = 50L)
+      .orderBy("media_id", "seg_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got.forall(_._1 == 1L), "zero-duration clip must yield no segments")
+    assert(got.map(_._3) == Seq(0L, 50L, 100L, 150L, 200L))
+    assert(got.head == ((1L, 0, 0L, 100L, 0L, 200L))) // 100 frames × 2 B
+    assert(got.last == ((1L, 4, 200L, 250L, 400L, 100L))) // trailing partial
+    assert(got.forall(s => s._5 % 2 == 0 && s._6 % 2 == 0), "blockAlign-aligned")
+  }
+
   test("versionDiff classifies null-text docs by presence, not hash nullability") {
     val oldV = Seq((1L, Option("alpha")), (2L, Option.empty[String]),
       (3L, Option("gone")), (4L, Option.empty[String])).toDF("doc_id", "text")
