@@ -304,4 +304,29 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"candidates must come from the per-table bucket equi-join:\n${p.take(1200)}")
   }
+
+  test("NB predict broadcasts the labels-x-dim model against the doc buckets") {
+    // The model is bounded at |labels| x dim rows by construction; the
+    // scoring join must broadcast it — shuffling the featurized corpus
+    // against a page-sized model is the scale bug this guard pins out.
+    val p = plan("text_nb_langid")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n${p.take(1000)}")
+  }
+
+  test("stay-point detection runs on ONE user-keyed exchange") {
+    // Window pass (lag + running sum) and the (user, run) aggregation must
+    // share the user hash partitioning — a second corpus exchange means the
+    // run-id grouping lost the partitioning property.
+    val p = plan("g6_stay_points")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected 1 user exchange, got $exchanges:\n${p.take(1200)}")
+  }
+
+  test("audio header decode is map-side only: no exchange in the plan") {
+    val p = plan("mm_audio_header_real")
+    assert(!p.contains("Exchange"),
+      s"header decode must not shuffle:\n${p.take(1000)}")
+  }
 }
