@@ -241,6 +241,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NB classification: per-batch predictions equal batch ones") {
+    import org.apache.spark.sql.Encoder
+    // Fit once on a static training corpus (the persisted-artifact path);
+    // apply per micro-batch via foreachBatch — predict's argmax window is
+    // per-doc-bounded but still a window, so ingest scoring runs under
+    // batch semantics, like the bundle sink.
+    val train = Seq((1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ate the food"),
+      (3L, "fr", "le chat est sur le tapis"),
+      (4L, "fr", "le chien mange le repas")).toDF("doc_id", "lang", "text")
+    val model = graft.ops.Classify.naiveBayesFit(train, "lang", "text", dim = 32)
+    val incoming = Seq((10L, "the cat and the dog"), (11L, "le chat et le chien"))
+    val expected = graft.ops.Classify.naiveBayesPredict(
+        incoming.toDF("doc_id", "text"), model, "doc_id", "text", dim = 32)
+      .as[(Long, String, Double)].collect().toSet
+    val input = MemoryStream[(Long, String)](
+      implicitly[Encoder[(Long, String)]], spark)
+    var got = Set.empty[(Long, String, Double)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got = got ++ graft.ops.Classify
+          .naiveBayesPredict(b, model, "doc_id", "text", dim = 32)
+          .as[(Long, String, Double)](
+            implicitly[Encoder[(Long, String, Double)]]).collect()
+        ()
+      }
+      .start()
+    try {
+      input.addData(incoming)
+      q.processAllAvailable()
+      assert(got == expected, s"stream scoring must equal batch: $got")
+    } finally q.stop()
+  }
+
   test("stream-static novelty gate drops docs already in the corpus store") {
     import org.apache.spark.sql.Encoder
     // Static store: content hashes of the accumulated corpus.
