@@ -548,6 +548,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Prefix-duplicate pairs: documents sharing their first `k` tokens —
+    * the truncation-duplicate phenomenon (same article cut at different
+    * lengths republishes with an identical head). Blocking key = hash of
+    * the k-token prefix, so candidates come from an equi-join on a
+    * discriminating key, never the pair space; `is_prefix` then reports
+    * whether one text is literally a prefix of the other (the true
+    * truncation case) vs merely sharing the head.
+    *
+    * Scale: same lossy-by-design hot-key cap as the shingle-df /
+    * edit-block caps — prefix groups larger than `maxGroupSize` are
+    * boilerplate heads (site templates), not duplicates, and are dropped
+    * from candidate generation by default.
+    */
+  def prefixPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16,
+                  maxGroupSize: Option[Int] = Some(10)): DataFrame = {
+    require(k > 0, "prefix length must be positive")
+    val pref = docs
+      .select(col(idCol), col(textCol).as("__t"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .withColumn("__ph", md5(concat_ws(" ", slice(col("__ws"), 1, k))))
+      .select(col(idCol), col("__t"), col("__ph"))
+    val blocked = maxGroupSize match {
+      case Some(cap) =>
+        val hot = pref.groupBy(col("__ph")).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > cap).select(col("__ph"))
+        pref.join(broadcast(hot), Seq("__ph"), "left_anti")
+      case None => pref
+    }
+    val a = blocked.select(col("__ph"), col(idCol).as("id_a"), col("__t").as("__ta"))
+    val b = blocked.select(col("__ph"), col(idCol).as("id_b"), col("__t").as("__tb"))
+    a.join(b, Seq("__ph"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("is_prefix", // null texts can't reach here (words>=k filter)
+        expr("substring(__ta, 1, length(__tb)) = __tb") ||
+          expr("substring(__tb, 1, length(__ta)) = __ta"))
+      .select(col("id_a"), col("id_b"), col("is_prefix"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, at scale
     * via pigeonhole banding: the b-bit signature splits into maxHamming+1
     * chunks — a pair within distance k can dirty at most k chunks, so it

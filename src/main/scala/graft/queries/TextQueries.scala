@@ -551,6 +551,32 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("lang"))
     },
 
+    // Truncation-duplicate mining: shared-16-token-prefix pairs with the
+    // literal-prefix verdict (hot-prefix groups capped like the other
+    // blockers).
+    "dedup_prefix" -> { (s, dir) =>
+      graft.ops.Dedup.prefixPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 16, maxGroupSize = Some(10))
+    },
+
+    // Signal-agreement matrix over per-doc quality signals (n_words,
+    // avg word length, stopword ratio, 3-gram repetition): ONE corpus
+    // scan into a 1-row moment aggregate, exploded to a row per pair —
+    // the j8 shape over text signals. A signal that stops correlating
+    // with the others after a pipeline change flips the hash.
+    "quality_signal_corr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sig = TextAnalysis.quality(docs, "doc_id", "text")
+        .join(TextAnalysis.repetitionRatio(docs, "doc_id", "text"), Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+          col("stopword_ratio"), col("rep_ratio"))
+      graft.ops.Stats.pearsonMatrix(sig,
+          Seq("n_words", "avg_word_len", "stopword_ratio", "rep_ratio"))
+        .filter(col("n") >= 2)
+        .select(col("feature_a"), col("feature_b"), col("n"),
+          round(col("corr"), 6).as("corr"))
+    },
+
     // Within-doc n-gram repetition ratio (templated/generated-text signal).
     "text_repetition_ratio" -> { (s, dir) =>
       TextAnalysis.repetitionRatio(Tables.documents(s, dir), "doc_id", "text")
@@ -1480,6 +1506,49 @@ object TextQueries {
         |  FROM documents)
         |WHERE r <= CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 25
         |  WHEN 'src2' THEN 10 ELSE 0 END""".stripMargin,
+
+    "dedup_prefix" ->
+      s"""WITH $wordsCte,
+         |p AS (SELECT w.doc_id, d.text,
+         |    md5(array_to_string(ws[1:16], ' ')) AS ph
+         |  FROM words w JOIN documents d USING (doc_id) WHERE len(ws) >= 16),
+         |ok AS (SELECT ph FROM p GROUP BY ph
+         |  HAVING count(*) > 1 AND count(*) <= 10)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (substring(a.text, 1, length(b.text)) = b.text OR
+         |   substring(b.text, 1, length(a.text)) = a.text) AS is_prefix
+         |FROM p a JOIN p b ON a.ph = b.ph AND a.doc_id < b.doc_id
+         |JOIN ok ON a.ph = ok.ph""".stripMargin,
+
+    "quality_signal_corr" -> {
+      val sigs = Seq("n_words", "avg_word_len", "stopword_ratio", "rep_ratio")
+      val pairSelects = (for {
+        i <- sigs.indices; j <- (i + 1) until sigs.size
+      } yield {
+        val (a, b) = (sigs(i), sigs(j))
+        s"""SELECT '$a' AS feature_a, '$b' AS feature_b, count(*) AS n,
+           |  round((count(*)*sum(fx*fy) - sum(fx)*sum(fy)) /
+           |    nullif(sqrt(count(*)*sum(fx*fx) - sum(fx)*sum(fx)) *
+           |           sqrt(count(*)*sum(fy*fy) - sum(fy)*sum(fy)), 0), 6) AS corr
+           |FROM (SELECT CAST($a AS DOUBLE) AS fx, CAST($b AS DOUBLE) AS fy
+           |      FROM sig WHERE $a IS NOT NULL AND $b IS NOT NULL)""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH $wordsCte,
+         |sig AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |    / len(ws) AS avg_word_len,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
+         |    AS DOUBLE) / len(ws) AS stopword_ratio,
+         |  CASE WHEN greatest(len(ws) - 2, 0) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(list_transform(
+         |      range(greatest(len(ws) - 2, 0)),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS DOUBLE)
+         |      / greatest(len(ws) - 2, 0)
+         |    ELSE 0.0 END AS rep_ratio
+         |  FROM words)
+         |SELECT * FROM ($pairSelects) WHERE n >= 2""".stripMargin
+    },
 
     "text_repetition_ratio" ->
       s"""WITH $wordsCte,

@@ -369,4 +369,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(4L) == "digit")
     assert(got(5L) == "latin", "empty text ties resolve by fixed precedence")
   }
+
+  test("prefixPairs: shared-head blocking, literal-prefix verdict, hot cap") {
+    def doc(head: String, tail: String) = (head + " " + tail).trim
+    val head = (1 to 16).map(i => s"w$i").mkString(" ")
+    val pdocs = Seq(
+      (1L, doc(head, "alpha beta gamma")),
+      (2L, doc(head, "alpha beta")),          // literal prefix of nothing; shares head
+      (3L, doc(head, "")),                    // literal prefix of 1 and 2
+      (4L, "short doc under sixteen tokens"), // filtered: < k words
+      (5L, doc((1 to 16).map(i => s"x$i").mkString(" "), "tail"))
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.prefixPairs(pdocs, "doc_id", "text", k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // every pair here is a literal truncation: 3 ⊑ 2 ⊑ 1; doc 4 is
+    // filtered (< k tokens) and doc 5's different head never joins
+    assert(got == Set((1L, 2L, true), (1L, 3L, true), (2L, 3L, true)))
+    // hot-prefix cap: 11 docs sharing a head -> group dropped entirely
+    val hot = (1 to 11).map(i => (100L + i, doc(head, s"v$i"))).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.prefixPairs(hot, "doc_id", "text", k = 16).count() == 0)
+    assert(graft.ops.Dedup.prefixPairs(hot, "doc_id", "text", k = 16,
+      maxGroupSize = None).count() == 55)
+  }
 }
