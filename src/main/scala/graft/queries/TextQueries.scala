@@ -293,6 +293,25 @@ object TextQueries {
       Dedup.clusters(pairs)
     },
 
+    // Soft dedup: keep every document but weight it 1/|near-dup cluster| —
+    // the down-weight-instead-of-drop mixture practice. Cluster sizes are
+    // bounded by the pair graph (orders of magnitude below the corpus), so
+    // the weight join broadcasts; docs outside the graph are singleton
+    // clusters at weight 1. The weight column composes with weightedTopN /
+    // tokenBudget for the actual sampling cut.
+    "sample_soft_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cl = Dedup.clusters(Dedup.nearDuplicates(docs, "doc_id", "text",
+        minJaccard = 0.8))
+      val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("__csz"))
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(cl), Seq("doc_id"), "left")
+        .join(broadcast(sizes), Seq("cluster_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          round(lit(1.0) / coalesce(col("__csz"), lit(1L)), 6).as("weight"))
+    },
+
     // The full curation pipeline as ONE lazy DataFrame graph — quality
     // scoring, language ID, near-dup victim removal, deterministic
     // sampling — the composition a training-data run executes, with
@@ -1205,6 +1224,33 @@ object TextQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+
+    "sample_soft_dedup" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")},
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |csz AS (SELECT cluster_id, count(*) AS c FROM cl GROUP BY 1)
+         |SELECT d.doc_id, d.source,
+         |  coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         |  round(1.0 / coalesce(csz.c, 1), 6) AS weight
+         |FROM documents d
+         |LEFT JOIN cl USING (doc_id)
+         |LEFT JOIN csz ON cl.cluster_id = csz.cluster_id""".stripMargin,
 
     "curation_pipeline_e2e" ->
       s"""WITH $wordsCte,
