@@ -65,6 +65,14 @@ object Bench {
     def release(): Unit = {
       graft.ops.OpCaches.releaseAll()
       spark.catalog.clearCache()
+      // Nudge the ContextCleaner: broadcast blocks / shuffle files are
+      // reclaimed only when their weak refs get GC-enqueued, and on an 8g
+      // heap that lags tens of queries behind — round-8 sentinel traces
+      // showed a reproducible 2.5× LATE-SESSION slowdown (readings 0.33 →
+      // 0.91 s after ~140 queries) from exactly this accumulation. An
+      // explicit gc between queries costs ~100 ms untimed and keeps the
+      // timed runs measuring the query, not the session's garbage.
+      System.gc()
     }
 
     // Warm-up pass: run every query once untimed so the timed pass measures
@@ -83,6 +91,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       release()
     }
+    // Session-noise sentinel: a BASKET of cheap queries re-timed every 20
+    // queries. Round 7 lost a verdict cycle to a driver session that ran
+    // globally 1.6-1.7× slow (sustained machine load defeated even
+    // best-of-3) and false-flagged 5 queries; with the sentinel, that
+    // session would have self-reported. A basket (sum of best-of-2 per
+    // query, ~0.3-0.5 s total) rather than one ~0.1 s query: single
+    // sub-200 ms measurements carry 2× tail jitter that false-trips, while
+    // sustained load inflates every basket member at once.
+    val sentinelFns = Seq("a1_kpis", "a10_counts", "a5_column_bounds")
+      .flatMap(SparkEntry.queries.get)
+    def timeSentinel(): Double = if (sentinelFns.isEmpty) -1.0 else {
+      release()
+      sentinelFns.map { fn =>
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
+        }.min
+      }.sum
+    }
+    timeSentinel() // warm (ONLY-filtered runs skip it in the warm-up pass)
+    val sentinel0 = timeSentinel()
+    val sentinelTimes = scala.collection.mutable.ArrayBuffer(sentinel0)
     // Best of 3 timed runs per query (local timing noise is substantial —
     // a single whole-session GC pause has been observed to triple a
     // sub-2 s query across two consecutive runs, which would false-flag
@@ -93,7 +124,8 @@ object Bench {
     // production query would behave.
     // A failing query records the sentinel -1, NOT its time-to-exception —
     // a broken query must never masquerade as a fast one.
-    val results = ordered.map { case (name, fn) =>
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % 20 == 0) sentinelTimes += timeSentinel()
       release()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -101,6 +133,18 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    }
+    sentinelTimes += timeSentinel() // end-of-session load check
+    // Noise signature = SUSTAINED drift: two consecutive baskets >1.5× the
+    // session's best basket (vs the best, not the first — a loaded start
+    // would make everything after it look fine). A single elevated reading
+    // is one GC pause / scheduler blip; round 7's false-flag session was
+    // uniformly 1.6-1.7× slow for its whole duration and trips this rule
+    // at every pair.
+    val valid = sentinelTimes.filter(t => t > 0 && t < Double.MaxValue)
+    val noiseSuspect = valid.size >= 2 && {
+      val floor = valid.min * 1.5
+      valid.sliding(2).exists(w => w.forall(_ > floor))
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
     val history = loadHistory(sfDir)
@@ -112,20 +156,27 @@ object Bench {
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val sentinelJson = sentinelTimes.filter(_ != Double.MaxValue)
+      .map(t => f"$t%.4f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},"sf":"$sfDir"}""")
+      s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},""" +
+      s""""noise_suspect":$noiseSuspect,"sentinel_sec":$sentinelJson,""" +
+      s""""sf":"$sfDir"}""")
     // Persist this run's timings as the next run's budget baseline. Failed
     // queries keep their previous entry (no -1 sentinel poisoning), and so
     // do OVER-BUDGET queries — otherwise a regression is flagged exactly
-    // once and then ratified as the new baseline.
+    // once and then ratified as the new baseline. A noise-suspect session
+    // never ratchets: its timings measure the machine, not the queries.
     try {
-      val over = overBudget.toSet
-      val merged = history ++
-        results.filter { case (n, t) => t >= 0 && !over.contains(n) }.toMap
-      val body = merged.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"\"$k\":$v" }
-        .mkString(s"""{"__sf":"$sfDir",""", ",", "}")
-      java.nio.file.Files.writeString(HistoryPath, body)
+      if (!noiseSuspect) {
+        val over = overBudget.toSet
+        val merged = history ++
+          results.filter { case (n, t) => t >= 0 && !over.contains(n) }.toMap
+        val body = merged.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"$k\":$v" }
+          .mkString(s"""{"__sf":"$sfDir",""", ",", "}")
+        java.nio.file.Files.writeString(HistoryPath, body)
+      }
     } catch { case _: Throwable => () }
     spark.stop()
   }

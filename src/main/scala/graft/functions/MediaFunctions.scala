@@ -63,6 +63,7 @@ object MediaFunctions {
     StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("bits", IntegerType),
+    StructField("block_align", IntegerType),
     StructField("data_bytes", LongType),
     StructField("is_audio", BooleanType, nullable = false)))
 
@@ -80,11 +81,11 @@ object MediaFunctions {
     override protected def nullSafeEval(input: Any): Any = {
       val p = input.asInstanceOf[Array[Byte]]
       graft.ops.Multimodal.parseWavHeader(p) match {
-        case Some((ch, rate, bits, dataBytes)) =>
-          new GenericInternalRow(Array[Any](ch, rate, bits, dataBytes, true))
+        case Some((ch, rate, bits, ba, dataBytes)) =>
+          new GenericInternalRow(Array[Any](ch, rate, bits, ba, dataBytes, true))
         case None =>
-          new GenericInternalRow(
-            Array[Any](null, null, null, null, graft.ops.Multimodal.looksLikeWav(p)))
+          new GenericInternalRow(Array[Any](
+            null, null, null, null, null, graft.ops.Multimodal.looksLikeWav(p)))
       }
     }
 
@@ -92,9 +93,10 @@ object MediaFunctions {
       copy(child = newChild)
   }
 
-  /** struct(channels, sample_rate, bits, data_bytes, is_audio) of a binary
-    * payload; null for a null payload. Fields are null when the payload is
-    * corrupt (`is_audio` true) or not RIFF/WAVE (`is_audio` false).
+  /** struct(channels, sample_rate, bits, block_align, data_bytes, is_audio)
+    * of a binary payload; null for a null payload. Fields are null when the
+    * payload is corrupt (`is_audio` true) or not RIFF/WAVE (`is_audio`
+    * false).
     */
   def audioHeader(payload: Column): Column =
     CatalystBridge.column(AudioHeader(CatalystBridge.expression(payload)))

@@ -29,7 +29,10 @@ import graft.functions.TextFunctions._
 object Classify {
 
   /** Fit: returns the dense model table `(label, bucket, loglik, logprior)`
-    * of exactly |labels| × dim rows.
+    * of exactly |labels| × dim rows. The label column is CANONICALLY named
+    * `label` whatever `labelCol` the training frame used — the model is an
+    * artifact (saved, loaded, possibly written by other tooling), so
+    * [[naiveBayesPredict]] binds it by name, never by position.
     *
     *   loglik(b|c)  = ln((count(b,c) + 1) / (tokens(c) + dim))   (add-one)
     *   logprior(c)  = ln(docs(c) / docs)
@@ -53,7 +56,7 @@ object Classify {
       .join(classTokens, Seq(labelCol))
       .join(classDocs, Seq(labelCol))
       .crossJoin(broadcast(totalDocs))
-      .select(lab, col("bucket"),
+      .select(lab.as("label"), col("bucket"),
         log((coalesce(col("__c"), lit(0L)) + lit(1.0)) /
           (col("__tot") + lit(dim.toDouble))).as("loglik"),
         log(col("__nd").cast("double") / col("__ndt")).as("logprior"))
@@ -67,8 +70,9 @@ object Classify {
   def nbSave(model: DataFrame, path: String): Unit =
     model.write.mode("overwrite").parquet(path)
 
-  /** Load a persisted model for [[naiveBayesPredict]]. Column order is the
-    * fit contract (label first); parquet preserves it.
+  /** Load a persisted model for [[naiveBayesPredict]]. The fit contract is
+    * the canonical `label` column NAME (order-insensitive) — a projected or
+    * reordered model still binds correctly.
     */
   def nbLoad(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -84,7 +88,13 @@ object Classify {
                         textCol: String, dim: Int = 256,
                         labelOut: String = "pred"): DataFrame = {
     val id = col(idCol)
-    val labelCol = model.columns.head // fit keeps the label first
+    // Explicit contract, not positional inference: a caller that projects
+    // or reorders the model columns must error here, never silently bind a
+    // wrong column and mis-score.
+    require(model.columns.contains("label"),
+      s"model must carry the canonical 'label' column (naiveBayesFit's " +
+        s"output contract); got [${model.columns.mkString(", ")}]")
+    val labelCol = "label"
     val docBuckets = docs.select(id, explode(words(col(textCol))).as("__w"))
       .select(id, pmod(wordCode24(col("__w")), lit(dim.toLong)).as("bucket"))
       .groupBy(id, col("bucket")).agg(count(lit(1)).as("__c"))

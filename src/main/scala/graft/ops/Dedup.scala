@@ -462,14 +462,15 @@ object Dedup {
   /** The final dedup step: one SURVIVOR per near-dup cluster, chosen by a
     * score (e.g. quality) with id tie-break — "keep the best copy", not
     * "keep the first". Documents absent from the pair graph are their own
-    * survivors. One broadcast join (cluster map is pair-graph-sized, tiny
-    * vs corpus) + one min_by aggregation.
+    * survivors. NO forced broadcast on the cluster-map join: web-scale
+    * corpora put 20–50% of documents inside near-dup clusters, making the
+    * map O(corpus); AQE still broadcasts it when it measures small, and
+    * the join key is even and unskewed so the shuffle fallback is safe.
     */
   def survivors(docs: DataFrame, clusterMap: DataFrame, idCol: String,
                 scoreCol: String): DataFrame = {
     val assigned = docs
-      .join(broadcast(clusterMap.withColumnRenamed("doc_id", idCol)),
-        Seq(idCol), "left")
+      .join(clusterMap.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     assigned.groupBy(col("cluster_id"))
       .agg(min_by(col(idCol), struct((-col(scoreCol)).as("s"), col(idCol)))

@@ -110,10 +110,15 @@ object Multimodal {
     * present for header decode (headers-only corpus, same convention as
     * the image gate).
     *
-    * Returns (channels, sampleRate, bitsPerSample, dataBytes), or None
-    * when the payload is not RIFF/WAVE or the structure is truncated.
+    * Returns (channels, sampleRate, bitsPerSample, blockAlign, dataBytes),
+    * or None when the payload is not RIFF/WAVE or the structure is
+    * truncated. blockAlign is the fmt chunk's OWN field (bytes 12-13 of
+    * the payload), not recomputed channels×bits/8 — the two differ on
+    * packed sub-byte depths (e.g. 12-bit WAVs), and byte alignment
+    * downstream must follow the container's declared frame stride.
     */
-  private[graft] def parseWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  private[graft] def parseWavHeader(
+      p: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
     @inline def u8(i: Int): Int = p(i) & 0xff
     @inline def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     @inline def u32le(i: Int): Long =
@@ -123,24 +128,31 @@ object Multimodal {
         p(i + 2) == s.charAt(2).toByte && p(i + 3) == s.charAt(3).toByte
     if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
     var i = 12
-    var fmt: Option[(Int, Int, Int)] = None
+    var fmt: Option[(Int, Int, Int, Int)] = None
     var data: Option[Long] = None
     while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
       val size = u32le(i + 4)
       if (tag(i, "fmt ")) {
         if (i + 8 + 16 > p.length || size < 16) return None
         val ch = u16le(i + 10); val rate = u32le(i + 12).toInt
-        val bits = u16le(i + 22)
-        if (ch <= 0 || rate <= 0 || bits <= 0) return None
-        fmt = Some((ch, rate, bits))
+        val blockAlign = u16le(i + 20); val bits = u16le(i + 22)
+        if (ch <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0) return None
+        fmt = Some((ch, rate, bits, blockAlign))
       } else if (tag(i, "data")) {
         data = Some(size)
       }
       // Chunk payloads are padded to even length; the data body may be
       // absent (header-only payload), in which case the loop just ends.
-      i += 8 + size.toInt + (size % 2).toInt
+      // The advance MUST be Long arithmetic: size is an unvalidated u32
+      // (up to 2^32-1) and a corrupt non-final chunk declaring >= 2^31
+      // would overflow Int, turn i negative, and escape as an
+      // ArrayIndexOutOfBoundsException instead of the documented
+      // corrupt-payload-yields-None contract. Out-of-range ⇒ end the walk
+      // (the trailing header-only data chunk was recorded above).
+      val next = i.toLong + 8L + size + (size % 2)
+      i = if (next > p.length || next < 0) p.length else next.toInt
     }
-    for ((ch, rate, bits) <- fmt; d <- data) yield (ch, rate, bits, d)
+    for ((ch, rate, bits, ba) <- fmt; d <- data) yield (ch, rate, bits, ba, d)
   }
 
   /** True when the payload starts with the RIFF/WAVE magic. */
@@ -167,6 +179,7 @@ object Multimodal {
       hdr.getField("channels").as("channels"),
       hdr.getField("sample_rate").as("sample_rate"),
       hdr.getField("bits").as("bits"),
+      hdr.getField("block_align").as("block_align"),
       hdr.getField("data_bytes").as("data_bytes"),
       when(bitrate > 0,
         (hdr.getField("data_bytes") * lit(8000L) / bitrate).cast("long"))
@@ -186,7 +199,10 @@ object Multimodal {
     require(segMs > 0 && strideMs > 0 && strideMs <= segMs,
       "need 0 < strideMs <= segMs")
     val meta = decodeAudioMeta(media)
-    val blockAlign = col("channels").cast("long") * (col("bits") / lit(8)).cast("long")
+    // The container's declared frame stride, NOT channels×bits/8 — the two
+    // differ on packed sub-byte depths, and byte ranges must land on real
+    // frame boundaries.
+    val blockAlign = col("block_align").cast("long")
     def frameAt(ms: org.apache.spark.sql.Column) = // floor(ms * rate / 1000)
       (ms * col("sample_rate").cast("long") / lit(1000L)).cast("long")
     meta.filter(col("duration_ms").isNotNull && col("duration_ms") > 0)

@@ -263,6 +263,7 @@ object EngineQueries {
         |  CAST(([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INTEGER) + 1]
         |    AS INTEGER) AS sample_rate,
         |  CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS bits,
+        |  CAST((doc_id % 2 + 1) * (doc_id % 3 + 1) AS INTEGER) AS block_align,
         |  CAST((doc_id % 9973 + 1) * (doc_id % 2 + 1) * (doc_id % 3 + 1)
         |    AS BIGINT) AS data_bytes,
         |  CAST(((doc_id % 9973 + 1) * 1000)

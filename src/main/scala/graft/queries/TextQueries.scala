@@ -147,7 +147,7 @@ object TextQueries {
        |nbndt AS (SELECT count(*) AS n FROM $src),
        |nbgrid AS (SELECT l.lang, b.bucket
        |  FROM (SELECT DISTINCT lang FROM $src) l,
-       |       (SELECT DISTINCT bucket FROM nbf) b),
+       |       (SELECT unnest(range(0, $dim)) AS bucket) b),
        |nbmodel AS (SELECT g.lang, g.bucket,
        |  ln((coalesce(nbcc.c, 0) + 1.0) / (nbct.tot + $dim.0)) AS loglik,
        |  ln(CAST(nbnd.n AS DOUBLE) / nbndt.n) AS logprior
@@ -294,19 +294,20 @@ object TextQueries {
     },
 
     // Soft dedup: keep every document but weight it 1/|near-dup cluster| —
-    // the down-weight-instead-of-drop mixture practice. Cluster sizes are
-    // bounded by the pair graph (orders of magnitude below the corpus), so
-    // the weight join broadcasts; docs outside the graph are singleton
-    // clusters at weight 1. The weight column composes with weightedTopN /
-    // tokenBudget for the actual sampling cut.
+    // the down-weight-instead-of-drop mixture practice. No forced broadcast:
+    // at web scale 20–50% of documents sit in near-dup clusters, so the
+    // cluster map is O(corpus); AQE still broadcasts it when it measures
+    // small, and doc_id/cluster_id are even, unskewed shuffle keys. Docs
+    // outside the graph are singleton clusters at weight 1. The weight
+    // column composes with weightedTopN / tokenBudget for the sampling cut.
     "sample_soft_dedup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val cl = Dedup.clusters(Dedup.nearDuplicates(docs, "doc_id", "text",
         minJaccard = 0.8))
       val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("__csz"))
       docs.select(col("doc_id"), col("source"))
-        .join(broadcast(cl), Seq("doc_id"), "left")
-        .join(broadcast(sizes), Seq("cluster_id"), "left")
+        .join(cl, Seq("doc_id"), "left")
+        .join(sizes, Seq("cluster_id"), "left")
         .select(col("doc_id"), col("source"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
           round(lit(1.0) / coalesce(col("__csz"), lit(1L)), 6).as("weight"))
@@ -1551,7 +1552,7 @@ object TextQueries {
       s"""WITH ${nbLangidCtes("documents")},
          |pred AS (SELECT doc_id, lang AS pred FROM nbp WHERE rn = 1)
          |SELECT d.lang, count(*) AS n_docs,
-         |  sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END) AS n_correct,
+         |  CAST(sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          |  round(CAST(sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END)
          |    AS DOUBLE) / count(*), 6) AS accuracy
          |FROM documents d JOIN pred p USING (doc_id)

@@ -116,6 +116,72 @@ object TpchQueries {
         .filter(col("l_quantity") < col("qty_threshold"))
         .groupBy(col("p_brand"))
         .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+    },
+
+    // TPC-H Q21-style suppliers-kept-waiting: the EXISTS / NOT EXISTS
+    // double self-join on the fact — the classic decorrelation + join-order
+    // stress. The testdata carries no l_receiptdate/l_commitdate, so "kept
+    // waiting" is shipped >30 days after the order date (same role, same
+    // shape). Decorrelated as Catalyst would: EXISTS → left_semi, NOT
+    // EXISTS → left_anti, both equi-keyed on l_orderkey with the
+    // s2 <> s1 inequality riding the join condition — never a cartesian.
+    // The `late` frame feeds l1 AND the anti side; both semi/anti joins
+    // shuffle on the even, unskewed l_orderkey.
+    "q21_suppliers_kept_waiting" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ordF = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      val late = li
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 30)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("__o2"), col("l_suppkey").as("__s2"))
+      val lateOthers = late.select(col("l_orderkey").as("__o3"), col("l_suppkey").as("__s3"))
+      late
+        .join(others,
+          col("l_orderkey") === col("__o2") && col("l_suppkey") =!= col("__s2"),
+          "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("__o3") && col("l_suppkey") =!= col("__s3"),
+          "left_anti")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H Q2-style min-cost supplier: the CORRELATED SCALAR-MIN subquery
+    // (cost = min cost any same-region supplier offers that part). The
+    // testdata has no partsupp, so the supply relation derives from
+    // lineitem: per (part, supplier) the minimum observed unit price,
+    // rounded to 6 dp so both engines cut on the identical double.
+    // Decorrelated as Catalyst would: ONE per-part min over the
+    // region-filtered supply (single exchange on partkey), joined back on
+    // (partkey, cost) — ties (several suppliers at the min) all survive,
+    // exactly like Q2. Region/nation dims broadcast; the part filter
+    // broadcasts too (p_size/p_type cut it to ~2% of part).
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val europe = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val supply = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(min(col("l_extendedprice") / col("l_quantity")), 6).as("cost"))
+      val eu = supply
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(europe), col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey"), col("cost"), col("s_acctbal"),
+          col("s_name"), col("n_name"))
+      val minCost = eu.groupBy(col("l_partkey")).agg(min(col("cost")).as("cost"))
+      val part = Tables.part(s, dir)
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      eu.join(minCost, Seq("l_partkey", "cost"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
     }
   )
 
@@ -177,6 +243,43 @@ object TpchQueries {
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
         |  AND l.l_quantity < th.qty_threshold
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q21_suppliers_kept_waiting" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                  CAST(l.l_shipdate AS DATE)) > 30)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH supply AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         round(min(l_extendedprice / l_quantity), 6) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT sp.partkey, sp.cost, s.s_acctbal, s.s_name, n.n_name
+        |  FROM supply sp JOIN supplier s ON sp.suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE')
+        |SELECT e.s_acctbal, e.s_name, e.n_name, e.partkey AS p_partkey, e.cost
+        |FROM eu e JOIN part p ON e.partkey = p.p_partkey
+        |WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+        |  AND e.cost = (SELECT min(e2.cost) FROM eu e2
+        |                WHERE e2.partkey = e.partkey)
+        |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+        |LIMIT 100""".stripMargin
   )
 }

@@ -38,6 +38,74 @@ object StreamDedup {
                         keyCols: Seq[String]): DataFrame =
     stream.join(store, keyCols, "left_anti")
 
+  /** Streaming soft dedup — the micro-batch counterpart of the batch
+    * 1/|cluster| down-weighting (`sample_soft_dedup`): newly ingested
+    * near-dups are folded into the accumulated cluster store instead of
+    * the whole corpus being re-mined. Call from `foreachBatch` with the
+    * current store `(idCol, cluster_id, textCol)`; returns the UPDATED
+    * store (write it back, then derive weights via [[softWeights]]).
+    *
+    * Per batch: (1) new×store near-dup edges via
+    * [[graft.ops.Dedup.incrementalPairs]], each rewritten to the store
+    * doc's CLUSTER id (cluster ids are min-member doc ids, so clusters
+    * are valid union-find nodes); (2) new×new edges via
+    * [[graft.ops.Dedup.nearDuplicates]] on the batch alone; (3) one
+    * connected-components pass over that batch-sized edge graph (driver
+    * union-find under [[graft.ops.Dedup]]'s bounded probe — the graph is
+    * O(batch), never O(corpus)); (4) relabel: new docs adopt their
+    * component, store clusters BRIDGED by a new doc merge to the
+    * component minimum. Min labels propagate exactly as a batch
+    * recompute would, so after any batch split the store's components
+    * equal `Dedup.clusters(nearDuplicates(corpus))` on everything
+    * ingested so far — the spec pins this parity. Scale: the store
+    * re-reads per batch (stream-static semantics); the only corpus-sized
+    * work is incrementalPairs' shingle probe, which is df-capped.
+    *
+    * `maxDocFrequency` caveat: the df cap sees the CORPUS AT INGEST TIME,
+    * so a capped run can admit an edge a batch backfill would cap away
+    * (or vice versa) near the threshold — exact parity needs
+    * `maxDocFrequency = None` (the spec's setting) or a stable hot set.
+    */
+  def softDedupIngest(store: DataFrame, batch: DataFrame, idCol: String,
+                      textCol: String, minJaccard: Double, n: Int = 3,
+                      maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    import graft.ops.Dedup
+    val newDocs = batch.select(col(idCol), col(textCol))
+    val crossEdges = Dedup.incrementalPairs(
+        newDocs, store.select(col(idCol), col(textCol)), idCol, textCol,
+        minJaccard, n, maxDocFrequency)
+      .join(store.select(col(idCol).as("corpus_id"), col("cluster_id")),
+        Seq("corpus_id"))
+      .select(col("new_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val withinEdges = Dedup.nearDuplicates(newDocs, idCol, textCol, minJaccard,
+        n = n, maxDocFrequency = maxDocFrequency)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.clusters(crossEdges.unionByName(withinEdges))
+    val newAssigned = newDocs
+      .join(comp.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"), col(textCol))
+    val storeRelabeled = store
+      .join(comp.select(col("doc_id").as("cluster_id"),
+        col("cluster_id").as("__merged")), Seq("cluster_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__merged"), col("cluster_id")).as("cluster_id"),
+        col(textCol))
+    storeRelabeled.unionByName(newAssigned)
+  }
+
+  /** 1/|cluster| down-weights from a soft-dedup store — identical output
+    * contract to the batch `sample_soft_dedup` gate. No broadcast hint:
+    * the cluster-size frame is O(store) in the worst case (see
+    * [[graft.ops.Dedup.survivors]]); AQE broadcasts it when small.
+    */
+  def softWeights(store: DataFrame, idCol: String): DataFrame = {
+    val sizes = store.groupBy(col("cluster_id")).agg(count(lit(1)).as("__csz"))
+    store.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"),
+        round(lit(1.0) / col("__csz"), 6).as("weight"))
+  }
+
   /** SimHash key for NEAR-dup streaming dedup: the signature is invariant
     * to token order and collapses token-multiset-identical documents
     * (shuffled boilerplate, reordered lists) that content-hash dedup

@@ -111,7 +111,14 @@ class ArtifactSpec extends AnyFunSuite {
     val dataHdr = "data".getBytes ++ le32(88200L) // size only, no body
     val wav = "RIFF".getBytes ++ le32(4L) ++ "WAVE".getBytes ++
       list ++ fmt ++ fact ++ dataHdr
-    assert(Multimodal.parseWavHeader(wav).contains((2, 44100, 16, 88200L)))
+    assert(Multimodal.parseWavHeader(wav).contains((2, 44100, 16, 4, 88200L)))
+    // A corrupt non-final chunk declaring a u32 size >= 2^31 must end the
+    // walk as "structure truncated" (None), never overflow the advance
+    // into a negative index (the advance is Long arithmetic).
+    val hugeChunk = "LIST".getBytes ++ le32(0xfffffff0L)
+    val overflow = "RIFF".getBytes ++ le32(4L) ++ "WAVE".getBytes ++
+      hugeChunk ++ fmt ++ dataHdr
+    assert(Multimodal.parseWavHeader(overflow).isEmpty)
     // (a header-only data chunk must be FINAL: the walk advances past the
     // declared body size, so only a trailing absent body is recoverable —
     // matching the spec's fmt-before-data ordering)
@@ -140,9 +147,10 @@ class ArtifactSpec extends AnyFunSuite {
     val got = Multimodal.decodeAudioMeta(media).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(got(1L).getInt(2) == 1 && got(1L).getInt(3) == 8000 &&
-      got(1L).getInt(4) == 8 && got(1L).getLong(5) == 12345L)
-    assert(got(1L).getLong(6) == 12345L * 8000L / (8000L * 1 * 8)) // 1543 ms
-    assert(got(2L).isNullAt(2) && got(2L).isNullAt(6), "corrupt → nulls")
+      got(1L).getInt(4) == 8 && got(1L).getInt(5) == 1 &&
+      got(1L).getLong(6) == 12345L)
+    assert(got(1L).getLong(7) == 12345L * 8000L / (8000L * 1 * 8)) // 1543 ms
+    assert(got(2L).isNullAt(2) && got(2L).isNullAt(7), "corrupt → nulls")
     assert(got(3L).isNullAt(2), "non-audio → nulls, never fabricated")
   }
 

@@ -23,7 +23,9 @@ class ClassifySpec extends AnyFunSuite {
   test("fit produces a dense |labels| x dim model with finite log-probs") {
     val m = Classify.naiveBayesFit(corpus, "lang", "text", dim = 32)
     assert(m.count() === 2 * 32)
-    assert(m.columns.toSeq === Seq("lang", "bucket", "loglik", "logprior"))
+    // Canonical artifact schema: the label column is NAMED `label`
+    // whatever the training frame called it (predict binds by name).
+    assert(m.columns.toSeq === Seq("label", "bucket", "loglik", "logprior"))
     val bad = m.filter("loglik >= 0 OR loglik IS NULL OR isnan(loglik)" +
       " OR logprior >= 0 OR isnan(logprior)").count()
     assert(bad === 0)
@@ -84,5 +86,46 @@ class ClassifySpec extends AnyFunSuite {
       .collect()
     assert(out.length === 1)
     assert(out(0).getString(1) === "aa") // rounded tie → label asc
+  }
+
+  test("eval harness: per-class accuracy > 0.9 on a separable held-out split") {
+    // The driver's text_nb_eval gate pins ENGINE AGREEMENT, but on the
+    // current testdata the lang labels carry no textual signal, so that
+    // gate pins a degenerate always-'en' model. THIS test is the real
+    // model check: 3 classes × 30 docs with disjoint class vocabularies,
+    // fit on doc_id % 3 != 0, evaluated per class on the held-out third —
+    // a scoring regression (wrong fold, bad smoothing, mis-bound label
+    // column) drops a class below 0.9 here even while the gate stays green.
+    val vocab = Map(
+      "en" -> Seq("the", "cat", "dog", "house", "water", "green", "run"),
+      "fr" -> Seq("le", "chat", "chien", "maison", "eau", "vert", "courir"),
+      "de" -> Seq("der", "katze", "hund", "haus", "wasser", "gruen", "laufen"))
+    val langs = vocab.keys.toSeq.sorted
+    val docs = (0 until 90).map { i =>
+      val lang = langs(i % 3)
+      val ws = vocab(lang)
+      // Deterministic word salad: 12 tokens cycling from the class vocab
+      // at a doc-dependent stride, so docs within a class differ.
+      val text = (0 until 12).map(j => ws((i * 5 + j * (i % 4 + 1)) % ws.size))
+        .mkString(" ")
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    // Held-out split on id % 10 (class is id % 3, so % 10 stratifies —
+    // a % 3 split would put exactly one class in the test set).
+    val train = docs.filter("doc_id % 10 >= 3")
+    val test0 = docs.filter("doc_id % 10 < 3")
+    val m = Classify.naiveBayesFit(train, "lang", "text", dim = 64)
+    val pred = Classify.naiveBayesPredict(test0, m, "doc_id", "text", dim = 64)
+    val perClass = test0.join(pred, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("pred") ===
+            org.apache.spark.sql.functions.col("lang"), 1.0).otherwise(0.0))
+        .as("acc"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(perClass.keySet === langs.toSet)
+    langs.foreach(l => assert(perClass(l) > 0.9,
+      s"per-class accuracy for $l: ${perClass(l)} (all: $perClass)"))
   }
 }

@@ -329,4 +329,77 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       s"header decode must not shuffle:\n${p.take(1000)}")
   }
+
+  test("q21 plans semi+anti self-joins, never cartesian; top-k distributed") {
+    // The EXISTS/NOT EXISTS pair must decorrelate to LeftSemi/LeftAnti on
+    // the l_orderkey equi-key with the suppkey inequality riding the join
+    // condition — a planner that loses the equi-key degrades to a
+    // nested-loop join over lineitem×lineitem, which is the scale killer
+    // this guard pins out.
+    val p = plan("q21_suppliers_kept_waiting")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"self-joins must stay equi-keyed:\n${p.take(1200)}")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-k must be distributed:\n${p.take(800)}")
+    // Budget: late-assembly join(s) may broadcast or shuffle under AQE,
+    // but the whole query needs at most 4 hash exchanges (semi, anti,
+    // both sides co-keyed on l_orderkey, plus the s_name aggregation).
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("q2 decorrelated scalar-min: one exchange per agg, never cartesian") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelated min must join back equi-keyed:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-k must be distributed:\n${p.take(800)}")
+    // Two decorrelated aggregations (per-(part,supp) supply cost, per-part
+    // min) plus the join-back alignment: at most 6 hash exchanges total.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 6, s"expected <=6 exchanges, got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("survivors/soft-dedup cluster-map joins carry no forced broadcast") {
+    // At web scale the near-dup cluster map is O(corpus) — a forced
+    // broadcast() hint there OOMs the driver. Proof of no hint: with both
+    // broadcast thresholds disabled, the planner must fall back to a
+    // shuffle join (a hint would override the thresholds and still
+    // broadcast). AQE remains free to broadcast genuinely small maps under
+    // default thresholds — asserted separately below.
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, 100.0 - i)).toDF("doc_id", "q")
+    val cmap = (1L to 100L).map(i => (i, (i % 10) + 1L))
+      .toDF("doc_id", "cluster_id")
+    val static = "spark.sql.autoBroadcastJoinThreshold"
+    val adaptive = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevStatic = spark.conf.get(static)
+    val prevAdaptive = spark.conf.getOption(adaptive)
+    try {
+      spark.conf.set(static, "-1")
+      spark.conf.set(adaptive, "-1")
+      val df = graft.ops.Dedup.survivors(docs, cmap, "doc_id", "q")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"survivors must degrade to a shuffle join when the map is 'large' " +
+          s"(no forced broadcast hint):\n${p.take(1200)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(1200))
+    } finally {
+      spark.conf.set(static, prevStatic)
+      prevAdaptive match {
+        case Some(v) => spark.conf.set(adaptive, v)
+        case None => spark.conf.unset(adaptive)
+      }
+    }
+    // Default thresholds: the page-sized map still broadcasts (AQE or the
+    // static planner picks it from measured size, not from a hint).
+    val df2 = graft.ops.Dedup.survivors(docs, cmap, "doc_id", "q")
+    df2.collect()
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"),
+      s"small cluster map should still broadcast under defaults:\n${p2.take(1200)}")
+  }
 }

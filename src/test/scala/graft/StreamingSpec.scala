@@ -471,6 +471,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts == 1, s"compaction must leave a single data file: $parts")
   }
 
+  test("streaming soft dedup: incremental cluster weights equal batch recompute") {
+    // L151 composed with the incremental ingest path (L111/L117): fold the
+    // corpus in as three micro-batches via softDedupIngest, then assert the
+    // final 1/|cluster| weights equal the batch-side recompute
+    // (Dedup.clusters over nearDuplicates on EVERYTHING ingested). The
+    // fixture deliberately exercises the two hard merge shapes:
+    //  - a cross-batch chain (1 ≈ 4 ≈ 7 across batches 1/2/3), and
+    //  - a bridge doc (8, batch 3) that MERGES two clusters formed in
+    //    earlier batches ({2,5} and {3,6}) — the store-relabel path.
+    val t = (s: String) => s // readability
+    val g1 = t("alpha beta gamma delta epsilon zeta")          // chain seed
+    val g2 = t("one two three four five six seven")            // cluster P
+    val g3 = t("red orange yellow green blue indigo violet")   // cluster Q
+    val b1 = Seq((1L, g1), (2L, g2), (3L, g3))
+    val b2 = Seq((4L, g1), (5L, g2), (6L, g3), (10L, t("lonely unique text nothing matches")))
+    // 8 bridges P and Q: the full concatenation shares all 5 of each
+    // side's shingles (J = 5/12 ≈ 0.417 against both) — above the 0.4
+    // threshold, and the md5-deterministic banding collides it with both
+    // sides (verified: the test is rerun-stable because minhash here is
+    // a pure md5 function of the shingle text, no RNG).
+    val bridge = g2 + " " + g3
+    val b3 = Seq((7L, g1), (8L, bridge), (9L, t("another singleton document entirely")))
+    val all = b1 ++ b2 ++ b3
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // minJaccard 0.4 so the bridge (≈half its shingles with each side)
+    // links both clusters; df-cap off for exact batch/stream parity (the
+    // cap sees the corpus-at-ingest, not the final corpus).
+    val mj = 0.4
+    var store = df(Seq.empty).withColumn("cluster_id", col("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("text"))
+    Seq(b1, b2, b3).foreach { b =>
+      store = graft.streaming.StreamDedup.softDedupIngest(
+        store, df(b), "doc_id", "text", minJaccard = mj,
+        maxDocFrequency = None)
+        .localCheckpoint() // the store would round-trip parquet in prod
+    }
+    val streamW = graft.streaming.StreamDedup.softWeights(store, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Batch recompute on the full corpus (same params).
+    val corpus = df(all)
+    val cl = graft.ops.Dedup.clusters(graft.ops.Dedup.nearDuplicates(
+      corpus, "doc_id", "text", minJaccard = mj, maxDocFrequency = None))
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val batchW = corpus.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        round(lit(1.0) / coalesce(col("sz"), lit(1L)), 6).as("weight"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+      .map { case (c, d, w) => (d, c, w) }.toSet
+    assert(streamW == batchW,
+      s"stream=${streamW.toSeq.sorted} batch=${batchW.toSeq.sorted}")
+    // The bridge actually merged: 2,3,5,6,8 share one cluster of size 5.
+    val byDoc = streamW.map(x => x._1 -> x._2).toMap
+    assert(Set(2L, 3L, 5L, 6L, 8L).map(byDoc) == Set(2L), s"merge shape: $byDoc")
+  }
+
   test("cursor replay mirrors the simulator's distinct-timestamp batches (O3)") {
     val df = batches.flatten.toDF("userId", "tsUs", "value")
       .withColumn("ts", timestamp_micros(col("tsUs")))

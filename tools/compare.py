@@ -60,6 +60,24 @@ def main():
             print(f"FAIL {name}: rows {len(mine)} vs {len(ref)}")
             n_fail += 1
             continue
+        # The driver hashes stringified values, so an int64 218 vs a float64
+        # 218.0 (e.g. DuckDB HUGEINT from an uncast sum(int)) is a driver
+        # failure even when float-tolerant compare passes. Fail on dtype-kind
+        # divergence (int vs float vs bool vs object) so the local mirror
+        # can't pass what the driver's hash would fail.
+        kind_bad = [
+            (c, str(mine[c].dtype), str(ref[c].dtype))
+            for c in mine.columns
+            if mine[c].dtype.kind != ref[c].dtype.kind
+            # int-width differences (int32 vs int64) stringify identically
+            and {mine[c].dtype.kind, ref[c].dtype.kind} != {"i", "u"}
+        ]
+        if kind_bad:
+            c, mk, rk = kind_bad[0]
+            print(f"FAIL {name}: dtype mismatch col {c}: mine={mk} oracle={rk}"
+                  f" (driver hash stringifies; add CAST in oracle SQL)")
+            n_fail += 1
+            continue
         bad = None
         mv, rv = mine.values.tolist(), ref.values.tolist()
         for i, (r1, r2) in enumerate(zip(mv, rv)):
