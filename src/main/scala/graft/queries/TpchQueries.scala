@@ -182,6 +182,84 @@ object TpchQueries {
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("p_partkey"))
         .limit(100)
+    },
+
+    // TPC-H Q4-style order-priority check: EXISTS over the fact with a
+    // condition referencing BOTH sides (the ship lag is relative to the
+    // order's own date) — the semi-join carries the cross-side predicate
+    // on its join condition, so decorrelation cannot degrade to a
+    // post-join filter over an inner join (which would double-count
+    // orders with several late lines).
+    "q4_priority_check" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60,
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // TPC-H Q11-style important-stock cut: per-key aggregate filtered
+    // against a GLOBAL scalar aggregate of itself (value > fraction ×
+    // total). Decorrelated: the total is a 1-row broadcast cross join —
+    // never a second scan of the fact, never a window over the whole
+    // aggregate. Threshold rounded to 4 dp so both engines cut the same
+    // boundary.
+    "q11_important_parts" -> { (s, dir) =>
+      // Scoped-cache the per-part aggregate: it feeds BOTH the global
+      // threshold and the filter side — uncached, the fact would scan and
+      // aggregate twice.
+      val pv = graft.ops.OpCaches.scoped(
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"))
+          .agg(round(sum(col("l_extendedprice") * col("l_quantity")), 2).as("value")))
+      val tot = pv.agg(round(sum(col("value")) * lit(0.0005), 4).as("__threshold"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("value") > col("__threshold"))
+        .select(col("l_partkey"), col("value"))
+    },
+
+    // TPC-H Q15-style top-supplier-by-revenue: aggregate view + scalar-MAX
+    // equality — here relaxed to the ≥ 0.9×max band so the gate hashes
+    // several rows instead of one. Same decorrelated shape: the max is a
+    // 1-row broadcast; the revenue view computes ONCE (cached) and feeds
+    // both the max and the filter — not two fact scans.
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = graft.ops.OpCaches.scoped(
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("total_revenue")))
+      val mx = rev.agg(round(max(col("total_revenue")) * lit(0.9), 6).as("__floor"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") >= col("__floor"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+
+    // TPC-H Q22-style anti-join + global scalar subquery: above-average-
+    // balance customers with NO urgent orders. The average is a 1-row
+    // broadcast (rounded 6 dp for a bit-stable cut); the NOT EXISTS is a
+    // left_anti against the priority-filtered orders — the filter
+    // pushes below the anti join, so the join probe side is the small
+    // urgent subset, not all orders.
+    "q22_idle_customers" -> { (s, dir) =>
+      val avgBal = Tables.customer(s, dir).filter(col("c_acctbal") > 0)
+        .agg(round(avg(col("c_acctbal")), 6).as("__avg_bal"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
     }
   )
 
@@ -280,6 +358,45 @@ object TpchQueries {
         |  AND e.cost = (SELECT min(e2.cost) FROM eu e2
         |                WHERE e2.partkey = e.partkey)
         |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                    CAST(l.l_shipdate AS DATE)) > 60)
+        |GROUP BY 1""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH pv AS (SELECT l_partkey,
+        |    round(sum(l_extendedprice * l_quantity), 2) AS value
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT round(sum(value) * 0.0005, 4) AS th FROM pv)
+        |SELECT l_partkey, value FROM pv, tot WHERE value > th""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue >=
+        |  (SELECT round(max(total_revenue) * 0.9, 6) FROM rev)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH avg_bal AS (SELECT round(avg(c_acctbal), 6) AS a
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment AS segment, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -361,6 +361,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 6, s"expected <=6 exchanges, got $exchanges:\n${p.take(1500)}")
   }
 
+  test("q4/q22 exists/not-exists decorrelate to semi/anti, never cartesian") {
+    val p4 = plan("q4_priority_check")
+    assert(p4.contains("LeftSemi") && !p4.contains("CartesianProduct") &&
+      !p4.contains("BroadcastNestedLoopJoin"),
+      s"q4 EXISTS must stay an equi-keyed semi join:\n${p4.take(1200)}")
+    val p22 = plan("q22_idle_customers")
+    // The 1-row avg-balance broadcast legitimately plans as a nested-loop
+    // join (that is how Spark executes scalar subqueries too — a 1-row
+    // build side is free); the NOT EXISTS must still be an equi-keyed
+    // anti join and nothing may go cartesian.
+    assert(p22.contains("LeftAnti") && !p22.contains("CartesianProduct"),
+      s"q22 NOT EXISTS must stay an equi-keyed anti join:\n${p22.take(1200)}")
+  }
+
+  test("q11/q15 self-referencing scalar aggregates reuse ONE fact aggregation") {
+    // value > f(sum(value)) / revenue >= f(max(revenue)): the aggregate
+    // view must compute once (scoped cache) and feed both the scalar and
+    // the filter — uncached, the fact scans and aggregates twice.
+    for (q <- Seq("q11_important_parts", "q15_top_supplier")) {
+      val p = plan(q)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"$q must read the cached aggregate on both sides:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), p.take(800))
+    }
+  }
+
   test("survivors/soft-dedup cluster-map joins carry no forced broadcast") {
     // At web scale the near-dup cluster map is O(corpus) — a forced
     // broadcast() hint there OOMs the driver. Proof of no hint: with both
