@@ -299,4 +299,42 @@ object Sampling {
       .agg(round(aggregate(sort_array(collect_list(col("__term"))), lit(0.0),
         (acc, x) => acc + x), 6).as("logw"))
   }
+
+  /** Mixture PLAN: the static solving step before [[withEpochs]] /
+    * [[tokenBudget]] execute a recipe. Given per-stratum available weight
+    * (token counts) and target mixture shares, derive each stratum's
+    * token target, sampling rate, and whole/fractional epoch split:
+    *
+    *   target_tokens = normShare × totalBudget      (shares normalized)
+    *   rate          = target_tokens / available    (>1 ⇒ repetition)
+    *   epochs_full   = ⌊rate⌋;  epochs_frac = rate − ⌊rate⌋
+    *
+    * `epochs_full`/`epochs_frac` feed [[withEpochs]] directly (integer
+    * copies + hash-Bernoulli fractional copy); a rate ≤ 1 feeds
+    * [[tokenBudget]] with `target_tokens` as the stratum budget. One
+    * aggregation over the corpus; the share map is a driver-side literal
+    * (mixture recipes are configuration, never data-sized). Strata absent
+    * from `targetShares` get share 0 — explicit in the output rather than
+    * dropped, so a recipe that forgets a source is VISIBLE in the plan.
+    */
+  def mixturePlan(df: DataFrame, stratumCol: String, weightCol: String,
+                  targetShares: Map[String, Double],
+                  totalBudget: Long): DataFrame = {
+    require(targetShares.values.forall(_ >= 0) && targetShares.values.sum > 0,
+      "target shares must be non-negative with a positive sum")
+    val z = targetShares.values.sum
+    val share = targetShares.foldLeft(lit(0.0)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(v / z)).otherwise(acc)
+    }
+    df.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol)).cast("long").as("available_tokens"))
+      .withColumn("share", round(share, 6))
+      .withColumn("target_tokens",
+        round(col("share") * totalBudget).cast("long"))
+      .withColumn("rate", round(
+        col("target_tokens").cast("double") /
+          when(col("available_tokens") > 0, col("available_tokens")), 6))
+      .withColumn("epochs_full", floor(col("rate")).cast("long"))
+      .withColumn("epochs_frac", round(col("rate") - floor(col("rate")), 6))
+  }
 }

@@ -22,6 +22,31 @@ object TextAnalysis {
       regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
         .as("n_tokens_re"))
 
+  /** Tokenizer fertility per group: how many subword-ish tokens the
+    * BPE-ish regex tokenizer spends per whitespace word (`fertility`) and
+    * how many characters each token covers (`chars_per_token`) — the
+    * standard multilingual-tokenizer-efficiency diagnostic (a language
+    * with fertility ≫ 1 pays more sequence length per word, which skews
+    * mixture budgets specified in tokens). One map-side projection + one
+    * aggregation; per-doc ratios guard zero denominators explicitly
+    * (token-less docs contribute nulls, which `avg` skips in any engine).
+    */
+  def tokenizerFertility(docs: DataFrame, idCol: String, textCol: String,
+                         groupCol: String): DataFrame = {
+    val tc = tokenCounts(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol),
+        length(col(textCol)).cast("long").as("__chars")), Seq(idCol))
+    tc.select(col(groupCol),
+        when(col("n_tokens_ws") > 0,
+          col("n_tokens_re").cast("double") / col("n_tokens_ws")).as("__f"),
+        when(col("n_tokens_re") > 0,
+          col("__chars").cast("double") / col("n_tokens_re")).as("__cpt"))
+      .groupBy(col(groupCol))
+      .agg(round(avg(col("__f")), 6).as("fertility"),
+        round(avg(col("__cpt")), 6).as("chars_per_token"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** Quality metrics: doc length, word count, mean word length, stopword
     * ratio, and a bounded composite score.
     */

@@ -186,6 +186,25 @@ object TextQueries {
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // Tokenizer fertility per language: regex tokens per whitespace word
+    // and characters per token — the multilingual tokenizer-efficiency
+    // diagnostic that corrects token-denominated mixture budgets.
+    "text_fertility" -> { (s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir),
+        "doc_id", "text", "lang")
+    },
+
+    // Mixture PLAN (DoReMi-style static step): per-source token targets,
+    // sampling rates, and epoch splits from a recipe + the measured
+    // availability. Shares 0.5/0.25/0.25 sum to exactly 1.0 in binary so
+    // both engines normalize identically.
+    "sample_mixture_plan" -> { (s, dir) =>
+      graft.ops.Sampling.mixturePlan(Tables.documents(s, dir),
+        "source", "n_chars",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+        totalBudget = 1000000L)
+    },
+
     "text_quality_score" -> { (s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_chars"), col("n_words"),
@@ -1064,6 +1083,37 @@ object TextQueries {
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens_ws,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_re
         |FROM documents""".stripMargin,
+
+    "text_fertility" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS BIGINT) AS re,
+        |    CAST(len(text) AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT lang,
+        |  round(avg(CASE WHEN ws > 0 THEN CAST(re AS DOUBLE) / ws END), 6)
+        |    AS fertility,
+        |  round(avg(CASE WHEN re > 0 THEN CAST(ch AS DOUBLE) / re END), 6)
+        |    AS chars_per_token,
+        |  count(*) AS n_docs
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "sample_mixture_plan" ->
+      """WITH avail AS (SELECT source,
+        |    CAST(sum(n_chars) AS BIGINT) AS available_tokens
+        |  FROM documents GROUP BY 1),
+        |sh AS (SELECT source, available_tokens,
+        |  round(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |    WHEN 'src2' THEN 0.25 ELSE 0.0 END, 6) AS share FROM avail),
+        |tg AS (SELECT *, CAST(round(share * 1000000) AS BIGINT)
+        |    AS target_tokens FROM sh),
+        |rt AS (SELECT *, round(CAST(target_tokens AS DOUBLE) /
+        |    nullif(available_tokens, 0), 6) AS rate FROM tg)
+        |SELECT source, available_tokens, share, target_tokens, rate,
+        |  CAST(floor(rate) AS BIGINT) AS epochs_full,
+        |  round(rate - floor(rate), 6) AS epochs_frac
+        |FROM rt""".stripMargin,
 
     "text_quality_score" ->
       s"""WITH $wordsCte,

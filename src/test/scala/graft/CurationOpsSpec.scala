@@ -126,4 +126,51 @@ class CurationOpsSpec extends AnyFunSuite {
     // Naive waste >= bucketed waste everywhere (that's the point).
     got.values.foreach { case (_, _, _, w, nw) => assert(nw >= w) }
   }
+
+  test("mixturePlan: targets, rates, epoch splits; unmapped strata visible at share 0") {
+    // src a: 100 tokens available, share 0.5 of a 400-token budget -> 200
+    // target -> rate 2.0 (one full epoch + one full repeat). src b: 400
+    // available, share 0.5 -> 200 target -> rate 0.5 (downsample). src c:
+    // NOT in the recipe -> share 0, target 0 - present in the plan, not
+    // silently dropped.
+    val df = Seq(
+      (1L, "a", 60L), (2L, "a", 40L),
+      (3L, "b", 150L), (4L, "b", 250L),
+      (5L, "c", 999L)).toDF("id", "src", "toks")
+    val plan = graft.ops.Sampling.mixturePlan(df, "src", "toks",
+        Map("a" -> 0.5, "b" -> 0.5), totalBudget = 400L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(plan("a").getAs[Long]("available_tokens") == 100L)
+    assert(plan("a").getAs[Long]("target_tokens") == 200L)
+    assert(plan("a").getAs[Double]("rate") == 2.0)
+    assert(plan("a").getAs[Long]("epochs_full") == 2L &&
+      plan("a").getAs[Double]("epochs_frac") == 0.0)
+    assert(plan("b").getAs[Double]("rate") == 0.5)
+    assert(plan("b").getAs[Long]("epochs_full") == 0L &&
+      plan("b").getAs[Double]("epochs_frac") == 0.5)
+    assert(plan("c").getAs[Double]("share") == 0.0 &&
+      plan("c").getAs[Long]("target_tokens") == 0L)
+    // Normalization: shares that do not sum to 1 are scaled (3:1 here).
+    val norm = graft.ops.Sampling.mixturePlan(df, "src", "toks",
+        Map("a" -> 3.0, "b" -> 1.0), totalBudget = 400L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("target_tokens")).toMap
+    assert(norm("a") == 300L && norm("b") == 100L)
+  }
+
+  test("tokenizerFertility: ratio semantics and token-less docs skipped as nulls") {
+    val df = Seq(
+      (1L, "en", "don't stop"),          // ws=2; re: don,',t,stop = 4 -> f=2.0
+      (2L, "en", "abc def"),             // ws=2, re=2 -> f=1.0
+      (3L, "zz", "")).toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextAnalysis.tokenizerFertility(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("en").getAs[Double]("fertility") == 1.5) // avg(2.0, 1.0)
+    assert(got("en").getAs[Long]("n_docs") == 2L)
+    // Empty doc: split('') = [''] so ws=1 and fertility 0/1 = 0.0 (the
+    // same convention as the token-count gate's oracle); 0 regex tokens
+    // null out chars_per_token, which avg skips.
+    assert(got("zz").getAs[Double]("fertility") == 0.0)
+    assert(got("zz").isNullAt(2))
+    assert(got("zz").getAs[Long]("n_docs") == 1L)
+  }
 }

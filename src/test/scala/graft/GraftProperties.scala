@@ -241,4 +241,57 @@ object GraftProperties extends Properties("graft") {
       }.toSet
       Prop(got == expect)
     }
+
+  // Disjoint-vocab templates: docs in the same group are near-dups (same
+  // text ⇒ J=1; suffixed variant keeps J well above 0.5), cross-group J=0.
+  private val softGroups = Vector(
+    "alpha beta gamma delta epsilon zeta eta theta",
+    "one two three four five six seven eight",
+    "red orange yellow green blue indigo violet ultra",
+    "north south east west up down left right")
+
+  property("streaming soft-dedup weights equal batch recompute for ANY batch split (L154)") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.choose(0, 3), Gen.oneOf(true, false))),
+      Gen.choose(1, 4)
+    ) { (specs, nBatches) =>
+      (specs.nonEmpty) ==> {
+        val docs = specs.zipWithIndex.map { case ((g, variant), i) =>
+          val text = if (variant) softGroups(g) + s" extra" else softGroups(g)
+          (i.toLong, text)
+        }
+        val mj = 0.5
+        // Random-ish contiguous split into nBatches micro-batches.
+        val per = math.max(1, docs.size / nBatches)
+        val batches = docs.grouped(per).toSeq
+        var store = Seq.empty[(Long, String)].toDF("doc_id", "text")
+          .withColumn("cluster_id", col("doc_id"))
+          .select(col("doc_id"), col("cluster_id"), col("text"))
+        batches.foreach { b =>
+          store = graft.streaming.StreamDedup.softDedupIngest(
+            store, b.toDF("doc_id", "text"), "doc_id", "text",
+            minJaccard = mj, maxDocFrequency = None).localCheckpoint()
+        }
+        val stream = graft.streaming.StreamDedup.softWeights(store, "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val corpus = docs.toDF("doc_id", "text")
+        val cl = graft.ops.Dedup.clusters(graft.ops.Dedup.nearDuplicates(
+          corpus, "doc_id", "text", minJaccard = mj, maxDocFrequency = None))
+        val sizes = cl.groupBy(col("cluster_id"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("sz"))
+        val batch = corpus.select(col("doc_id"))
+          .join(cl, Seq("doc_id"), "left")
+          .withColumn("cluster_id",
+            org.apache.spark.sql.functions.coalesce(col("cluster_id"), col("doc_id")))
+          .join(sizes, Seq("cluster_id"), "left")
+          .select(col("doc_id"), col("cluster_id"),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.lit(1.0) /
+                org.apache.spark.sql.functions.coalesce(col("sz"),
+                  org.apache.spark.sql.functions.lit(1L)), 6).as("weight"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        Prop(stream == batch) :| s"stream=$stream batch=$batch split=$nBatches"
+      }
+    }
 }
