@@ -368,6 +368,40 @@ object Dedup {
       .select(col("bench_id"), col("train_id"), col("inter"), col("jaccard"))
   }
 
+  /** Corpus self-similarity / diversity report: per-document
+    * nearest-neighbor Jaccard (from the capped LSH pair mining — never
+    * all-pairs) banded into deciles, plus an `isolated` band (-1) for
+    * documents with NO neighbor above the floor — the corpus-level
+    * diversity health check (a high share in top bands = redundancy the
+    * sampler should down-weight; a high isolated share = diverse corpus).
+    * Cost is one nearDuplicates run at the floor threshold plus two
+    * doc-keyed aggregations. Band index = ⌊round(nn_sim × 10, 6)⌋ — the
+    * inner round kills the float ULP that would put 0.7 in band 6.
+    */
+  def selfSimilarityBands(docs: DataFrame, idCol: String, textCol: String,
+                          minJaccard: Double = 0.5, n: Int = 3,
+                          maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, minJaccard, n = n,
+      maxDocFrequency = maxDocFrequency)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("__j"))
+    val sides = pairs.select(col("doc_a").as(idCol), col("__j"))
+      .unionByName(pairs.select(col("doc_b").as(idCol), col("__j")))
+    val nn = sides.groupBy(col(idCol)).agg(max(col("__j")).as("nn_sim"))
+    val total = docs.agg(count(lit(1)).as("__n"))
+    docs.select(col(idCol))
+      .join(nn, Seq(idCol), "left")
+      .withColumn("band",
+        when(col("nn_sim").isNull, lit(-1))
+          .otherwise(floor(round(col("nn_sim") * 10, 6)).cast("int")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(max(col("nn_sim")), 6).as("max_sim"))
+      .crossJoin(broadcast(total))
+      .select(col("band"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__n"), 6).as("share"),
+        col("max_sim"))
+  }
+
   /** Connected components over a near-duplicate pair graph → one cluster id
     * (the minimum member) per document — the final dedup step: keep one doc
     * per cluster.

@@ -305,6 +305,13 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("lang"))
     },
 
+    // Corpus diversity report: nearest-neighbor similarity deciles with
+    // an isolated band — redundancy vs diversity at a glance.
+    "dedup_self_similarity" -> { (s, dir) =>
+      Dedup.selfSimilarityBands(Tables.documents(s, dir), "doc_id", "text",
+        minJaccard = 0.5)
+    },
+
     // Near-dup clusters: pairs → connected components → cluster ids.
     "dedup_clusters" -> { (s, dir) =>
       val pairs = Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
@@ -1178,6 +1185,33 @@ object TextQueries {
          |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8""".stripMargin,
+
+    "dedup_self_similarity" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")},
+         |pairs AS (SELECT i.doc_a, i.doc_b,
+         |    round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS j
+         |  FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5),
+         |sides AS (SELECT doc_a AS doc_id, j FROM pairs
+         |  UNION ALL SELECT doc_b AS doc_id, j FROM pairs),
+         |nn AS (SELECT doc_id, max(j) AS nn_sim FROM sides GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM documents),
+         |banded AS (SELECT d.doc_id,
+         |    CASE WHEN nn.nn_sim IS NULL THEN -1
+         |      ELSE CAST(floor(round(nn.nn_sim * 10, 6)) AS INTEGER) END AS band,
+         |    nn.nn_sim
+         |  FROM documents d LEFT JOIN nn USING (doc_id))
+         |SELECT band, count(*) AS n_docs,
+         |  round(CAST(count(*) AS DOUBLE) / max(tot.n), 6) AS share,
+         |  round(max(nn_sim), 6) AS max_sim
+         |FROM banded, tot GROUP BY 1""".stripMargin,
 
     "skew_stress_near_dups" ->
       s"""WITH $skewedDocsCte,

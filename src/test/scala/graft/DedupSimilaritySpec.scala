@@ -370,6 +370,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(5L) == "latin", "empty text ties resolve by fixed precedence")
   }
 
+  test("selfSimilarityBands: decile banding, isolated band, shares sum to 1") {
+    // Three populations: an exact-dup pair (J=1.0 -> band 10), a high-
+    // overlap pair (band from its true Jaccard), and two isolated docs
+    // (band -1). Low threshold so the mid pair clears the floor.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // J = 1.0
+      (3L, base + " lambda"), (4L, base + " mu"),   // 8 shared / 10 union = 0.8? see below
+      (5L, "one two three four five six"),
+      (6L, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val got = Dedup.selfSimilarityBands(docs, "doc_id", "text",
+        minJaccard = 0.3, maxDocFrequency = None)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Bands present: 10 (exact), the 3/4 pair's band, -1 (isolated).
+    assert(got(10)._1 >= 2L, s"exact dups must land in band 10: $got")
+    assert(got(-1)._1 == 2L, s"docs 5,6 are isolated: $got")
+    // Each share is individually rounded to 6 dp, so the sum can be off
+    // by up to #bands × 5e-7.
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5,
+      s"shares must partition the corpus: $got")
+    // 3 and 4 share 8 of their 9 shingles each (union 10): J = 0.8 ->
+    // band 8 (the inner round keeps 0.8*10 from flooring to 7).
+    assert(got(8)._1 == 2L, s"docs 3,4 belong in band 8: $got")
+  }
+
   test("prefixPairs: shared-head blocking, literal-prefix verdict, hot cap") {
     def doc(head: String, tail: String) = (head + " " + tail).trim
     val head = (1 to 16).map(i => s"w$i").mkString(" ")
