@@ -256,4 +256,40 @@ object SeriesOps {
       .filter(col(tsCol) >= col("__max_ts") - expr(s"INTERVAL $seconds SECONDS"))
       .drop("__max_ts")
   }
+
+  /** Point-in-interval range join WITHOUT an equi key — the classic Spark
+    * scale trap: `points JOIN intervals ON ts >= start AND ts < end`
+    * planless degrades to BroadcastNestedLoopJoin (|points| × |intervals|
+    * comparisons, single-threaded build at that). This op makes it an
+    * EQUI join: quantize time into fixed `bucketUs` buckets, explode each
+    * interval over the buckets it covers, equi-join on the bucket id,
+    * then post-filter the exact bounds. Cost is Σ_b |points_b| ×
+    * |intervals_b| — local to each bucket, shuffled on an even key, and
+    * tunable: pick `bucketUs` near the median interval length so most
+    * intervals explode into ~1-2 buckets (a too-small bucket multiplies
+    * the interval side; a too-large one multiplies the per-bucket pair
+    * count).
+    *
+    * Columns are µs LONGS (`tsUsCol`, `startUsCol`, `endUsCol` with end
+    * EXCLUSIVE) — callers convert timestamps via `unix_micros`, keeping
+    * the op portable and the bucket arithmetic exact. Degenerate
+    * intervals (end ≤ start) match nothing and are dropped up front
+    * (Spark's `sequence(a, b)` generates DESCENDING when b < a — without
+    * the guard an inverted interval would explode backwards instead of
+    * vanishing).
+    */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+                        tsUsCol: String, startUsCol: String, endUsCol: String,
+                        bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val p = points.withColumn("__b", floor(col(tsUsCol) / bucketUs).cast("long"))
+    val iv = intervals
+      .filter(col(endUsCol) > col(startUsCol))
+      .withColumn("__b", explode(sequence(
+        floor(col(startUsCol) / bucketUs).cast("long"),
+        floor((col(endUsCol) - 1) / bucketUs).cast("long"))))
+    p.join(iv, Seq("__b"))
+      .filter(col(tsUsCol) >= col(startUsCol) && col(tsUsCol) < col(endUsCol))
+      .drop("__b")
+  }
 }

@@ -194,6 +194,18 @@ object TextQueries {
         "doc_id", "text", "lang")
     },
 
+    // Corpus datacard: per-(source, lang) doc/char counts with ROLLUP
+    // subtotals and a grand total — the one-query dataset report. Spark
+    // plans the grouping sets through ONE Expand + hash aggregate (a
+    // single corpus pass, NOT one scan per grouping level).
+    "corpus_datacard" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+    },
+
     // Mixture PLAN (DoReMi-style static step): per-source token targets,
     // sampling rates, and epoch splits from a recipe + the measured
     // availability. Shares 0.5/0.25/0.25 sum to exactly 1.0 in binary so
@@ -1105,6 +1117,12 @@ object TextQueries {
         |    AS chars_per_token,
         |  count(*) AS n_docs
         |FROM t GROUP BY 1""".stripMargin,
+
+    "corpus_datacard" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
 
     "sample_mixture_plan" ->
       """WITH avail AS (SELECT source,

@@ -127,6 +127,27 @@ object TimeSeriesQueries {
         .withColumnRenamed("view", "f_view")
     },
 
+    // J7: point-in-interval range join WITHOUT an equi key — error events
+    // open 1-hour incident windows; count/sum ALL events falling in each
+    // window (cross-user correlation, so no user equi key exists). The
+    // bucketed rewrite keeps it an equi join on the time bucket — the
+    // plan guard pins out the BroadcastNestedLoopJoin a naive BETWEEN
+    // join degrades to.
+    "j7_range_join_bucketed" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val pts = ev.select(unix_micros(col("ts")).as("ts_us"), col("value"))
+      val iv = ev
+        .filter(col("event_type") === "error" && pmod(col("user_id"), lit(17)) === 0)
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + lit(3600L * 1000000L)).as("end_us"))
+      SeriesOps.rangeJoinBucketed(pts, iv, "ts_us", "start_us", "end_us",
+          bucketUs = 3600L * 1000000L)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+
     // A16: per-user least-squares trend of value over time (per hour) —
     // "is this subject's metric drifting" (order-stable moment folds).
     "a16_trend_slope" -> { (s, dir) =>
@@ -268,6 +289,17 @@ object TimeSeriesQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "j7_range_join_bucketed" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |iv AS (SELECT event_id AS incident_id, ts_us AS start_us,
+        |    ts_us + 3600000000 AS end_us FROM ev
+        |  WHERE event_type = 'error' AND user_id % 17 = 0)
+        |SELECT incident_id, count(*) AS n_events,
+        |  round(sum(p.value), 2) AS sum_value
+        |FROM iv JOIN ev p ON p.ts_us >= iv.start_us AND p.ts_us < iv.end_us
+        |GROUP BY 1""".stripMargin,
+
     "s2_date_range_scan" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value
         |FROM events

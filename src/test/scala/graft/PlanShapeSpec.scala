@@ -387,6 +387,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed range join stays equi-keyed; rollup datacard scans once") {
+    // The naive ts-BETWEEN join has NO equi key and planlessly degrades
+    // to BroadcastNestedLoopJoin (|points| × |intervals| comparisons);
+    // the bucketed rewrite must keep it a hash/sort join on the bucket.
+    val p = plan("j7_range_join_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must equi-join on the time bucket:\n${p.take(1200)}")
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(p.contains), p.take(800))
+    // ROLLUP = grouping sets through ONE Expand over ONE corpus scan —
+    // a per-level re-scan would read the corpus three times at 100 TB.
+    val pd = plan("corpus_datacard")
+    assert(pd.contains("Expand"), s"rollup must plan an Expand:\n${pd.take(800)}")
+    assert("FileScan parquet".r.findAllIn(pd).size == 1,
+      s"rollup must scan the corpus exactly once:\n${pd.take(1200)}")
+  }
+
   test("survivors/soft-dedup cluster-map joins carry no forced broadcast") {
     // At web scale the near-dup cluster map is O(corpus) — a forced
     // broadcast() hint there OOMs the driver. Proof of no hint: with both
