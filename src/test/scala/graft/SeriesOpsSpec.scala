@@ -92,4 +92,22 @@ class SeriesOpsSpec extends AnyFunSuite {
       .select("id").as[String].collect().toSet
     assert(got == Set("edge", "new"))
   }
+
+  test("rangeJoinBucketed: [start,end) bounds, bucket-width invariance, inverted guard (L162)") {
+    val pts = Seq(5L, 10L, 19L, 20L, 35L, 99L).map(Tuple1(_)).toDF("ts_us")
+    val iv = Seq(
+      (1L, 10L, 20L),  // hits 10, 19; NOT 20 (end exclusive) or 5
+      (2L, 0L, 6L),    // hits 5
+      (3L, 30L, 30L),  // degenerate: end == start -> nothing
+      (4L, 50L, 40L)   // inverted: must vanish, not explode backwards
+    ).toDF("iv_id", "s_us", "e_us")
+    def run(bucket: Long) =
+      SeriesOps.rangeJoinBucketed(pts, iv, "ts_us", "s_us", "e_us", bucket)
+        .select("iv_id", "ts_us").as[(Long, Long)].collect().toSet
+    val expect = Set((1L, 10L), (1L, 19L), (2L, 5L))
+    assert(run(7L) == expect)
+    // The bucket width is a PERFORMANCE knob only — any width gives the
+    // same rows (the exact bounds filter runs after the bucket join).
+    for (b <- Seq(1L, 3L, 100L, 1000000L)) assert(run(b) == expect, s"bucket=$b")
+  }
 }
