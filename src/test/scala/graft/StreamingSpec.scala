@@ -471,6 +471,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts == 1, s"compaction must leave a single data file: $parts")
   }
 
+  test("replay → soft-dedup store merge per batch: weights equal the batch cut") {
+    // The FULL streaming composition of L154: ReplayStreamSource re-drives
+    // stored history in event-time order; each micro-batch merges into a
+    // parquet-round-tripped cluster store via softDedupIngest (versioned
+    // store dirs — overwriting a parquet dir mid-read races the lazy
+    // scan); final softWeights must equal the batch recompute over
+    // everything replayed. Same chain (across batches) + bridge (merges
+    // two earlier clusters) shapes as the unit parity test, now through
+    // the real streaming engine.
+    val base = java.nio.file.Files.createTempDirectory("soft_stream").toString
+    val rawDir = s"$base/raw"
+    val g1 = "alpha beta gamma delta epsilon zeta"
+    val g2 = "one two three four five six seven"
+    val g3 = "red orange yellow green blue indigo violet"
+    val bridge = g2 + " " + g3
+    Seq(
+      (1L, us(10), g1), (2L, us(10), g2), (3L, us(10), g3),
+      (4L, us(20), g1), (5L, us(20), g2), (6L, us(20), g3),
+      (7L, us(30), g1), (8L, us(30), bridge), (9L, us(30), "another singleton doc")
+    ).toDF("doc_id", "ts_us", "text")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .write.parquet(rawDir)
+    var storePath = s"$base/store_init"
+    Seq.empty[(Long, Long, String)].toDF("doc_id", "cluster_id", "text")
+      .write.parquet(storePath)
+    val stream = spark.readStream
+      .format(classOf[graft.streaming.ReplayStreamSource].getName)
+      .option("path", rawDir).option("tsCol", "ts")
+      .option("timestampsPerTrigger", "1")
+      .load()
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!b.isEmpty) {
+          val store = spark.read.parquet(storePath)
+          val updated = graft.streaming.StreamDedup.softDedupIngest(
+            store, b.select(col("doc_id"), col("text")), "doc_id", "text",
+            minJaccard = 0.4, maxDocFrequency = None)
+          val next = s"$base/store_v$id"
+          updated.write.parquet(next)
+          storePath = next
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamW = graft.streaming.StreamDedup
+      .softWeights(spark.read.parquet(storePath), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = spark.read.parquet(rawDir).select(col("doc_id"), col("text"))
+    val cl = graft.ops.Dedup.clusters(graft.ops.Dedup.nearDuplicates(
+      corpus, "doc_id", "text", minJaccard = 0.4, maxDocFrequency = None))
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val batchW = corpus.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        round(lit(1.0) / coalesce(col("sz"), lit(1L)), 6).as("weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamW == batchW, s"stream=$streamW batch=$batchW")
+    // The bridge really merged through the replay path.
+    val byDoc = streamW.map(x => x._1 -> x._2).toMap
+    assert(Set(2L, 3L, 5L, 6L, 8L).map(byDoc) == Set(2L), s"merge shape: $byDoc")
+  }
+
   test("streaming soft dedup: incremental cluster weights equal batch recompute") {
     // L151 composed with the incremental ingest path (L111/L117): fold the
     // corpus in as three micro-batches via softDedupIngest, then assert the
