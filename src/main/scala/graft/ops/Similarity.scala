@@ -1096,4 +1096,25 @@ object Similarity {
             sqrt(col("__mm")) * sqrt(col("__gg"))),
           6).as("cos_to_global"))
   }
+
+  /** Per-DIMENSION embedding QA: n/mean/std/min/max for every coordinate,
+    * plus a dead-dimension flag (std below `deadEps`) — catches the three
+    * classic embedding-table pathologies before they poison ANN indexes:
+    * dead dims (encoder bug / truncated export), scale drift between
+    * ingest batches, and saturated dims. One posexplode + ONE dim-keyed
+    * aggregation with map-side combine — the shuffle carries dims ×
+    * partial-aggregate rows, never vectors, and the output is
+    * dimension-bounded at any corpus size.
+    */
+  def dimStats(emb: DataFrame, vecCol: String,
+               deadEps: Double = 1e-9): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim"), col("__v").cast("double").as("__v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__v")), 6).as("mean"),
+        round(stddev_samp(col("__v")), 6).as("std"),
+        round(min(col("__v")), 6).as("min_v"),
+        round(max(col("__v")), 6).as("max_v"))
+      .withColumn("dead", col("std") < deadEps)
 }

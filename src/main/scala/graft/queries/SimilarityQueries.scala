@@ -342,6 +342,12 @@ object SimilarityQueries {
       Similarity.sourceDrift(Tables.embeddings(s, dir), "label", "embedding")
     },
 
+    // Per-dimension embedding QA: dead dims, scale drift, saturation —
+    // the table-health check run before (re)building ANN indexes.
+    "embedding_dim_stats" -> { (s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir), "embedding")
+    },
+
     // Deterministic spherical k-means (k=5, 2 Lloyd rounds) + map-side
     // assignment — IVF without a precomputed cluster column.
     "ivf_kmeans_assign" -> { (s, dir) =>
@@ -584,6 +590,15 @@ object SimilarityQueries {
         |SELECT n.label, n.n_vectors,
         |  round(smg / nullif(sqrt(smm) * sqrt(sgg), 0), 6) AS cos_to_global
         |FROM agg JOIN n USING (label)""".stripMargin,
+
+    "embedding_dim_stats" ->
+      """WITH pe AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |SELECT dim, count(*) AS n, round(avg(v), 6) AS mean,
+        |  round(stddev_samp(v), 6) AS std,
+        |  round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+        |  round(stddev_samp(v), 6) < 1e-9 AS dead
+        |FROM pe GROUP BY 1""".stripMargin,
 
     "ann_text_ivf" ->
       s"""WITH ${TextQueries.wordsCte},

@@ -98,6 +98,23 @@ class ArtifactSpec extends AnyFunSuite {
     assert(f == Map("a" -> 1.0, "b" -> 1.0))
   }
 
+  test("dimStats: per-dimension moments and the dead-dim flag") {
+    // dim 0 varies, dim 1 is constant (dead), dim 2 varies with negatives.
+    val emb = Seq(
+      (1L, Seq(1.0f, 5.0f, -2.0f)),
+      (2L, Seq(3.0f, 5.0f, 0.0f)),
+      (3L, Seq(5.0f, 5.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(emb, "embedding")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == Set(0, 1, 2))
+    assert(got(0).getAs[Double]("mean") == 3.0 && got(0).getAs[Double]("std") == 2.0)
+    assert(!got(0).getAs[Boolean]("dead"))
+    assert(got(1).getAs[Double]("std") == 0.0 && got(1).getAs[Boolean]("dead"),
+      "constant dimension must flag dead")
+    assert(got(2).getAs[Double]("min_v") == -2.0 && got(2).getAs[Double]("max_v") == 2.0)
+    assert(got.values.forall(_.getAs[Long]("n") == 3L))
+  }
+
   test("WAV header parse walks interposed chunks little-endian to fmt and data") {
     def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
     def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
