@@ -241,6 +241,39 @@ object TpchQueries {
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     },
 
+    // TPC-H Q20-style excess-stock supplier chain — the NESTED semi-join
+    // shape: suppliers ← semi (excess supply rows ← correlated-agg filter
+    // ← semi part gate). Decorrelated to ONE fact pass: the (part,
+    // supplier) aggregate carries BOTH the total supply and the
+    // conditional in-window demand (sum of a when()), so the demand
+    // threshold derives from the same aggregate instead of a second
+    // corpus scan — plan-guarded. Quantity sums are integer-valued
+    // doubles, so the qty > 0.5×demand cut is exact in both engines.
+    "q20_excess_suppliers" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ps = graft.ops.OpCaches.scoped(
+        li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("qty"),
+            sum(when(col("l_shipdate") >= "1996-01-01" &&
+              col("l_shipdate") < "1997-01-01", col("l_quantity"))
+              .otherwise(lit(0.0))).as("yqty")))
+      val demand = ps.groupBy(col("l_partkey"))
+        .agg((lit(0.5) * sum(col("yqty"))).as("th"))
+      val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val excess = ps.join(demand, Seq("l_partkey"))
+        .filter(col("qty") > col("th"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_suppkey"))
+      val asia = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      Tables.supplier(s, dir)
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    },
+
     // TPC-H Q22-style anti-join + global scalar subquery: above-average-
     // balance customers with NO urgent orders. The average is a 1-row
     // broadcast (rounded 6 dp for a bit-stable cut); the NOT EXISTS is a
@@ -387,6 +420,27 @@ object TpchQueries {
         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
         |WHERE total_revenue >=
         |  (SELECT round(max(total_revenue) * 0.9, 6) FROM rev)""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |demand AS (
+        |  SELECT l_partkey, 0.5 * sum(l_quantity) AS th
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  GROUP BY 1),
+        |excess AS (
+        |  SELECT sp.l_suppkey FROM supply sp
+        |  JOIN demand d USING (l_partkey)
+        |  WHERE sp.qty > d.th
+        |    AND EXISTS (SELECT 1 FROM part p
+        |      WHERE p.p_partkey = sp.l_partkey AND p.p_type = 'PROMO'))
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND EXISTS (SELECT 1 FROM excess e WHERE e.l_suppkey = s_suppkey)""".stripMargin,
 
     "q22_idle_customers" ->
       """WITH avg_bal AS (SELECT round(avg(c_acctbal), 6) AS a

@@ -375,6 +375,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q22 NOT EXISTS must stay an equi-keyed anti join:\n${p22.take(1200)}")
   }
 
+  test("q20 nested semi chain: one fact pass, semi gates, never cartesian") {
+    // The (part, supplier) aggregate carries both total supply and the
+    // windowed demand as a conditional sum, so the threshold derives from
+    // the SAME cached aggregate — a second corpus scan would double the
+    // dominant cost at 100 TB.
+    val p = plan("q20_excess_suppliers")
+    assert(p.contains("LeftSemi") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"supply aggregate must be cached and reused:\n${p.take(1200)}")
+  }
+
   test("q11/q15 self-referencing scalar aggregates reuse ONE fact aggregation") {
     // value > f(sum(value)) / revenue >= f(max(revenue)): the aggregate
     // view must compute once (scoped cache) and feed both the scalar and
