@@ -197,6 +197,53 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * distribution of `valueCol` — the standard drift monitor run between
+    * a training snapshot and live ingest (PSI < 0.1 stable, 0.1–0.25
+    * moderate shift, > 0.25 retrain/investigate).
+    *
+    * Bin edges are FIXED-WIDTH over the reference's [min, max] (a 1-row
+    * broadcast) so both sides bin identically and the metric is exactly
+    * reproducible cross-engine — quantile edges would couple the binning
+    * to the reference's full sort order. Out-of-range current values
+    * clamp into the edge bins (drift INTO the tails still registers).
+    * Shares are Laplace-smoothed ((n_b + 0.5) / (N + 0.5·bins)) so an
+    * empty bin on either side cannot produce log(0) or a division by
+    * zero. Output is per-bin (share_ref, share_cur, psi_term) — sum the
+    * terms for the headline number; the per-bin rows localize WHERE the
+    * distribution moved. Two single-pass aggregations; the bin table is
+    * bins-bounded at any data size.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val v = col(valueCol).cast("double")
+    val edges = ref.filter(v.isNotNull)
+      .agg(min(v).as("__lo"), max(v).as("__hi"))
+    def binned(df: DataFrame) = df.filter(v.isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(least(lit(bins - 1), greatest(lit(0),
+        when(col("__hi") > col("__lo"),
+          floor((v - col("__lo")) / ((col("__hi") - col("__lo")) / bins)))
+          .otherwise(lit(0)))).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("__n"))
+    val grid = ref.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
+    def shares(df: DataFrame, out: String) = {
+      val tot = df.agg(sum(col("__n")).as("__t"))
+      grid.join(df, Seq("bin"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bin"),
+          ((coalesce(col("__n"), lit(0L)) + lit(0.5)) /
+            (col("__t") + lit(0.5 * bins))).as(out))
+    }
+    shares(binned(ref), "__p").join(shares(binned(cur), "__q"), Seq("bin"))
+      .select(col("bin"),
+        round(col("__p"), 6).as("share_ref"),
+        round(col("__q"), 6).as("share_cur"),
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
+          .as("psi_term"))
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

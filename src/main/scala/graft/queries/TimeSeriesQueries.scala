@@ -148,6 +148,17 @@ object TimeSeriesQueries {
           round(sum(col("value")), 2).as("sum_value"))
     },
 
+    // A17: PSI drift monitor between two event populations (view as the
+    // reference snapshot, click as live) — fixed-width bins over the
+    // reference range, Laplace-smoothed shares, per-bin terms.
+    "a17_psi_drift" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.ops.Stats.psi(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        "value", bins = 10)
+    },
+
     // A16: per-user least-squares trend of value over time (per hour) —
     // "is this subject's metric drifting" (order-stable moment folds).
     "a16_trend_slope" -> { (s, dir) =>
@@ -289,6 +300,34 @@ object TimeSeriesQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "a17_psi_drift" ->
+      """WITH edges AS (SELECT min(value) AS lo, max(value) AS hi
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |rb AS (SELECT CAST(least(9, greatest(0,
+        |      CASE WHEN e.hi > e.lo
+        |        THEN floor((value - e.lo) / ((e.hi - e.lo) / 10))
+        |        ELSE 0 END)) AS INTEGER) AS bin, count(*) AS n
+        |  FROM events, edges e
+        |  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT CAST(least(9, greatest(0,
+        |      CASE WHEN e.hi > e.lo
+        |        THEN floor((value - e.lo) / ((e.hi - e.lo) / 10))
+        |        ELSE 0 END)) AS INTEGER) AS bin, count(*) AS n
+        |  FROM events, edges e
+        |  WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1),
+        |grid AS (SELECT CAST(unnest(range(10)) AS INTEGER) AS bin),
+        |p AS (SELECT g.bin,
+        |    (coalesce(rb.n, 0) + 0.5) /
+        |      ((SELECT sum(n) FROM rb) + 0.5 * 10) AS p
+        |  FROM grid g LEFT JOIN rb USING (bin)),
+        |q AS (SELECT g.bin,
+        |    (coalesce(cb.n, 0) + 0.5) /
+        |      ((SELECT sum(n) FROM cb) + 0.5 * 10) AS q
+        |  FROM grid g LEFT JOIN cb USING (bin))
+        |SELECT bin, round(p, 6) AS share_ref, round(q, 6) AS share_cur,
+        |  round((p - q) * ln(p / q), 6) AS psi_term
+        |FROM p JOIN q USING (bin)""".stripMargin,
+
     "j7_range_join_bucketed" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

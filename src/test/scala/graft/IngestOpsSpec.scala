@@ -108,4 +108,26 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - math.rint(1000000.0 * 10 / 11) / 1000000.0) < 1e-9,
       s"jaccard must be 10/11 rounded: ${got.head._3}")
   }
+
+  test("psi: identical distributions read ~0; a shifted one reads the formula") {
+    import org.apache.spark.sql.functions.col
+    val ref = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    // Identical current -> every term 0 exactly (p == q per bin).
+    val same = Stats.psi(ref, ref, "v", bins = 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(same.keySet == (0 until 10).toSet)
+    assert(same.values.forall(_ == 0.0), s"identical dists must read 0: $same")
+    // Everything shifted into the top of the range: mass concentrates in
+    // bin 9 (values beyond the ref max CLAMP into the edge bin) and the
+    // summed PSI clears the 0.25 "investigate" bar by a wide margin.
+    val cur = (1 to 100).map(i => Tuple1(91.0 + (i % 10))).toDF("v")
+    val rows = Stats.psi(ref, cur, "v", bins = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val total = rows.map(_._4).sum
+    assert(total > 0.25, s"hard shift must flag: $total")
+    val bin9 = rows.find(_._1 == 9).get
+    assert(bin9._3 > 0.9, s"clamped mass lands in the edge bin: $bin9")
+    // Laplace smoothing: empty current bins still produce finite terms.
+    assert(rows.forall(r => !r._4.isNaN && !r._4.isInfinite), rows.mkString(","))
+  }
 }
