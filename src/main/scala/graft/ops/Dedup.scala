@@ -155,6 +155,51 @@ object Dedup {
         round(col("__j"), 6).as("jaccard"))
   }
 
+  /** [[incrementalPairs]] against a PRE-SHINGLED corpus: the corpus side
+    * is an accumulated `(idCol, shingle)` store (distinct pairs, UNCAPPED)
+    * instead of document bodies — a continuously-ingesting pipeline
+    * appends each batch's [[shingleSets]] output once and never
+    * re-tokenizes history, so the per-batch cross probe reads a columnar
+    * shingle table (bucketable by `shingle` at cluster scale for a
+    * shuffle-free probe) rather than re-deriving O(corpus) shingles every
+    * batch. Semantics identical to [[incrementalPairs]]: same df cap
+    * (document count derived from the store's distinct ids), same
+    * uncapped-size denominators, same unrounded threshold cut.
+    */
+  def incrementalPairsPreShingled(newDocs: DataFrame, corpusShingles: DataFrame,
+                                  idCol: String, textCol: String,
+                                  minJaccard: Double, n: Int = 3,
+                                  maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    val newSh = OpCaches.scoped(shingleSets(newDocs, idCol, textCol, n, None))
+    val corpShAll = OpCaches.scoped(
+      corpusShingles.select(col(idCol), col("shingle")))
+    val szNew = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("sz_new"))
+    val szCorp = corpShAll.groupBy(col(idCol)).agg(count(lit(1)).as("sz_corpus"))
+    val corpSh = maxDocFrequency match {
+      case None => corpShAll
+      case Some(maxDf) =>
+        val nDocs = corpShAll.select(col(idCol)).distinct().count()
+        val hot = corpShAll.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > lit(maxDf * nDocs))
+          .select(col("shingle"))
+        corpShAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    newSh.select(col(idCol).as("new_id"), col("shingle"))
+      .join(corpSh.select(col(idCol).as("corpus_id"), col("shingle")),
+        Seq("shingle"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szNew.select(col(idCol).as("new_id"), col("sz_new")), Seq("new_id"))
+      .join(szCorp.select(col(idCol).as("corpus_id"), col("sz_corpus")),
+        Seq("corpus_id"))
+      .withColumn("__j", col("inter").cast("double") /
+        (col("sz_new") + col("sz_corpus") - col("inter")))
+      .filter(col("__j") >= minJaccard)
+      .select(col("new_id"), col("corpus_id"), col("inter"),
+        round(col("__j"), 6).as("jaccard"))
+  }
+
   /** Exact pairwise n-gram Jaccard via shingle-set equi-join, keeping pairs
     * with similarity ≥ `minJaccard`. Ground-truth op — at scale, restrict
     * with [[lshCandidates]] first (see [[nearDuplicates]]).

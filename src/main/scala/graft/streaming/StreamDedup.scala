@@ -94,6 +94,43 @@ object StreamDedup {
     storeRelabeled.unionByName(newAssigned)
   }
 
+  /** [[softDedupIngest]] against a PRE-SHINGLED store: the cross-batch
+    * near-dup probe reads an accumulated `(idCol, shingle)` table instead
+    * of re-tokenizing every stored document body each batch — the
+    * production shape for continuous ingest (append
+    * `Dedup.shingleSets(batch)` to the shingle store after each call;
+    * at cluster scale bucket it by `shingle` for a shuffle-free probe).
+    * Cluster semantics identical to [[softDedupIngest]].
+    */
+  def softDedupIngestPreShingled(store: DataFrame, storeShingles: DataFrame,
+                                 batch: DataFrame, idCol: String,
+                                 textCol: String, minJaccard: Double,
+                                 n: Int = 3,
+                                 maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    import graft.ops.Dedup
+    val newDocs = batch.select(col(idCol), col(textCol))
+    val crossEdges = Dedup.incrementalPairsPreShingled(
+        newDocs, storeShingles, idCol, textCol, minJaccard, n, maxDocFrequency)
+      .join(store.select(col(idCol).as("corpus_id"), col("cluster_id")),
+        Seq("corpus_id"))
+      .select(col("new_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val withinEdges = Dedup.nearDuplicates(newDocs, idCol, textCol, minJaccard,
+        n = n, maxDocFrequency = maxDocFrequency)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.clusters(crossEdges.unionByName(withinEdges))
+    val newAssigned = newDocs
+      .join(comp.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"), col(textCol))
+    val storeRelabeled = store
+      .join(comp.select(col("doc_id").as("cluster_id"),
+        col("cluster_id").as("__merged")), Seq("cluster_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__merged"), col("cluster_id")).as("cluster_id"),
+        col(textCol))
+    storeRelabeled.unionByName(newAssigned)
+  }
+
   /** 1/|cluster| down-weights from a soft-dedup store — identical output
     * contract to the batch `sample_soft_dedup` gate. No broadcast hint:
     * the cluster-size frame is O(store) in the worst case (see

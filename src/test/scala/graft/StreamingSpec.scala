@@ -594,6 +594,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(Set(2L, 3L, 5L, 6L, 8L).map(byDoc) == Set(2L), s"merge shape: $byDoc")
   }
 
+  test("pre-shingled soft-dedup ingest equals the body-based path") {
+    // The production shape: the cross-batch probe reads an accumulated
+    // (doc_id, shingle) store instead of re-tokenizing stored bodies.
+    // Same chain+bridge fixture; both paths must produce identical
+    // weights (and equal the batch recompute by transitivity with the
+    // unit parity test above).
+    val g1 = "alpha beta gamma delta epsilon zeta"
+    val g2 = "one two three four five six seven"
+    val g3 = "red orange yellow green blue indigo violet"
+    val batches = Seq(
+      Seq((1L, g1), (2L, g2), (3L, g3)),
+      Seq((4L, g1), (5L, g2), (6L, g3), (10L, "lonely unique text nothing matches")),
+      Seq((7L, g1), (8L, g2 + " " + g3), (9L, "another singleton document entirely")))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def emptyStore = Seq.empty[(Long, Long, String)].toDF("doc_id", "cluster_id", "text")
+    // Body-based fold.
+    var s1 = emptyStore
+    batches.foreach { b =>
+      s1 = graft.streaming.StreamDedup.softDedupIngest(
+        s1, df(b), "doc_id", "text", minJaccard = 0.4,
+        maxDocFrequency = None).localCheckpoint()
+    }
+    // Pre-shingled fold: shingle store accumulates per batch.
+    var s2 = emptyStore
+    var shingles = Seq.empty[(Long, String)].toDF("doc_id", "shingle")
+    batches.foreach { b =>
+      s2 = graft.streaming.StreamDedup.softDedupIngestPreShingled(
+        s2, shingles, df(b), "doc_id", "text", minJaccard = 0.4,
+        maxDocFrequency = None).localCheckpoint()
+      shingles = shingles.unionByName(
+        graft.ops.Dedup.shingleSets(df(b), "doc_id", "text")).localCheckpoint()
+    }
+    def weights(st: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamDedup.softWeights(st, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(weights(s2) == weights(s1), s"pre=${weights(s2)} body=${weights(s1)}")
+  }
+
   test("cursor replay mirrors the simulator's distinct-timestamp batches (O3)") {
     val df = batches.flatten.toDF("userId", "tsUs", "value")
       .withColumn("ts", timestamp_micros(col("tsUs")))
