@@ -663,6 +663,28 @@ object TextQueries {
         "doc_id", "text", tagCol = "source", benchTag = "src2")
     },
 
+    // Per-SOURCE contamination matrix: which training sources leak the
+    // benchmark, at what rate — the triage view over the per-doc
+    // decontamination probe (same one-scan tagged shingling; sources with
+    // zero hits stay visible at 0, not dropped).
+    "text_contamination_by_source" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val hits = TextAnalysis.contaminationTagged(docs, "doc_id", "text",
+        tagCol = "source", benchTag = "src2")
+      val bySource = hits
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__nc"), sum(col("n_hits")).as("__th"))
+      docs.filter(col("source") =!= "src2")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(bySource, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("__nc"), lit(0L)).as("n_contaminated"),
+          coalesce(col("__th"), lit(0L)).as("total_hits"),
+          round(coalesce(col("__nc"), lit(0L)).cast("double") / col("n_docs"), 6)
+            .as("contaminated_share"))
+    },
+
     // Dedup funnel observability: ONE row tracing candidates → verified
     // pairs → clusters → survivors — the run report a curation job logs.
     "dedup_funnel_report" -> { (s, dir) =>
@@ -1734,6 +1756,28 @@ object TextQueries {
          |FROM sh JOIN bench USING (shingle)
          |WHERE source <> 'src2'
          |GROUP BY doc_id""".stripMargin,
+
+    "text_contamination_by_source" ->
+      s"""WITH words AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |  unnest(list_transform(range(greatest(len(ws)-2, 0)),
+         |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle FROM words),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src2'),
+         |hits AS (SELECT doc_id, count(*) AS n_hits
+         |  FROM sh JOIN bench USING (shingle)
+         |  WHERE source <> 'src2' GROUP BY doc_id),
+         |bysrc AS (SELECT d.source, count(*) AS nc,
+         |    CAST(sum(h.n_hits) AS BIGINT) AS th
+         |  FROM hits h JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT d.source, count(*) AS n_docs,
+         |  coalesce(max(b.nc), 0) AS n_contaminated,
+         |  coalesce(max(b.th), 0) AS total_hits,
+         |  round(CAST(coalesce(max(b.nc), 0) AS DOUBLE) / count(*), 6)
+         |    AS contaminated_share
+         |FROM documents d LEFT JOIN bysrc b ON d.source = b.source
+         |WHERE d.source <> 'src2'
+         |GROUP BY 1""".stripMargin,
 
     "dedup_funnel_report" ->
       s"""WITH RECURSIVE $wordsCte,

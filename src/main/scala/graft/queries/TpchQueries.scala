@@ -274,6 +274,25 @@ object TpchQueries {
         .select(col("s_suppkey"), col("s_name"))
     },
 
+    // TPC-H Q13-style customer order-count distribution: LEFT OUTER join
+    // (customers with no qualifying orders must appear at count 0) into a
+    // TWO-LEVEL aggregation — per-customer counts, then the histogram of
+    // those counts. The "distribution of X per Y" report shape; the
+    // second aggregation runs over |customers| rows, the histogram output
+    // is tiny. count(o_orderkey) — not count(*) — so the null-extended
+    // rows of orderless customers count 0, exactly the outer-join
+    // semantics the gate exists to pin.
+    "q13_order_count_distribution" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      Tables.customer(s, dir)
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
     // TPC-H Q22-style anti-join + global scalar subquery: above-average-
     // balance customers with NO urgent orders. The average is a 1-row
     // broadcast (rounded 6 dp for a bit-stable cut); the NOT EXISTS is a
@@ -441,6 +460,14 @@ object TpchQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |  AND EXISTS (SELECT 1 FROM excess e WHERE e.l_suppkey = s_suppkey)""".stripMargin,
+
+    "q13_order_count_distribution" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM cc GROUP BY 1""".stripMargin,
 
     "q22_idle_customers" ->
       """WITH avg_bal AS (SELECT round(avg(c_acctbal), 6) AS a
