@@ -274,6 +274,34 @@ object TpchQueries {
         .select(col("s_suppkey"), col("s_name"))
     },
 
+    // TPC-H Q7-style shipping volume between a nation PAIR: the
+    // DISJUNCTIVE cross-side predicate ((c=A ∧ s=B) ∨ (c=B ∧ s=A)) —
+    // the shape that breaks equi-join extraction when written on the fact
+    // keys. Scale-safe form: the OR narrows BOTH broadcast nation dims to
+    // the two named nations BEFORE the fact joins (each side's IN-filter
+    // is implied by the disjunction), so the fact never carries rows
+    // outside the pair; the residual pair condition evaluates on
+    // broadcast-joined dim columns, never as a join of facts.
+    "q7_nation_volume" -> { (s, dir) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
+      val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("__ck"))
+        .join(broadcast(n2), col("s_nationkey") === col("__sk"))
+        .filter((col("cust_nation") === pair(0) && col("supp_nation") === pair(1)) ||
+          (col("cust_nation") === pair(1) && col("supp_nation") === pair(0)))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(to_date(col("l_shipdate"))).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    },
+
     // TPC-H Q13-style customer order-count distribution: LEFT OUTER join
     // (customers with no qualifying orders must appear at count 0) into a
     // TWO-LEVEL aggregation — per-customer counts, then the histogram of
@@ -460,6 +488,20 @@ object TpchQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |  AND EXISTS (SELECT 1 FROM excess e WHERE e.l_suppkey = s_suppkey)""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q13_order_count_distribution" ->
       """WITH cc AS (
