@@ -340,6 +340,164 @@ object TpchQueries {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    },
+
+    // TPC-H Q8-style national market share: the deepest join tree in the
+    // suite (fact + orders + customer + supplier + part + two nation
+    // aliases + region) feeding a conditional-share aggregation. All five
+    // dims broadcast (constant-size); the fact shuffles only for the
+    // year-keyed aggregation. Numerator and denominator are rounded
+    // BEFORE the division so the 6-dp share is bit-stable across engines.
+    "q8_market_share" -> { (s, dir) =>
+      val america = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__ck"))
+      val suppNation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      val large = Tables.part(s, dir).filter(col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(large), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(america), col("c_nationkey") === col("__ck"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("__sk"))
+        .withColumn("vol", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .groupBy(year(to_date(col("o_orderdate"))).as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_3", col("vol"))
+            .otherwise(lit(0.0))), 2).as("nation_vol"),
+          round(sum(col("vol")), 2).as("total_vol"))
+        .withColumn("mkt_share",
+          round(col("nation_vol") / col("total_vol"), 6))
+    },
+
+    // TPC-H Q9-style product-type profit: supplier-nation × order-year
+    // profit over a LIKE-filtered part subset. The testdata has no
+    // partsupp, so supply cost is the standard substitute
+    // 0.6 × p_retailprice carried on the broadcast part dim. Exercises a
+    // LIKE pushdown into the dim scan + a two-key aggregation whose keys
+    // come from two different join branches.
+    "q9_product_profit" -> { (s, dir) =>
+      val widget = Tables.part(s, dir).filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("__sk"))
+        .groupBy(col("supp_nation"), year(to_date(col("o_orderdate"))).as("o_year"))
+        .agg(round(sum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.6) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+    },
+
+    // TPC-H Q10-style returned-item report: top-20 customers by revenue
+    // lost to returns in a quarter. Fact filters (returnflag) and the
+    // order-date window push to the scans; customer joins shuffle on the
+    // even custkey; the final top-k is TakeOrderedAndProject, never a
+    // global sort.
+    "q10_returned_items" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+      val natName = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__ck"), col("n_name"))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natName), col("c_nationkey") === col("__ck"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q12-style shipping-lag priority pivot: the testdata carries no
+    // l_shipmode, so the categorical axis is the DERIVED ship-lag class
+    // (days between order and ship date) — same CASE-pivot aggregation
+    // shape: per class, how many high- vs low-priority lines. One
+    // fact-orders join, map-side CASE projection, 3-row output.
+    "q12_ship_lag_priority" -> { (s, dir) =>
+      val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+      val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lag_class",
+          when(lag > 90, "SLOW").when(lag > 30, "MEDIUM").otherwise("FAST"))
+        .groupBy(col("lag_class"))
+        .agg(sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(highPrio, 0L).otherwise(1L)).as("low_line_count"))
+    },
+
+    // TPC-H Q14-style promo revenue share, one row per 1996 month: the
+    // share of revenue from PROMO parts. Part dim broadcasts; the share
+    // divides two already-rounded sums so the 4-dp ratio is bit-stable.
+    // Monthly grain (12 rows) instead of Q14's single global row — a
+    // 1-row result is too weak a hash check.
+    "q14_promo_share" -> { (s, dir) =>
+      val ptype = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .join(broadcast(ptype), col("l_partkey") === col("p_partkey"))
+        .withColumn("vol", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .groupBy(month(to_date(col("l_shipdate"))).as("ship_month"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", col("vol"))
+            .otherwise(lit(0.0))), 2).as("promo_rev"),
+          round(sum(col("vol")), 2).as("total_rev"))
+        .withColumn("promo_share",
+          round(lit(100.0) * col("promo_rev") / col("total_rev"), 4))
+    },
+
+    // TPC-H Q16-style supplier-relationship count: distinct suppliers per
+    // (brand, type, size) for a filtered part subset, EXCLUDING a
+    // NOT-IN supplier list (planned as a broadcast left_anti — the
+    // exclusion list is a bounded dim subset). The distinct-count runs as
+    // Spark's two-phase partial-distinct aggregate on the join output; the
+    // supply relation is the fact's (partkey, suppkey) projection, never
+    // materialized driver-side.
+    "q16_supplier_relationship" -> { (s, dir) =>
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_name").like("%7")).select(col("s_suppkey"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    // TPC-H Q19-style disjunctive brand/size/quantity predicate: an
+    // OR-of-conjunctions spanning fact AND dim columns. The per-brand
+    // grouping keeps the hash check meaningful (Q19's single global row
+    // is too weak); the quantity bounds shared across branches
+    // (1 ≤ qty ≤ 30) are implied conjuncts Catalyst can push to the fact
+    // scan before the broadcast join evaluates the residual disjunction.
+    "q19_disjunctive_revenue" -> { (s, dir) =>
+      val pdim = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(pdim), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#21" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
     }
   )
 
@@ -520,6 +678,105 @@ object TpchQueries {
         |WHERE c_acctbal > a
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vols AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey),
+        |agg AS (
+        |  SELECT o_year,
+        |    round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END), 2)
+        |      AS nation_vol,
+        |    round(sum(vol), 2) AS total_vol
+        |  FROM vols GROUP BY 1)
+        |SELECT o_year, nation_vol, total_vol,
+        |  round(nation_vol / total_vol, 6) AS mkt_share
+        |FROM agg""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS supp_nation,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)
+        |            - 0.6 * p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_ship_lag_priority" ->
+      """SELECT CASE
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) > 90 THEN 'SLOW'
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) > 30 THEN 'MEDIUM'
+        |    ELSE 'FAST' END AS lag_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH agg AS (
+        |  SELECT CAST(month(CAST(l_shipdate AS DATE)) AS INTEGER) AS ship_month,
+        |    round(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |      AS promo_rev,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT ship_month, promo_rev, total_rev,
+        |  round(100.0 * promo_rev / total_rev, 4) AS promo_share
+        |FROM agg""".stripMargin,
+
+    "q16_supplier_relationship" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1""".stripMargin
   )
 }

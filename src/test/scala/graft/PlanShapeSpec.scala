@@ -457,4 +457,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastHashJoin"),
       s"small cluster map should still broadcast under defaults:\n${p2.take(1200)}")
   }
+
+  test("q8/q9/q10 deep star joins: dims broadcast, fact never cartesians") {
+    for (q <- Seq("q8_market_share", "q9_product_profit", "q10_returned_items")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-keyed:\n${p.take(1200)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q constant-size dims must broadcast:\n${p.take(1200)}")
+      // One fact scan: the share/profit aggregations must not re-read
+      // lineitem (at 100 TB the fact scan dominates everything else).
+      assert("FileScan parquet.*lineitem".r.findAllIn(p).size == 1,
+        s"$q must scan lineitem exactly once:\n${p.take(1500)}")
+    }
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"),
+      "q10 top-20 must be distributed, not a global sort")
+  }
+
+  test("q12/q14 pivot aggregations stay one fact pass; q19 residual OR after broadcast") {
+    val p12 = plan("q12_ship_lag_priority")
+    assert("FileScan parquet.*lineitem".r.findAllIn(p12).size == 1 &&
+      !p12.contains("CartesianProduct"), p12.take(1200))
+    val p14 = plan("q14_promo_share")
+    // Shipdate window must reach the fact scan as pushed filters.
+    assert(p14.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q14 date window must push down:\n${p14.take(1200)}")
+    assert(p14.contains("BroadcastHashJoin"), p14.take(800))
+    val p19 = plan("q19_disjunctive_revenue")
+    assert(p19.contains("BroadcastHashJoin") && !p19.contains("CartesianProduct") &&
+      !p19.contains("BroadcastNestedLoopJoin"),
+      s"q19 disjunction must stay a broadcast equi-join + residual filter:\n${p19.take(1200)}")
+  }
+
+  test("q16 NOT IN plans as broadcast anti join + two-phase distinct count") {
+    val p = plan("q16_supplier_relationship")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"exclusion list must be a broadcast anti join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // Distinct-count must be the partial-distinct two-phase aggregate, not
+    // a pre-join global distinct (an extra full-fact exchange at scale).
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
 }
