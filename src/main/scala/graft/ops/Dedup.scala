@@ -799,4 +799,28 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col("doc_a"), col("doc_b"), col("dot"), col("cos"))
   }
+
+  /** Corpus snapshot diff: classify every document across two corpus
+    * versions as added / removed / changed / unchanged — the audit step
+    * between ingest runs of a continuously-refreshed training corpus
+    * (what did the crawler add, what churned, what silently mutated).
+    *
+    * Both sides reduce to (id, sha256(text)) MAP-SIDE before the join, so
+    * the full-outer shuffle carries two narrow columns, never document
+    * bodies — at 100 TB the exchanged bytes are ~1% of the corpus. The
+    * id key is even and unskewed; AQE is free to broadcast a genuinely
+    * small side (e.g. a daily delta against a full snapshot).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol), sha2(col(textCol).cast("binary"), 256).as(tag))
+    fp(oldSnap, "__old_fp")
+      .join(fp(newSnap, "__new_fp"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old_fp").isNull, "added")
+          .when(col("__new_fp").isNull, "removed")
+          .when(col("__old_fp") === col("__new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

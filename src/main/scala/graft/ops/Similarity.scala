@@ -1117,4 +1117,44 @@ object Similarity {
         round(min(col("__v")), 6).as("min_v"),
         round(max(col("__v")), 6).as("max_v"))
       .withColumn("dead", col("std") < deadEps)
+
+  /** Reciprocal-rank fusion of several retrieval rankings (Cormack,
+    * Clarke & Buettcher, SIGIR'09): score(d) = Σ_r 1/(kRrf + rank_r(d))
+    * over the rankers that surfaced d. The standard way to combine a
+    * lexical (BM25) and a semantic (ANN cosine) ranking without score
+    * calibration — ranks are comparable where raw scores are not.
+    *
+    * Each input frame carries (`idCol`, `rank`[, queryCols...]) and is a
+    * top-N list BY CONSTRUCTION (rankers cut at N), so the union the
+    * fusion aggregates is rankers × N × |queries| rows — never
+    * corpus-sized, whatever the corpus size. Contributions fold in
+    * sorted order (the house order-stable double-sum recipe) so the
+    * 6-dp score ties break identically in any engine; final top-k is a
+    * rank window per query group (TakeOrderedAndProject when
+    * `queryCols` is empty).
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String, k: Int,
+              kRrf: Int = 60, queryCols: Seq[String] = Nil): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contrib = rankings.map { case (tag, df) =>
+      df.select(queryCols.map(col) ++ Seq(col(idCol),
+        (lit(1.0) / (lit(kRrf.toDouble) + col("rank").cast("double")))
+          .as("__c"), lit(tag).as("__ranker")): _*)
+    }.reduce(_ unionByName _)
+    val keys = queryCols :+ idCol
+    val fused = contrib
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__c"))).as("__cs"),
+        count(lit(1)).as("n_rankers"))
+      .select(keys.map(col) ++ Seq(
+        round(aggregate(col("__cs"), lit(0.0), (a, x) => a + x), 6)
+          .as("rrf_score"), col("n_rankers")): _*)
+    if (queryCols.isEmpty)
+      fused.orderBy(col("rrf_score").desc, col(idCol)).limit(k)
+    else {
+      val w = Window.partitionBy(queryCols.map(col): _*)
+        .orderBy(col("rrf_score").desc, col(idCol))
+      fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
 }

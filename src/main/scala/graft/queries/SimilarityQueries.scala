@@ -272,6 +272,24 @@ object SimilarityQueries {
         k = 3, planes = Planes, dims = 64)
     },
 
+    // Hybrid retrieval: reciprocal-rank fusion of a lexical BM25 top-50
+    // and a semantic cosine top-50 for one probe — rank-space fusion
+    // needs no score calibration between modalities. Both inputs are
+    // top-N lists by construction, so the fused union is 100 rows here
+    // and rankers × N × |queries| in general — never corpus-sized.
+    "retrieval_rrf_hybrid" -> { (s, dir) =>
+      val lex = graft.ops.TextAnalysis.bm25(Tables.documents(s, dir),
+          "doc_id", "text", terms = Seq("spark", "join", "query"), k = 50)
+        .withColumn("rank", row_number().over(org.apache.spark.sql
+          .expressions.Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("cand_id").as("doc_id"), col("rn").as("rank"))
+      Similarity.rrfFuse(Seq("bm25" -> lex, "cosine" -> sem), "doc_id", k = 20)
+    },
+
     "embedding_norm_stats" -> { (s, dir) =>
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
     },
@@ -563,6 +581,43 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = Map(
     "ivf_kmeans_assign" -> kmeansAssignSql(k = 5, iters = 2),
+
+    // Mirrors rrfFuse over the same two rankers: BM25 CTEs are the
+    // text_bm25_topk recipe (sorted-fold per-doc sums); cosine rounds to
+    // 6 dp before ranking with id tie-break, exactly like bruteForceKnn.
+    "retrieval_rrf_hybrid" ->
+      s"""WITH ${TextQueries.wordsCte},
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |  avg(len(ws)) AS avgdl FROM words),
+         |hits AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+         |  unnest(list_filter(ws, x -> x IN ('spark','join','query'))) AS term
+         |  FROM words),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM hits GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sb AS (SELECT tf.doc_id,
+         |  ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS ts
+         |  FROM tf JOIN dfq USING (term), stats),
+         |bm AS (SELECT doc_id, round(list_sum(list_sort(list(ts))), 6) AS bm25
+         |  FROM sb GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |bmr AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM bm),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id AS doc_id,
+         |  round(${dotSql("q", "e.embedding")} /
+         |    nullif(sqrt(${dotSql("q", "q")}) *
+         |           sqrt(${dotSql("e.embedding", "e.embedding")}), 0), 6) AS cosine
+         |  FROM embeddings e, qv WHERE e.vec_id <> 0
+         |  ORDER BY cosine DESC, doc_id LIMIT 50),
+         |scr AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY cosine DESC, doc_id) AS rnk FROM sc),
+         |u AS (SELECT doc_id, rnk FROM bmr
+         |  UNION ALL SELECT doc_id, rnk FROM scr)
+         |SELECT doc_id,
+         |  round(list_sum(list_sort(list(1.0 / (60 + rnk)))), 6) AS rrf_score,
+         |  count(*) AS n_rankers
+         |FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "corpus_topic_mix" ->
       s"""WITH ${kmeansCtes(5, 2)},

@@ -186,6 +186,22 @@ object TextQueries {
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // Corpus snapshot diff: two deterministic synthetic versions of the
+    // corpus (drops on either side + an in-place mutation), classified
+    // added/removed/changed/unchanged per doc via map-side content
+    // hashes, reported per source. The between-ingest-runs audit step.
+    "corpus_snapshot_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 2)
+        .withColumn("text", when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ops.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // Tokenizer fertility per language: regex tokens per whitespace word
     // and characters per token — the multilingual tokenizer-efficiency
     // diagnostic that corrects token-denominated mixture budgets.
@@ -1108,6 +1124,23 @@ object TextQueries {
            |FROM read_parquet('/root/repo/tools/golden/text_compression_ratio_$tag.parquet') g
            |WHERE (SELECT sum(length(text)) FROM documents) = $totalLen""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    // Text equality in the oracle ≡ sha256 equality in the engine
+    // (collision-free at any realistic corpus size).
+    "corpus_snapshot_diff" ->
+      """WITH osnap AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 1),
+        |nsnap AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text = n.text THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM osnap o FULL OUTER JOIN nsnap n ON o.doc_id = n.doc_id)
+        |SELECT s.source, d.status, count(*) AS n_docs
+        |FROM d JOIN documents s USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // Same golden-file mechanism (and the same corpus-length
     // discriminator) as text_compression_ratio.

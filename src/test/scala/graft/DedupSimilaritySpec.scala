@@ -417,4 +417,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(graft.ops.Dedup.prefixPairs(hot, "doc_id", "text", k = 16,
       maxGroupSize = None).count() == 55)
   }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
+  test("RRF fusion: rank-consensus doc outranks either ranker's solo #1") {
+    // doc 10 is mid-ranked by BOTH rankers; docs 11/21 are each one
+    // ranker's #1 but absent from the other. With kRrf small enough the
+    // consensus doc must fuse above the solo leaders: 2/(k+2) > 1/(k+1).
+    val lex = Seq((11L, 1), (10L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((21L, 1), (10L, 2), (22L, 3)).toDF("doc_id", "rank")
+    val fused = Similarity.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+        "doc_id", k = 5, kRrf = 1)
+      .select("doc_id", "n_rankers").as[(Long, Long)].collect().toSeq
+    assert(fused.head == (10L, 2L), s"consensus doc must lead: $fused")
+    assert(fused.map(_._1).toSet == Set(10L, 11L, 21L, 12L, 22L))
+    // Per-query fusion: ranks fuse within each query group independently.
+    val lexQ = Seq(("q1", 11L, 1), ("q2", 31L, 1)).toDF("q", "doc_id", "rank")
+    val semQ = Seq(("q1", 11L, 2), ("q2", 32L, 1)).toDF("q", "doc_id", "rank")
+    val perQ = Similarity.rrfFuse(Seq("lex" -> lexQ, "sem" -> semQ),
+        "doc_id", k = 1, kRrf = 60, queryCols = Seq("q"))
+      .select("q", "doc_id").as[(String, Long)].collect().toSet
+    assert(perQ == Set(("q1", 11L), ("q2", 31L)))
+  }
 }
