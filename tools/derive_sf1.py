@@ -64,9 +64,29 @@ for r in range(1, 10):
 con.execute(f"COPY ({' UNION ALL '.join(ev_parts)}) TO "
             f"'{out}/events.parquet' (FORMAT PARQUET)")
 
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem"]:
+# TPC-H: facts replicate 10x over disjoint order keys; dims stay 1x —
+# the realistic 100 TB shape (facts grow, dimensions are bounded).
+# Customers/parts/suppliers keep their keys, so each gets 10x the fact
+# rows; per-orderkey aggregates get 10x the groups instead.
+for t in ["region", "nation", "customer", "supplier", "part"]:
     con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
                 f"'{out}/{t}.parquet' (FORMAT PARQUET)")
+con.execute(f"CREATE VIEW ord AS SELECT * FROM '{src}/orders.parquet'")
+con.execute(f"CREATE VIEW li AS SELECT * FROM '{src}/lineitem.parquet'")
+nord = con.execute("SELECT max(o_orderkey) + 1 FROM ord").fetchone()[0]
+ord_parts = ["SELECT * FROM ord"]
+li_parts = ["SELECT * FROM li"]
+for r in range(1, 10):
+    ord_parts.append(
+        f"SELECT o_orderkey + {r * nord} AS o_orderkey, o_custkey, "
+        f"o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM ord")
+    li_parts.append(
+        f"SELECT l_orderkey + {r * nord} AS l_orderkey, l_partkey, "
+        f"l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, "
+        f"l_tax, l_returnflag, l_linestatus, l_shipdate FROM li")
+con.execute(f"COPY ({' UNION ALL '.join(ord_parts)}) TO "
+            f"'{out}/orders.parquet' (FORMAT PARQUET)")
+con.execute(f"COPY ({' UNION ALL '.join(li_parts)}) TO "
+            f"'{out}/lineitem.parquet' (FORMAT PARQUET)")
 print("derived", out, "docs", ndocs * 10, "vecs", nvec * 10,
-      "events", nevent * 10)
+      "events", nevent * 10, "orders x10, lineitem x10")
