@@ -83,6 +83,23 @@ object ScalarQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
     },
 
+    // O3 at scale: the same top-3-per-customer report via the TopKAgg
+    // typed aggregate — bounded k-slot buffers reduce map-side and the
+    // shuffle carries k pairs per GROUP instead of every fact row; no
+    // window sort anywhere. Runs over ALL customers (the window variant
+    // gates a 100-customer slice) because the aggregate's cost is
+    // groups × k, not rows × log(rows).
+    "o3_topk_per_group_heap" -> { (s, dir) =>
+      val topk = udaf(graft.functions.TopKAgg(3))
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(topk(col("o_orderkey"), col("o_totalprice")).as("__top"))
+        .select(col("o_custkey"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("o_custkey"), col("__e._1").as("o_orderkey"),
+          col("__e._2").as("o_totalprice"),
+          (col("__pos") + 1).cast("int").as("rn"))
+    },
+
     // F13: salted sha256 (login-hash parity, reference viz.py:1209-1212).
     "f13_sha256" -> { (s, dir) =>
       Tables.customer(s, dir).select(col("c_custkey"),
@@ -232,6 +249,15 @@ object ScalarQueries {
         |  row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders WHERE o_custkey <= 100)
+        |WHERE rn <= 3""".stripMargin,
+
+    // Same ordering contract as o3_topk_per_group, whole key space.
+    "o3_topk_per_group_heap" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
         |WHERE rn <= 3""".stripMargin,
 
     "f13_sha256" ->

@@ -123,4 +123,34 @@ class AggSkewSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0))              // never leaves cluster 0
     assert(got.map(_._1).toSet == Set(2L, 3L)) // all cluster-0 candidates, no self
   }
+
+  test("TopKAgg matches the window formulation, incl. score ties and small groups") {
+    import org.apache.spark.sql.expressions.Window
+    // Ties on score (ids 20,21,22 all score 5.0) exercise the id
+    // tie-break; group "b" has fewer rows than k; 300 rows over 32
+    // partitions exercise cross-partition partial-buffer merges.
+    val rows = (1L to 300L).map { i =>
+      val g = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val score = if (i >= 20 && i <= 22) 5.0 else (i % 17).toDouble
+      (g, i, score)
+    }
+    val df = rows.toDF("grp", "id", "score").repartition(32)
+    val topk = udaf(graft.functions.TopKAgg(4))
+    val got = df.groupBy($"grp")
+      .agg(topk($"id", $"score").as("top"))
+      .select($"grp", posexplode($"top").as(Seq("pos", "e")))
+      .select($"grp", $"e._1".as("id"), $"e._2".as("score"),
+        ($"pos" + 1).cast("int").as("rn"))
+      .as[(String, Long, Double, Int)].collect().toSet
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"id")
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4).select($"grp", $"id", $"score", $"rn")
+      .as[(String, Long, Double, Int)].collect().toSet
+    assert(got == want)
+    // A group smaller than k returns all its rows, no sentinel leakage.
+    val tiny = Seq(("x", 7L, 1.0)).toDF("grp", "id", "score")
+      .groupBy($"grp").agg(topk($"id", $"score").as("top"))
+      .select(size($"top")).as[Int].collect()
+    assert(tiny.toSeq == Seq(1))
+  }
 }

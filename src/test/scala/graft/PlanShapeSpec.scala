@@ -489,6 +489,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q19 disjunction must stay a broadcast equi-join + residual filter:\n${p19.take(1200)}")
   }
 
+  test("TopKAgg top-k-per-group: partial heaps map-side, ONE exchange, no sort/window") {
+    // The window form shuffles every fact row and sorts whole partitions;
+    // the aggregate form must show partial aggregation below the single
+    // group exchange and no Sort/Window anywhere — the shuffle carries
+    // k pairs per GROUP, which is the whole point at 100 TB.
+    val p = plan("o3_topk_per_group_heap")
+    assert(p.contains("partial_topkagg"),
+      s"map-side partial aggregation must run before the exchange:\n${p.take(1200)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 group exchange, got $exchanges:\n${p.take(1200)}")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"no window/sort may appear:\n${p.take(1200)}")
+  }
+
   test("q16 NOT IN plans as broadcast anti join + two-phase distinct count") {
     val p = plan("q16_supplier_relationship")
     assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
