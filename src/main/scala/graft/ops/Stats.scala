@@ -244,6 +244,51 @@ object Stats {
           .as("psi_term"))
   }
 
+  /** Incremental aggregate maintenance: per-key mergeable state
+    * (n, sum, sumsq, min, max). At 100 TB the point is to NEVER rescan
+    * history — yesterday's state table plus today's delta merge into
+    * today's state with a join over per-key rows (one row per key, not
+    * per event). Sums are rounded to 6 dp at every stage so the merged
+    * state is bit-identical to an engine recomputing the same stages.
+    */
+  def aggState(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull).groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), round(sum(v), 6).as("s"),
+        round(sum(v * v), 6).as("ss"), min(v).as("min_v"), max(v).as("max_v"))
+  }
+
+  /** Combine two [[aggState]] frames (full outer: keys may appear on
+    * either side only). Associative and commutative, so states roll up
+    * across any number of deltas/partitions/days.
+    */
+  def mergeAggStates(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val fields = Seq("n", "s", "ss", "min_v", "max_v")
+    val an = a.select(col(keyCol) +: fields.map(c => col(c).as(s"__a_$c")): _*)
+    val bn = b.select(col(keyCol) +: fields.map(c => col(c).as(s"__b_$c")): _*)
+    an.join(bn, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("__a_n"), lit(0L)) + coalesce(col("__b_n"), lit(0L))).as("n"),
+        round(coalesce(col("__a_s"), lit(0.0)) +
+          coalesce(col("__b_s"), lit(0.0)), 6).as("s"),
+        round(coalesce(col("__a_ss"), lit(0.0)) +
+          coalesce(col("__b_ss"), lit(0.0)), 6).as("ss"),
+        // least/greatest skip nulls only when SOME arg is non-null; a
+        // one-sided key passes its own value through via coalesce.
+        least(coalesce(col("__a_min_v"), col("__b_min_v")),
+          coalesce(col("__b_min_v"), col("__a_min_v"))).as("min_v"),
+        greatest(coalesce(col("__a_max_v"), col("__b_max_v")),
+          coalesce(col("__b_max_v"), col("__a_max_v"))).as("max_v"))
+  }
+
+  /** Derive reporting stats from a (possibly merged) [[aggState]]. */
+  def finishAggState(state: DataFrame, keyCol: String): DataFrame =
+    state.select(col(keyCol), col("n"), col("min_v"), col("max_v"),
+      round(col("s") / col("n"), 6).as("mean"),
+      round(when(col("n") > 1,
+        (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 6)
+        .as("variance"))
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

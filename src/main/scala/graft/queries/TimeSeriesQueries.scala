@@ -159,6 +159,42 @@ object TimeSeriesQueries {
         "value", bins = 10)
     },
 
+    // A18: incremental aggregate maintenance — history state + delta
+    // state merge per user WITHOUT rescanning history; the merge joins
+    // one row per key. The % 3 split stands in for yesterday's state
+    // table vs today's ingest.
+    "a18_incremental_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val hist = Stats.aggState(
+        ev.filter(col("event_id") % 3 === 0), "user_id", "value")
+      val delta = Stats.aggState(
+        ev.filter(col("event_id") % 3 =!= 0), "user_id", "value")
+      Stats.finishAggState(
+        Stats.mergeAggStates(hist, delta, "user_id"), "user_id")
+    },
+
+    // Z-order curve values: the Morton interleave of quantized
+    // (user_id, value) — pure map-side shift/mask arithmetic, the sort
+    // key behind multi-dimensional data skipping (OPTIMIZE ZORDER BY).
+    "z_curve_values" -> { (s, dir) =>
+      import graft.ops.ZOrder._
+      Tables.events(s, dir).select(col("event_id"),
+        zValue2(quantize16(col("user_id"), 0.0, 150.0),
+          quantize16(col("value"), 0.0, 500.0)).as("z"))
+    },
+
+    // Data-skipping manifest over explicit curve buckets (top 8 z bits =
+    // 256 "files"): per-bucket row counts + min/max of both raw dims —
+    // the stats a scan planner consults; small per-bucket boxes on BOTH
+    // dimensions are what make either-dimension predicates prunable.
+    "z_skipping_manifest" -> { (s, dir) =>
+      import graft.ops.ZOrder._
+      skippingManifest(Tables.events(s, dir),
+        quantize16(col("user_id"), 0.0, 150.0),
+        quantize16(col("value"), 0.0, 500.0),
+        col("user_id"), col("value"), bits = 8)
+    },
+
     // A16: per-user least-squares trend of value over time (per hour) —
     // "is this subject's metric drifting" (order-stable moment folds).
     "a16_trend_slope" -> { (s, dir) =>
@@ -299,7 +335,69 @@ object TimeSeriesQueries {
     }
   )
 
+  // DuckDB mirror of ZOrder.spread16/zValue2/quantize16: the same
+  // magic-number shift-mask rounds (0x00FF00FF, 0x0F0F0F0F, 0x33333333,
+  // 0x55555555) over the same fixed-bounds quantization. The scale
+  // factors are written division-first so both engines evaluate the
+  // identical IEEE sequence.
+  private def zQuantCte(): String =
+    """q AS (SELECT event_id,
+      |  least(65535, greatest(0,
+      |    CAST(floor((user_id - 0.0) * (65536.0 / 150.0)) AS BIGINT))) AS xq,
+      |  least(65535, greatest(0,
+      |    CAST(floor((value - 0.0) * (65536.0 / 500.0)) AS BIGINT))) AS yq
+      |  FROM events),
+      |s1 AS (SELECT event_id, ((xq | (xq << 8)) & 16711935) AS x,
+      |  ((yq | (yq << 8)) & 16711935) AS y FROM q),
+      |s2 AS (SELECT event_id, ((x | (x << 4)) & 252645135) AS x,
+      |  ((y | (y << 4)) & 252645135) AS y FROM s1),
+      |s3 AS (SELECT event_id, ((x | (x << 2)) & 858993459) AS x,
+      |  ((y | (y << 2)) & 858993459) AS y FROM s2),
+      |sp AS (SELECT event_id, ((x | (x << 1)) & 1431655765) AS x,
+      |  ((y | (y << 1)) & 1431655765) AS y FROM s3)""".stripMargin
+
+  private def zFromSpread(): String = "x | (y << 1)"
+
   def oracles: Map[String, String] = Map(
+    "z_curve_values" ->
+      s"""WITH ${zQuantCte()}
+         |SELECT event_id, ${zFromSpread()} AS z FROM sp""".stripMargin,
+
+    "z_skipping_manifest" ->
+      s"""WITH ${zQuantCte()},
+         |zb AS (SELECT event_id, (${zFromSpread()}) >> 24 AS bucket FROM sp)
+         |SELECT bucket, count(*) AS n_rows,
+         |  min(e.user_id) AS x_min, max(e.user_id) AS x_max,
+         |  round(min(e.value), 6) AS y_min, round(max(e.value), 6) AS y_max
+         |FROM zb JOIN events e USING (event_id)
+         |GROUP BY 1""".stripMargin,
+
+    // Mirrors the staged arithmetic exactly: per-side sums round to 6 dp,
+    // the merge adds the ROUNDED sums and rounds again, finish divides the
+    // merged values — bit-identical across engines by construction.
+    "a18_incremental_agg" ->
+      """WITH va AS (SELECT user_id, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_id % 3 = 0 AND value IS NOT NULL),
+        |vb AS (SELECT user_id, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_id % 3 <> 0 AND value IS NOT NULL),
+        |sa AS (SELECT user_id, count(*) AS n, round(sum(v), 6) AS s,
+        |    round(sum(v * v), 6) AS ss, min(v) AS mn, max(v) AS mx
+        |  FROM va GROUP BY 1),
+        |sb AS (SELECT user_id, count(*) AS n, round(sum(v), 6) AS s,
+        |    round(sum(v * v), 6) AS ss, min(v) AS mn, max(v) AS mx
+        |  FROM vb GROUP BY 1),
+        |m AS (SELECT coalesce(sa.user_id, sb.user_id) AS user_id,
+        |    coalesce(sa.n, 0) + coalesce(sb.n, 0) AS n,
+        |    round(coalesce(sa.s, 0) + coalesce(sb.s, 0), 6) AS s,
+        |    round(coalesce(sa.ss, 0) + coalesce(sb.ss, 0), 6) AS ss,
+        |    least(coalesce(sa.mn, sb.mn), coalesce(sb.mn, sa.mn)) AS min_v,
+        |    greatest(coalesce(sa.mx, sb.mx), coalesce(sb.mx, sa.mx)) AS max_v
+        |  FROM sa FULL OUTER JOIN sb ON sa.user_id = sb.user_id)
+        |SELECT user_id, n, min_v, max_v, round(s / n, 6) AS mean,
+        |  CASE WHEN n > 1
+        |    THEN round((ss - s * s / n) / (n - 1), 6) END AS variance
+        |FROM m""".stripMargin,
+
     "a17_psi_drift" ->
       """WITH edges AS (SELECT min(value) AS lo, max(value) AS hi
         |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),

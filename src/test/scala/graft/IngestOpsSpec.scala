@@ -130,4 +130,53 @@ class IngestOpsSpec extends AnyFunSuite {
     // Laplace smoothing: empty current bins still produce finite terms.
     assert(rows.forall(r => !r._4.isNaN && !r._4.isInfinite), rows.mkString(","))
   }
+
+  test("incremental agg state: merge of splits == direct state; one-sided keys survive") {
+    val all = (1 to 300).map(i => ((i % 7).toLong, (i % 13).toDouble))
+      .toDF("k", "v")
+    // Three-way split merged pairwise (associativity in practice).
+    val parts = Seq(0, 1, 2).map(r =>
+      Stats.aggState(all.filter(col("v").cast("int") % 3 === r), "k", "v"))
+    val merged = parts.reduce(Stats.mergeAggStates(_, _, "k"))
+    val direct = Stats.aggState(all, "k", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Stats.finishAggState(df, "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(rows(merged) == rows(direct))
+    // A key present only in the delta passes min/max/n through untouched.
+    val histOnly = Stats.aggState(Seq((1L, 5.0)).toDF("k", "v"), "k", "v")
+    val deltaOnly = Stats.aggState(Seq((2L, 7.0)).toDF("k", "v"), "k", "v")
+    val m = Stats.mergeAggStates(histOnly, deltaOnly, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(m == Set((1L, 1L, 5.0), (2L, 1L, 7.0)))
+  }
+
+  test("z-order clustering bounds BOTH dimensions per partition; x-sort bounds only x") {
+    import graft.ops.ZOrder
+    import org.apache.spark.sql.functions.spark_partition_id
+    // 64x64 grid. After clustering into 16 range partitions along the
+    // curve, every partition must hold a small bounding BOX: a perfect
+    // curve split gives 16x16 cells; assert <= 32 per side (vs 64 = no
+    // pruning). The x-major sort gives tight x but useless y spans.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y").repartition(8)
+    def spans(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val s = df.groupBy(spark_partition_id().as("p"))
+        .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+        .agg(max($"xs"), max($"ys")).as[(Long, Long)].head()
+      s
+    }
+    val q = (c: org.apache.spark.sql.Column) =>
+      ZOrder.quantize16(c, 0.0, 64.0)
+    val (zx, zy) = spans(ZOrder.cluster(grid, q($"x"), q($"y"), 16))
+    assert(zx <= 32 && zy <= 32,
+      s"z-order partitions must bound both dims: x-span $zx, y-span $zy")
+    val (sx, sy) = spans(grid.repartitionByRange(16, $"x", $"y"))
+    assert(sx <= 8, s"x-major sort bounds x tightly: $sx")
+    assert(sy >= 60, s"x-major sort cannot bound y (that is the point): $sy")
+    // The 16-bit curve is a bijection: all 4096 cells map to distinct z.
+    val nz = grid.select(ZOrder.zValue2(q($"x"), q($"y"))).distinct().count()
+    assert(nz == 4096L)
+  }
 }
