@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events stream: windowed funnels and
+  * cohort retention — the two canonical product-analytics reports
+  * (ClickHouse windowFunnel / retention counterparts), re-expressed as
+  * one-aggregation Spark plans.
+  *
+  * Scale design: both ops reduce to a SINGLE user-keyed aggregation
+  * (map-side partial, one exchange on the even, unskewed user key). The
+  * funnel collects per-stage timestamp arrays per user — bounded by a
+  * user's own event count, the same per-user-bounded assumption every
+  * window op here already makes — then resolves the chain with pure
+  * array expressions (no UDF, no per-row join chain, no second scan).
+  */
+object Funnel {
+
+  /** Greedy earliest-chain windowed funnel: per user, t1 = earliest
+    * stage-1 event; each later stage matches its earliest event AFTER the
+    * previous stage and within `windowSec` of t1. Greedy-earliest is the
+    * standard semantics and maximizes the reached level for this
+    * ordering. Emits per-user (user, t1_us, funnel_level, converted,
+    * secs_to_convert) with level 0 = no stage-1 event in the data.
+    */
+  def windowedFunnel(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, stages: Seq[String],
+                     windowSec: Long): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val us = unix_micros(col(tsCol))
+    val stageCols = stages.zipWithIndex.map { case (st, i) =>
+      sort_array(collect_list(when(col(typeCol) === st, us))).as(s"__s$i")
+    }
+    val perUser = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(stageCols.head, stageCols.tail: _*)
+    val w = lit(windowSec * 1000000L)
+    // t1 = earliest stage-0 event; t(i) = earliest stage-i event in
+    // (t(i-1), t1 + w]. get() on an empty filter result is null (unlike
+    // ANSI element_at, which throws) and nulls propagate — a broken
+    // chain stays broken.
+    val t0 = get(col("__s0"), lit(0))
+    val chain = stages.indices.tail.scanLeft(t0) { (prev, i) =>
+      get(filter(col(s"__s$i"),
+        t => t > prev && t <= t0 + w), lit(0))
+    }
+    val level = chain.zipWithIndex
+      .map { case (t, i) => when(t.isNotNull, i + 1).otherwise(lit(0)) }
+      .reduce((a, b) => greatest(a, b))
+    val last = chain.last
+    perUser.select(col(userCol), t0.as("t1_us"),
+      level.cast("int").as("funnel_level"),
+      last.isNotNull.as("converted"),
+      round((last - t0).cast("double") / 1e6, 6).as("secs_to_convert"))
+  }
+
+  /** Cohort retention matrix: cohort = epoch-week of the user's first
+    * `cohortType` event; a user counts as retained in week-offset k when
+    * ANY event of theirs falls k weeks after the cohort week. Two
+    * user-keyed aggregations plus a distinct over (cohort, offset, user)
+    * — every intermediate is user- or cell-bounded, and the output is
+    * weeks × weeks cells.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, cohortType: String): DataFrame = {
+    def week(c: Column): Column = floor(unix_micros(c) / lit(604800000000L))
+    val cohorts = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol))
+      .agg(min(week(col(tsCol))).as("cohort_week"))
+    events.select(col(userCol), week(col(tsCol)).as("__w"))
+      .join(cohorts, Seq(userCol))
+      .filter(col("__w") >= col("cohort_week"))
+      .select(col(userCol), col("cohort_week"),
+        (col("__w") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

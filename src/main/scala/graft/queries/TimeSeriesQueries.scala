@@ -195,6 +195,22 @@ object TimeSeriesQueries {
         col("user_id"), col("value"), bits = 8)
     },
 
+    // Windowed funnel (view → click → purchase within 24 h of the first
+    // view): ONE user-keyed aggregation collects per-stage timestamp
+    // arrays, then pure array expressions resolve the greedy earliest
+    // chain — no UDF, no join chain, no second scan.
+    "funnel_conversion" -> { (s, dir) =>
+      graft.ops.Funnel.windowedFunnel(Tables.events(s, dir), "user_id",
+        "ts", "event_type", Seq("view", "click", "purchase"),
+        windowSec = 86400L)
+    },
+
+    // Cohort retention matrix: signup-week cohorts × active-week offsets.
+    "cohort_retention_matrix" -> { (s, dir) =>
+      graft.ops.Funnel.cohortRetention(Tables.events(s, dir), "user_id",
+        "ts", "event_type", cohortType = "signup")
+    },
+
     // A16: per-user least-squares trend of value over time (per hour) —
     // "is this subject's metric drifting" (order-stable moment folds).
     "a16_trend_slope" -> { (s, dir) =>
@@ -359,6 +375,48 @@ object TimeSeriesQueries {
   private def zFromSpread(): String = "x | (y << 1)"
 
   def oracles: Map[String, String] = Map(
+    // Greedy earliest-chain funnel: list indexing on an empty DuckDB list
+    // yields NULL, mirroring the engine's null-propagating get(); the
+    // chain CTEs stage the lambda captures (t0 then t1) explicitly.
+    "funnel_conversion" ->
+      """WITH su AS (SELECT user_id,
+        |    list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'view')) AS s0,
+        |    list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'click')) AS s1,
+        |    list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'purchase')) AS s2
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1),
+        |c0 AS (SELECT user_id, s0[1] AS t0, s1, s2 FROM su),
+        |c1 AS (SELECT user_id, t0,
+        |    list_filter(s1, t -> t > t0 AND t <= t0 + 86400000000)[1] AS t1,
+        |    s2 FROM c0),
+        |c2 AS (SELECT user_id, t0, t1,
+        |    list_filter(s2, t -> t > t1 AND t <= t0 + 86400000000)[1] AS t2
+        |  FROM c1)
+        |SELECT user_id, t0 AS t1_us,
+        |  CAST(CASE WHEN t2 IS NOT NULL THEN 3
+        |            WHEN t1 IS NOT NULL THEN 2
+        |            WHEN t0 IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS funnel_level,
+        |  t2 IS NOT NULL AS converted,
+        |  round(CAST(t2 - t0 AS DOUBLE) / 1e6, 6) AS secs_to_convert
+        |FROM c2""".stripMargin,
+
+    "cohort_retention_matrix" ->
+      """WITH wk AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+        |  FROM events),
+        |co AS (SELECT user_id, min(w) AS cohort_week FROM wk
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |cells AS (SELECT DISTINCT wk.user_id, cohort_week,
+        |    w - cohort_week AS week_offset
+        |  FROM wk JOIN co USING (user_id) WHERE w >= cohort_week)
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+
     "z_curve_values" ->
       s"""WITH ${zQuantCte()}
          |SELECT event_id, ${zFromSpread()} AS z FROM sp""".stripMargin,

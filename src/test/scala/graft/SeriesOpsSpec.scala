@@ -110,4 +110,55 @@ class SeriesOpsSpec extends AnyFunSuite {
     // same rows (the exact bounds filter runs after the bucket join).
     for (b <- Seq(1L, 3L, 100L, 1000000L)) assert(run(b) == expect, s"bucket=$b")
   }
+
+  test("windowed funnel: greedy chain, order enforcement, window cutoff") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      // u1 full conversion within window
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:20:00"),
+      (1L, "purchase", "2024-01-01 10:40:00"),
+      // u2 purchase BEFORE click → chain stops at level 2
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "purchase", "2024-01-01 10:30:00"),
+      (2L, "click", "2024-01-01 11:00:00"),
+      // u3 purchase outside the 1 h window of the FIRST view
+      (3L, "view", "2024-01-01 10:00:00"), (3L, "click", "2024-01-01 10:20:00"),
+      (3L, "purchase", "2024-01-01 11:30:00"),
+      // u4 only clicks (no stage-1) → level 0
+      (4L, "click", "2024-01-01 09:00:00"),
+      // u5 greedy t1 = EARLIEST view; the later view would convert but
+      // greedy-earliest semantics pin the window to the first
+      (5L, "view", "2024-01-01 08:00:00"), (5L, "view", "2024-01-01 10:00:00"),
+      (5L, "click", "2024-01-01 10:10:00"), (5L, "purchase", "2024-01-01 10:20:00")
+    ).map { case (u, t, s) => (u, t, ts(s)) }.toDF("user_id", "event_type", "ts")
+    val got = Funnel.windowedFunnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 3600L)
+      .select("user_id", "funnel_level", "converted")
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (u, l, c) => u -> ((l, c)) }.toMap
+    assert(got(1L) == ((3, true)))
+    assert(got(2L) == ((2, false)), "out-of-order purchase must not count")
+    assert(got(3L) == ((2, false)), "purchase past the window must not count")
+    assert(got(4L) == ((0, false)), "no stage-1 event → level 0")
+    assert(got(5L) == ((1, false)), "greedy chain anchors at the EARLIEST view")
+  }
+
+  test("cohort retention: offsets anchor at the signup week; pre-signup weeks drop") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      // u1 signs up in the epoch week starting Thu 2024-01-04 (epoch
+      // weeks run Thu–Wed); active again at offsets 1 (Jan 12) and 3
+      // (Jan 25, week of Jan 25–31)
+      (1L, "signup", "2024-01-04 10:00:00"), (1L, "view", "2024-01-12 10:00:00"),
+      (1L, "view", "2024-01-25 10:00:00"),
+      // u2 same cohort, active week 0 only; a PRE-signup event is dropped
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "signup", "2024-01-05 10:00:00"),
+      // u3 never signs up → excluded entirely
+      (3L, "view", "2024-01-04 10:00:00")
+    ).map { case (u, t, s) => (u, t, ts(s)) }.toDF("user_id", "event_type", "ts")
+    val got = Funnel.cohortRetention(ev, "user_id", "ts", "event_type", "signup")
+      .select("week_offset", "n_users").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 2L, s"both cohort members active in week 0: $got")
+    assert(got(1L) == 1L && got(3L) == 1L, s"u1 retains at offsets 1 and 3: $got")
+    assert(!got.contains(-1L), "pre-signup activity must not appear")
+  }
 }
