@@ -294,4 +294,39 @@ object GraftProperties extends Properties("graft") {
         Prop(stream == batch) :| s"stream=$stream batch=$batch split=$nBatches"
       }
     }
+
+  property("streaming funnel state equals batch funnel for ANY ordered contiguous split") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 2), Gen.choose(0L, 120L))),
+      Gen.choose(1, 5)
+    ) { (evs, nBatches) =>
+      evs.nonEmpty ==> {
+        import graft.streaming.StreamFunnel
+        import graft.streaming.StreamFunnel.{FunnelState, StageEvent}
+        val stages = Seq("view", "click", "purchase")
+        val winSec = 3600L // 60 min window over a 0–120 min corpus: cutoffs hit
+        val batch = graft.ops.Funnel.windowedFunnel(
+            evs.map { case (u, st, m) =>
+              (u, stages(st), new java.sql.Timestamp(m * 60000L)) }
+              .toDF("user_id", "event_type", "ts"),
+            "user_id", "ts", "event_type", stages, winSec)
+          .select("user_id", "funnel_level")
+          .as[(Long, Int)].collect().toMap
+        // Global event-time order, contiguous slices, per-user advance —
+        // the exact state transition the streaming op runs per batch.
+        val ordered = evs.map { case (u, st, m) =>
+          StageEvent(u, m * 60000000L, st) }.sortBy(e => (e.tsUs, e.stage))
+        val per = math.max(1, ordered.size / nBatches)
+        val slices = ordered.grouped(per).toSeq
+        val users = evs.map(_._1).distinct
+        val stream = users.map { u =>
+          val fin = slices.foldLeft(FunnelState(0L, 0L, 0)) { (st, slice) =>
+            StreamFunnel.advance(st, slice.filter(_.userId == u),
+              stages.size, winSec * 1000000L)
+          }
+          u -> fin.level
+        }.toMap
+        Prop(stream == batch) :| s"stream=$stream batch=$batch split=$nBatches"
+      }
+    }
 }

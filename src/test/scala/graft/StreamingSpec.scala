@@ -644,4 +644,51 @@ class StreamingSpec extends AnyFunSuite {
       startTime = Some("1970-01-01 00:02:00")).toSeq
     assert(sought.size == 2 && sought.map(_.count()).sum == 3)
   }
+
+  test("streaming funnel equals batch funnel for any contiguous ordered split") {
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.{StageEvent, FunnelProgress, FunnelState}
+    val stages = Seq("view", "click", "purchase")
+    // Mirrors the batch-spec corpus: full conversion (u1), out-of-order
+    // purchase (u2), window miss (u3), no stage-1 (u4), greedy anchor (u5).
+    val raw = Seq(
+      (1L, "view", 0L), (1L, "click", 20L), (1L, "purchase", 40L),
+      (2L, "view", 0L), (2L, "purchase", 30L), (2L, "click", 60L),
+      (3L, "view", 0L), (3L, "click", 20L), (3L, "purchase", 90L),
+      (4L, "click", 5L),
+      (5L, "view", 0L), (5L, "view", 120L), (5L, "click", 130L),
+      (5L, "purchase", 140L)
+    ).map { case (u, t, min) => (u, t, min * 60L * 1000000L) }
+    val winSec = 3600L
+    val batchResult = graft.ops.Funnel.windowedFunnel(
+        raw.map { case (u, t, usv) =>
+          (u, t, new java.sql.Timestamp(usv / 1000L)) }
+          .toDF("user_id", "event_type", "ts"),
+        "user_id", "ts", "event_type", stages, winSec)
+      .select("user_id", "funnel_level", "converted")
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (u, l, c) => u -> ((l, c)) }.toMap
+    // Event-time-ordered stream, split at arbitrary contiguous points.
+    val ordered = raw.sortBy(_._3)
+      .map { case (u, t, usv) => StageEvent(u, usv, stages.indexOf(t)) }
+    for (cuts <- Seq(Seq(5), Seq(3, 9), Seq(1, 2, 3, 4, 5, 6))) {
+      val slices = (Seq(0) ++ cuts ++ Seq(ordered.size)).sliding(2)
+        .map { case Seq(a, b) => ordered.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val input = MemoryStream[StageEvent](
+        implicitly[org.apache.spark.sql.Encoder[StageEvent]], spark)
+      val name = s"funnel_${cuts.mkString("_")}"
+      val q = StreamFunnel.progress(input.toDS(), stages.size, winSec)(
+          implicitly, implicitly)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        slices.foreach { b => input.addData(b); q.processAllAvailable() }
+        val got = spark.table(name)
+          .groupBy("userId").agg(max(struct(col("funnelLevel"), col("converted"))).as("s"))
+          .select(col("userId"), col("s.funnelLevel"), col("s.converted"))
+          .as[(Long, Int, Boolean)].collect()
+          .map { case (u, l, c) => u -> ((l, c)) }.toMap
+        assert(got == batchResult, s"split $cuts diverged: $got vs $batchResult")
+      } finally q.stop()
+    }
+  }
 }
