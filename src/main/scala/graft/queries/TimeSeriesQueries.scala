@@ -211,6 +211,20 @@ object TimeSeriesQueries {
         "ts", "event_type", cohortType = "signup")
     },
 
+    // Right-to-erasure audit: one bounded id set propagated across three
+    // differently-keyed tables; each audit row costs one scan (broadcast
+    // left join + conditional count) — the purge itself is the same
+    // join as a left_anti.
+    "gdpr_erasure_audit" -> { (s, dir) =>
+      val ids = Tables.events(s, dir)
+        .filter(col("user_id") % 10 === 3)
+        .select(col("user_id").as("id"))
+      graft.ops.Erasure.audit(Seq(
+        ("events", Tables.events(s, dir), "user_id"),
+        ("customer", Tables.customer(s, dir), "c_custkey"),
+        ("orders", Tables.orders(s, dir), "o_custkey")), ids, "id")
+    },
+
     // A16: per-user least-squares trend of value over time (per hour) —
     // "is this subject's metric drifting" (order-stable moment folds).
     "a16_trend_slope" -> { (s, dir) =>
@@ -375,6 +389,30 @@ object TimeSeriesQueries {
   private def zFromSpread(): String = "x | (y << 1)"
 
   def oracles: Map[String, String] = Map(
+    "gdpr_erasure_audit" ->
+      """WITH ids AS (SELECT DISTINCT user_id AS id FROM events
+        |  WHERE user_id % 10 = 3)
+        |SELECT 'events' AS table_name, count(*) AS rows_total,
+        |  CAST(sum(CASE WHEN user_id IN (SELECT id FROM ids)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_purged,
+        |  count(*) - CAST(sum(CASE WHEN user_id IN (SELECT id FROM ids)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_after
+        |FROM events
+        |UNION ALL
+        |SELECT 'customer', count(*),
+        |  CAST(sum(CASE WHEN c_custkey IN (SELECT id FROM ids)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) - CAST(sum(CASE WHEN c_custkey IN (SELECT id FROM ids)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |  CAST(sum(CASE WHEN o_custkey IN (SELECT id FROM ids)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) - CAST(sum(CASE WHEN o_custkey IN (SELECT id FROM ids)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders""".stripMargin,
+
     // Greedy earliest-chain funnel: list indexing on an empty DuckDB list
     // yields NULL, mirroring the engine's null-propagating get(); the
     // chain CTEs stage the lambda captures (t0 then t1) explicitly.

@@ -179,4 +179,18 @@ class IngestOpsSpec extends AnyFunSuite {
     val nz = grid.select(ZOrder.zValue2(q($"x"), q($"y"))).distinct().count()
     assert(nz == 4096L)
   }
+
+  test("erasure: forget leaves zero residual, preserves others; audit adds up") {
+    import graft.ops.Erasure
+    val t = Seq((1L, "a"), (2L, "b"), (3L, "c"), (2L, "d")).toDF("uid", "v")
+    val ids = Seq(2L, 9L).toDF("id") // 9 matches nothing — must be harmless
+    val purged = Erasure.forget(t, "uid", ids, "id")
+    assert(purged.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c")))
+    assert(purged.join(ids, purged("uid") === ids("id"), "left_semi").count() == 0,
+      "no residual rows for erased ids")
+    val a = Erasure.audit(Seq(("t", t, "uid")), ids, "id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == Seq(("t", 4L, 2L, 2L)))
+  }
 }
