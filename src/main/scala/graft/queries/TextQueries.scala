@@ -367,6 +367,27 @@ object TextQueries {
           round(lit(1.0) / coalesce(col("__csz"), lit(1L)), 6).as("weight"))
     },
 
+    // INCREMENTAL curation: the snapshot diff gates which docs re-enter
+    // the pipeline — only added/changed docs are re-scored, the unchanged
+    // corpus is never re-read. At 100 TB this is the difference between
+    // scoring a daily delta and rescoring the world.
+    "curation_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 2)
+        .withColumn("text", when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val fresh = newSnap.join(
+        graft.ops.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+          .filter(col("status").isin("added", "changed"))
+          .select(col("doc_id"), col("status")), Seq("doc_id"))
+      val quality = TextAnalysis.quality(fresh, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
+      fresh.join(quality, Seq("doc_id"))
+        .select(col("doc_id"), col("status"), col("source"),
+          col("quality_score"), (col("quality_score") >= 0.5).as("admitted"))
+    },
+
     // The full curation pipeline as ONE lazy DataFrame graph — quality
     // scoring, language ID, near-dup victim removal, deterministic
     // sampling — the composition a training-data run executes, with
@@ -1124,6 +1145,29 @@ object TextQueries {
            |FROM read_parquet('/root/repo/tools/golden/text_compression_ratio_$tag.parquet') g
            |WHERE (SELECT sum(length(text)) FROM documents) = $totalLen""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "curation_incremental" ->
+      """WITH osnap AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 1),
+        |nsnap AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 3 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text = n.text THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM osnap o FULL OUTER JOIN nsnap n ON o.doc_id = n.doc_id),
+        |fresh AS (SELECT n.doc_id, n.text, n.source, d.status
+        |  FROM nsnap n JOIN d USING (doc_id)
+        |  WHERE d.status IN ('added', 'changed')),
+        |fw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM fresh),
+        |q AS (SELECT doc_id, round(least(1.0, len(ws) / 50.0) *
+        |    (1.0 - CAST(len(list_filter(ws,
+        |      x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(ws)),
+        |    6) AS quality_score FROM fw)
+        |SELECT f.doc_id, f.status, f.source, q.quality_score,
+        |  q.quality_score >= 0.5 AS admitted
+        |FROM fresh f JOIN q USING (doc_id)""".stripMargin,
 
     // Text equality in the oracle ≡ sha256 equality in the engine
     // (collision-free at any realistic corpus size).
