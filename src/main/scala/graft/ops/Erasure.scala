@@ -30,12 +30,16 @@ object Erasure {
   /** Audit report over (name, table, keyCol) triples: per table, total
     * rows, rows the erasure set matches, and rows that would remain.
     * One scan per table — the match count rides a broadcast left join,
-    * not a second pass.
+    * not a second pass — and the request list materializes ONCE (scoped
+    * cache), not once per audited table: when the ids derive from a
+    * query, an N-table audit must not re-run it N times.
     */
   def audit(tables: Seq[(String, DataFrame, String)],
-            ids: DataFrame, idCol: String): DataFrame =
+            ids: DataFrame, idCol: String): DataFrame = {
+    val cached = OpCaches.scoped(ids.select(col(idCol)).distinct())
     tables.map { case (name, df, key) =>
-      val hits = idSet(ids, idCol, key).withColumn("__hit", lit(1L))
+      val hits = broadcast(cached.select(col(idCol).as(key)))
+        .withColumn("__hit", lit(1L))
       df.join(hits, Seq(key), "left")
         .agg(count(lit(1)).as("rows_total"),
           coalesce(sum(col("__hit")), lit(0L)).as("rows_purged"))
@@ -43,4 +47,5 @@ object Erasure {
           col("rows_purged"),
           (col("rows_total") - col("rows_purged")).as("rows_after"))
     }.reduce(_ unionByName _)
+  }
 }

@@ -503,6 +503,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no window/sort may appear:\n${p.take(1200)}")
   }
 
+  test("funnel runs on ONE user exchange with no window; erasure audit scans each table once") {
+    // The funnel is a single user-keyed aggregation over per-stage
+    // arrays — a window/sort formulation would sort whole partitions.
+    val pf = plan("funnel_conversion")
+    assert("Exchange hashpartitioning".r.findAllIn(pf).size == 1,
+      s"funnel must aggregate on one user exchange:\n${pf.take(1200)}")
+    assert(!pf.contains("Window"), s"no window in the funnel plan:\n${pf.take(800)}")
+    // Erasure audit: every table's id side reads the ONE scoped cache
+    // (InMemoryTableScan — the FileScan printed beneath InMemoryRelation
+    // is the cache's definition, executed once), and each match count
+    // rides a broadcast left join, never a second table pass.
+    val pe = plan("gdpr_erasure_audit")
+    assert("InMemoryTableScan".r.findAllIn(pe).size == 3,
+      s"id set must come from the scoped cache on all 3 tables:\n${pe.take(1500)}")
+    assert("BroadcastHashJoin".r.findAllIn(pe).size == 3,
+      s"each audit row is one broadcast join:\n${pe.take(1500)}")
+  }
+
+  test("incremental agg: merge is a per-key join, never a re-aggregation of raw events") {
+    // Two aggState sides + one merge join; the exchange count stays
+    // bounded (2 aggs + join alignment), and no events-sized exchange
+    // appears after the states are formed.
+    val p = plan("a18_incremental_agg")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 exchanges (2 states + merge), got $exchanges:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q16 NOT IN plans as broadcast anti join + two-phase distinct count") {
     val p = plan("q16_supplier_relationship")
     assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
