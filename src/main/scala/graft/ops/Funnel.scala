@@ -56,6 +56,48 @@ object Funnel {
       round((last - t0).cast("double") / 1e6, 6).as("secs_to_convert"))
   }
 
+  /** Last-touch attribution: each conversion event credits the latest
+    * touch event (view/click/…) at or before it, within `windowSec`;
+    * conversions with no in-window touch attribute to `direct`.
+    *
+    * Same union-window shape as the as-of join (one user-keyed exchange,
+    * one ordered pass — never a conversions × touches join): touches sort
+    * before conversions at identical timestamps so an exact-tie touch is
+    * visible, and equal-timestamp touches break deterministically toward
+    * the lexicographically greatest type (mirrored in the oracle's
+    * rank ordering).
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, idCol: String,
+                           conversionType: String, touchTypes: Seq[String],
+                           windowSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col(tsCol))
+    val idType = events.schema(idCol).dataType
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), us.as("__us"), lit(1).as("__is_conv"),
+        col(idCol), lit(null).cast("string").as("__touch"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), us.as("__us"), lit(0).as("__is_conv"),
+        lit(null).cast(idType).as(idCol), col(typeCol).as("__touch"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us"), col("__is_conv"), col("__touch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    conv.unionByName(touch)
+      .withColumn("__last", last(
+        when(col("__is_conv") === 0, struct(col("__us").as("t"),
+          col("__touch").as("ty"))), ignoreNulls = true).over(w))
+      .filter(col("__is_conv") === 1)
+      .withColumn("__ok", col("__last").isNotNull &&
+        col("__us") - col("__last.t") <= lit(windowSec * 1000000L))
+      .select(col(idCol),
+        coalesce(when(col("__ok"), col("__last.ty")), lit("direct"))
+          .as("touch_type"),
+        when(col("__ok"),
+          round((col("__us") - col("__last.t")).cast("double") / 1e6, 6))
+          .as("secs_since_touch"))
+  }
+
   /** Cohort retention matrix: cohort = epoch-week of the user's first
     * `cohortType` event; a user counts as retained in week-offset k when
     * ANY event of theirs falls k weeks after the cohort week. Two

@@ -211,6 +211,16 @@ object TimeSeriesQueries {
         "ts", "event_type", cohortType = "signup")
     },
 
+    // Last-touch attribution: each purchase credits the latest view/click
+    // within 24 h (one ordered union-window pass — never a conversions ×
+    // touches join).
+    "attribution_last_touch" -> { (s, dir) =>
+      graft.ops.Funnel.lastTouchAttribution(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowSec = 86400L)
+    },
+
     // Right-to-erasure audit: one bounded id set propagated across three
     // differently-keyed tables; each audit row costs one scan (broadcast
     // left join + conditional count) — the purge itself is the same
@@ -389,6 +399,30 @@ object TimeSeriesQueries {
   private def zFromSpread(): String = "x | (y << 1)"
 
   def oracles: Map[String, String] = Map(
+    // Latest touch = rank by (ts DESC, type DESC) — the DESC type
+    // tie-break mirrors the engine's ordered-window pick at equal
+    // timestamps.
+    "attribution_last_touch" ->
+      """WITH conv AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    event_type AS ty
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |cand AS (SELECT c.event_id, c.cus, t.tus, t.ty,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY t.tus DESC, t.ty DESC) AS rn
+        |  FROM conv c JOIN tch t
+        |    ON c.user_id = t.user_id AND t.tus <= c.cus),
+        |best AS (SELECT event_id, cus, tus, ty FROM cand WHERE rn = 1)
+        |SELECT c.event_id,
+        |  CASE WHEN b.event_id IS NOT NULL AND c.cus - b.tus <= 86400000000
+        |    THEN b.ty ELSE 'direct' END AS touch_type,
+        |  CASE WHEN b.event_id IS NOT NULL AND c.cus - b.tus <= 86400000000
+        |    THEN round(CAST(c.cus - b.tus AS DOUBLE) / 1e6, 6)
+        |    END AS secs_since_touch
+        |FROM conv c LEFT JOIN best b USING (event_id)""".stripMargin,
+
     "gdpr_erasure_audit" ->
       """WITH ids AS (SELECT DISTINCT user_id AS id FROM events
         |  WHERE user_id % 10 = 3)

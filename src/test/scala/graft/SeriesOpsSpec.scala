@@ -142,6 +142,35 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((1, false)), "greedy chain anchors at the EARLIEST view")
   }
 
+  test("last-touch attribution: window cutoff, exact-tie visibility, direct fallback") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      // conv 100: click at 10:30 beats view at 10:00 (later wins)
+      (1L, "view", "2024-01-01 10:00:00", 1L), (1L, "click", "2024-01-01 10:30:00", 2L),
+      (1L, "purchase", "2024-01-01 11:00:00", 100L),
+      // conv 101: only touch is outside the 1 h window → direct
+      (2L, "view", "2024-01-01 08:00:00", 3L),
+      (2L, "purchase", "2024-01-01 10:00:00", 101L),
+      // conv 102: touch at the exact conversion timestamp IS visible
+      (3L, "click", "2024-01-01 12:00:00", 4L),
+      (3L, "purchase", "2024-01-01 12:00:00", 102L),
+      // conv 103: no touches at all → direct
+      (4L, "purchase", "2024-01-01 09:00:00", 103L),
+      // conv 104: equal-ts touches break toward the greater type (view)
+      (5L, "view", "2024-01-01 10:00:00", 5L), (5L, "click", "2024-01-01 10:00:00", 6L),
+      (5L, "purchase", "2024-01-01 10:10:00", 104L)
+    ).map { case (u, t, s, id) => (u, t, ts(s), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Funnel.lastTouchAttribution(ev, "user_id", "ts", "event_type",
+        "event_id", "purchase", Seq("view", "click"), windowSec = 3600L)
+      .select("event_id", "touch_type").as[(Long, String)].collect().toMap
+    assert(got(100L) == "click")
+    assert(got(101L) == "direct", "out-of-window touch must not attribute")
+    assert(got(102L) == "click", "exact-tie touch is visible to the conversion")
+    assert(got(103L) == "direct")
+    assert(got(104L) == "view", "equal-ts touches break toward the greater type")
+  }
+
   test("cohort retention: offsets anchor at the signup week; pre-signup weeks drop") {
     import graft.ops.Funnel
     val ev = Seq(
