@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EngineQueries, GeoQueries, ScalarQueries, SimilarityQueries, TextQueries, TimeSeriesQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, EngineQueries, GeoQueries, ScalarQueries, SimilarityQueries, TextQueries, TimeSeriesQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.defs ++ TimeSeriesQueries.defs ++ TextQueries.defs ++
       SimilarityQueries.defs ++ GeoQueries.defs ++ ScalarQueries.defs ++
-      EngineQueries.defs
+      EngineQueries.defs ++ AnalyticsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ TimeSeriesQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ GeoQueries.oracles ++ ScalarQueries.oracles ++
-      EngineQueries.oracles
+      EngineQueries.oracles ++ AnalyticsQueries.oracles
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog (CDC) application and slowly-changing-dimension history —
+  * the two canonical warehouse-maintenance operators for a corpus that is
+  * updated by deltas rather than rebuilt (the same daily-delta stance as
+  * the incremental-curation path, SURVEY §2.12 L180).
+  *
+  * Scale design: both operators reduce to ONE window over the change
+  * stream keyed by the entity id (even, unskewed key — same exchange the
+  * ingest path already pays) plus, for [[cdcApply]], one key-equi join
+  * against the snapshot. No per-key collect, no driver state: the
+  * changelog compaction is `row_number` over (seq DESC) and the merge is
+  * a full-outer join that AQE broadcasts when the compacted delta is
+  * small (a daily delta usually is) and shuffles when it is not — no
+  * forced broadcast, per the round-7 cluster-map lesson (VERDICT r7 #2).
+  */
+object Changelog {
+
+  /** Apply a changelog to a snapshot, latest-wins per key.
+    *
+    * `changes` carries (`keyCol`, `seqCol`, `opCol`, `valCol`): rows with
+    * op = `"D"` delete the key; anything else upserts `valCol`. Only the
+    * LATEST change per key (max `seqCol`, ties broken by max `tieCol`)
+    * takes effect — the standard changelog-compaction semantics of a
+    * Debezium/Kafka-connect snapshot apply. Keys untouched by the
+    * changelog keep their snapshot value. Output: (`keyCol`, `valCol`,
+    * `src`) where `src` marks whether the surviving value came from the
+    * snapshot or the changelog.
+    */
+  def cdcApply(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+               seqCol: String, tieCol: String, opCol: String,
+               valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(tieCol).desc)
+    val latest = changes
+      .select(col(keyCol), col(seqCol), col(tieCol), col(opCol), col(valCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(opCol).as("__op"), col(valCol).as("__cv"))
+    val snap = snapshot.select(col(keyCol), col(valCol).as("__sv"))
+    snap.join(latest, Seq(keyCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(keyCol),
+        coalesce(col("__cv"), col("__sv")).as(valCol),
+        when(col("__op").isNotNull, lit("changelog"))
+          .otherwise(lit("snapshot")).as("src"))
+  }
+
+  /** Build a type-2 slowly-changing-dimension history from a change
+    * stream: per key ordered by (`seqCol`, `tieCol`), consecutive rows
+    * with an unchanged `attrCol` collapse into one validity interval;
+    * each surviving row is effective from its own timestamp until the
+    * NEXT attribute change (half-open `[from, to)`), and the last
+    * interval per key is open-ended (`to_us` null, `is_current` true).
+    *
+    * Two windows over the same (key × order) exchange — the change-flag
+    * lag and the interval-end lead both reuse one sort, so the whole
+    * history build is a single shuffle of the change stream.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, seqCol: String,
+                  tieCol: String, attrCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol), col(tieCol))
+    val flagged = changes
+      .select(col(keyCol), col(seqCol), col(tieCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(ord))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    val ord2 = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol), col(tieCol))
+    flagged
+      .withColumn("to_us", lead(col(seqCol), 1).over(ord2))
+      .select(col(keyCol), col(attrCol),
+        col(seqCol).as("from_us"), col("to_us"),
+        col("to_us").isNull.as("is_current"))
+  }
+}

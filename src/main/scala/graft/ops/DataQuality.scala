@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-quality auditing: referential-integrity orphan counts,
+  * Benford first-digit screening, and proportion confidence intervals —
+  * the checks a 100 TB ingest runs before (and after) every curation
+  * pass, alongside the PSI drift monitor and snapshot diff.
+  *
+  * Scale design: each audit is one pass over the child/fact table with a
+  * distinct-key join against the parent (AQE broadcasts genuinely small
+  * parents; a shuffled left join otherwise — no forced broadcast), or a
+  * digit/group aggregation whose output is bounded by construction
+  * (9 digits; one row per group). Nothing is event-sized downstream of
+  * the first aggregation.
+  */
+object DataQuality {
+
+  /** One relation to audit: child frame + its fk column, parent frame +
+    * its pk column, and a display name for the report row. */
+  final case class Relation(name: String, child: DataFrame, fkCol: String,
+                            parent: DataFrame, pkCol: String)
+
+  /** Referential-integrity audit: for each relation, total child rows,
+    * orphan rows (fk with no matching parent pk; null fks count as
+    * orphans — a dangling reference either way), and the orphan share.
+    * One left join per relation against the parent's distinct keys; the
+    * per-relation outputs are single rows, unioned into one report.
+    */
+  def referentialIntegrity(relations: Seq[Relation]): DataFrame = {
+    require(relations.nonEmpty, "need at least one relation")
+    relations.map { r =>
+      val keys = r.parent.select(col(r.pkCol).as("__pk")).distinct()
+      r.child.select(col(r.fkCol).as("__fk"))
+        .join(keys, col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("rows_total"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("orphan_rows"))
+        .select(lit(r.name).as("relation"), col("rows_total"),
+          col("orphan_rows"),
+          round(col("orphan_rows").cast("double") /
+            col("rows_total").cast("double"), 6).as("orphan_share"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Benford first-digit screen over a positive currency-like column:
+    * the digit is taken from the INTEGER cent representation
+    * (`round(x·100)` formatted as a string), never from `log10`, so both
+    * engines extract the identical digit — integer formatting is exact
+    * where float log-binning is ulp-fragile at power-of-ten boundaries.
+    * Emits, per leading digit 1–9, the observed count/share, Benford's
+    * expected share log10(1 + 1/d), and the chi-square term. Output is
+    * nine rows by construction.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counted = df.filter(col(valueCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counted.agg(sum(col("n")).as("__total"))
+    val share = col("n").cast("double") / col("__total").cast("double")
+    val expected = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    counted.crossJoin(total)
+      .select(col("digit"), col("n"),
+        round(share, 6).as("share"),
+        round(expected, 6).as("benford_expected"),
+        round(pow(share - expected, 2) / expected, 6).as("chi2_term"))
+  }
+
+  /** Wilson score interval for a per-group success share at confidence
+    * z (1.96 ≈ 95%): the interval that stays inside [0,1] and behaves at
+    * small n where the normal approximation fails — the standard way to
+    * rank sources by a quality-pass rate without over-trusting tiny
+    * sources. One group aggregation; closed-form arithmetic after it.
+    */
+  def wilsonShare(df: DataFrame, groupCol: String,
+                  success: org.apache.spark.sql.Column,
+                  z: Double = 1.96): DataFrame = {
+    val agged = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+    val n = col("n").cast("double")
+    val p = col("successes").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))
+    agged.select(col(groupCol), col("n"), col("successes"),
+      round(p, 6).as("share"),
+      round((center - spread) / denom, 6).as("wilson_lo"),
+      round((center + spread) / denom, 6).as("wilson_hi"))
+  }
+
+  /** First-order transition matrix over an event-type sequence: per user
+    * ordered by (ts, tie), each consecutive (state → next state) pair is
+    * counted, then row-normalized into transition probabilities — the
+    * maximum-likelihood Markov-chain estimate for session modeling.
+    * One ordered window for the lead + one pair aggregation; the output
+    * is |states|² rows at most.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, stateCol: String): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(ord))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("__row_total"))
+    pairs.join(totals, Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        round(col("n").cast("double") /
+          col("__row_total").cast("double"), 6).as("prob"))
+  }
+}

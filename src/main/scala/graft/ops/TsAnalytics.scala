@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostics beyond the reference's KPI set: time-weighted
+  * means over irregular samples, rolling autocorrelation, CUSUM
+  * change-point location, seasonal-naive forecast evaluation, and a
+  * sampling-completeness report — the monitoring layer a production
+  * wearable/metrics pipeline runs on top of the §2.5 window ops.
+  *
+  * Scale design: every operator here is one window pass and/or one or
+  * two key-bounded aggregations over the `(user, ts)` exchange the
+  * series layer already pays; outputs are per-user (or per-bucket) rows,
+  * never event-sized blowups, and nothing collects to the driver. All
+  * running/cumulative sums are frame-ordered (deterministic IEEE
+  * accumulation order, mirrored exactly by the DuckDB oracles).
+  */
+object TsAnalytics {
+
+  /** Interval-weighted (time-weighted) average per user: each sample is
+    * weighted by its holding time until the next sample — the standard
+    * TWAP/conditioning for irregularly-sampled gauges, where a plain
+    * mean over-weights bursts. The per-user last sample carries no
+    * interval and drops out of the weighting (standard left-Riemann
+    * convention). One window (lead) + one user-keyed agg.
+    */
+  def timeWeightedAvg(df: DataFrame, userCol: String, tsCol: String,
+                      valueCol: String, tieCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val ord = Window.partitionBy(col(userCol)).orderBy(us, col(tieCol))
+    val dt = (lead(us, 1).over(ord) - us).cast("double") / 1e6
+    df.select(col(userCol), col(tieCol), col(valueCol), dt.as("__dt"))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(userCol))
+      .agg(
+        round(sum(col(valueCol) * col("__dt")) / sum(col("__dt")), 4)
+          .as("time_weighted_avg"),
+        round(sum(col("__dt")), 6).as("span_secs"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Rolling lag-1 autocorrelation per user over a trailing `frameRows`
+    * row frame: Pearson corr of (value, previous value) from frame-local
+    * sums — the standard persistence/trend-stability diagnostic. Rows
+    * without a full frame emit null (warm-up). One exchange; the lag and
+    * all six frame sums share a single (user × ts) sort.
+    */
+  def rollingAutocorr(df: DataFrame, userCol: String, tsCol: String,
+                      valueCol: String, tieCol: String,
+                      frameRows: Int): DataFrame = {
+    require(frameRows >= 3, "need at least 3 rows for a correlation frame")
+    val ord = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val frame = ord.rowsBetween(-(frameRows - 1), 0)
+    val x = col("__x"); val y = col("__y")
+    val n = count(y).over(frame).cast("double")
+    val sx = sum(when(y.isNotNull, x)).over(frame)
+    val sy = sum(y).over(frame)
+    val sxx = sum(when(y.isNotNull, x * x)).over(frame)
+    val syy = sum(y * y).over(frame)
+    val sxy = sum(x * y).over(frame)
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    df.select(col(userCol), col(tsCol), col(tieCol),
+        col(valueCol).as("__x"))
+      .withColumn("__y", lag(col("__x"), 1).over(ord))
+      .withColumn("__nf", n)
+      .withColumn("autocorr",
+        when(col("__nf") === frameRows && varx > 0 && vary > 0,
+          round(cov / sqrt(varx * vary), 4)))
+      .filter(col("__nf") === frameRows)
+      .select(col(userCol), unix_micros(col(tsCol)).as("ts_us"),
+        col(tieCol), col("autocorr"))
+  }
+
+  /** CUSUM change-point location per user: cumulative sum of deviations
+    * from the user's own mean, change point at the maximum |S_i| (Page's
+    * cumulative-sum statistic; the argmax of the excursion is the
+    * classic single-change-point estimate). Earliest row wins an exact
+    * tie. Two windows (partition mean, running sum) and one ranking pass
+    * over one (user × order) exchange; output is one row per user.
+    */
+  def cusumChangepoint(df: DataFrame, userCol: String, tsCol: String,
+                       valueCol: String, tieCol: String): DataFrame = {
+    val part = Window.partitionBy(col(userCol))
+    val ord = part.orderBy(col(tsCol), col(tieCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = col(valueCol) - avg(col(valueCol)).over(part)
+    val s = sum(dev).over(run)
+    val pick = Window.partitionBy(col(userCol))
+      .orderBy(abs(col("__s")).desc, col(tsCol), col(tieCol))
+    df.select(col(userCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("__s", s)
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(userCol), col("__n").as("n"),
+        unix_micros(col(tsCol)).as("changepoint_us"),
+        round(abs(col("__s")), 4).as("max_abs_cusum"))
+  }
+
+  /** Seasonal-naive forecast evaluation per user: resample to per-user
+    * hourly means, forecast each bucket with the bucket `seasonHours`
+    * earlier (y-hat_t = y_{t-s}, the standard seasonal-naive baseline
+    * every forecast eval is scored against), and report MAE over the
+    * buckets where the seasonal predecessor exists. The forecast join is
+    * a self equi-join on (user, bucket − s) — no window over sparse
+    * buckets, so missing hours never misalign the season.
+    */
+  def seasonalNaiveEval(df: DataFrame, userCol: String, tsCol: String,
+                        valueCol: String, tieCol: String,
+                        seasonHours: Int): DataFrame = {
+    require(seasonHours > 0, "seasonHours must be positive")
+    // Cross-engine determinism: the MAE is carried END-TO-END in exact
+    // integer micro-units. Each |y − ŷ| is quantized once
+    // (round(d·1e6), absorbing the ≤ulp wobble of the hourly float
+    // means), summed exactly (integer addition is order-free, so
+    // partial-agg merge order cannot matter), and the final per-bucket
+    // mean is rounded to an integer micro-unit. A fractional-dp rounded
+    // DOUBLE here is NOT reproducible across engines: 2-dp inputs with
+    // small bucket counts park the true MAE exactly on 4-dp half
+    // boundaries (observed at sf0.01: mae = 38.69875 precisely), where
+    // Spark's shortest-decimal-repr rounding and a scaled-float
+    // rounding (DuckDB) legitimately disagree. Integer outputs have no
+    // such boundary: round(S/n) only ties at exact .5, which both
+    // engines round up.
+    val bucket = floor(unix_micros(col(tsCol)) / lit(3600000000L))
+    val hourly = df.groupBy(col(userCol), bucket.as("bucket"))
+      .agg(avg(col(valueCol)).as("y"))
+    val fc = hourly.select(col(userCol),
+      (col("bucket") + seasonHours).as("bucket"), col("y").as("yhat"))
+    val dMicro = round(abs(col("y") - col("yhat")) * 1e6).cast("long")
+    hourly.join(fc, Seq(userCol, "bucket"), "inner")
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_eval"), sum(dMicro).as("__s"))
+      .select(col(userCol), col("n_eval"),
+        round(col("__s").cast("double") / col("n_eval").cast("double"))
+          .cast("long").as("mae_micro"))
+  }
+
+  /** Sampling-completeness report per user: expected hourly buckets from
+    * the user's own observed span (absolute hour grid, so no per-user
+    * anchor join), present = distinct hours actually seen, missing =
+    * expected − present. Pure two-level aggregation — no grid explode,
+    * no calendar table: the span bound makes `expected` arithmetic.
+    */
+  def completenessReport(df: DataFrame, userCol: String,
+                         tsCol: String): DataFrame = {
+    val bucket = floor(unix_micros(col(tsCol)) / lit(3600000000L))
+    df.groupBy(col(userCol), bucket.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(userCol))
+      .agg((max(col("__b")) - min(col("__b")) + 1).as("expected_hours"),
+        count(lit(1)).as("present_hours"),
+        sum(col("__n")).as("n_events"))
+      .select(col(userCol), col("expected_hours"), col("present_hours"),
+        (col("expected_hours") - col("present_hours")).as("missing_hours"),
+        round(col("present_hours").cast("double") /
+          col("expected_hours").cast("double"), 6).as("coverage"))
+  }
+}

@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Changelog, DataQuality, TsAnalytics}
+import graft.sources.Tables
+
+/** Warehouse-maintenance, time-series-diagnostic, and data-quality gates
+  * (SURVEY §2.12 L182–L193): CDC apply, SCD2 history, pivot datacard,
+  * time-weighted averages, rolling autocorrelation, CUSUM change points,
+  * seasonal-naive eval, completeness, referential integrity, Benford,
+  * Wilson intervals, and Markov transitions — each mirrored by an exact
+  * DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val docSources: Seq[String] = (0 until 20).map(i => s"src$i")
+
+  def defs: Map[String, Q] = Map(
+    // L182: changelog compaction + latest-wins snapshot merge. The
+    // changelog is derived from events (error ⇒ delete, else upsert of
+    // `value`); the snapshot is customer acctbal keyed by custkey.
+    "cdc_apply_changelog" -> { (s, dir) =>
+      val snap = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_acctbal").as("value"))
+      val changes = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("seq_us"),
+          col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("value"))
+      Changelog.cdcApply(snap, changes, "user_id", "seq_us", "event_id",
+        "op", "value")
+    },
+
+    // L183: SCD type-2 validity intervals over the per-user event-type
+    // attribute stream (consecutive duplicates collapse).
+    "scd2_history_build" -> { (s, dir) =>
+      val changes = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("seq_us"),
+          col("event_id"), col("event_type"))
+      Changelog.scd2History(changes, "user_id", "seq_us", "event_id",
+        "event_type")
+        .select(col("user_id"), col("event_type"), col("from_us"),
+          col("to_us"), col("is_current"))
+    },
+
+    // L184: pivoted lang × source datacard (explicit value list so the
+    // output schema is static; absent cells read 0, not null).
+    "a19_pivot_lang_source" -> { (s, dir) =>
+      val piv = Tables.documents(s, dir)
+        .groupBy(col("lang")).pivot("source", docSources)
+        .agg(count(lit(1)))
+      docSources.foldLeft(piv) { (df, c) =>
+        df.withColumn(c, coalesce(col(c), lit(0L)))
+      }
+    },
+
+    // L185: per-user time-weighted average over irregular samples.
+    "a20_time_weighted_avg" -> { (s, dir) =>
+      TsAnalytics.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts",
+        "value", "event_id")
+    },
+
+    // L186: rolling lag-1 autocorrelation, trailing 20-row frame.
+    "w14_rolling_autocorr" -> { (s, dir) =>
+      TsAnalytics.rollingAutocorr(Tables.events(s, dir), "user_id", "ts",
+        "value", "event_id", frameRows = 20)
+    },
+
+    // L187: CUSUM change-point per user.
+    "ts_cusum_changepoint" -> { (s, dir) =>
+      TsAnalytics.cusumChangepoint(Tables.events(s, dir), "user_id", "ts",
+        "value", "event_id")
+    },
+
+    // L188: seasonal-naive forecast eval (24-hour season) per user.
+    "ts_seasonal_naive_eval" -> { (s, dir) =>
+      TsAnalytics.seasonalNaiveEval(Tables.events(s, dir), "user_id", "ts",
+        "value", "event_id", seasonHours = 24)
+    },
+
+    // L189: hourly sampling-completeness report per user.
+    "a21_completeness_gaps" -> { (s, dir) =>
+      TsAnalytics.completenessReport(Tables.events(s, dir), "user_id", "ts")
+    },
+
+    // L190: referential-integrity orphan audit over the star schema.
+    "dq_referential_integrity" -> { (s, dir) =>
+      DataQuality.referentialIntegrity(Seq(
+        DataQuality.Relation("lineitem->orders", Tables.lineitem(s, dir),
+          "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+        DataQuality.Relation("lineitem->part", Tables.lineitem(s, dir),
+          "l_partkey", Tables.part(s, dir), "p_partkey"),
+        DataQuality.Relation("lineitem->supplier", Tables.lineitem(s, dir),
+          "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+        DataQuality.Relation("orders->customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey")))
+    },
+
+    // L191: Benford first-digit screen on extended price.
+    "dq_benford_digits" -> { (s, dir) =>
+      DataQuality.benfordDigits(Tables.lineitem(s, dir), "l_extendedprice")
+    },
+
+    // L192: Wilson 95% interval on the per-source long-document share.
+    "dq_wilson_ci" -> { (s, dir) =>
+      DataQuality.wilsonShare(Tables.documents(s, dir), "source",
+        col("n_chars") > 800)
+    },
+
+    // L193: first-order event-type transition matrix.
+    "events_transition_matrix" -> { (s, dir) =>
+      DataQuality.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "cdc_apply_changelog" ->
+      """WITH ch AS (SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+        |               event_id DESC) AS rn
+        |  FROM events),
+        |latest AS (SELECT user_id, value, op FROM ch WHERE rn = 1),
+        |snap AS (SELECT c_custkey AS user_id, c_acctbal AS value
+        |  FROM customer)
+        |SELECT coalesce(s.user_id, l.user_id) AS user_id,
+        |  coalesce(l.value, s.value) AS value,
+        |  CASE WHEN l.user_id IS NOT NULL THEN 'changelog'
+        |    ELSE 'snapshot' END AS src
+        |FROM snap s FULL OUTER JOIN latest l ON s.user_id = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    "scd2_history_build" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS seq_us, event_id
+        |  FROM events),
+        |f AS (SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY seq_us, event_id) AS prev
+        |  FROM e),
+        |chg AS (SELECT user_id, event_type, seq_us, event_id FROM f
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, seq_us AS from_us,
+        |  lead(seq_us) OVER (PARTITION BY user_id
+        |    ORDER BY seq_us, event_id) AS to_us,
+        |  (lead(seq_us) OVER (PARTITION BY user_id
+        |    ORDER BY seq_us, event_id)) IS NULL AS is_current
+        |FROM chg""".stripMargin,
+
+    "a19_pivot_lang_source" -> {
+      val cells = docSources.map { s =>
+        s"  CAST(sum(CASE WHEN source = '$s' THEN 1 ELSE 0 END) AS BIGINT) AS $s"
+      }.mkString(",\n")
+      s"SELECT lang,\n$cells\nFROM documents GROUP BY lang"
+    },
+
+    "a20_time_weighted_avg" ->
+      """WITH g AS (SELECT user_id, value,
+        |    CAST(lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |      (PARTITION BY user_id
+        |       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |      - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 1e6 AS dt
+        |  FROM events)
+        |SELECT user_id,
+        |  round(sum(value * dt) / sum(dt), 4) AS time_weighted_avg,
+        |  round(sum(dt), 6) AS span_secs,
+        |  count(*) AS n_intervals
+        |FROM g WHERE dt IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    "w14_rolling_autocorr" ->
+      """WITH b AS (SELECT user_id, event_id, value AS x,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS y
+        |  FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |    count(y) OVER w AS nf,
+        |    CAST(count(y) OVER w AS DOUBLE) AS n,
+        |    sum(CASE WHEN y IS NOT NULL THEN x END) OVER w AS sx,
+        |    sum(y) OVER w AS sy,
+        |    sum(CASE WHEN y IS NOT NULL THEN x * x END) OVER w AS sxx,
+        |    sum(y * y) OVER w AS syy,
+        |    sum(x * y) OVER w AS sxy
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_us, event_id,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+        |    END AS autocorr
+        |FROM f WHERE nf = 20""".stripMargin,
+
+    "ts_cusum_changepoint" ->
+      """WITH d AS (SELECT user_id, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    value - avg(value) OVER (PARTITION BY user_id) AS dev,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts_us, n,
+        |    sum(dev) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY abs(cs) DESC, ts_us, event_id) AS rn FROM s)
+        |SELECT user_id, n, ts_us AS changepoint_us,
+        |  round(abs(cs), 4) AS max_abs_cusum
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // Mirror of TsAnalytics.seasonalNaiveEval: the MAE travels as exact
+    // integer micro-units end to end (order-free sums, no fractional-dp
+    // double round — those sit on engine-disagreeing half boundaries
+    // with 2-dp inputs).
+    "ts_seasonal_naive_eval" ->
+      """WITH h AS (SELECT user_id,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+        |      AS BIGINT) AS bucket,
+        |    avg(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.user_id,
+        |    CAST(round(abs(a.y - b.y) * 1e6) AS BIGINT) AS d_micro
+        |  FROM h a JOIN h b
+        |    ON a.user_id = b.user_id AND a.bucket = b.bucket + 24)
+        |SELECT user_id, count(*) AS n_eval,
+        |  CAST(round(CAST(sum(d_micro) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mae_micro
+        |FROM j GROUP BY user_id""".stripMargin,
+
+    "a21_completeness_gaps" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+        |      AS BIGINT) AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id,
+        |    max(bucket) - min(bucket) + 1 AS expected_hours,
+        |    count(*) AS present_hours, sum(n) AS n_events
+        |  FROM b GROUP BY user_id)
+        |SELECT user_id, expected_hours, present_hours,
+        |  expected_hours - present_hours AS missing_hours,
+        |  round(CAST(present_hours AS DOUBLE) /
+        |    CAST(expected_hours AS DOUBLE), 6) AS coverage
+        |FROM u""".stripMargin,
+
+    "dq_referential_integrity" ->
+      """WITH rel AS (
+        |  SELECT 'lineitem->orders' AS relation, count(*) AS rows_total,
+        |    CAST(sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS orphan_rows
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM orders) o
+        |    ON l.l_orderkey = o.k
+        |  UNION ALL
+        |  SELECT 'lineitem->part', count(*),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l.l_partkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier', count(*),
+        |    CAST(sum(CASE WHEN s.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT s_suppkey AS k FROM supplier) s
+        |    ON l.l_suppkey = s.k
+        |  UNION ALL
+        |  SELECT 'orders->customer', count(*),
+        |    CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS k FROM customer) c
+        |    ON o.o_custkey = c.k)
+        |SELECT relation, rows_total, orphan_rows,
+        |  round(CAST(orphan_rows AS DOUBLE) /
+        |    CAST(rows_total AS DOUBLE), 6) AS orphan_share
+        |FROM rel""".stripMargin,
+
+    "dq_benford_digits" ->
+      """WITH d AS (SELECT CAST(substr(CAST(
+        |      CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+        |    AS benford_expected,
+        |  round(pow(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |      - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+        |    / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS chi2_term
+        |FROM c, t""".stripMargin,
+
+    "dq_wilson_ci" ->
+      """WITH a AS (SELECT source, count(*) AS n,
+        |    CAST(sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS successes
+        |  FROM documents GROUP BY source),
+        |c AS (SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd FROM a)
+        |SELECT source, n, successes, round(p, 6) AS share,
+        |  round((p + 3.8416 / (2.0 * nd)
+        |    - 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
+        |    / (1.0 + 3.8416 / nd), 6) AS wilson_lo,
+        |  round((p + 3.8416 / (2.0 * nd)
+        |    + 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
+        |    / (1.0 + 3.8416 / nd), 6) AS wilson_hi
+        |FROM c""".stripMargin,
+
+    "events_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM p
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, sum(n) AS row_total FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6)
+        |    AS prob
+        |FROM c JOIN t ON c.from_state = t.from_state""".stripMargin
+  )
+}

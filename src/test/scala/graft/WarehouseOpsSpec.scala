@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Changelog, DataQuality, TsAnalytics}
+
+/** Round-8 batch: CDC apply / SCD2 history, time-series diagnostics, and
+  * data-quality audits (SURVEY §2.12 L182–L193).
+  */
+class WarehouseOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Changelog -------------------------------------------------------
+
+  test("cdcApply: latest-wins upsert, delete wins over snapshot, new key inserts") {
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val ch = Seq(
+      (1L, 100L, 1L, "U", 11.0),  // stale update...
+      (1L, 200L, 2L, "U", 12.0),  // ...latest wins
+      (2L, 100L, 1L, "D", 0.0),   // delete key 2
+      (4L, 100L, 1L, "U", 44.0),  // brand-new key
+      (5L, 100L, 1L, "D", 0.0)    // delete of a key never in the snapshot
+    ).toDF("k", "seq", "tie", "op", "v")
+    val got = Changelog.cdcApply(snap, ch, "k", "seq", "tie", "op", "v")
+      .as[(Long, Double, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(
+      1L -> ((12.0, "changelog")),
+      3L -> ((30.0, "snapshot")),
+      4L -> ((44.0, "changelog"))), got.toString)
+  }
+
+  test("cdcApply: equal seq broken by the tie column, descending") {
+    val snap = Seq((1L, 0.0)).toDF("k", "v")
+    val ch = Seq((1L, 100L, 1L, "U", 1.0), (1L, 100L, 2L, "U", 2.0))
+      .toDF("k", "seq", "tie", "op", "v")
+    val got = Changelog.cdcApply(snap, ch, "k", "seq", "tie", "op", "v")
+      .select("v").as[Double].collect().toSeq
+    assert(got == Seq(2.0), got.toString)
+  }
+
+  test("scd2History: consecutive duplicates collapse; intervals chain half-open; last is current") {
+    val ch = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), // dup collapses
+      (1L, 30L, 3L, "b"), (1L, 40L, 4L, "a"), // a again = NEW interval
+      (2L, 10L, 5L, "x"))
+      .toDF("k", "seq", "tie", "attr")
+    val got = Changelog.scd2History(ch, "k", "seq", "tie", "attr")
+      .select("k", "attr", "from_us", "to_us", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10L, Some(30L), false),
+      (1L, "b", 30L, Some(40L), false),
+      (1L, "a", 40L, None, true),
+      (2L, "x", 10L, None, true)), got.toString)
+  }
+
+  // ---- TsAnalytics -----------------------------------------------------
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("timeWeightedAvg: holding-time weights, last sample drops out") {
+    // user 1: v=10 held 10 s, v=20 held 30 s, v=99 unweighted (last)
+    val df = Seq(
+      (1L, ts(0L), 1L, 10.0),
+      (1L, ts(10000000L), 2L, 20.0),
+      (1L, ts(40000000L), 3L, 99.0))
+      .toDF("u", "t", "id", "v")
+    val got = TsAnalytics.timeWeightedAvg(df, "u", "t", "v", "id")
+      .as[(Long, Double, Double, Long)].collect().head
+    // (10*10 + 20*30) / 40 = 17.5
+    assert(got == ((1L, 17.5, 40.0, 2L)), got.toString)
+  }
+
+  test("rollingAutocorr: constant-increment series has autocorr 1; warm-up rows dropped") {
+    val rows = (0 until 10).map(i => (1L, ts(i * 1000000L), i.toLong, i.toDouble))
+    val got = TsAnalytics.rollingAutocorr(rows.toDF("u", "t", "id", "v"),
+        "u", "t", "v", "id", frameRows = 4)
+      .select("autocorr").as[Option[Double]].collect()
+    // 10 rows, frame 4 ⇒ rows 0-2 warm up; frames start at the row with
+    // a full 4-lag-pair window. Perfectly linear series ⇒ corr 1.
+    assert(got.length == 6, got.mkString(","))
+    assert(got.forall(_.contains(1.0)), got.mkString(","))
+  }
+
+  test("rollingAutocorr: alternating series has autocorr -1") {
+    val rows = (0 until 8).map(i =>
+      (1L, ts(i * 1000000L), i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val got = TsAnalytics.rollingAutocorr(rows.toDF("u", "t", "id", "v"),
+        "u", "t", "v", "id", frameRows = 4)
+      .select("autocorr").as[Option[Double]].collect()
+    assert(got.nonEmpty && got.forall(_.contains(-1.0)), got.mkString(","))
+  }
+
+  test("cusumChangepoint: locates the level shift") {
+    // 5 points at 0, then 5 at 10: |cusum| peaks at the last pre-shift row.
+    val rows = (0 until 10).map(i =>
+      (1L, ts(i * 1000000L), i.toLong, if (i < 5) 0.0 else 10.0))
+    val got = TsAnalytics.cusumChangepoint(rows.toDF("u", "t", "id", "v"),
+        "u", "t", "v", "id")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got._2 == 10L)
+    assert(got._3 == 4000000L, s"changepoint at the 5th row, got ${got._3}")
+    assert(got._4 == 25.0, got.toString) // 5 * |0 - 5|
+  }
+
+  test("seasonalNaiveEval: lag-season forecast scores only matchable buckets") {
+    // Hours 0..3 then hours 24..27 (season 24): forecasts exist only for
+    // the second day; |y - yhat| = 1 for each of the 4 pairs.
+    val rows = (0 until 4).flatMap { h =>
+      Seq((1L, ts(h * 3600000000L), h.toLong, 10.0 + h),
+        (1L, ts((h + 24) * 3600000000L), (h + 24).toLong, 11.0 + h))
+    }
+    val got = TsAnalytics.seasonalNaiveEval(rows.toDF("u", "t", "id", "v"),
+        "u", "t", "v", "id", seasonHours = 24)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((1L, 4L, 1000000L)), got.toString) // MAE 1.0 in µ-units
+  }
+
+  test("completenessReport: expected from span, missing = expected - present") {
+    // Hours 0, 1, 3 present (2 absent): expected 4, present 3.
+    val rows = Seq(0, 1, 3).map(h => (1L, ts(h * 3600000000L), h.toDouble))
+    val got = TsAnalytics.completenessReport(rows.toDF("u", "t", "v"), "u", "t")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((1L, 4L, 3L, 1L, 0.75)), got.toString)
+  }
+
+  // ---- DataQuality -----------------------------------------------------
+
+  test("referentialIntegrity: counts orphans incl. null fks; clean relation reads 0") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = DataQuality.referentialIntegrity(Seq(
+        DataQuality.Relation("child->parent", child, "fk", parent, "pk"),
+        DataQuality.Relation("parent->parent", parent, "pk", parent, "pk")))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("child->parent") == ((4L, 2L)), got.toString)
+    assert(got("parent->parent") == ((3L, 0L)), got.toString)
+  }
+
+  test("benfordDigits: digit extraction from cent representation, shares sum to 1") {
+    val df = Seq(1.00, 19.99, 250.0, 2.50, 999.99, 0.0, -5.0).toDF("v")
+    val got = DataQuality.benfordDigits(df, "v")
+      .select("digit", "n", "share").as[(Int, Long, Double)].collect()
+    val byDigit = got.map(r => r._1 -> r._2).toMap
+    // 0 and negative excluded; digits: 1.00→1, 19.99→1, 250.0→2, 2.50→2, 999.99→9
+    assert(byDigit == Map(1 -> 2L, 2 -> 2L, 9 -> 1L), byDigit.toString)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  test("wilsonShare: interval brackets the share and stays inside [0,1]") {
+    val df = (1 to 10).map(i => ("s", i <= 9)).toDF("g", "ok")
+    val got = DataQuality.wilsonShare(df, "g", col("ok"))
+      .select("n", "successes", "share", "wilson_lo", "wilson_hi")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 10L && got._2 == 9L && got._3 == 0.9)
+    // Wilson at p=.9, n=10, z=1.96: ≈ [0.596, 0.982]
+    assert(got._4 > 0.55 && got._4 < got._3, got.toString)
+    assert(got._5 > got._3 && got._5 < 1.0, got.toString)
+  }
+
+  test("transitionMatrix: ML estimate; per-from probabilities sum to 1") {
+    val rows = Seq(
+      (1L, ts(1000000L), 1L, "a"), (1L, ts(2000000L), 2L, "b"),
+      (1L, ts(3000000L), 3L, "a"), (1L, ts(4000000L), 4L, "a"),
+      (2L, ts(1000000L), 5L, "b"), (2L, ts(2000000L), 6L, "a"))
+      .toDF("u", "t", "id", "s")
+    val got = DataQuality.transitionMatrix(rows.toDF("u", "t", "id", "s"),
+        "u", "t", "id", "s")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "a") -> ((1L, 0.5)),
+      ("b", "a") -> ((2L, 1.0))), got.toString)
+  }
+}
