@@ -77,4 +77,52 @@ object Changelog {
         col(seqCol).as("from_us"), col("to_us"),
         col("to_us").isNull.as("is_current"))
   }
+
+  /** Point-in-time dimension lookup: each fact row picks the SCD2
+    * interval valid at its own timestamp — the classic "which tier was
+    * this user on when they clicked" join. Because [[scd2History]]
+    * intervals are CONTIGUOUS per key (each `to_us` is the next
+    * `from_us`), "latest `from_us` ≤ fact ts" IS the containing
+    * interval, so the lookup runs as one ordered union-window pass on
+    * the key exchange (the [[graft.ops.SeriesOps.asofJoinBackward]] /
+    * last-touch shape) — never a facts × intervals range join. Facts
+    * before a key's first interval emit a null attribute. At an exact
+    * `from_us` tie the interval row sorts first and is visible to the
+    * fact (closed-start `[from, to)` semantics).
+    */
+  def dimensionLookup(facts: DataFrame, history: DataFrame, keyCol: String,
+                      tsCol: String, factIdCol: String,
+                      attrCol: String): DataFrame = {
+    val idType = facts.schema(factIdCol).dataType
+    val f = facts.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+      lit(1).as("__is_fact"), col(factIdCol),
+      lit(null).cast("string").as("__attr"))
+    val h = history.select(col(keyCol), col("from_us").as("__us"),
+      lit(0).as("__is_fact"), lit(null).cast(idType).as(factIdCol),
+      col(attrCol).cast("string").as("__attr"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col("__is_fact"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.unionByName(h)
+      .withColumn("__cur", last(col("__attr"), ignoreNulls = true).over(w))
+      .filter(col("__is_fact") === 1)
+      .select(col(factIdCol), col(keyCol), col("__us").as("ts_us"),
+        col("__cur").as(attrCol))
+  }
+
+  /** Incremental maintenance of a fact ⋈ dimension join: given the
+    * already-materialized join of the base facts, only the DELTA facts
+    * join against the dimension and the two results union — the
+    * join-side counterpart of `Stats.aggState` (history ⊕ delta, no
+    * rescans). At 100 TB the base result is a stored table written by
+    * the previous run; this call never touches the base FACTS again,
+    * and the delta join is AQE-sized (a daily delta usually broadcasts
+    * its dim side). Correctness contract (pinned by the oracle gate):
+    * the union equals the direct join of (base ∪ delta) facts, which
+    * holds whenever the dimension is unchanged between runs — dimension
+    * changes go through [[cdcApply]]/[[scd2History]] first.
+    */
+  def incrementalJoin(baseJoined: DataFrame, deltaFacts: DataFrame,
+                      dim: DataFrame, keys: Seq[String]): DataFrame =
+    baseJoined.unionByName(deltaFacts.join(dim, keys))
 }

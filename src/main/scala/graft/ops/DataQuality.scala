@@ -93,6 +93,38 @@ object DataQuality {
       round((center + spread) / denom, 6).as("wilson_hi"))
   }
 
+  /** Blocked entity resolution across two registries: candidate pairs
+    * come only from a shared BLOCK key (here a cheap deterministic
+    * function of the name), edit distance prunes within the block, and
+    * each left entity keeps its single best match (lowest distance,
+    * lowest right id on ties). The block join is the scale story: an
+    * all-pairs name comparison is quadratic and unshippable, while
+    * block-keyed candidates shuffle on an even hash key and bound the
+    * per-block fan-out — the same blocking stance as the dedup family's
+    * LSH band join. Skewed blocks (a too-common name suffix) are the
+    * known failure mode; pick `blockOf` accordingly or pre-cap blocks.
+    */
+  def entityMatch(left: DataFrame, leftIdCol: String, leftNameCol: String,
+                  right: DataFrame, rightIdCol: String, rightNameCol: String,
+                  blockOf: org.apache.spark.sql.Column =>
+                    org.apache.spark.sql.Column,
+                  maxDist: Int): DataFrame = {
+    val l = left.select(col(leftIdCol), col(leftNameCol),
+      blockOf(col(leftNameCol)).as("__blk"))
+    val r = right.select(col(rightIdCol), col(rightNameCol),
+      blockOf(col(rightNameCol)).as("__blk"))
+    val pairs = l.join(r, Seq("__blk"))
+      .withColumn("distance", levenshtein(col(leftNameCol), col(rightNameCol)))
+      .filter(col("distance") <= maxDist)
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftIdCol))
+      .orderBy(col("distance"), col(rightIdCol))
+    pairs.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(leftIdCol), col(leftNameCol), col(rightIdCol),
+        col(rightNameCol), col("distance"))
+  }
+
   /** First-order transition matrix over an event-type sequence: per user
     * ordered by (ts, tie), each consecutive (state → next state) pair is
     * counted, then row-normalized into transition probabilities — the

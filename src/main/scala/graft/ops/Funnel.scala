@@ -98,6 +98,59 @@ object Funnel {
           .as("secs_since_touch"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: every touch in
+    * the window before a conversion gets credit — `firstW` to the
+    * earliest, `lastW` to the latest, the remainder split evenly across
+    * the middle (the standard 40/20/40 scheme). One touch ⇒ full
+    * credit; no touch in window ⇒ a `direct` row with credit 1, so
+    * credits always sum to 1 per conversion. Unlike last-touch (which
+    * needs only the latest and runs as a union-window pass), the full
+    * credit vector needs every in-window touch: a user-keyed join whose
+    * fan-out is bounded by per-user touch density × window — the
+    * per-user-bounded assumption the window ops already make — then a
+    * rank window PER CONVERSION (finer key than user ⇒ no added skew).
+    */
+  def positionBasedAttribution(events: DataFrame, userCol: String,
+                               tsCol: String, typeCol: String, idCol: String,
+                               conversionType: String,
+                               touchTypes: Seq[String], windowSec: Long,
+                               firstW: Double = 0.4,
+                               lastW: Double = 0.4): DataFrame = {
+    require(firstW > 0 && lastW > 0 && firstW + lastW <= 1.0,
+      "need positive end weights with firstW + lastW <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col(tsCol))
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(idCol).as("conv_id"), us.as("__cus"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"), us.as("__tus"))
+    val cand = conv.join(touch,
+      conv(userCol) === touch(userCol) &&
+        col("__tus") <= col("__cus") &&
+        col("__cus") - col("__tus") <= lit(windowSec * 1000000L),
+      "left").drop(touch(userCol))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("__tus"), col("touch_id"))
+    val n = count(col("touch_id")).over(Window.partitionBy(col("conv_id")))
+    val rn = row_number().over(w)
+    val credit = when(col("touch_id").isNull, lit(1.0))
+      .when(col("__n") === 1, lit(1.0))
+      .when(col("__rn") === 1, lit(firstW))
+      .when(col("__rn") === col("__n"), lit(lastW))
+      .otherwise((lit(1.0) - lit(firstW) - lit(lastW)) /
+        (col("__n") - 2).cast("double"))
+    cand
+      .withColumn("__n", n)
+      .withColumn("__rn", rn)
+      .select(col("conv_id"), col("touch_id"),
+        coalesce(col("touch_type"), lit("direct")).as("touch_type"),
+        when(col("touch_id").isNotNull, col("__rn")).otherwise(lit(0))
+          .as("position"),
+        col("__n").as("n_touches"),
+        round(credit, 6).as("credit"))
+  }
+
   /** Cohort retention matrix: cohort = epoch-week of the user's first
     * `cohortType` event; a user counts as retained in week-offset k when
     * ANY event of theirs falls k weeks after the cohort week. Two

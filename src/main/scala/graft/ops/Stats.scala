@@ -289,6 +289,40 @@ object Stats {
         (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 6)
         .as("variance"))
 
+  /** Two-proportion z-test over per-unit conversion: units (e.g. users)
+    * split into arm A (`armA` true) and B, a unit converts when ANY of
+    * its rows satisfies `success`, and the pooled-variance z statistic
+    * scores the difference — the standard A/B readout. Two aggregations
+    * (unit roll-up, then four counts) and closed-form arithmetic; the
+    * output is one row, and every input to the formula is an exact
+    * integer count, so both engines evaluate the identical IEEE
+    * sequence. |z| > 1.96 ⇒ significant at 95%.
+    */
+  def twoProportionZTest(df: DataFrame, unitCol: String,
+                         armA: org.apache.spark.sql.Column,
+                         success: org.apache.spark.sql.Column): DataFrame = {
+    val perUnit = df.groupBy(col(unitCol))
+      .agg(max(when(armA, 1L).otherwise(0L)).as("__a"),
+        max(when(success, 1L).otherwise(0L)).as("__s"))
+    val counts = perUnit.agg(
+      sum(col("__a")).as("n_a"),
+      sum(lit(1L) - col("__a")).as("n_b"),
+      sum(col("__a") * col("__s")).as("conv_a"),
+      sum((lit(1L) - col("__a")) * col("__s")).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pp = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    // Degenerate pools (everyone or no one converts, or an empty arm)
+    // have zero pooled variance: emit null rather than divide — ANSI
+    // mode turns the 0-divisor into a query-killing error otherwise.
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+    val z = when(se > 0, (pa - pb) / se)
+    counts.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(z, 6).as("z_stat"), (abs(z) > 1.96).as("significant"))
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

@@ -141,6 +141,33 @@ object TsAnalytics {
           .cast("long").as("mae_micro"))
   }
 
+  /** Final exponentially-weighted moving average per user:
+    * y_t = α·x_t + (1−α)·y_{t−1}, seeded with the first sample — the
+    * standard smoothing/forecast level every monitoring stack keeps.
+    * A recurrence is not window-expressible, so the per-user series is
+    * collected SORTED and folded with `aggregate` — per-user-bounded
+    * arrays, the same assumption every window op here makes, and the
+    * forced fold order makes the result bit-identical in any engine
+    * that folds left (DuckDB `list_reduce` mirrors it exactly,
+    * including the seed-with-first convention). The (1−α) complement is
+    * computed at runtime from α in BOTH engines — precomputing 0.7 in
+    * one and evaluating 1−0.3 in the other differs by one ulp.
+    */
+  def ewma(df: DataFrame, userCol: String, tsCol: String, valueCol: String,
+           tieCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val pts = array_sort(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"), col(tieCol).as("k"),
+      col(valueCol).cast("double").as("v"))))
+    df.groupBy(col(userCol)).agg(pts.as("__p"))
+      .select(col(userCol), size(col("__p")).cast("long").as("n"),
+        round(aggregate(
+          slice(col("__p"), lit(2), greatest(size(col("__p")) - 1, lit(0))),
+          element_at(col("__p"), 1).getField("v"),
+          (acc, e) => lit(alpha) * e.getField("v") +
+            (lit(1.0) - lit(alpha)) * acc), 4).as("ewma"))
+  }
+
   /** Sampling-completeness report per user: expected hourly buckets from
     * the user's own observed span (absolute hour grid, so no per-user
     * anchor join), present = distinct hours actually seen, missing =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Changelog, DataQuality, TsAnalytics}
+import graft.ops.{Changelog, DataQuality, Stats, TsAnalytics}
 import graft.sources.Tables
 
 /** Warehouse-maintenance, time-series-diagnostic, and data-quality gates
@@ -116,6 +116,69 @@ object AnalyticsQueries {
     "events_transition_matrix" -> { (s, dir) =>
       DataQuality.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
         "event_id", "event_type")
+    },
+
+    // L194: per-user EWMA (α = 0.3) via sorted-list fold.
+    "ts_ewma" -> { (s, dir) =>
+      TsAnalytics.ewma(Tables.events(s, dir), "user_id", "ts", "value",
+        "event_id", alpha = 0.3)
+    },
+
+    // L195: point-in-time SCD2 dimension lookup — each click reads the
+    // user's state (last signup/purchase attribute) valid at click time.
+    "scd2_asof_lookup" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val changes = ev
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("seq_us"),
+          col("event_id"), col("event_type"))
+      val hist = Changelog.scd2History(changes, "user_id", "seq_us",
+        "event_id", "event_type")
+      Changelog.dimensionLookup(ev.filter(col("event_type") === "click"),
+        hist, "user_id", "ts", "event_id", "event_type")
+    },
+
+    // L196: position-based (40/20/40) multi-touch attribution.
+    "attribution_position_based" -> { (s, dir) =>
+      graft.ops.Funnel.positionBasedAttribution(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowSec = 86400L)
+    },
+
+    // L197: incremental join maintenance — the pre-cutoff fact⋈dim
+    // result is treated as the stored base; only post-cutoff facts join.
+    "a22_incremental_join" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val cutoff = to_timestamp(lit("1998-01-01"))
+      val base = orders.filter(col("o_orderdate") < cutoff)
+        .join(dim, Seq("c_custkey"))
+      val delta = orders.filter(col("o_orderdate") >= cutoff)
+      Changelog.incrementalJoin(base, delta, dim, Seq("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"),
+          col("o_totalprice"))
+    },
+
+    // L198: blocked entity resolution customer ↔ supplier (block = the
+    // 3-digit name suffix; best match per customer by edit distance).
+    "er_blocked_match" -> { (s, dir) =>
+      DataQuality.entityMatch(
+        Tables.customer(s, dir), "c_custkey", "c_name",
+        Tables.supplier(s, dir), "s_suppkey", "s_name",
+        blockOf = n => substring(n, 16, 3), maxDist = 6)
+    },
+
+    // L199: two-proportion z-test — arm by user-id parity, conversion =
+    // any high-value purchase (a plain "any purchase" converts EVERY
+    // user at this event density: pooled variance 0, no test).
+    "ab_test_ztest" -> { (s, dir) =>
+      Stats.twoProportionZTest(Tables.events(s, dir), "user_id",
+        armA = col("user_id") % 2 === 0,
+        success = col("event_type") === "purchase" && col("value") > 150.0)
     }
   )
 
@@ -309,6 +372,107 @@ object AnalyticsQueries {
         |    + 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
         |    / (1.0 + 3.8416 / nd), 6) AS wilson_hi
         |FROM c""".stripMargin,
+
+    // list_reduce folds left seeding with the FIRST element — the same
+    // convention as the Spark slice-and-seed fold; the (1.0 - 0.3)
+    // complement is evaluated at runtime in both engines (a precomputed
+    // 0.7 literal differs from 1-0.3 by one ulp).
+    "ts_ewma" ->
+      """WITH l AS (SELECT user_id, list(CAST(value AS DOUBLE)
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS vs
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+        |  round(list_reduce(vs, (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc),
+        |    4) AS ewma
+        |FROM l""".stripMargin,
+
+    "scd2_asof_lookup" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS seq_us, event_id
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |f AS (SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY seq_us, event_id) AS prev
+        |  FROM e),
+        |chg AS (SELECT user_id, event_type, seq_us FROM f
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |facts AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT fa.event_id, fa.user_id, fa.ts_us, h.event_type
+        |FROM facts fa ASOF LEFT JOIN chg h
+        |  ON fa.user_id = h.user_id AND fa.ts_us >= h.seq_us""".stripMargin,
+
+    "attribution_position_based" ->
+      """WITH conv AS (SELECT user_id, event_id AS conv_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, event_id AS touch_id,
+        |    event_type AS touch_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |cand AS (SELECT c.conv_id, t.touch_id, t.touch_type, t.tus
+        |  FROM conv c LEFT JOIN tch t ON c.user_id = t.user_id
+        |    AND t.tus <= c.cus AND c.cus - t.tus <= 86400000000),
+        |rk AS (SELECT *, row_number() OVER
+        |    (PARTITION BY conv_id ORDER BY tus, touch_id) AS rn,
+        |    count(touch_id) OVER (PARTITION BY conv_id) AS n
+        |  FROM cand)
+        |SELECT conv_id, touch_id,
+        |  coalesce(touch_type, 'direct') AS touch_type,
+        |  CAST(CASE WHEN touch_id IS NOT NULL THEN rn ELSE 0 END
+        |    AS INTEGER) AS position,
+        |  CAST(n AS BIGINT) AS n_touches,
+        |  round(CASE WHEN touch_id IS NULL THEN 1.0
+        |    WHEN n = 1 THEN 1.0
+        |    WHEN rn = 1 THEN 0.4
+        |    WHEN rn = n THEN 0.4
+        |    ELSE (1.0 - 0.4 - 0.4) / CAST(n - 2 AS DOUBLE) END, 6)
+        |    AS credit
+        |FROM rk""".stripMargin,
+
+    "a22_incremental_join" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment,
+        |  o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "er_blocked_match" ->
+      """WITH pairs AS (SELECT c_custkey, c_name, s_suppkey, s_name,
+        |    levenshtein(c_name, s_name) AS distance
+        |  FROM customer JOIN supplier
+        |    ON substring(c_name, 16, 3) = substring(s_name, 16, 3)
+        |  WHERE levenshtein(c_name, s_name) <= 6),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY distance, s_suppkey) AS rn FROM pairs)
+        |SELECT c_custkey, c_name, s_suppkey, s_name,
+        |  CAST(distance AS INTEGER) AS distance
+        |FROM rk WHERE rn = 1""".stripMargin,
+
+    "ab_test_ztest" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS a,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |    CAST(sum(a * s) AS BIGINT) AS conv_a,
+        |    CAST(sum((1 - a) * s) AS BIGINT) AS conv_b
+        |  FROM pu),
+        |d AS (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |    CAST(conv_a + conv_b AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        |  FROM c),
+        |e AS (SELECT *,
+        |    sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)) AS se FROM d)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |  round(CASE WHEN se > 0 THEN (pa - pb) / se END, 6) AS z_stat,
+        |  CASE WHEN se > 0 THEN abs((pa - pb) / se) > 1.96 END
+        |    AS significant
+        |FROM e""".stripMargin,
 
     "events_transition_matrix" ->
       """WITH p AS (SELECT event_type AS from_state,

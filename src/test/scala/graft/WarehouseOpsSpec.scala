@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Changelog, DataQuality, TsAnalytics}
+import graft.ops.{Changelog, DataQuality, Stats, TsAnalytics}
 
 /** Round-8 batch: CDC apply / SCD2 history, time-series diagnostics, and
   * data-quality audits (SURVEY §2.12 L182–L193).
@@ -159,6 +159,114 @@ class WarehouseOpsSpec extends AnyFunSuite {
     // Wilson at p=.9, n=10, z=1.96: ≈ [0.596, 0.982]
     assert(got._4 > 0.55 && got._4 < got._3, got.toString)
     assert(got._5 > got._3 && got._5 < 1.0, got.toString)
+  }
+
+  test("ewma: seeded with first sample, folds in time order") {
+    // alpha 0.5 over values 1, 2, 3: 1 → 1.5 → 2.25
+    val rows = Seq((1L, ts(1000000L), 1L, 1.0), (1L, ts(2000000L), 2L, 2.0),
+      (1L, ts(3000000L), 3L, 3.0), (2L, ts(1000000L), 4L, 7.0))
+    val got = TsAnalytics.ewma(rows.toDF("u", "t", "id", "v"),
+        "u", "t", "v", "id", alpha = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((3L, 2.25)), 2L -> ((1L, 7.0))), got.toString)
+  }
+
+  test("dimensionLookup: fact reads the interval valid at its ts; pre-history facts null") {
+    val hist = Changelog.scd2History(Seq(
+        (1L, 100000L, 1L, "bronze"), (1L, 200000L, 2L, "gold"))
+        .toDF("k", "seq", "tie", "attr"),
+      "k", "seq", "tie", "attr")
+    val facts = Seq((1L, ts(50000L), 10L), (1L, ts(100000L), 11L),
+      (1L, ts(150000L), 12L), (1L, ts(250000L), 13L))
+      .toDF("k", "t", "fid")
+    val got = Changelog.dimensionLookup(facts, hist, "k", "t", "fid", "attr")
+      .select("fid", "attr").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(10L -> None, 11L -> Some("bronze"),
+      12L -> Some("bronze"), 13L -> Some("gold")), got.toString)
+  }
+
+  test("positionBasedAttribution: 40/20/40 split, single-touch full credit, direct fallback") {
+    val ev = Seq(
+      // user 1: 4 touches then purchase → 0.4, 0.1, 0.1, 0.4
+      (1L, ts(1000000L), 1L, "view"), (1L, ts(2000000L), 2L, "click"),
+      (1L, ts(3000000L), 3L, "view"), (1L, ts(4000000L), 4L, "click"),
+      (1L, ts(5000000L), 5L, "purchase"),
+      // user 2: one touch → 1.0
+      (2L, ts(1000000L), 6L, "view"), (2L, ts(2000000L), 7L, "purchase"),
+      // user 3: no touch → direct
+      (3L, ts(1000000L), 8L, "purchase"))
+      .toDF("u", "t", "id", "ty")
+    val got = graft.ops.Funnel.positionBasedAttribution(ev, "u", "t", "ty",
+        "id", "purchase", Seq("view", "click"), windowSec = 3600L)
+      .select("conv_id", "touch_id", "touch_type", "credit")
+      .as[(Long, Option[Long], String, Double)].collect()
+    val u1 = got.filter(_._1 == 5L).sortBy(_._2)
+    assert(u1.map(_._4).toSeq == Seq(0.4, 0.1, 0.1, 0.4), u1.mkString(","))
+    assert(math.abs(u1.map(_._4).sum - 1.0) < 1e-9)
+    assert(got.filter(_._1 == 7L).toSeq ==
+      Seq((7L, Some(6L), "view", 1.0)), got.mkString(","))
+    assert(got.filter(_._1 == 8L).toSeq ==
+      Seq((8L, None, "direct", 1.0)), got.mkString(","))
+  }
+
+  test("positionBasedAttribution: touches outside the window are excluded") {
+    val ev = Seq(
+      (1L, ts(0L), 1L, "view"),              // 10 s before, window 5 s
+      (1L, ts(8000000L), 2L, "click"),       // inside
+      (1L, ts(10000000L), 3L, "purchase"))
+      .toDF("u", "t", "id", "ty")
+    val got = graft.ops.Funnel.positionBasedAttribution(ev, "u", "t", "ty",
+        "id", "purchase", Seq("view", "click"), windowSec = 5L)
+      .select("touch_id", "credit").as[(Option[Long], Double)].collect()
+    assert(got.toSeq == Seq((Some(2L), 1.0)), got.mkString(","))
+  }
+
+  test("incrementalJoin: base ∪ delta⋈dim equals the direct join") {
+    val facts = Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (3L, 10L, 3.0),
+      (4L, 20L, 4.0)).toDF("fid", "k", "v")
+    val dim = Seq((10L, "x"), (20L, "y")).toDF("k", "attr")
+    val base = facts.filter(col("fid") <= 2).join(dim, Seq("k"))
+    val delta = facts.filter(col("fid") > 2)
+    val inc = Changelog.incrementalJoin(base, delta, dim, Seq("k"))
+      .select("fid", "k", "attr").as[(Long, Long, String)].collect().toSet
+    val direct = facts.join(dim, Seq("k"))
+      .select("fid", "k", "attr").as[(Long, Long, String)].collect().toSet
+    assert(inc == direct && inc.size == 4, inc.toString)
+  }
+
+  test("entityMatch: block prunes candidates; best match by (distance, id)") {
+    val left = Seq((1L, "abc-001"), (2L, "zzz-999")).toDF("lid", "lname")
+    val right = Seq((10L, "abd-001"), (11L, "abc-001"), (12L, "qqq-002"))
+      .toDF("rid", "rname")
+    val got = DataQuality.entityMatch(left, "lid", "lname",
+        right, "rid", "rname",
+        blockOf = n => substring(n, 5, 3), maxDist = 2)
+      .select("lid", "rid", "distance").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // lid 1 blocks with 10 and 11 (suffix 001): exact match 11 wins at 0.
+    // lid 2 (suffix 999) has no block partner → absent.
+    assert(got == Map(1L -> ((11L, 0))), got.toString)
+  }
+
+  test("twoProportionZTest: known counts give the textbook z; degenerate pool yields null") {
+    // A: 10 users, 8 convert; B: 10 users, 2 convert.
+    val rows = (1 to 20).map { u =>
+      val a = u <= 10
+      val conv = if (a) u <= 8 else u <= 12
+      (u.toLong, a, if (conv) 1.0 else 0.0)
+    }
+    val df = rows.toDF("u", "isa", "s")
+    val got = Stats.twoProportionZTest(df, "u", col("isa"), col("s") === 1.0)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().head
+    assert(got._1 == 10L && got._2 == 10L && got._3 == 8L && got._4 == 2L)
+    // z = (0.8-0.2)/sqrt(0.5*0.5*(0.2)) = 0.6/sqrt(0.05) ≈ 2.683282
+    assert(math.abs(got._7 - 2.683282) < 1e-6, got.toString)
+    assert(got._8, "must be significant at 95%")
+    val degenerate = Stats.twoProportionZTest(df, "u", col("isa"), lit(true))
+      .select("z_stat").as[Option[Double]].collect().head
+    assert(degenerate.isEmpty, "all-convert pool must yield null z")
   }
 
   test("transitionMatrix: ML estimate; per-from probabilities sum to 1") {
