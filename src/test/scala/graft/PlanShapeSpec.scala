@@ -541,4 +541,48 @@ class PlanShapeSpec extends AnyFunSuite {
     // a pre-join global distinct (an extra full-fact exchange at scale).
     assert(p.contains("HashAggregate"), p.take(800))
   }
+
+  test("scd2 history + dimension lookup stay window passes, never range joins") {
+    // Both scd2History windows (change-flag lag, interval-end lead) share
+    // the user exchange; the build is one shuffle of the change stream.
+    val p = plan("scd2_history_build")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges:\n${p.take(1200)}")
+    // The as-of lookup must be the union-window pass: no join operator at
+    // all (a facts x intervals range join would be BNLJ or cartesian).
+    val p2 = plan("scd2_asof_lookup")
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin") &&
+      !p2.contains("SortMergeJoin") && !p2.contains("BroadcastHashJoin"),
+      s"lookup must not join:\n${p2.take(1200)}")
+  }
+
+  test("cdc apply compacts on one key exchange; merge join is AQE-sized, not forced") {
+    val p = plan("cdc_apply_changelog")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("FullOuter"), s"snapshot merge must be full outer:\n${p.take(1200)}")
+  }
+
+  test("blocked entity match joins on the block key, never all-pairs") {
+    val p = plan("er_blocked_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must make this an equi join:\n${p.take(1200)}")
+  }
+
+  test("rolling autocorr: lag + six frame sums ride ONE user sort") {
+    val p = plan("w14_rolling_autocorr")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user exchange, got $exchanges:\n${p.take(1200)}")
+    val sorts = "Sort \\[".r.findAllIn(p).size
+    assert(sorts <= 1, s"windows must share one in-partition sort, got $sorts:\n${p.take(1200)}")
+  }
+
+  test("position-based attribution: user-keyed equi join, rank over the finer conversion key") {
+    val p = plan("attribution_position_based")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"touch matching must stay user-equi-keyed:\n${p.take(1200)}")
+  }
 }
