@@ -691,4 +691,85 @@ class StreamingSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("streaming upsert store merge equals the one-shot changelog apply") {
+    // Changelog over 3 keys: key 1 updated twice, key 2 deleted then
+    // re-inserted, key 3 deleted; key 9 appears only in the snapshot.
+    val snapshot = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (9L, 90.0))
+      .toDF("k", "v")
+    val changes = Seq(
+      (1L, 100L, 1L, "U", 11.0), (2L, 110L, 2L, "D", 0.0),
+      (3L, 120L, 3L, "D", 0.0), (1L, 200L, 4L, "U", 12.0),
+      (2L, 210L, 5L, "U", 21.0), (4L, 220L, 6L, "U", 44.0))
+    val oneShot = graft.ops.Changelog.cdcApply(snapshot,
+        changes.toDF("k", "seq", "tie", "op", "v"), "k", "seq", "tie", "op", "v")
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    // Fold the same changes as 3 contiguous ordered micro-batches.
+    var store = snapshot
+    changes.sortBy(c => (c._2, c._3)).grouped(2).foreach { b =>
+      store = graft.streaming.StreamUpsert.upsertIngest(store,
+        b.toDF("k", "seq", "tie", "op", "v"), "k", "seq", "tie", "op", "v")
+      store = store.localCheckpoint() // parquet-round-trip stand-in
+    }
+    val folded = store.as[(Long, Double)].collect().toMap
+    assert(folded == oneShot, s"$folded vs $oneShot")
+    assert(folded == Map(1L -> 12.0, 2L -> 21.0, 4L -> 44.0, 9L -> 90.0))
+  }
+
+  test("native session_window aggregation equals the batch sessionizer") {
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: two sessions split by a 45-min gap; user 2: one session.
+    val ev = Seq(
+      (1L, t(0), 1L, 1.0), (1L, t(10), 2L, 2.0), (1L, t(29), 3L, 3.0),
+      (1L, t(75), 4L, 4.0), (1L, t(80), 5L, 5.0),
+      (2L, t(5), 6L, 6.0)).toDF("u", "t", "id", "v")
+    val native = graft.streaming.StreamSessions
+      .sessions(ev, "u", "t", "v", gap = "30 minutes")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val batch = graft.ops.SeriesOps.sessionize(ev, "u", "t",
+        gapSeconds = 1800, tiebreak = "id")
+      .groupBy(col("u"), col("session_id"))
+      .agg(unix_micros(min(col("t"))).as("start_us"),
+        unix_micros(max(col("t"))).as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("v")), 4).as("sum_value"))
+      .select("u", "start_us", "end_us", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(native == batch, s"$native vs $batch")
+    assert(native.size == 3)
+  }
+
+  test("streaming session_window emits watermark-closed sessions matching batch") {
+    def us(min: Long) = min * 60L * 1000000L
+    val real = Seq(Point(1, us(0), 1.0), Point(1, us(10), 2.0),
+      Point(1, us(75), 4.0), Point(2, us(5), 6.0))
+    // Sentinels push the watermark far past every real session's close;
+    // their own (still-open) session is filtered from the comparison.
+    val sentinel1 = Point(99, us(100000), 0.0)
+    val sentinel2 = Point(99, us(200000), 0.0)
+    val input = MemoryStream[Point](
+      implicitly[org.apache.spark.sql.Encoder[Point]], spark)
+    val src = input.toDF()
+      .select(col("userId").as("u"),
+        timestamp_micros(col("tsUs")).as("t"), col("value").as("v"))
+      .withWatermark("t", "1 minute")
+    val q = graft.streaming.StreamSessions
+      .sessions(src, "u", "t", "v", gap = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("native_sessions").start()
+    try {
+      input.addData(real); q.processAllAvailable()
+      input.addData(Seq(sentinel1)); q.processAllAvailable()
+      input.addData(Seq(sentinel2)); q.processAllAvailable()
+      val got = spark.table("native_sessions").filter(col("u") =!= 99)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val ev = real.map(p => (p.userId, new java.sql.Timestamp(p.tsUs / 1000L),
+        p.tsUs, p.value)).toDF("u", "t", "id", "v")
+      val batch = graft.streaming.StreamSessions
+        .sessions(ev, "u", "t", "v", gap = "30 minutes")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == batch, s"$got vs $batch")
+      assert(got.size == 3, got.toString) // user 1 × 2 sessions + user 2
+    } finally q.stop()
+  }
 }
