@@ -162,16 +162,23 @@ object Bench {
       s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},""" +
       s""""noise_suspect":$noiseSuspect,"sentinel_sec":$sentinelJson,""" +
       s""""sf":"$sfDir"}""")
-    // Persist this run's timings as the next run's budget baseline. Failed
-    // queries keep their previous entry (no -1 sentinel poisoning), and so
-    // do OVER-BUDGET queries — otherwise a regression is flagged exactly
-    // once and then ratified as the new baseline. A noise-suspect session
-    // never ratchets: its timings measure the machine, not the queries.
+    // Persist this run's timings as the next run's budget baseline,
+    // KEEP-MIN per query: a session on a slower host (round-8 lesson:
+    // a uniformly 1.5× session with a stable sentinel) must never relax
+    // the budgets best-ever measurements established — only a genuinely
+    // faster measurement ratchets. Failed queries keep their previous
+    // entry (no -1 sentinel poisoning), and so do OVER-BUDGET queries —
+    // otherwise a regression is flagged exactly once and then ratified
+    // as the new baseline. A noise-suspect session never ratchets: its
+    // timings measure the machine, not the queries.
     try {
       if (!noiseSuspect) {
         val over = overBudget.toSet
         val merged = history ++
-          results.filter { case (n, t) => t >= 0 && !over.contains(n) }.toMap
+          results.filter { case (n, t) => t >= 0 && !over.contains(n) }
+            .map { case (n, t) =>
+              n -> history.get(n).filter(_ > 0).fold(t)(math.min(_, t)) }
+            .toMap
         val body = merged.toSeq.sortBy(_._1)
           .map { case (k, v) => s"\"$k\":$v" }
           .mkString(s"""{"__sf":"$sfDir",""", ",", "}")

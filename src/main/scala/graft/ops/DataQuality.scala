@@ -93,6 +93,29 @@ object DataQuality {
       round((center + spread) / denom, 6).as("wilson_hi"))
   }
 
+  /** One keyed table to audit for primary-key uniqueness. */
+  final case class KeyedTable(name: String, df: DataFrame, keyCol: String)
+
+  /** Primary-key uniqueness audit: per table, total rows, distinct keys,
+    * keys that repeat, and the worst key's multiplicity — the check that
+    * gates every dimension build and CDC target (a duplicated pk turns
+    * downstream joins into silent fan-outs). One key-grouped aggregation
+    * per table; outputs are single rows, unioned into one report.
+    */
+  def keyUniqueness(tables: Seq[KeyedTable]): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    tables.map { t =>
+      t.df.groupBy(col(t.keyCol).as("__k"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n")).as("rows_total"),
+          count(lit(1)).as("distinct_keys"),
+          sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dup_keys"),
+          max(col("__n")).as("max_multiplicity"))
+        .select(lit(t.name).as("table_name"), col("rows_total"),
+          col("distinct_keys"), col("dup_keys"), col("max_multiplicity"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Blocked entity resolution across two registries: candidate pairs
     * come only from a shared BLOCK key (here a cheap deterministic
     * function of the name), edit distance prunes within the block, and

@@ -860,4 +860,45 @@ object TextAnalysis {
           .when(col("n_digit") >= col("n_other"), "digit")
           .otherwise("other"))
   }
+
+  /** Zipf rank–frequency diagnostic: OLS slope of ln(freq) on ln(rank)
+    * over the top-V vocabulary — natural corpora track slope ≈ −1
+    * (Zipf's law), and a big departure flags synthetic/templated or
+    * heavily-duplicated text. Top-V selection is `TakeOrdered` (never a
+    * global sort); the regression folds a RANK-SORTED V-bounded array so
+    * both engines accumulate the identical IEEE sequence (the
+    * `Stats.trendSlope` discipline). Ties rank deterministically by
+    * (count desc, term asc).
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, topV: Int): DataFrame = {
+    require(topV >= 3, "need at least 3 vocabulary terms")
+    val top = docs
+      .select(explode(graft.functions.TextFunctions.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(topV)
+    val rank = row_number().over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w")))
+    val pts = sort_array(collect_list(struct(col("__r").as("r"),
+      log(col("__r").cast("double")).as("x"),
+      log(col("cnt").cast("double")).as("y"))))
+    def fsum(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (acc, e) => acc + e)
+    top.withColumn("__r", rank)
+      .agg(pts.as("__p"))
+      .select(size(col("__p")).cast("long").as("v_terms"),
+        fsum(transform(col("__p"), e => e.getField("x"))).as("__sx"),
+        fsum(transform(col("__p"), e => e.getField("y"))).as("__sy"),
+        fsum(transform(col("__p"), e => e.getField("x") * e.getField("y")))
+          .as("__sxy"),
+        fsum(transform(col("__p"), e => e.getField("x") * e.getField("x")))
+          .as("__sxx"))
+      .select(col("v_terms"),
+        round((col("v_terms") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("v_terms") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          .as("zipf_slope"),
+        round((col("__sy") - ((col("v_terms") * col("__sxy") -
+          col("__sx") * col("__sy")) /
+          (col("v_terms") * col("__sxx") - col("__sx") * col("__sx"))) *
+          col("__sx")) / col("v_terms"), 4).as("zipf_intercept"))
+  }
 }

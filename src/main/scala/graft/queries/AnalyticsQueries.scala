@@ -179,6 +179,30 @@ object AnalyticsQueries {
       Stats.twoProportionZTest(Tables.events(s, dir), "user_id",
         armA = col("user_id") % 2 === 0,
         success = col("event_type") === "purchase" && col("value") > 150.0)
+    },
+
+    // L202: Kaplan–Meier survival — signup → first error, censored at
+    // last activity.
+    "survival_km_curve" -> { (s, dir) =>
+      graft.ops.Survival.kaplanMeier(Tables.events(s, dir), "user_id",
+        "ts", "event_type", startType = "signup", eventType = "error")
+    },
+
+    // L203: primary-key uniqueness audit; lineitem keyed by l_orderkey
+    // is DELIBERATELY non-unique so the report exercises the dup path.
+    "dq_key_uniqueness" -> { (s, dir) =>
+      DataQuality.keyUniqueness(Seq(
+        DataQuality.KeyedTable("customer", Tables.customer(s, dir), "c_custkey"),
+        DataQuality.KeyedTable("orders", Tables.orders(s, dir), "o_orderkey"),
+        DataQuality.KeyedTable("documents", Tables.documents(s, dir), "doc_id"),
+        DataQuality.KeyedTable("lineitem_by_orderkey",
+          Tables.lineitem(s, dir), "l_orderkey")))
+    },
+
+    // L204: Zipf rank-frequency slope over the top-100 vocabulary.
+    "text_zipf_slope" -> { (s, dir) =>
+      graft.ops.TextAnalysis.zipfSlope(Tables.documents(s, dir), "text",
+        topV = 100)
     }
   )
 
@@ -473,6 +497,88 @@ object AnalyticsQueries {
         |  CASE WHEN se > 0 THEN abs((pa - pb) / se) > 1.96 END
         |    AS significant
         |FROM e""".stripMargin,
+
+    "survival_km_curve" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |ep0 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN us END) AS t0,
+        |    max(us) AS last_us FROM e GROUP BY 1),
+        |te AS (SELECT e.user_id, min(e.us) AS te FROM e
+        |  JOIN ep0 p ON e.user_id = p.user_id
+        |  WHERE e.event_type = 'error' AND e.us >= p.t0 GROUP BY 1),
+        |ep AS (SELECT p.user_id,
+        |    CAST(floor(CAST(coalesce(t.te, p.last_us) - p.t0 AS DOUBLE)
+        |      / 86400000000) AS BIGINT) AS day,
+        |    t.te IS NOT NULL AS observed
+        |  FROM ep0 p LEFT JOIN te t ON p.user_id = t.user_id
+        |  WHERE p.t0 IS NOT NULL),
+        |g AS (SELECT day,
+        |    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_events,
+        |    CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c_censored
+        |  FROM ep GROUP BY 1),
+        |w AS (SELECT *,
+        |    (SELECT CAST(sum(d_events + c_censored) AS BIGINT) FROM g)
+        |      AS total,
+        |    CAST(coalesce(sum(d_events + c_censored) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prior
+        |  FROM g),
+        |f AS (SELECT *, total - prior AS n_risk,
+        |    1.0 - CAST(d_events AS DOUBLE) / CAST(total - prior AS DOUBLE)
+        |      AS factor
+        |  FROM w)
+        |SELECT day, n_risk, d_events, c_censored,
+        |  CASE WHEN max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN factor > 0 THEN ln(factor) END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |  END AS km
+        |FROM f""".stripMargin,
+
+    "dq_key_uniqueness" -> {
+      def one(name: String, tbl: String, key: String) =
+        s"""SELECT '$name' AS table_name,
+           |  CAST(sum(n) AS BIGINT) AS rows_total,
+           |  CAST(count(*) AS BIGINT) AS distinct_keys,
+           |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS dup_keys,
+           |  CAST(max(n) AS BIGINT) AS max_multiplicity
+           |FROM (SELECT count(*) AS n FROM $tbl GROUP BY $key)""".stripMargin
+      Seq(one("customer", "customer", "c_custkey"),
+        one("orders", "orders", "o_orderkey"),
+        one("documents", "documents", "doc_id"),
+        one("lineitem_by_orderkey", "lineitem", "l_orderkey"))
+        .mkString("\nUNION ALL\n")
+    },
+
+    "text_zipf_slope" ->
+      s"""WITH ${TextQueries.wordsCte},
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+         |v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+         |top AS (SELECT w, cnt FROM v ORDER BY cnt DESC, w LIMIT 100),
+         |r AS (SELECT cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM top),
+         |l AS (SELECT list(struct_pack(
+         |    x := ln(CAST(rk AS DOUBLE)), y := ln(CAST(cnt AS DOUBLE)))
+         |    ORDER BY rk) AS pts FROM r),
+         |s AS (SELECT CAST(len(pts) AS BIGINT) AS v_terms,
+         |    list_sum(list_transform(pts, e -> e.x)) AS sx,
+         |    list_sum(list_transform(pts, e -> e.y)) AS sy,
+         |    list_sum(list_transform(pts, e -> e.x * e.y)) AS sxy,
+         |    list_sum(list_transform(pts, e -> e.x * e.x)) AS sxx FROM l)
+         |SELECT v_terms,
+         |  round((v_terms * sxy - sx * sy)
+         |    / (v_terms * sxx - sx * sx), 4) AS zipf_slope,
+         |  round((sy - ((v_terms * sxy - sx * sy)
+         |    / (v_terms * sxx - sx * sx)) * sx) / v_terms, 4)
+         |    AS zipf_intercept
+         |FROM s""".stripMargin,
 
     "events_transition_matrix" ->
       """WITH p AS (SELECT event_type AS from_state,

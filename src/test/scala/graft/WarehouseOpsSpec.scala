@@ -269,6 +269,51 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(degenerate.isEmpty, "all-convert pool must yield null z")
   }
 
+  test("kaplanMeier: hand-computed curve; censoring; pre-start terminal ignored") {
+    def d(day: Long, off: Long = 0L) = ts(day * 86400000000L + off)
+    val ev = Seq(
+      // user 1: signup day 0, error day 2 → observed at day 2
+      (1L, d(0), "signup"), (1L, d(2), "error"),
+      // user 2: signup day 0, no error, last activity day 5 → censored 5
+      (2L, d(0), "signup"), (2L, d(5), "view"),
+      // user 3: error BEFORE signup must not match; error day 4 after
+      // signup day 2 → observed at day 2
+      (3L, d(1), "error"), (3L, d(2), "signup"), (3L, d(4), "error"),
+      // user 4: never signs up → excluded
+      (4L, d(0), "view"))
+      .toDF("u", "t", "ty")
+    val got = graft.ops.Survival.kaplanMeier(ev, "u", "t", "ty",
+        "signup", "error")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // day 2: 2 events of 3 at risk → km 1/3; day 5: censor only, km holds.
+    assert(got == Seq((2L, 3L, 2L, 0L, 0.333333), (5L, 1L, 0L, 1L, 0.333333)),
+      got.toString)
+  }
+
+  test("keyUniqueness: flags duplicate keys with multiplicity; unique table reads clean") {
+    val dup = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val uniq = Seq(10L, 11L).toDF("k")
+    val got = DataQuality.keyUniqueness(Seq(
+        DataQuality.KeyedTable("dup", dup, "k"),
+        DataQuality.KeyedTable("uniq", uniq, "k")))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("dup") == ((4L, 3L, 1L, 2L)), got.toString)
+    assert(got("uniq") == ((2L, 2L, 0L, 1L)), got.toString)
+  }
+
+  test("zipfSlope: exact power-law corpus recovers slope -1") {
+    // Frequencies 12/rank: 12, 6, 4, 3 → ln(freq) = ln 12 − 1·ln(rank).
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.zipfSlope(docs, "text", topV = 100)
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 == 4L, got.toString)
+    assert(got._2 == -1.0, s"perfect power law must fit slope -1: $got")
+    assert(math.abs(got._3 - math.log(12.0)) < 1e-3, got.toString)
+  }
+
   test("transitionMatrix: ML estimate; per-from probabilities sum to 1") {
     val rows = Seq(
       (1L, ts(1000000L), 1L, "a"), (1L, ts(2000000L), 2L, "b"),
