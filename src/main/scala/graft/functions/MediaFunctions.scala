@@ -101,6 +101,49 @@ object MediaFunctions {
   def audioHeader(payload: Column): Column =
     CatalystBridge.column(AudioHeader(CatalystBridge.expression(payload)))
 
+  private val videoHeaderType = StructType(Seq(
+    StructField("major_brand", StringType),
+    StructField("timescale", LongType),
+    StructField("duration_units", LongType),
+    StructField("duration_ms", LongType),
+    StructField("is_video", BooleanType, nullable = false)))
+
+  /** ISO-BMFF (MP4) counterpart of [[AudioHeader]]: lifts
+    * [[graft.ops.Multimodal.parseMp4Header]]'s big-endian box walk into
+    * the expression layer (same codegen story — `CodegenFallback`, one
+    * virtual call per row, adjacent projections stay fused).
+    */
+  case class VideoHeader(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = videoHeaderType
+    override def prettyName: String = "video_header"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val p = input.asInstanceOf[Array[Byte]]
+      graft.ops.Multimodal.parseMp4Header(p) match {
+        case Some((brand, ts, units, ms)) =>
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(brand),
+            ts, units, ms, true))
+        case None =>
+          new GenericInternalRow(Array[Any](
+            null, null, null, null, graft.ops.Multimodal.looksLikeMp4(p)))
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): VideoHeader =
+      copy(child = newChild)
+  }
+
+  /** struct(major_brand, timescale, duration_units, duration_ms, is_video)
+    * of a binary payload; null for a null payload. Fields are null when
+    * the payload is corrupt/truncated or mvhd v1 (`is_video` true) or not
+    * ISO-BMFF at all (`is_video` false).
+    */
+  def videoHeader(payload: Column): Column =
+    CatalystBridge.column(VideoHeader(CatalystBridge.expression(payload)))
+
   /** Register the SQL name on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -112,6 +155,11 @@ object MediaFunctions {
       "audio_header", exprs => {
         require(exprs.length == 1, "audio_header expects exactly 1 argument")
         AudioHeader(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "video_header", exprs => {
+        require(exprs.length == 1, "video_header expects exactly 1 argument")
+        VideoHeader(exprs.head)
       }, "scala_udf")
   }
 }

@@ -291,4 +291,76 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNthFrame))))
       .select(col("media_id"), col("frame_idx"),
         (col("frame_idx").cast("double") / fps).as("ts_sec"))
+
+  /** ISO-BMFF (MP4/MOV/3GP) header parse: walk the top-level box chain
+    * (big-endian u32 size + 4cc type), read the `ftyp` major brand, then
+    * descend into `moov` for the `mvhd` v0 movie header (timescale +
+    * duration in timescale units). Pure byte arithmetic, no codec —
+    * duration derives as `units·1000 ÷ timescale` ms in exact Long
+    * arithmetic. Returns None for corrupt/truncated payloads, 64-bit
+    * (mvhd v1) headers, and zero timescales. Box-size advances run in
+    * Long arithmetic with a sub-8 floor — a corrupt u32 size (up to
+    * 2^32−1) must end the walk, never wrap an Int (the WAV-walk lesson,
+    * ADVICE r8).
+    */
+  private[graft] def parseMp4Header(
+      p: Array[Byte]): Option[(String, Long, Long, Long)] = {
+    @inline def u32be(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    @inline def tag4(i: Int, s: String): Boolean =
+      p(i) == s.charAt(0).toByte && p(i + 1) == s.charAt(1).toByte &&
+        p(i + 2) == s.charAt(2).toByte && p(i + 3) == s.charAt(3).toByte
+    if (p.length < 16 || !tag4(4, "ftyp")) return None
+    var brand: Option[String] = None
+    var ts: Option[Long] = None
+    var dur = 0L
+    var i = 0L
+    while (i + 8 <= p.length && (brand.isEmpty || ts.isEmpty)) {
+      val at = i.toInt
+      val sz = u32be(at)
+      if (tag4(at + 4, "ftyp")) {
+        if (i + 12 > p.length) return None
+        brand = Some(new String(p, at + 8, 4, "ISO-8859-1"))
+      } else if (tag4(at + 4, "moov")) {
+        var j = i + 8
+        val end = math.min(i + math.max(sz, 8L), p.length.toLong)
+        while (j + 8 <= end && ts.isEmpty) {
+          val ct = j.toInt
+          val csz = u32be(ct)
+          if (tag4(ct + 4, "mvhd")) {
+            if (j + 32 > p.length) return None
+            val version = p(ct + 8) & 0xff
+            if (version != 0) return None // 64-bit mvhd v1: out of scope
+            ts = Some(u32be(ct + 20)); dur = u32be(ct + 24)
+          }
+          j = if (csz < 8) end else j + csz
+        }
+      }
+      i = if (sz < 8) p.length.toLong else i + sz
+    }
+    for (b <- brand; t <- ts; if t > 0) yield (b, t, dur, dur * 1000L / t)
+  }
+
+  /** True when the payload leads with an ISO-BMFF `ftyp` box. */
+  private[graft] def looksLikeMp4(p: Array[Byte]): Boolean =
+    p.length >= 8 && p(4) == 'f'.toByte && p(5) == 't'.toByte &&
+      p(6) == 'y'.toByte && p(7) == 'p'.toByte
+
+  /** Video metadata extraction over (media_id, payload): ISO-BMFF header
+    * parse via the native [[graft.functions.MediaFunctions.VideoHeader]]
+    * expression — one projection, same codegen-friendly shape as the
+    * image/audio decoders. Non-MP4 payloads yield nulls (`is_video`
+    * false distinguishes them from corrupt MP4s).
+    */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val hdr = graft.functions.MediaFunctions.videoHeader(col("payload"))
+    media.select(
+      col("media_id"),
+      coalesce(length(col("payload")).cast("long"), lit(0L)).as("n_bytes"),
+      hdr.getField("major_brand").as("major_brand"),
+      hdr.getField("timescale").as("timescale"),
+      hdr.getField("duration_units").as("duration_units"),
+      hdr.getField("duration_ms").as("duration_ms"))
+  }
 }

@@ -68,6 +68,36 @@ object EngineQueries {
     docs.select(col("doc_id").as("media_id"), unhex(wavHex).as("payload"))
   }
 
+  /** Synthesize bit-exact minimal MP4s (ISO-BMFF): an `ftyp` box (brand
+    * varies by doc) and a `moov` containing an mvhd v0 with per-doc
+    * timescale and duration. Box sizes and all integer fields are
+    * big-endian (`hex()` is naturally BE), the mirror-image of the WAV
+    * synthesis above — together they pin both endiannesses end to end.
+    */
+  private def syntheticMp4Media(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def be32(x: Column): Column = lpad(hex(x.cast("long")), 8, "0")
+    def zeros(nBytes: Int): Column = lit("00" * nBytes)
+    // 4cc hex: isom, mp42, avc1, 3gp4
+    val brand = element_at(array(lit("69736F6D"), lit("6D703432"),
+      lit("61766331"), lit("33677034")),
+      pmod(col("doc_id"), lit(4L)).cast("int") + 1)
+    val timescale = element_at(array(lit(600L), lit(1000L), lit(90000L),
+      lit(44100L)), pmod(col("doc_id") * 7, lit(4L)).cast("int") + 1)
+    val units = pmod(col("doc_id"), lit(100000L)) + 1000L
+    val mvhd = concat(be32(lit(108L)), lit("6D766864"), // size 'mvhd'
+      zeros(4),                        // version 0 + flags
+      be32(lit(0L)), be32(lit(0L)),    // creation, modification
+      be32(timescale), be32(units),
+      lit("00010000"), lit("0100"), zeros(2), // rate 1.0, volume, reserved
+      zeros(8), zeros(36), zeros(24),  // reserved2, matrix, pre_defined
+      be32(lit(1L)))                   // next_track_ID
+    val mp4Hex = concat(
+      be32(lit(16L)), lit("66747970"), brand, be32(lit(0L)), // ftyp
+      be32(lit(116L)), lit("6D6F6F76"), mvhd)                // moov
+    docs.select(col("doc_id").as("media_id"), unhex(mp4Hex).as("payload"))
+  }
+
   def defs: Map[String, Q] = Map(
     "cohort_analysis_e2e" -> { (s, dir) =>
       runEngine(s, dir).kpis.select(
@@ -170,6 +200,13 @@ object EngineQueries {
       Multimodal.frameSample(media, fps = 30, everyNthFrame = 10)
     },
 
+    // Real ISO-BMFF box walk on bit-exact synthesized MP4 headers: ftyp
+    // brand + moov/mvhd timescale/duration, all big-endian — a wrong
+    // offset, endianness, or box-descent flips the hash.
+    "mm_video_header_real" -> { (s, dir) =>
+      Multimodal.decodeVideoMeta(syntheticMp4Media(Tables.documents(s, dir)))
+    },
+
     // Overlapping byte-window chunking (audio-window / long-payload prep);
     // the corpus is ASCII so the oracle can slice characters.
     "mm_chunk" -> { (s, dir) =>
@@ -268,6 +305,19 @@ object EngineQueries {
         |    AS BIGINT) AS data_bytes,
         |  CAST(((doc_id % 9973 + 1) * 1000)
         |    // ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INTEGER) + 1]
+        |    AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "mm_video_header_real" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(132 AS BIGINT) AS n_bytes,
+        |  (['isom', 'mp42', 'avc1', '3gp4'])[CAST(doc_id % 4 AS INTEGER) + 1]
+        |    AS major_brand,
+        |  CAST(([600, 1000, 90000, 44100])[CAST((doc_id * 7) % 4 AS INTEGER) + 1]
+        |    AS BIGINT) AS timescale,
+        |  CAST(doc_id % 100000 + 1000 AS BIGINT) AS duration_units,
+        |  CAST(((doc_id % 100000 + 1000) * 1000)
+        |    // ([600, 1000, 90000, 44100])[CAST((doc_id * 7) % 4 AS INTEGER) + 1]
         |    AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 

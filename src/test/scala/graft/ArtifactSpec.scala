@@ -115,6 +115,39 @@ class ArtifactSpec extends AnyFunSuite {
     assert(got.values.forall(_.getAs[Long]("n") == 3L))
   }
 
+  test("MP4 header parse walks big-endian boxes to ftyp brand and moov/mvhd") {
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(tag: String, body: Array[Byte]) =
+      be32(8L + body.length) ++ tag.getBytes ++ body
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
+      be32(90000L) ++ be32(450000L) ++ Array.fill[Byte](80)(0))
+    // An interposed unknown box inside moov and a free box at top level
+    // must be skipped by size, not by enumeration.
+    val moov = box("moov", box("iods", Array[Byte](1, 2, 3, 4)) ++ mvhd)
+    val mp4 = box("ftyp", "mp42".getBytes ++ be32(0L)) ++
+      box("free", Array[Byte](0, 0)) ++ moov
+    assert(Multimodal.parseMp4Header(mp4).contains(("mp42", 90000L, 450000L, 5000L)))
+    // Corrupt u32 box size >= 2^31 must end the walk (Long advance), not
+    // wrap an Int index.
+    val huge = box("ftyp", "isom".getBytes ++ be32(0L)) ++
+      be32(0xfffffff0L) ++ "free".getBytes ++ moov
+    assert(Multimodal.parseMp4Header(huge).isEmpty)
+    // Truncation, mvhd v1 (64-bit), zero timescale, non-MP4 → None.
+    assert(Multimodal.parseMp4Header(mp4.take(40)).isEmpty)
+    val v1 = box("moov", box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](96)(0)))
+    assert(Multimodal.parseMp4Header(
+      box("ftyp", "isom".getBytes ++ be32(0L)) ++ v1).isEmpty)
+    val zeroTs = box("moov", box("mvhd", Array[Byte](0, 0, 0, 0) ++
+      be32(0L) ++ be32(0L) ++ be32(0L) ++ be32(100L) ++ Array.fill[Byte](80)(0)))
+    assert(Multimodal.parseMp4Header(
+      box("ftyp", "isom".getBytes ++ be32(0L)) ++ zeroTs).isEmpty)
+    assert(Multimodal.parseMp4Header("plain text long enough here".getBytes).isEmpty)
+    assert(Multimodal.looksLikeMp4(mp4) &&
+      !Multimodal.looksLikeMp4("no brand".getBytes))
+  }
+
   test("WAV header parse walks interposed chunks little-endian to fmt and data") {
     def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
     def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
