@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on edge lists — PageRank centrality as the
+  * canonical fixed-iteration power method (Page et al. 1999), the shape
+  * every iterative DataFrame algorithm at scale takes: per iteration one
+  * key-equi join (ranks onto edge sources) and one destination-keyed
+  * aggregation, with `localCheckpoint` truncating the lineage every few
+  * rounds so the plan does not grow exponentially with iterations (the
+  * same discipline as `Dedup.clustersWithRounds`' pointer doubling).
+  *
+  * Scale: state is one rank row per node and the per-iteration shuffle
+  * is edge-sized on even keys — the textbook Pregel-style cost. A FIXED
+  * iteration count (power iteration converges geometrically at rate ≈
+  * damping) keeps the plan deterministic and the oracle expressible as
+  * unrolled SQL; production runs pick iterations ~ log(tolerance)/
+  * log(damping).
+  */
+object Graph {
+
+  /** Damped PageRank over a DIRECTED edge list, fixed iteration count.
+    *
+    * rank₀ = 1/N; rankₖ₊₁(v) = (1−d)/N + d·Σ_{u→v} rankₖ(u)/outdeg(u).
+    *
+    * Contract: every node must have at least one out-edge (no dangling
+    * mass redistribution is performed — symmetrize the edge list for
+    * undirected graphs and the contract holds by construction; the spec
+    * pins Σrank = 1 there). Self-loops and duplicate edges are honored
+    * as given — `.distinct()` upstream if multiplicity is not wanted.
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85,
+               checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "1..50 iterations")
+    require(damping > 0 && damping < 1, "damping in (0,1)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    // 1-row node count, broadcast-crossed where the teleport term needs
+    // it — never a driver-side collect in the iterated plan.
+    val total = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    var ranks = nodes.crossJoin(broadcast(total))
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    for (i <- 1 to iterations) {
+      val inflow = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg").cast("double")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__inflow"))
+      ranks = nodes.crossJoin(broadcast(total))
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / col("__n") +
+            lit(damping) * coalesce(col("__inflow"), lit(0.0))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
+  }
+}

@@ -203,6 +203,19 @@ object AnalyticsQueries {
     "text_zipf_slope" -> { (s, dir) =>
       graft.ops.TextAnalysis.zipfSlope(Tables.documents(s, dir), "text",
         topV = 100)
+    },
+
+    // L206: PageRank centrality over the symmetrized customer–supplier
+    // trade graph (orders ⋈ lineitem), 5 power iterations.
+    "graph_pagerank" -> { (s, dir) =>
+      val eDir = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val e = eDir.unionByName(
+        eDir.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pagerank(e, "src", "dst", iterations = 5)
     }
   )
 
@@ -579,6 +592,38 @@ object AnalyticsQueries {
          |    / (v_terms * sxx - sx * sx)) * sx) / v_terms, 4)
          |    AS zipf_intercept
          |FROM s""".stripMargin,
+
+    // Unrolled power iteration (5 steps, one CTE per step, generated so
+    // the oracle and the engine share iteration count and arithmetic:
+    // (1−0.85)/n + 0.85·Σ rank/outdeg per step).
+    "graph_pagerank" -> {
+      val iters = 5
+      val base =
+        """WITH e0 AS (SELECT DISTINCT
+          |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT src, dst FROM e0
+          |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          |nodes AS (SELECT DISTINCT src AS node FROM e),
+          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          |p0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s""",
+           |p$k AS (SELECT nd.node,
+           |    (1.0 - 0.85) / (SELECT n FROM nn)
+           |      + 0.85 * coalesce(i.inflow, 0.0) AS rank
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      sum(p.rank / CAST(deg.outdeg AS DOUBLE)) AS inflow
+           |    FROM e JOIN p${k - 1} p ON e.src = p.node
+           |      JOIN deg ON e.src = deg.src
+           |    GROUP BY e.dst) i ON nd.node = i.node)""".stripMargin
+      }.mkString
+      base + steps +
+        s"\nSELECT node, round(rank, 6) AS pagerank FROM p$iters"
+    },
 
     "events_transition_matrix" ->
       """WITH p AS (SELECT event_type AS from_state,
