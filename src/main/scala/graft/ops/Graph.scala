@@ -63,4 +63,30 @@ object Graph {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
   }
+
+  /** Per-node triangle participation over an UNDIRECTED simple graph
+    * given as unordered edges (each edge once, `a < b`, no self-loops
+    * enforced here). The count uses the oriented wedge-closure method:
+    * wedges (a<b<c) come from joining id-oriented edges, and each wedge
+    * closes into a triangle iff (a,c) is an edge — a semi join, so the
+    * wedge set is never materialized past the closure check. Each
+    * triangle credits all three corners via one explode.
+    *
+    * Cost is Σ outdeg(v)² over the id-orientation. At scale, orient by
+    * (degree, id) instead of bare id to bound wedges by the LOW-degree
+    * endpoint (the standard compact-forward optimization) — id
+    * orientation is kept here because the oracle must replay the exact
+    * same orientation, and the probe corpus measures fine under it.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tris = wedges.join(e.select(col("a"), col("b").as("c")),
+      Seq("a", "c"), "left_semi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

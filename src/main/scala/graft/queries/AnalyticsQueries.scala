@@ -216,6 +216,28 @@ object AnalyticsQueries {
       val e = eDir.unionByName(
         eDir.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.pagerank(e, "src", "dst", iterations = 5)
+    },
+
+    // L207: pairwise association rules over order baskets (min pair
+    // count 2 = the Apriori support floor).
+    "basket_association_rules" -> { (s, dir) =>
+      graft.ops.Association.pairRules(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey", minPairCount = 2L)
+    },
+
+    // L208: per-node triangle participation on the co-purchase graph
+    // (edges = part pairs bought together in ≥2 orders).
+    "graph_triangles" -> { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val edges = items.join(
+          items.select(col("b"), col("i").as("j")), Seq("b"))
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("pc"))
+        .filter(col("pc") >= 2)
+        .select(col("i").as("src"), col("j").as("dst"))
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
     }
   )
 
@@ -624,6 +646,41 @@ object AnalyticsQueries {
       base + steps +
         s"\nSELECT node, round(rank, 6) AS pagerank FROM p$iters"
     },
+
+    "basket_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS nb FROM items),
+        |ic AS (SELECT i, count(*) AS c FROM items GROUP BY 1),
+        |p AS (SELECT x.i AS a, y.i AS b2, count(*) AS pc
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT a, b2, pc FROM p
+        |  UNION ALL SELECT b2 AS a, a AS b2, pc FROM p)
+        |SELECT d.a AS antecedent, d.b2 AS consequent,
+        |  CAST(d.pc AS BIGINT) AS pair_count,
+        |  round(CAST(d.pc AS DOUBLE) / nb, 6) AS support,
+        |  round(CAST(d.pc AS DOUBLE) / CAST(ca.c AS DOUBLE), 6)
+        |    AS confidence,
+        |  round((CAST(d.pc AS DOUBLE) / CAST(ca.c AS DOUBLE))
+        |    / (CAST(cb.c AS DOUBLE) / nb), 6) AS lift
+        |FROM d JOIN ic ca ON d.a = ca.i JOIN ic cb ON d.b2 = cb.i, n"""
+        .stripMargin,
+
+    "graph_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |e AS (SELECT x.i AS a, y.i AS b FROM items x
+        |  JOIN items y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a),
+        |t AS (SELECT w.a, w.b, w.c FROM w
+        |  JOIN e ON w.a = e.a AND w.c = e.b),
+        |x AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |SELECT node, count(*) AS n_triangles FROM x GROUP BY node"""
+        .stripMargin,
 
     "events_transition_matrix" ->
       """WITH p AS (SELECT event_type AS from_state,

@@ -37,6 +37,38 @@ class GraphSpec extends AnyFunSuite {
     assert(got("c") > got("l1"), "hub must out-rank leaves")
   }
 
+  test("triangleCounts: K4 gives 3 per node; squares give none; duplicates ignored") {
+    // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3.
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
+    // A disjoint 4-cycle {10,11,12,13}: no triangles at all; one duplicate
+    // edge must not double-count.
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L), (10L, 11L))
+    val got = graft.ops.Graph.triangleCounts(
+        (k4 ++ square).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("pairRules: hand-computed support, confidence, and lift") {
+    // baskets: {x,y,z}, {x,y}, {x,z}, {y} → pair xy: 2, xz: 2, yz: 1.
+    val baskets = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y"), (4L, "y")) // dup item collapses
+      .toDF("b", "i")
+    val got = graft.ops.Association.pairRules(baskets, "b", "i",
+        minPairCount = 2L)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // x count 3, y count 3, z count 2, baskets 4.
+    assert(got.keySet == Set(("x", "y"), ("y", "x"), ("x", "z"), ("z", "x")))
+    val (pc, sup, conf, lift) = got(("x", "y"))
+    assert(pc == 2L && sup == 0.5, got.toString)
+    assert(math.abs(conf - 0.666667) < 1e-9, got.toString)
+    assert(math.abs(lift - 0.888889) < 1e-9, got.toString) // (2/3)/(3/4)
+    val (_, _, confZx, liftZx) = got(("z", "x"))
+    assert(confZx == 1.0, got.toString)          // z always with x
+    assert(math.abs(liftZx - 1.333333) < 1e-9, got.toString) // 1/(3/4)
+  }
+
   test("pagerank: directed chain feeds rank downstream (with back edges, no dangling)") {
     // a -> b -> c -> a ring: perfectly symmetric cycle → all equal.
     val ring = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
