@@ -27,8 +27,10 @@ object Association {
   def pairRules(baskets: DataFrame, basketCol: String, itemCol: String,
                 minPairCount: Long): DataFrame = {
     require(minPairCount >= 1, "minPairCount must be >= 1")
+    // The distinct item set feeds four consumers (total, item counts,
+    // both self-join sides); materialize it once.
     val items = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
+      .distinct().localCheckpoint()
     val nBaskets = items.agg(countDistinct(col("__b")).as("__n"))
     val itemCounts = items.groupBy(col("__i"))
       .agg(count(lit(1)).as("__icnt"))

@@ -206,16 +206,16 @@ object AnalyticsQueries {
     },
 
     // L206: PageRank centrality over the symmetrized customer–supplier
-    // trade graph (orders ⋈ lineitem), 5 power iterations.
+    // trade graph (orders ⋈ lineitem), 3 power iterations (the gate pins
+    // the recurrence; production picks iterations by tolerance).
     "graph_pagerank" -> { (s, dir) =>
       val eDir = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct()
-      val e = eDir.unionByName(
-        eDir.select(col("dst").as("src"), col("src").as("dst")))
-      graft.ops.Graph.pagerank(e, "src", "dst", iterations = 5)
+      graft.ops.Graph.pagerank(eDir, "src", "dst", iterations = 3,
+        symmetrize = true)
     },
 
     // L207: pairwise association rules over order baskets (min pair
@@ -615,11 +615,11 @@ object AnalyticsQueries {
          |    AS zipf_intercept
          |FROM s""".stripMargin,
 
-    // Unrolled power iteration (5 steps, one CTE per step, generated so
+    // Unrolled power iteration (3 steps, one CTE per step, generated so
     // the oracle and the engine share iteration count and arithmetic:
     // (1−0.85)/n + 0.85·Σ rank/outdeg per step).
     "graph_pagerank" -> {
-      val iters = 5
+      val iters = 3
       val base =
         """WITH e0 AS (SELECT DISTINCT
           |    'c' || CAST(o_custkey AS VARCHAR) AS src,
