@@ -585,4 +585,18 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"touch matching must stay user-equi-keyed:\n${p.take(1200)}")
   }
+
+  test("association rules: basket-keyed pair join, never an items cross product") {
+    val p = plan("basket_association_rules")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must join on the basket key:\n${p.take(1200)}")
+  }
+
+  test("triangle closure is a semi join over equi-keyed wedges") {
+    val p = plan("graph_triangles")
+    assert(p.contains("LeftSemi"),
+      s"closure must be a semi join (wedges never materialize past it):\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
