@@ -37,4 +37,41 @@ object StreamUpsert {
     Changelog.cdcApply(store.select(col(keyCol), col(valCol)), batch,
         keyCol, seqCol, tieCol, opCol, valCol)
       .select(col(keyCol), col(valCol))
+
+  final case class Change(key: Long, seqUs: Long, tie: Long, op: String,
+                          value: Double)
+  final case class KeyState(seqUs: Long, tie: Long, deleted: Boolean,
+                            value: Double)
+  final case class Materialized(key: Long, seqUs: Long, tie: Long,
+                                deleted: Boolean, value: Option[Double])
+
+  /** True STATEFUL latest-value materialization via `mapGroupsWithState`
+    * — one O(1) state row per key holding the winning (seq, tie). Unlike
+    * [[upsertIngest]] (which relies on the contiguous-ordered-split
+    * contract), this tolerates out-of-order arrival ACROSS batches: a
+    * stale change loses against the stored sequence no matter which
+    * micro-batch carries it, so the final materialization equals the
+    * batch [[graft.ops.Changelog.cdcApply]] under ANY permutation of the
+    * change stream (the spec pins this). Emit with
+    * `outputMode("update")`; the latest emission per key IS the store.
+    */
+  def latestValues(changes: org.apache.spark.sql.Dataset[Change])(
+      implicit outEnc: org.apache.spark.sql.Encoder[Materialized],
+      stEnc: org.apache.spark.sql.Encoder[KeyState])
+      : org.apache.spark.sql.Dataset[Materialized] =
+    changes.groupByKey(_.key)(org.apache.spark.sql.Encoders.scalaLong)
+      .mapGroupsWithState[KeyState, Materialized] {
+        (key: Long, batch: Iterator[Change],
+         state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
+          val incoming = batch.maxBy(c => (c.seqUs, c.tie))
+          val winner = state.getOption match {
+            case Some(p) if p.seqUs > incoming.seqUs ||
+              (p.seqUs == incoming.seqUs && p.tie >= incoming.tie) => p
+            case _ => KeyState(incoming.seqUs, incoming.tie,
+              incoming.op == "D", incoming.value)
+          }
+          state.update(winner)
+          Materialized(key, winner.seqUs, winner.tie, winner.deleted,
+            if (winner.deleted) None else Some(winner.value))
+      }
 }

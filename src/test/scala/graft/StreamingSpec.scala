@@ -716,6 +716,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded == Map(1L -> 12.0, 2L -> 21.0, 4L -> 44.0, 9L -> 90.0))
   }
 
+  test("stateful latest-value upsert tolerates out-of-order arrival across batches") {
+    import graft.streaming.StreamUpsert.{Change, Materialized}
+    // Changes deliberately arrive out of order ACROSS batches: key 1's
+    // final update lands in batch 1, a stale one in batch 3; key 2's
+    // delete is followed (in arrival order) by an OLDER update that must
+    // lose; key 3 is deleted last.
+    val b1 = Seq(Change(1L, 300L, 1L, "U", 13.0), Change(2L, 100L, 1L, "U", 21.0))
+    val b2 = Seq(Change(2L, 400L, 2L, "D", 0.0), Change(3L, 100L, 3L, "U", 31.0))
+    val b3 = Seq(Change(1L, 200L, 4L, "U", 12.0), // stale: loses to 300
+      Change(2L, 300L, 5L, "U", 22.0),            // stale: loses to the delete
+      Change(3L, 200L, 6L, "D", 0.0))
+    val input = MemoryStream[Change](
+      implicitly[org.apache.spark.sql.Encoder[Change]], spark)
+    val q = graft.streaming.StreamUpsert.latestValues(input.toDS())(
+        implicitly, implicitly)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("latest_values").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = spark.table("latest_values")
+        .groupBy("key").agg(max(struct(col("seqUs"), col("tie"),
+          col("deleted"), col("value"))).as("s"))
+        .select(col("key"), col("s.deleted"), col("s.value"))
+        .as[(Long, Boolean, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == Map(
+        1L -> ((false, Some(13.0))),
+        2L -> ((true, None)),
+        3L -> ((true, None))), got.toString)
+      // Batch equivalence: cdcApply over an empty snapshot + ALL changes
+      // keeps exactly the undeleted keys with the same values.
+      val all = (b1 ++ b2 ++ b3).map(c => (c.key, c.seqUs, c.tie, c.op, c.value))
+        .toDF("k", "seq", "tie", "op", "v")
+      val batch = graft.ops.Changelog.cdcApply(
+          Seq.empty[(Long, Double)].toDF("k", "v"), all,
+          "k", "seq", "tie", "op", "v")
+        .select("k", "v").as[(Long, Double)].collect().toMap
+      val live = got.collect { case (k, (false, Some(v))) => k -> v }
+      assert(live == batch, s"$live vs $batch")
+    } finally q.stop()
+  }
+
   test("native session_window aggregation equals the batch sessionizer") {
     def t(min: Long) = new java.sql.Timestamp(min * 60000L)
     // user 1: two sessions split by a 45-min gap; user 2: one session.
