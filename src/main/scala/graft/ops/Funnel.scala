@@ -98,6 +98,30 @@ object Funnel {
           .as("secs_since_touch"))
   }
 
+  /** Top-k frequent 3-step event paths: consecutive event-type triples
+    * per user (two leads over one ordered user exchange) counted and
+    * ranked — the sequential-pattern report behind "common user journeys"
+    * dashboards, and the natural depth-3 extension of the first-order
+    * transition matrix. `TakeOrderedAndProject` top-k; ties break
+    * deterministically on the path itself.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               tieCol: String, stateCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events.select(col(userCol), col(tsCol), col(tieCol),
+        col(stateCol).as("step1"))
+      .withColumn("step2", lead(col("step1"), 1).over(ord))
+      .withColumn("step3", lead(col("step1"), 2).over(ord))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   /** Position-based (U-shaped) multi-touch attribution: every touch in
     * the window before a conversion gets credit — `firstW` to the
     * earliest, `lastW` to the latest, the remainder split evenly across

@@ -323,6 +323,55 @@ object Stats {
       round(z, 6).as("z_stat"), (abs(z) > 1.96).as("significant"))
   }
 
+  /** CUPED-adjusted A/B comparison (Deng et al. 2013): each unit's
+    * post-period metric y is adjusted by its pre-period covariate x —
+    * adj = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled over all units —
+    * removing the between-user variance the experiment did not cause.
+    * Reports per-arm adjusted means, their difference, θ, and the
+    * variance-reduction share. Two aggregations (unit roll-up, pooled
+    * moments) plus one broadcast of the 1-row moment frame; every input
+    * to the closed form is a plain sum, so the engines agree to the
+    * rounding precision.
+    */
+  def cupedAdjusted(df: DataFrame, unitCol: String,
+                    armA: org.apache.spark.sql.Column,
+                    metric: org.apache.spark.sql.Column,
+                    covariate: org.apache.spark.sql.Column): DataFrame = {
+    val units = df.groupBy(col(unitCol))
+      .agg(max(when(armA, 1L).otherwise(0L)).as("__a"),
+        sum(metric).as("__y"), sum(covariate).as("__x"))
+    val m = units.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val withM = units.crossJoin(broadcast(m))
+    val theta = (col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
+      (col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+    val adj = col("__y") - theta * (col("__x") - col("__sx") / col("__n"))
+    val varY = (col("__syy") - col("__sy") * col("__sy") / col("__n")) /
+      col("__n")
+    withM
+      .withColumn("__adj", adj)
+      .withColumn("__vy", varY)
+      .withColumn("__th", theta)
+      .groupBy()
+      .agg(sum(when(col("__a") === 1, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a") === 0, 1L).otherwise(0L)).as("n_b"),
+        round(sum(when(col("__a") === 1, col("__adj"))) /
+          sum(when(col("__a") === 1, 1.0)), 6).as("adj_mean_a"),
+        round(sum(when(col("__a") === 0, col("__adj"))) /
+          sum(when(col("__a") === 0, 1.0)), 6).as("adj_mean_b"),
+        round(first(col("__th")), 6).as("theta"),
+        round(lit(1.0) -
+          ((sum(col("__adj") * col("__adj")) -
+            sum(col("__adj")) * sum(col("__adj")) / count(lit(1)).cast("double")) /
+            count(lit(1)).cast("double")) / first(col("__vy")), 6)
+          .as("var_reduction"))
+      .withColumn("adj_diff",
+        round(col("adj_mean_a") - col("adj_mean_b"), 6))
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

@@ -901,4 +901,33 @@ object TextAnalysis {
           (col("v_terms") * col("__sxx") - col("__sx") * col("__sx"))) *
           col("__sx")) / col("v_terms"), 4).as("zipf_intercept"))
   }
+
+  /** Positional-index phrase search: documents containing the exact
+    * token sequence `phrase`, found by intersecting per-term posting
+    * lists on `(doc, position)` adjacency — the inverted-index plan a
+    * search engine runs, vs a full-corpus substring scan that can never
+    * use term selectivity. The first (rarest-is-best, but first works)
+    * term's postings anchor the join; each subsequent term joins on
+    * `(doc_id, pos + i)` — equi keys, so candidate cardinality collapses
+    * to the anchor term's document frequency after the first join, and
+    * the whole match never rescans the text. Emits (doc_id, n_matches)
+    * with one row per document containing the phrase at least once.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val positions = docs.select(col(idCol),
+        posexplode(graft.functions.TextFunctions.words(col(textCol)))
+          .as(Seq("pos", "w")))
+    val anchor = positions.filter(col("w") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (term, i)) =>
+        acc.join(
+          positions.filter(col("w") === term)
+            .select(col(idCol), (col("pos") - i).as("pos")),
+          Seq(idCol, "pos"), "left_semi")
+    }
+    matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
 }

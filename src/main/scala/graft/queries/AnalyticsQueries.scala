@@ -238,6 +238,28 @@ object AnalyticsQueries {
         .filter(col("pc") >= 2)
         .select(col("i").as("src"), col("j").as("dst"))
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
+    },
+
+    // L210: positional-index phrase search (exact 3-token sequence).
+    "text_phrase_search" -> { (s, dir) =>
+      graft.ops.TextAnalysis.phraseSearch(Tables.documents(s, dir),
+        "doc_id", "text", Seq("part", "filter", "scan"))
+    },
+
+    // L211: top-10 frequent 3-step event paths.
+    "events_top_paths" -> { (s, dir) =>
+      graft.ops.Funnel.topPaths(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", k = 10)
+    },
+
+    // L212: CUPED-adjusted A/B readout — post-period per-user value sum
+    // adjusted by the pre-period covariate.
+    "ab_test_cuped" -> { (s, dir) =>
+      val cut = to_timestamp(lit("2024-01-16"))
+      Stats.cupedAdjusted(Tables.events(s, dir), "user_id",
+        armA = col("user_id") % 2 === 0,
+        metric = when(col("ts") >= cut, col("value")).otherwise(lit(0.0)),
+        covariate = when(col("ts") < cut, col("value")).otherwise(lit(0.0)))
     }
   )
 
@@ -681,6 +703,70 @@ object AnalyticsQueries {
         |  UNION ALL SELECT c FROM t)
         |SELECT node, count(*) AS n_triangles FROM x GROUP BY node"""
         .stripMargin,
+
+    // Positional index mirror: 0-based positions from a range unnest
+    // (DuckDB lacks WITH ORDINALITY), then one EXISTS per later term at
+    // pos + i — the same adjacency intersection as the Spark semi joins.
+    "text_phrase_search" ->
+      s"""WITH ${TextQueries.wordsCte},
+         |p AS (SELECT doc_id, unnest(list_transform(range(len(ws)),
+         |    i -> struct_pack(pos := i, w := ws[i+1]))) AS e FROM words),
+         |q AS (SELECT doc_id, e.pos AS pos, e.w AS w FROM p),
+         |a AS (SELECT doc_id, pos FROM q WHERE w = 'part'),
+         |m AS (SELECT a.doc_id, a.pos FROM a
+         |  WHERE EXISTS (SELECT 1 FROM q
+         |    WHERE q.doc_id = a.doc_id AND q.pos = a.pos + 1
+         |      AND q.w = 'filter')
+         |    AND EXISTS (SELECT 1 FROM q
+         |    WHERE q.doc_id = a.doc_id AND q.pos = a.pos + 2
+         |      AND q.w = 'scan'))
+         |SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1"""
+        .stripMargin,
+
+    "events_top_paths" ->
+      """WITH s AS (SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, count(*) AS n FROM s
+        |WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+
+    "ab_test_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+        |      THEN value ELSE 0.0 END) AS y,
+        |    sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+        |      THEN value ELSE 0.0 END) AS x
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy FROM u),
+        |t AS (SELECT *,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+        |    (syy - sy * sy / n) / n AS vy FROM m),
+        |adj AS (SELECT u.user_id, u.a,
+        |    u.y - t.theta * (u.x - t.sx / t.n) AS adj FROM u, t)
+        |SELECT
+        |  CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  round(sum(CASE WHEN a = 1 THEN adj END)
+        |    / sum(CASE WHEN a = 1 THEN 1.0 END), 6) AS adj_mean_a,
+        |  round(sum(CASE WHEN a = 0 THEN adj END)
+        |    / sum(CASE WHEN a = 0 THEN 1.0 END), 6) AS adj_mean_b,
+        |  round((SELECT theta FROM t), 6) AS theta,
+        |  round(1.0 - ((sum(adj * adj) - sum(adj) * sum(adj)
+        |      / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE))
+        |    / (SELECT vy FROM t), 6) AS var_reduction,
+        |  round(round(sum(CASE WHEN a = 1 THEN adj END)
+        |      / sum(CASE WHEN a = 1 THEN 1.0 END), 6)
+        |    - round(sum(CASE WHEN a = 0 THEN adj END)
+        |      / sum(CASE WHEN a = 0 THEN 1.0 END), 6), 6) AS adj_diff
+        |FROM adj""".stripMargin,
 
     "events_transition_matrix" ->
       """WITH p AS (SELECT event_type AS from_state,

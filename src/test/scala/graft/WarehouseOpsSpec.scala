@@ -314,6 +314,63 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(math.abs(got._3 - math.log(12.0)) < 1e-3, got.toString)
   }
 
+  test("phraseSearch: counts occurrences incl. overlaps; absent docs omitted") {
+    val docs = Seq(
+      (1L, "the quick fox and the quick fox again"),
+      (2L, "quick fox"),
+      (3L, "the fox quick"),           // right words, wrong order
+      (4L, "a a a a"))                 // overlap probe
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.phraseSearch(docs, "doc_id", "text",
+        Seq("quick", "fox"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L), got.toString)
+    val overlaps = graft.ops.TextAnalysis.phraseSearch(docs, "doc_id", "text",
+        Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(overlaps == Map(4L -> 3L), overlaps.toString)
+  }
+
+  test("topPaths: consecutive triples counted per user; deterministic tie order") {
+    val ev = Seq(
+      (1L, ts(1000000L), 1L, "a"), (1L, ts(2000000L), 2L, "b"),
+      (1L, ts(3000000L), 3L, "c"), (1L, ts(4000000L), 4L, "a"),
+      (2L, ts(1000000L), 5L, "a"), (2L, ts(2000000L), 6L, "b"),
+      (2L, ts(3000000L), 7L, "c"))
+      .toDF("u", "t", "id", "s")
+    val got = graft.ops.Funnel.topPaths(ev, "u", "t", "id", "s", k = 10)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got.head == (("a", "b", "c", 2L)), got.toString)
+    assert(got.toSet == Set(("a", "b", "c", 2L), ("b", "c", "a", 1L)),
+      got.toString)
+  }
+
+  test("cupedAdjusted: matches the closed form; covariate removes most variance") {
+    // y tracks x closely; arm A carries a true +2.5 effect.
+    val rows = Seq(
+      (1L, true, 10.0, 12.5), (2L, true, 20.0, 22.5),
+      (3L, false, 12.0, 12.0), (4L, false, 22.0, 22.0))
+    val df = rows.toDF("u", "isa", "x", "y")
+    val got = Stats.cupedAdjusted(df, "u", col("isa"), col("y"), col("x"))
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    // Reference: identical formula in plain Scala.
+    val xs = rows.map(_._3); val ys = rows.map(_._4); val n = 4.0
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val adj = rows.map { case (_, _, x, y) => y - theta * (x - sx / n) }
+    val ma = adj.zip(rows).collect { case (a, r) if r._2 => a }
+    val mb = adj.zip(rows).collect { case (a, r) if !r._2 => a }
+    assert(got._1 == 2L && got._2 == 2L)
+    assert(math.abs(got._3 - ma.sum / 2) < 1e-6, got.toString)
+    assert(math.abs(got._4 - mb.sum / 2) < 1e-6, got.toString)
+    assert(math.abs(got._5 - theta) < 1e-6, got.toString)
+    assert(got._6 > 0.9, s"tight covariate must remove most variance: $got")
+    assert(math.abs(got._7 - (ma.sum / 2 - mb.sum / 2)) < 1e-5, got.toString)
+  }
+
   test("transitionMatrix: ML estimate; per-from probabilities sum to 1") {
     val rows = Seq(
       (1L, ts(1000000L), 1L, "a"), (1L, ts(2000000L), 2L, "b"),
