@@ -55,6 +55,17 @@ object StreamUpsert {
     * change stream (the spec pins this). Emit with
     * `outputMode("update")`; the latest emission per key IS the store.
     */
+  /** The per-key state transition: the stored winner survives unless the
+    * incoming change carries a strictly later (seq, tie). Exposed so the
+    * permutation-invariance property can fold it directly.
+    */
+  private[graft] def winner(prev: Option[KeyState], c: Change): KeyState =
+    prev match {
+      case Some(p) if p.seqUs > c.seqUs ||
+        (p.seqUs == c.seqUs && p.tie >= c.tie) => p
+      case _ => KeyState(c.seqUs, c.tie, c.op == "D", c.value)
+    }
+
   def latestValues(changes: org.apache.spark.sql.Dataset[Change])(
       implicit outEnc: org.apache.spark.sql.Encoder[Materialized],
       stEnc: org.apache.spark.sql.Encoder[KeyState])
@@ -63,15 +74,10 @@ object StreamUpsert {
       .mapGroupsWithState[KeyState, Materialized] {
         (key: Long, batch: Iterator[Change],
          state: org.apache.spark.sql.streaming.GroupState[KeyState]) =>
-          val incoming = batch.maxBy(c => (c.seqUs, c.tie))
-          val winner = state.getOption match {
-            case Some(p) if p.seqUs > incoming.seqUs ||
-              (p.seqUs == incoming.seqUs && p.tie >= incoming.tie) => p
-            case _ => KeyState(incoming.seqUs, incoming.tie,
-              incoming.op == "D", incoming.value)
-          }
-          state.update(winner)
-          Materialized(key, winner.seqUs, winner.tie, winner.deleted,
-            if (winner.deleted) None else Some(winner.value))
+          val next = batch.foldLeft(state.getOption) {
+            (st, c) => Some(winner(st, c)) }.get
+          state.update(next)
+          Materialized(key, next.seqUs, next.tie, next.deleted,
+            if (next.deleted) None else Some(next.value))
       }
 }

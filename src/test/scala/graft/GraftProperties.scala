@@ -329,4 +329,67 @@ object GraftProperties extends Properties("graft") {
         Prop(stream == batch) :| s"stream=$stream batch=$batch split=$nBatches"
       }
     }
+
+  private val genChange: Gen[(Long, Long, Long, String, Double)] = for {
+    k <- Gen.choose(1L, 5L)
+    seq <- Gen.choose(1L, 50L)
+    op <- Gen.frequency(3 -> Gen.const("U"), 1 -> Gen.const("D"))
+    v <- Gen.choose(0, 99).map(_.toDouble)
+  } yield (k, seq, 0L, op, v)
+
+  /** Reference latest-wins semantics in plain Scala. */
+  private def refApply(snapshot: Map[Long, Double],
+                       changes: Seq[(Long, Long, Long, String, Double)])
+      : Map[Long, Double] = {
+    val latest = changes.zipWithIndex
+      .groupBy(_._1._1)
+      .map { case (k, cs) => k -> cs.maxBy(c => (c._1._2, c._2))._1 }
+    val upserted = latest.collect { case (k, (_, _, _, "U", v)) => k -> v }
+    val deleted = latest.collect { case (k, (_, _, _, "D", _)) => k }.toSet
+    (snapshot -- deleted) ++ upserted
+  }
+
+  property("CDC apply: any contiguous ordered split folds to the one-shot result (L182/L200)") =
+    forAll(Gen.listOfN(24, genChange), Gen.choose(1, 5)) { (raw, nBatches) =>
+      raw.nonEmpty ==> {
+        // Unique (seq, tie) so latest-wins is total-ordered: re-tie by index.
+        val changes = raw.zipWithIndex.map { case ((k, s, _, o, v), i) =>
+          (k, s, i.toLong, o, v) }
+        val snapshot = Map(1L -> 100.0, 3L -> 300.0, 5L -> 500.0)
+        val expect = refApply(snapshot, changes)
+        val ordered = changes.sortBy(c => (c._2, c._3))
+        val per = math.max(1, ordered.size / nBatches)
+        var store = snapshot.toSeq.toDF("k", "v")
+        ordered.grouped(per).foreach { b =>
+          store = graft.streaming.StreamUpsert.upsertIngest(store,
+            b.toDF("k", "seq", "tie", "op", "v"), "k", "seq", "tie", "op", "v")
+            .localCheckpoint()
+        }
+        val folded = store.as[(Long, Double)].collect().toMap
+        Prop(folded == expect) :| s"folded=$folded expect=$expect n=$nBatches"
+      }
+    }
+
+  property("stateful latest-value: ANY batch permutation equals the batch apply (L209)") =
+    forAll(Gen.listOfN(16, genChange), Gen.choose(1L, 999L)) { (raw, seed) =>
+      raw.nonEmpty ==> {
+        val changes = raw.zipWithIndex.map { case ((k, s, _, o, v), i) =>
+          (k, s, i.toLong, o, v) }
+        val expect = refApply(Map.empty, changes)
+        // Deterministic pseudo-shuffle from the generated seed.
+        val shuffled = changes.sortBy { c =>
+          (c._1 * 2654435761L + c._3 * seed) % 1000003L }
+        // Fold the op's OWN state transition over the permuted arrival
+        // order — exactly what mapGroupsWithState executes per batch.
+        import graft.streaming.StreamUpsert
+        val adv = shuffled.foldLeft(Map.empty[Long, StreamUpsert.KeyState]) {
+          case (st, (k, s, t, o, v)) =>
+            st.updated(k, StreamUpsert.winner(st.get(k),
+              StreamUpsert.Change(k, s, t, o, v)))
+        }
+        val live = adv.collect {
+          case (k, st) if !st.deleted => k -> st.value }
+        Prop(live == expect) :| s"live=$live expect=$expect"
+      }
+    }
 }
