@@ -76,6 +76,42 @@ object TsAnalytics {
         col(tieCol), col("autocorr"))
   }
 
+  /** Autocorrelation function per user: full-series Pearson(xₜ, xₜ₋ₖ)
+    * for every lag k = 1..maxLag — the seasonality/persistence
+    * fingerprint (an ACF spike at k=24 on hourly data means daily
+    * seasonality, feeding the season choice in [[seasonalNaiveEval]]).
+    * One ordered window computes all K lags on a single sort; the lag
+    * columns explode to (k, x, y) pairs and reduce in one (user × k)
+    * aggregation — K output rows per user, never K passes.
+    */
+  def acf(df: DataFrame, userCol: String, tsCol: String, valueCol: String,
+          tieCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 48, "maxLag in 1..48")
+    val ord = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val x = col(valueCol).cast("double")
+    val lagged = df.select(
+      col(userCol) +: x.as("__x") +:
+        (1 to maxLag).map(k => lag(x, k).over(ord).as(s"__l$k")): _*)
+    val pairs = lagged.select(col(userCol), col("__x"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("k"), col(s"__l$k").as("y"))): _*)).as("__p"))
+      .select(col(userCol), col("__x").as("x"),
+        col("__p.k").as("lag"), col("__p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("x")); val sy = sum(col("y"))
+    val sxy = sum(col("x") * col("y"))
+    val sxx = sum(col("x") * col("x")); val syy = sum(col("y") * col("y"))
+    // Zero variance on either side (constant series, or a single pair)
+    // has no defined correlation: emit null, never divide — ANSI mode
+    // turns the 0 divisor into a query-killing error (z-test lesson).
+    val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    pairs.groupBy(col(userCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(when(den > 0, (n * sxy - sx * sy) / den), 4).as("acf"))
+  }
+
   /** CUSUM change-point location per user: cumulative sum of deviations
     * from the user's own mean, change point at the maximum |S_i| (Page's
     * cumulative-sum statistic; the argmax of the excursion is the

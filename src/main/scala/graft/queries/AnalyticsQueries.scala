@@ -252,6 +252,12 @@ object AnalyticsQueries {
         "event_id", "event_type", k = 10)
     },
 
+    // L213: autocorrelation function, lags 1..5 per user.
+    "ts_acf" -> { (s, dir) =>
+      TsAnalytics.acf(Tables.events(s, dir), "user_id", "ts", "value",
+        "event_id", maxLag = 5)
+    },
+
     // L212: CUPED-adjusted A/B readout — post-period per-user value sum
     // adjusted by the pre-period covariate.
     "ab_test_cuped" -> { (s, dir) =>
@@ -733,6 +739,30 @@ object AnalyticsQueries {
         |WHERE step3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+
+    "ts_acf" -> {
+      val lags = (1 to 5).map(k => s"lag(value, $k) OVER w AS l$k")
+        .mkString(",\n    ")
+      val arms = (1 to 5).map(k =>
+        s"SELECT user_id, $k AS lag, x, l$k AS y FROM b WHERE l$k IS NOT NULL")
+        .mkString("\n  UNION ALL ")
+      s"""WITH b AS (SELECT user_id, value AS x,
+         |    $lags
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |p AS (
+         |  $arms),
+         |a AS (SELECT user_id, lag, CAST(count(*) AS DOUBLE) AS n,
+         |    count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM p GROUP BY 1, 2)
+         |SELECT user_id, lag, CAST(np AS BIGINT) AS n_pairs,
+         |  CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+         |    THEN round((n * sxy - sx * sy)
+         |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         |  END AS acf
+         |FROM a""".stripMargin
+    },
 
     "ab_test_cuped" ->
       """WITH u AS (SELECT user_id,

@@ -93,6 +93,19 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_.contains(-1.0)), got.mkString(","))
   }
 
+  test("acf: alternating series has acf(1) = -1, acf(2) = +1; constant series null") {
+    val rows = (0 until 12).map(i =>
+      (1L, ts(i * 1000000L), i.toLong, if (i % 2 == 0) 1.0 else -1.0)) ++
+      (0 until 6).map(i => (2L, ts(i * 1000000L), (100 + i).toLong, 7.0))
+    val got = TsAnalytics.acf(rows.toDF("u", "t", "id", "v"),
+        "u", "t", "v", "id", maxLag = 2)
+      .as[(Long, Int, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, 1)) == ((11L, Some(-1.0))), got.toString)
+    assert(got((1L, 2)) == ((10L, Some(1.0))), got.toString)
+    assert(got((2L, 1))._2.isEmpty, "constant series has no defined ACF")
+  }
+
   test("cusumChangepoint: locates the level shift") {
     // 5 points at 0, then 5 at 10: |cusum| peaks at the last pre-shift row.
     val rows = (0 until 10).map(i =>
