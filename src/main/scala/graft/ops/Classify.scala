@@ -111,4 +111,70 @@ object Classify {
       .filter(col("__rn") === 1)
       .select(id, col(labelCol).as(labelOut), col("score"))
   }
+
+  /** Binary logistic regression by FULL-BATCH gradient descent with a
+    * fixed iteration count — the sibling of [[graft.ops.Graph.pagerank]]
+    * on the model-training side: a deterministic, oracle-expressible
+    * iterative DataFrame algorithm (each unrolled step is plain joins +
+    * aggregations, so a SQL engine can replay the exact recurrence).
+    *
+    *   w₀ = 0;  wₖ₊₁(b) = wₖ(b) + lr · Σ_d x_db · (y_d − σ(Σ_b x_db·wₖ(b))) / N
+    *
+    * Scale design: features stay SPARSE (doc, bucket, x) end to end; per
+    * iteration one broadcast of the dim-bounded weight vector, one
+    * doc-keyed score aggregation, one bucket-keyed gradient aggregation
+    * — two shuffles on even keys, state = dim rows, `localCheckpoint`
+    * per round (the pagerank lineage discipline). Docs whose features
+    * all canceled contribute a zero gradient and drop out naturally.
+    * Full-batch GD converges geometrically on separable data (the spec
+    * drives 40 rounds); the oracle gate pins 3 unrolled rounds.
+    */
+  def logisticFit(features: DataFrame, labels: DataFrame, idCol: String,
+                  bucketCol: String, xCol: String, labelCol: String,
+                  dim: Int, iterations: Int, lr: Double): DataFrame = {
+    require(dim >= 1 && iterations >= 1 && lr > 0)
+    val f = features.select(col(idCol), col(bucketCol).as("bucket"),
+      col(xCol).cast("double").as("__x")).localCheckpoint()
+    val lab = labels.select(col(idCol), col(labelCol).cast("double").as("__y"))
+      .localCheckpoint()
+    val n = lab.count().toDouble
+    val spark = features.sparkSession
+    import spark.implicits._
+    var w = (0 until dim).map(b => (b.toLong, 0.0)).toDF("bucket", "wv")
+    for (_ <- 1 to iterations) {
+      val scores = f.join(broadcast(w), Seq("bucket"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__x") * col("wv")).as("__score"))
+      val resid = lab.join(scores, Seq(idCol), "left")
+        .select(col(idCol), (col("__y") - lit(1.0) /
+          (lit(1.0) + exp(-coalesce(col("__score"), lit(0.0)))))
+          .as("__resid"))
+      val grad = f.join(resid, Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg((sum(col("__x") * col("__resid")) / lit(n)).as("__grad"))
+      w = w.join(grad, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("wv") + lit(lr) * coalesce(col("__grad"), lit(0.0))).as("wv"))
+        .localCheckpoint()
+    }
+    w.select(col("bucket"), col("wv").as("weight"))
+  }
+
+  /** Score docs against a fitted weight vector: (id, prob) with
+    * σ(Σ x·w); docs with no surviving features score σ(0) = 0.5 only if
+    * present in `ids` — pass the full id frame to make scoring total.
+    */
+  def logisticPredict(features: DataFrame, weights: DataFrame,
+                      ids: DataFrame, idCol: String, bucketCol: String,
+                      xCol: String): DataFrame = {
+    val scored = features
+      .select(col(idCol), col(bucketCol).as("bucket"),
+        col(xCol).cast("double").as("__x"))
+      .join(broadcast(weights.select(col("bucket"), col("weight"))),
+        Seq("bucket"))
+      .groupBy(col(idCol)).agg(sum(col("__x") * col("weight")).as("__s"))
+    ids.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), (lit(1.0) /
+        (lit(1.0) + exp(-coalesce(col("__s"), lit(0.0))))).as("prob"))
+  }
 }

@@ -252,6 +252,19 @@ object AnalyticsQueries {
         "event_id", "event_type", k = 10)
     },
 
+    // L214: logistic regression by 3 unrolled full-batch GD rounds over
+    // hashed sparse features (label: long document).
+    "text_logreg_weights" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val feats = graft.ops.TextAnalysis.hashEmbeddingSparse(docs,
+        "doc_id", "text", dim = 32)
+      val labels = docs.select(col("doc_id"),
+        when(col("n_chars") > 800, lit(1.0)).otherwise(lit(0.0)).as("y"))
+      graft.ops.Classify.logisticFit(feats, labels, "doc_id", "bucket",
+          "weight", "y", dim = 32, iterations = 3, lr = 0.1)
+        .select(col("bucket"), round(col("weight"), 5).as("weight"))
+    },
+
     // L213: autocorrelation function, lags 1..5 per user.
     "ts_acf" -> { (s, dir) =>
       TsAnalytics.acf(Tables.events(s, dir), "user_id", "ts", "value",
@@ -739,6 +752,45 @@ object AnalyticsQueries {
         |WHERE step3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+
+    // Unrolled GD mirror (3 rounds): each wK derives from w{K-1} through
+    // the identical score → sigmoid residual → gradient → update chain.
+    "text_logreg_weights" -> {
+      val iters = 3
+      val base =
+        s"""WITH ${TextQueries.wordsCte},
+           |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+           |h AS (SELECT doc_id,
+           |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 32 AS bucket,
+           |  1 - 2 * (('0x' || substr(md5(w), 7, 1))::BIGINT % 2) AS s
+           |  FROM tok),
+           |feats AS (SELECT doc_id, bucket,
+           |    CAST(sum(s) AS DOUBLE) AS x
+           |  FROM h GROUP BY 1, 2 HAVING sum(s) <> 0),
+           |lab AS (SELECT doc_id,
+           |    CASE WHEN n_chars > 800 THEN 1.0 ELSE 0.0 END AS y
+           |  FROM documents),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |w0 AS (SELECT unnest(range(0, 32)) AS bucket, 0.0 AS wv)"""
+          .stripMargin
+      val steps = (1 to iters).map { k =>
+        s""",
+           |s$k AS (SELECT f.doc_id, sum(f.x * w.wv) AS score
+           |  FROM feats f JOIN w${k - 1} w USING (bucket) GROUP BY 1),
+           |r$k AS (SELECT l.doc_id,
+           |    l.y - 1.0 / (1.0 + exp(-coalesce(s.score, 0.0))) AS resid
+           |  FROM lab l LEFT JOIN s$k s USING (doc_id)),
+           |g$k AS (SELECT f.bucket,
+           |    sum(f.x * r.resid) / (SELECT n FROM nn) AS grad
+           |  FROM feats f JOIN r$k r USING (doc_id) GROUP BY 1),
+           |w$k AS (SELECT w.bucket,
+           |    w.wv + 0.1 * coalesce(g.grad, 0.0) AS wv
+           |  FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))"""
+          .stripMargin
+      }.mkString
+      base + steps +
+        s"\nSELECT bucket, round(wv, 5) AS weight FROM w$iters"
+    },
 
     "ts_acf" -> {
       val lags = (1 to 5).map(k => s"lag(value, $k) OVER w AS l$k")

@@ -128,4 +128,31 @@ class ClassifySpec extends AnyFunSuite {
     langs.foreach(l => assert(perClass(l) > 0.9,
       s"per-class accuracy for $l: ${perClass(l)} (all: $perClass)"))
   }
+
+  test("logistic GD separates a linearly separable corpus; predict is total") {
+    import org.apache.spark.sql.functions._
+    // Positive docs repeat "alpha", negatives repeat "omega"; a couple of
+    // shared neutral tokens keep the features non-trivial.
+    val docs = (0 until 40).map { i =>
+      val pos = i % 2 == 0
+      val body = (if (pos) "alpha alpha alpha" else "omega omega omega") +
+        " shared filler"
+      (i.toLong, body, if (pos) 1.0 else 0.0)
+    }
+    val df = docs.toDF("doc_id", "text", "y")
+    val feats = graft.ops.TextAnalysis.hashEmbeddingSparse(
+      df.select("doc_id", "text"), "doc_id", "text", dim = 16)
+    val w = graft.ops.Classify.logisticFit(feats,
+      df.select("doc_id", "y"), "doc_id", "bucket", "weight", "y",
+      dim = 16, iterations = 40, lr = 1.0)
+    val preds = graft.ops.Classify.logisticPredict(feats, w,
+        df.select("doc_id"), "doc_id", "bucket", "weight")
+      .join(df.select("doc_id", "y"), Seq("doc_id"))
+      .select(col("doc_id"), (col("prob") > 0.5).as("p"),
+        (col("y") === 1.0).as("t"))
+      .collect()
+    assert(preds.length == 40, "predict must be total over the id frame")
+    val acc = preds.count(r => r.getBoolean(1) == r.getBoolean(2)) / 40.0
+    assert(acc == 1.0, s"separable corpus must fit exactly, got $acc")
+  }
 }
