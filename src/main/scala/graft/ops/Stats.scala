@@ -323,6 +323,30 @@ object Stats {
       round(z, 6).as("z_stat"), (abs(z) > 1.96).as("significant"))
   }
 
+  /** Leave-one-out target encoding: each row's category is replaced by
+    * the mean target of the OTHER rows in that category — the standard
+    * high-cardinality categorical feature for tree/linear models, with
+    * the self-exclusion that prevents target leakage. Singleton
+    * categories have no peers and emit null. Computed in EXACT integer
+    * cent arithmetic ((Σ−y)/(n−1) from integer sums), so both engines
+    * derive bit-identical doubles — a float group sum would wobble at
+    * rounding boundaries. One group aggregation + one AQE-sized join
+    * back (category cardinality-bounded).
+    */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+                      targetCol: String): DataFrame = {
+    val cents = round(col(targetCol) * 100).cast("long")
+    val rows = df.select(col(idCol), col(catCol), cents.as("__c"))
+    val agg = rows.groupBy(col(catCol))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+    rows.join(agg, Seq(catCol))
+      .select(col(idCol), col(catCol),
+        when(col("__n") > 1,
+          round((col("__s") - col("__c")).cast("double") /
+            ((col("__n") - 1).cast("double") * lit(100.0)), 4))
+          .as("loo_mean"))
+  }
+
   /** CUPED-adjusted A/B comparison (Deng et al. 2013): each unit's
     * post-period metric y is adjusted by its pre-period covariate x —
     * adj = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled over all units —

@@ -19,6 +19,45 @@ object AnalyticsQueries {
 
   private val docSources: Seq[String] = (0 until 20).map(i => s"src$i")
 
+  /** Shared DuckDB CTE chain replaying `Classify.logisticFit` over the
+    * 32-dim hashed features: base (features, labels, N, zero weights)
+    * plus one score → residual → gradient → update step per round.
+    */
+  private def logregCtes(iters: Int): String = {
+    val base =
+      s"""WITH ${TextQueries.wordsCte},
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 32 AS bucket,
+         |  1 - 2 * (('0x' || substr(md5(w), 7, 1))::BIGINT % 2) AS s
+         |  FROM tok),
+         |feats AS (SELECT doc_id, bucket,
+         |    CAST(sum(s) AS DOUBLE) AS x
+         |  FROM h GROUP BY 1, 2 HAVING sum(s) <> 0),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN n_chars > 800 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |w0 AS (SELECT unnest(range(0, 32)) AS bucket, 0.0 AS wv)"""
+        .stripMargin
+    val steps = (1 to iters).map { k =>
+      s""",
+         |s$k AS (SELECT f.doc_id, sum(f.x * w.wv) AS score
+         |  FROM feats f JOIN w${k - 1} w USING (bucket) GROUP BY 1),
+         |r$k AS (SELECT l.doc_id,
+         |    l.y - 1.0 / (1.0 + exp(-coalesce(s.score, 0.0))) AS resid
+         |  FROM lab l LEFT JOIN s$k s USING (doc_id)),
+         |g$k AS (SELECT f.bucket,
+         |    sum(f.x * r.resid) / (SELECT n FROM nn) AS grad
+         |  FROM feats f JOIN r$k r USING (doc_id) GROUP BY 1),
+         |w$k AS (SELECT w.bucket,
+         |    w.wv + 0.1 * coalesce(g.grad, 0.0) AS wv
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))"""
+        .stripMargin
+    }.mkString
+    base + steps
+  }
+
   def defs: Map[String, Q] = Map(
     // L182: changelog compaction + latest-wins snapshot merge. The
     // changelog is derived from events (error ⇒ delete, else upsert of
@@ -250,6 +289,37 @@ object AnalyticsQueries {
     "events_top_paths" -> { (s, dir) =>
       graft.ops.Funnel.topPaths(Tables.events(s, dir), "user_id", "ts",
         "event_id", "event_type", k = 10)
+    },
+
+    // L215: leave-one-out target encoding of event_type by value.
+    "ml_target_encoding" -> { (s, dir) =>
+      Stats.targetEncodeLoo(Tables.events(s, dir), "event_id",
+        "event_type", "value")
+    },
+
+    // L216: calibration curve (reliability diagram) of the 3-round
+    // logistic model: predicted-probability deciles vs observed rate.
+    // Features feed BOTH the fit and the scoring pass — scoped-cache them
+    // so the tokenize+hash explode runs once (10.9 s → fit-level at the
+    // 10× probe without it).
+    "ml_calibration_curve" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val feats = graft.ops.OpCaches.scoped(
+        graft.ops.TextAnalysis.hashEmbeddingSparse(docs,
+          "doc_id", "text", dim = 32))
+      val labels = docs.select(col("doc_id"),
+        when(col("n_chars") > 800, lit(1.0)).otherwise(lit(0.0)).as("y"))
+      val w = graft.ops.Classify.logisticFit(feats, labels, "doc_id",
+        "bucket", "weight", "y", dim = 32, iterations = 3, lr = 0.1)
+      val preds = graft.ops.Classify.logisticPredict(feats, w,
+        docs.select(col("doc_id")), "doc_id", "bucket", "weight")
+      preds.join(labels, Seq("doc_id"))
+        .select(least(floor(col("prob") * 10).cast("int"), lit(9))
+          .as("bin"), col("prob"), col("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("prob")), 6).as("mean_predicted"),
+          round(avg(col("y")), 6).as("observed_rate"))
     },
 
     // L214: logistic regression by 3 unrolled full-batch GD rounds over
@@ -755,42 +825,35 @@ object AnalyticsQueries {
 
     // Unrolled GD mirror (3 rounds): each wK derives from w{K-1} through
     // the identical score → sigmoid residual → gradient → update chain.
-    "text_logreg_weights" -> {
-      val iters = 3
-      val base =
-        s"""WITH ${TextQueries.wordsCte},
-           |tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
-           |h AS (SELECT doc_id,
-           |  ('0x' || substr(md5(w), 1, 6))::BIGINT % 32 AS bucket,
-           |  1 - 2 * (('0x' || substr(md5(w), 7, 1))::BIGINT % 2) AS s
-           |  FROM tok),
-           |feats AS (SELECT doc_id, bucket,
-           |    CAST(sum(s) AS DOUBLE) AS x
-           |  FROM h GROUP BY 1, 2 HAVING sum(s) <> 0),
-           |lab AS (SELECT doc_id,
-           |    CASE WHEN n_chars > 800 THEN 1.0 ELSE 0.0 END AS y
-           |  FROM documents),
-           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-           |w0 AS (SELECT unnest(range(0, 32)) AS bucket, 0.0 AS wv)"""
-          .stripMargin
-      val steps = (1 to iters).map { k =>
-        s""",
-           |s$k AS (SELECT f.doc_id, sum(f.x * w.wv) AS score
-           |  FROM feats f JOIN w${k - 1} w USING (bucket) GROUP BY 1),
-           |r$k AS (SELECT l.doc_id,
-           |    l.y - 1.0 / (1.0 + exp(-coalesce(s.score, 0.0))) AS resid
-           |  FROM lab l LEFT JOIN s$k s USING (doc_id)),
-           |g$k AS (SELECT f.bucket,
-           |    sum(f.x * r.resid) / (SELECT n FROM nn) AS grad
-           |  FROM feats f JOIN r$k r USING (doc_id) GROUP BY 1),
-           |w$k AS (SELECT w.bucket,
-           |    w.wv + 0.1 * coalesce(g.grad, 0.0) AS wv
-           |  FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))"""
-          .stripMargin
-      }.mkString
-      base + steps +
-        s"\nSELECT bucket, round(wv, 5) AS weight FROM w$iters"
-    },
+    "text_logreg_weights" ->
+      (logregCtes(3) +
+        "\nSELECT bucket, round(wv, 5) AS weight FROM w3"),
+
+    "ml_target_encoding" ->
+      """WITH r AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s2,
+        |    count(*) AS n FROM r GROUP BY 1)
+        |SELECT r.event_id, r.event_type,
+        |  CASE WHEN a.n > 1 THEN round(CAST(a.s2 - r.c AS DOUBLE)
+        |    / (CAST(a.n - 1 AS DOUBLE) * 100.0), 4) END AS loo_mean
+        |FROM r JOIN a USING (event_type)""".stripMargin,
+
+    // Scoring + binning stacked on the SAME unrolled GD chain.
+    "ml_calibration_curve" ->
+      (logregCtes(3) +
+        """,
+          |ps AS (SELECT f.doc_id, sum(f.x * w.wv) AS score
+          |  FROM feats f JOIN w3 w USING (bucket) GROUP BY 1),
+          |pr AS (SELECT l.doc_id, l.y,
+          |    1.0 / (1.0 + exp(-coalesce(p.score, 0.0))) AS prob
+          |  FROM lab l LEFT JOIN ps p USING (doc_id)),
+          |b AS (SELECT least(CAST(floor(prob * 10) AS INTEGER), 9) AS bin,
+          |    prob, y FROM pr)
+          |SELECT bin, count(*) AS n,
+          |  round(avg(prob), 6) AS mean_predicted,
+          |  round(avg(y), 6) AS observed_rate
+          |FROM b GROUP BY bin""".stripMargin),
 
     "ts_acf" -> {
       val lags = (1 to 5).map(k => s"lag(value, $k) OVER w AS l$k")

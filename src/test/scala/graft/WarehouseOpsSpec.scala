@@ -384,6 +384,20 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(math.abs(got._7 - (ma.sum / 2 - mb.sum / 2)) < 1e-5, got.toString)
   }
 
+  test("targetEncodeLoo: self-excluded category mean; singleton yields null") {
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 5.0))
+      .toDF("id", "cat", "v")
+    val got = Stats.targetEncodeLoo(df, "id", "cat", "v")
+      .select("id", "loo_mean").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      1L -> Some(25.0),   // (20+30)/2
+      2L -> Some(20.0),   // (10+30)/2
+      3L -> Some(15.0),   // (10+20)/2
+      4L -> None), got.toString)
+  }
+
   test("transitionMatrix: ML estimate; per-from probabilities sum to 1") {
     val rows = Seq(
       (1L, ts(1000000L), 1L, "a"), (1L, ts(2000000L), 2L, "b"),
