@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** KPI / statistics aggregations (SURVEY.md §2.4 A1–A6, A10).
@@ -321,6 +322,94 @@ object Stats {
     counts.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
       round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
       round(z, 6).as("z_stat"), (abs(z) > 1.96).as("significant"))
+  }
+
+  /** Period-over-period growth of a monthly revenue series: calendar
+    * months bucket the fact stream, and each month compares against the
+    * month `lagPeriods` earlier (12 = year-over-year). Revenue is summed
+    * as exact integer cents — order-free, so the growth ratio is
+    * bit-identical in any engine — and only converted to currency at the
+    * output edge. Month cardinality bounds everything after one fact
+    * aggregation.
+    */
+  def periodGrowth(df: DataFrame, tsCol: String, valueCol: String,
+                   lagPeriods: Int): DataFrame = {
+    require(lagPeriods >= 1, "lagPeriods must be positive")
+    val cents = round(col(valueCol) * 100).cast("long")
+    // Month INDEX (year·12 + month−1) keys the comparison, so the lag is
+    // calendar months — a row-lag window would silently compare against
+    // "12 PRESENT months ago" when the series has gaps.
+    val monthly = df.select(
+        (year(col(tsCol)) * 12 + month(col(tsCol)) - 1).as("__mi"),
+        cents.as("__c"))
+      .groupBy(col("__mi")).agg(sum(col("__c")).as("__rc"))
+    val prior = monthly.select((col("__mi") + lagPeriods).as("__mi"),
+      col("__rc").as("__prev"))
+    monthly.join(prior, Seq("__mi"), "left")
+      .select(
+        ((col("__mi") / 12).cast("long") * 100 + pmod(col("__mi"), lit(12))
+          + 1).cast("int").as("yyyymm"),
+        round(col("__rc").cast("double") / 100.0, 2).as("revenue"),
+        when(col("__prev").isNotNull && col("__prev") =!= 0,
+          round((col("__rc") - col("__prev")).cast("double") /
+            col("__prev").cast("double"), 6)).as("growth"))
+  }
+
+  /** Pareto concentration by decile: entities ranked by their summed
+    * value (exact cents, deterministic ties on the entity id), split
+    * into 10 equal-count bands, each reporting its share and the
+    * cumulative share — "the top 10% of customers carry X% of revenue".
+    * Integer sums end to end; 10 output rows. The rank runs over the
+    * per-entity AGGREGATE (entity-cardinality rows, not facts); at
+    * extreme entity counts replace the single-partition ntile with a
+    * range-partitioned rank (repartitionByRange + per-partition offsets)
+    * — the same two-pass global-order recipe as the ZOrder layout.
+    */
+  def paretoDeciles(df: DataFrame, keyCol: String,
+                    valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val per = df.select(col(keyCol), cents.as("__c"))
+      .groupBy(col(keyCol)).agg(sum(col("__c")).as("__v"))
+    val ord = Window.orderBy(col("__v").desc, col(keyCol))
+    val banded = per.withColumn("__d",
+      ntile(10).over(ord))
+    val byBand = banded.groupBy(col("__d").as("decile"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("__v")).as("__s"))
+    val total = byBand.agg(sum(col("__s")).as("__t"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBand.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("__s").cast("double") / col("__t").cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("__s")).over(cum).cast("double") /
+          col("__t").cast("double"), 6))
+      .select(col("decile"), col("n_entities"), col("share"),
+        col("cum_share"))
+  }
+
+  /** Gini coefficient of a per-entity value distribution (0 = perfectly
+    * even, →1 = fully concentrated): G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx)
+    * over values sorted ASCENDING with an id tie-break. Every sum is an
+    * exact integer (cents × rank), so the two divisions at the end are
+    * the only float ops — bit-identical across engines. Note the rank
+    * product: at ~10⁹ entities × large values the Σ i·xᵢ term needs
+    * headroom checks against Long range; bucket pre-aggregation is the
+    * scale fallback.
+    */
+  def gini(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val per = df.select(col(keyCol), cents.as("__c"))
+      .groupBy(col(keyCol)).agg(sum(col("__c")).as("__v"))
+    val ord = Window.orderBy(col("__v"), col(keyCol))
+    per.withColumn("__i", row_number().over(ord).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__i") * col("__v")).as("__iw"),
+        sum(col("__v")).as("__s"))
+      .select(col("n"),
+        round((lit(2L) * col("__iw") - (col("n") + 1) * col("__s"))
+          .cast("double") /
+          (col("n") * col("__s")).cast("double"), 6).as("gini"))
   }
 
   /** Leave-one-out target encoding: each row's category is replaced by

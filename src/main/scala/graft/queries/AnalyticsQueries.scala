@@ -291,6 +291,22 @@ object AnalyticsQueries {
         "event_id", "event_type", k = 10)
     },
 
+    // L217: year-over-year monthly revenue growth.
+    "a23_yoy_monthly_growth" -> { (s, dir) =>
+      Stats.periodGrowth(Tables.orders(s, dir), "o_orderdate",
+        "o_totalprice", lagPeriods = 12)
+    },
+
+    // L218: Pareto revenue concentration by customer decile.
+    "a24_pareto_share" -> { (s, dir) =>
+      Stats.paretoDeciles(Tables.orders(s, dir), "o_custkey", "o_totalprice")
+    },
+
+    // L219: Gini coefficient of customer revenue concentration.
+    "a25_gini_concentration" -> { (s, dir) =>
+      Stats.gini(Tables.orders(s, dir), "o_custkey", "o_totalprice")
+    },
+
     // L215: leave-one-out target encoding of event_type by value.
     "ml_target_encoding" -> { (s, dir) =>
       Stats.targetEncodeLoo(Tables.events(s, dir), "event_id",
@@ -828,6 +844,52 @@ object AnalyticsQueries {
     "text_logreg_weights" ->
       (logregCtes(3) +
         "\nSELECT bucket, round(wv, 5) AS weight FROM w3"),
+
+    "a23_yoy_monthly_growth" ->
+      """WITH m AS (SELECT year(CAST(o_orderdate AS TIMESTAMP)) * 12
+        |      + month(CAST(o_orderdate AS TIMESTAMP)) - 1 AS mi,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rc
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT a.mi, a.rc, b.rc AS prev
+        |  FROM m a LEFT JOIN m b ON a.mi = b.mi + 12)
+        |SELECT CAST((mi // 12) * 100 + (mi % 12) + 1 AS INTEGER) AS yyyymm,
+        |  round(CAST(rc AS DOUBLE) / 100.0, 2) AS revenue,
+        |  CASE WHEN prev IS NOT NULL AND prev <> 0
+        |    THEN round(CAST(rc - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+        |  END AS growth
+        |FROM g""".stripMargin,
+
+    "a24_pareto_share" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT o_custkey, v,
+        |    ntile(10) OVER (ORDER BY v DESC, o_custkey) AS d FROM per),
+        |g AS (SELECT d AS decile, count(*) AS n_entities,
+        |    CAST(sum(v) AS BIGINT) AS s FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(s) AS BIGINT) AS tt FROM g)
+        |SELECT CAST(decile AS INTEGER) AS decile, n_entities,
+        |  round(CAST(s AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share,
+        |  round(CAST(CAST(sum(s) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS cum_share
+        |FROM g, t""".stripMargin,
+
+    "a25_gini_concentration" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT v,
+        |    row_number() OVER (ORDER BY v, o_custkey) AS i FROM per),
+        |a AS (SELECT count(*) AS n,
+        |    CAST(sum(i * v) AS BIGINT) AS iw,
+        |    CAST(sum(v) AS BIGINT) AS s FROM r)
+        |SELECT n, round(CAST(2 * iw - (n + 1) * s AS DOUBLE)
+        |  / CAST(n * s AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
 
     "ml_target_encoding" ->
       """WITH r AS (SELECT event_id, event_type,

@@ -384,6 +384,44 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(math.abs(got._7 - (ma.sum / 2 - mb.sum / 2)) < 1e-5, got.toString)
   }
 
+  test("periodGrowth: growth vs the lagged period; leading periods null") {
+    def d(ym: (Int, Int)) = java.sql.Timestamp.valueOf(
+      f"${ym._1}%04d-${ym._2}%02d-15 00:00:00")
+    val df = Seq(
+      ((2023, 1), 100.0), ((2023, 2), 200.0),
+      ((2024, 1), 150.0), ((2024, 2), 100.0))
+      .map { case (ym, v) => (d(ym), v) }.toDF("t", "v")
+    val got = Stats.periodGrowth(df, "t", "v", lagPeriods = 12)
+      .as[(Int, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(202301) == ((100.0, None)), got.toString)
+    assert(got(202401) == ((150.0, Some(0.5))), got.toString)
+    assert(got(202402) == ((100.0, Some(-0.5))), got.toString)
+  }
+
+  test("gini: even distribution 0; full concentration near 1") {
+    val even = Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0))
+      .toDF("k", "v")
+    val g1 = Stats.gini(even, "k", "v").as[(Long, Double)].collect().head
+    assert(g1 == ((4L, 0.0)), g1.toString)
+    val skew = Seq((1L, 0.01), (2L, 0.01), (3L, 0.01), (4L, 1000.0))
+      .toDF("k", "v")
+    val g2 = Stats.gini(skew, "k", "v").as[(Long, Double)].collect().head
+    assert(g2._2 > 0.7, s"concentrated distribution: $g2")
+  }
+
+  test("paretoDeciles: shares sum to 1; cumulative share monotone to 1") {
+    val df = (1 to 40).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    val got = Stats.paretoDeciles(df, "k", "v")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 10 && got.forall(_._2 == 4L), got.mkString(","))
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-6)
+    assert(got.last._4 == 1.0, got.last.toString)
+    assert(got.map(_._4).sliding(2).forall(w => w(0) <= w(1)))
+    // decile 1 holds the TOP values: 37..40 of Σ1..40 = 154/820
+    assert(math.abs(got.head._3 - 154.0 / 820.0) < 1e-5, got.head.toString)
+  }
+
   test("targetEncodeLoo: self-excluded category mean; singleton yields null") {
     val df = Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
