@@ -116,6 +116,34 @@ object DataQuality {
     }.reduce(_ unionByName _)
   }
 
+  /** Robust outlier report per group via the median absolute deviation:
+    * MAD = median(|x − median|), outlier when |x − median| exceeds
+    * k·1.4826·MAD (1.4826 scales MAD to σ under normality) — the
+    * mean/stddev z-score breaks down exactly when outliers are present,
+    * since they inflate its own yardstick. Three passes (median, MAD,
+    * flag count), each a group aggregation with the scalar joined back —
+    * group-cardinality frames AQE broadcasts.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.select(col(groupCol), v.as("__v")).join(med, Seq(groupCol))
+      .withColumn("__d", abs(col("__v") - col("__med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(__d, 0.5)").as("__mad"))
+    dev.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("__med")), 6).as("median"),
+        round(first(col("__mad")), 6).as("mad"),
+        sum(when(col("__d") > lit(k) * lit(1.4826) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
+  }
+
   /** Blocked entity resolution across two registries: candidate pairs
     * come only from a shared BLOCK key (here a cheap deterministic
     * function of the name), edit distance prunes within the block, and

@@ -388,6 +388,40 @@ object Stats {
         col("cum_share"))
   }
 
+  /** RFM quintile segmentation: each entity scored 1..5 on Recency (days
+    * since its last event, vs the corpus anchor = the global max date),
+    * Frequency (event count), and Monetary (summed value, exact cents) —
+    * the classic CRM segmentation. Quintiles rank so 1 = best (most
+    * recent / most frequent / highest value), ties broken on the entity
+    * id. The ranks run over the per-entity AGGREGATE; the
+    * range-partitioned-rank recipe applies at extreme entity counts
+    * (see [[paretoDeciles]]).
+    */
+  def rfmQuintiles(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val per = df.select(col(keyCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        cents.as("__c"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__us")).as("__last"), count(lit(1)).as("frequency"),
+        sum(col("__c")).as("__m"))
+    val anchor = per.agg(max(col("__last")).as("__anchor"))
+    val based = per.crossJoin(broadcast(anchor))
+      .select(col(keyCol),
+        floor((col("__anchor") - col("__last")) / lit(86400000000L))
+          .as("recency_days"),
+        col("frequency"), col("__m"))
+    based.select(col(keyCol), col("recency_days"), col("frequency"),
+      round(col("__m").cast("double") / 100.0, 2).as("monetary"),
+      ntile(5).over(Window.orderBy(col("recency_days"), col(keyCol)))
+        .as("r_quintile"),
+      ntile(5).over(Window.orderBy(col("frequency").desc, col(keyCol)))
+        .as("f_quintile"),
+      ntile(5).over(Window.orderBy(col("__m").desc, col(keyCol)))
+        .as("m_quintile"))
+  }
+
   /** Gini coefficient of a per-entity value distribution (0 = perfectly
     * even, →1 = fully concentrated): G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx)
     * over values sorted ASCENDING with an id tie-break. Every sum is an

@@ -120,4 +120,41 @@ object Trajectory {
         max_by(col("__pt"), col(tsCol)).as("end_point"),
         unix_micros(min(col(tsCol))).as("start_us"),
         unix_micros(max(col(tsCol))).as("end_us"))
+
+  /** Great-circle (haversine) distance in km between a point column pair
+    * and a fixed center — 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))
+    * with R = 6371 km. The path-length ops above stay in planar degrees
+    * for exact cross-engine parity; where geodesic METERS matter (radius
+    * search, geofencing) the transcendentals are unavoidable, so the
+    * formula is written in one fixed operation order and consumers round
+    * the output (libm sin/cos differ by ≤1 ulp across engines — the same
+    * accepted tolerance as the ln/exp-based text ops).
+    */
+  def haversineKm(latCol: org.apache.spark.sql.Column,
+                  lonCol: org.apache.spark.sql.Column,
+                  centerLat: Double, centerLon: Double)
+      : org.apache.spark.sql.Column = {
+    val dLat = radians(latCol - lit(centerLat))
+    val dLon = radians(lonCol - lit(centerLon))
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lit(centerLat))) * cos(radians(latCol)) *
+        pow(sin(dLon / 2), 2)
+    lit(2.0 * 6371.0) * asin(sqrt(a))
+  }
+
+  /** Radius search: points within `radiusKm` of the center, with their
+    * distance — one map-side predicate over the scan (at scale, pair
+    * with a Z-order/grid layout so the bounding-box pre-filter prunes
+    * files BEFORE the transcendental runs on survivors).
+    */
+  def withinRadius(points: DataFrame, idCol: String, latCol: String,
+                   lonCol: String, centerLat: Double, centerLon: Double,
+                   radiusKm: Double): DataFrame = {
+    // Filter on the RAW distance (≤1 ulp across engines; a rounded-value
+    // filter would inherit round()'s shortest-repr divergence for the
+    // inclusion decision itself), round only the emitted column.
+    val d = haversineKm(col(latCol), col(lonCol), centerLat, centerLon)
+    points.filter(d <= radiusKm)
+      .select(col(idCol), round(d, 4).as("dist_km"))
+  }
 }

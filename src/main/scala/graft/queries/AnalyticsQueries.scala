@@ -291,6 +291,17 @@ object AnalyticsQueries {
         "event_id", "event_type", k = 10)
     },
 
+    // L221: robust MAD outlier report per event type.
+    "dq_mad_outliers" -> { (s, dir) =>
+      DataQuality.madOutliers(Tables.events(s, dir), "event_type", "value")
+    },
+
+    // L222: RFM quintile segmentation of customers over orders.
+    "rfm_segments" -> { (s, dir) =>
+      Stats.rfmQuintiles(Tables.orders(s, dir), "o_custkey",
+        "o_orderdate", "o_totalprice")
+    },
+
     // L217: year-over-year monthly revenue growth.
     "a23_yoy_monthly_growth" -> { (s, dir) =>
       Stats.periodGrowth(Tables.orders(s, dir), "o_orderdate",
@@ -844,6 +855,46 @@ object AnalyticsQueries {
     "text_logreg_weights" ->
       (logregCtes(3) +
         "\nSELECT bucket, round(wv, 5) AS weight FROM w3"),
+
+    "dq_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, abs(e.value - m.med) AS dd, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |ma AS (SELECT event_type, quantile_cont(dd, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(min(d.med), 6) AS median,
+        |  round(min(ma.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.dd > 3.0 * 1.4826 * ma.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN d.dd > 3.0 * 1.4826 * ma.mad
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS outlier_share
+        |FROM d JOIN ma USING (event_type) GROUP BY 1""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS lastus,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS m
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(lastus) AS anchor FROM per),
+        |b AS (SELECT o_custkey,
+        |    CAST(floor(CAST(anchor - lastus AS DOUBLE) / 86400000000)
+        |      AS BIGINT) AS recency_days,
+        |    frequency, m FROM per, a)
+        |SELECT o_custkey, recency_days,
+        |  CAST(frequency AS BIGINT) AS frequency,
+        |  round(CAST(m AS DOUBLE) / 100.0, 2) AS monetary,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+        |    AS INTEGER) AS r_quintile,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+        |    AS INTEGER) AS f_quintile,
+        |  CAST(ntile(5) OVER (ORDER BY m DESC, o_custkey)
+        |    AS INTEGER) AS m_quintile
+        |FROM b""".stripMargin,
 
     "a23_yoy_monthly_growth" ->
       """WITH m AS (SELECT year(CAST(o_orderdate AS TIMESTAMP)) * 12

@@ -37,6 +37,13 @@ object GeoQueries {
         "user_id", "ts", "lon", "lat", tiebreak = "event_id")
     },
 
+    // G7 (beyond ref): haversine radius search around a fixed center.
+    "g7_radius_search" -> { (s, dir) =>
+      Trajectory.withinRadius(withPoints(Tables.events(s, dir)),
+        "event_id", "lat", "lon",
+        centerLat = 34.5, centerLon = -117.5, radiusKm = 30.0)
+    },
+
     // G4: start/end vertex per user.
     "g4_trajectory_endpoints" -> { (s, dir) =>
       Trajectory.endpoints(withPoints(Tables.events(s, dir)),
@@ -107,6 +114,19 @@ object GeoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // Haversine in the op's exact operation order; the FILTER runs on
+    // the raw distance (round only the emitted column — a rounded-value
+    // filter would make inclusion itself rounding-divergent).
+    "g7_radius_search" ->
+      s"""WITH $ptsCte,
+         |d AS (SELECT event_id,
+         |  12742.0 * asin(sqrt(pow(sin(radians(lat - 34.5) / 2), 2)
+         |    + cos(radians(34.5)) * cos(radians(lat))
+         |      * pow(sin(radians(lon - (-117.5)) / 2), 2))) AS dist
+         |  FROM pts)
+         |SELECT event_id, round(dist, 4) AS dist_km FROM d
+         |WHERE dist <= 30.0""".stripMargin,
+
     "g6_stay_points" ->
       s"""WITH $ptsCte,
          |c AS (SELECT user_id, event_id, ts,

@@ -422,6 +422,49 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - 154.0 / 820.0) < 1e-5, got.head.toString)
   }
 
+  test("withinRadius: haversine degree-of-latitude sanity; outside points filtered") {
+    val pts = Seq((1L, 1.0, 0.0), (2L, 0.1, 0.0), (3L, 5.0, 0.0))
+      .toDF("id", "lat", "lon")
+    val got = graft.ops.Trajectory.withinRadius(pts, "id", "lat", "lon",
+        centerLat = 0.0, centerLon = 0.0, radiusKm = 150.0)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    // 1° of latitude on the R=6371 sphere: 2π·6371/360 ≈ 111.1949 km.
+    assert(math.abs(got(1L) - 111.1949) < 0.001, got.toString)
+    assert(math.abs(got(2L) - 11.1195) < 0.001, got.toString)
+  }
+
+  test("madOutliers: robust to the outlier that breaks a z-score; clean group zero") {
+    val rows = (1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)
+    val clean = (1 to 10).map(i => ("b", i.toDouble))
+    val got = DataQuality.madOutliers((rows ++ clean).toDF("g", "v"), "g", "v")
+      .select("g", "n", "median", "mad", "n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // group a: median 5.5, deviations {0.5..4.5, 994.5} → MAD 2.5;
+    // threshold 3·1.4826·2.5 ≈ 11.1 → exactly the 1000.0 row flags.
+    assert(got("a") == ((10L, 5.5, 2.5, 1L)), got.toString)
+    assert(got("b")._4 == 0L, got.toString)
+  }
+
+  test("rfmQuintiles: recency anchored at the corpus max; best entities score 1") {
+    def d(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // 5 customers, one order each except c1 (3 orders, latest, biggest).
+    val orders = Seq(
+      (1L, d(100), 500.0), (1L, d(90), 10.0), (1L, d(80), 10.0),
+      (2L, d(99), 400.0), (3L, d(98), 300.0), (4L, d(97), 200.0),
+      (5L, d(96), 100.0))
+      .toDF("k", "t", "v")
+    val got = Stats.rfmQuintiles(orders, "k", "t", "v")
+      .as[(Long, Long, Long, Double, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 0L && got(1L)._3 == 3L && got(1L)._4 == 520.0)
+    assert(got(1L)._5 == 1 && got(1L)._6 == 1 && got(1L)._7 == 1,
+      s"best customer scores 1/1/1: ${got(1L)}")
+    assert(got(5L)._2 == 4L && got(5L)._5 == 5 && got(5L)._7 == 5,
+      s"worst recency/monetary scores 5: ${got(5L)}")
+  }
+
   test("targetEncodeLoo: self-excluded category mean; singleton yields null") {
     val df = Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
