@@ -592,6 +592,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pair generation must join on the basket key:\n${p.take(1200)}")
   }
 
+  test("phrase search intersects postings with semi joins, never a text rescan join") {
+    val p = plan("text_phrase_search")
+    assert(p.contains("LeftSemi"),
+      s"adjacency terms must prune via semi joins:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("logistic GD round plan: weights broadcast against sparse features") {
+    // The GATE's final plan is only the checkpointed weight table (the
+    // rounds run eagerly), so the guard inspects ONE round's plan
+    // directly: score-side join of features against the weight frame.
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val feats = graft.ops.TextAnalysis.hashEmbeddingSparse(
+      Tables.documents(spark, dir), "doc_id", "text", dim = 32)
+    val w = (0 until 32).map(b => (b.toLong, 0.1)).toDF("bucket", "wv")
+    val round1 = feats.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(sum(col("weight") * col("wv")).as("s"))
+    val p = round1.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight vector must broadcast against sparse features:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("triangle closure is a semi join over equi-keyed wedges") {
     val p = plan("graph_triangles")
     assert(p.contains("LeftSemi"),
