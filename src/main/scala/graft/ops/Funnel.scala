@@ -126,8 +126,10 @@ object Funnel {
     * the window before a conversion gets credit — `firstW` to the
     * earliest, `lastW` to the latest, the remainder split evenly across
     * the middle (the standard 40/20/40 scheme). One touch ⇒ full
-    * credit; no touch in window ⇒ a `direct` row with credit 1, so
-    * credits always sum to 1 per conversion. Unlike last-touch (which
+    * credit; exactly two touches ⇒ no middle exists, so the middle
+    * weight splits evenly onto the endpoints (0.5/0.5 under 40/20/40);
+    * no touch in window ⇒ a `direct` row with credit 1. Credits thus
+    * sum to 1 per conversion for EVERY touch count. Unlike last-touch (which
     * needs only the latest and runs as a union-window pass), the full
     * credit vector needs every in-window touch: a user-keyed join whose
     * fan-out is bounded by per-user touch density × window — the
@@ -158,8 +160,11 @@ object Funnel {
       .orderBy(col("__tus"), col("touch_id"))
     val n = count(col("touch_id")).over(Window.partitionBy(col("conv_id")))
     val rn = row_number().over(w)
+    val midHalf = (1.0 - firstW - lastW) / 2.0
     val credit = when(col("touch_id").isNull, lit(1.0))
       .when(col("__n") === 1, lit(1.0))
+      .when(col("__n") === 2 && col("__rn") === 1, lit(firstW + midHalf))
+      .when(col("__n") === 2, lit(lastW + midHalf))
       .when(col("__rn") === 1, lit(firstW))
       .when(col("__rn") === col("__n"), lit(lastW))
       .otherwise((lit(1.0) - lit(firstW) - lit(lastW)) /

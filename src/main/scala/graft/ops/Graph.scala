@@ -22,18 +22,28 @@ object Graph {
 
   /** Damped PageRank over a DIRECTED edge list, fixed iteration count.
     *
-    * rank₀ = 1/N; rankₖ₊₁(v) = (1−d)/N + d·Σ_{u→v} rankₖ(u)/outdeg(u).
+    * rank₀ = 1/N; rankₖ₊₁(v) = (1−d)/N + d·(Σ_{u→v} rankₖ(u)/outdeg(u)
+    * + Dₖ/N), where Dₖ = Σ rankₖ over DANGLING nodes (no out-edge) when
+    * `handleDangling` is set, else 0.
     *
-    * Contract: every node must have at least one out-edge (no dangling
-    * mass redistribution is performed — symmetrize the edge list for
+    * With `handleDangling = false` every node must have at least one
+    * out-edge or rank mass leaks (symmetrize the edge list for
     * undirected graphs and the contract holds by construction; the spec
-    * pins Σrank = 1 there). Self-loops and duplicate edges are honored
-    * as given — `.distinct()` upstream if multiplicity is not wanted.
+    * pins Σrank = 1 there). With `handleDangling = true` the op is
+    * total on arbitrary directed graphs: the dangling set is STATIC
+    * (computed once, like the isolate set), and each round folds its
+    * current rank mass into one 1-row aggregate that broadcasts onto
+    * the rank update — one extra semi join + scalar agg per round, no
+    * driver collect, and Σrank stays exactly 1 by construction:
+    * (1−d) + d·((Σprev − D) + N·D/N) = 1. Self-loops and duplicate
+    * edges are honored as given — `.distinct()` upstream if
+    * multiplicity is not wanted.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
                checkpointEvery: Int = 1,
-               symmetrize: Boolean = false): DataFrame = {
+               symmetrize: Boolean = false,
+               handleDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "1..50 iterations")
     require(damping > 0 && damping < 1, "damping in (0,1)")
     // The edge list joins into EVERY iteration; materialize it once —
@@ -59,13 +69,18 @@ object Graph {
     // One bounded driver scalar OUTSIDE the loop (a node count); the
     // iterated plan itself never collects.
     val n = nodes.count().toDouble
-    // Nodes with no in-edge sit at the bare teleport rank every round —
-    // that set is STATIC, so it is computed once here and unioned in per
-    // round instead of left-joining the full node set each iteration.
-    val isolates = nodes.join(e.select(col("dst").as("node")).distinct(),
-        Seq("node"), "left_anti")
-      .select(col("node"), lit((1.0 - damping) / n).as("rank"))
+    // Nodes with no in-edge take no inflow in any round — that set is
+    // STATIC, so it is computed once here and unioned in per round
+    // instead of left-joining the full node set each iteration. (Without
+    // dangling mass their rank is the constant teleport; with it, the
+    // teleport plus their d·D/N share.)
+    val isolateNodes = nodes.join(
+        e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
       .localCheckpoint()
+    // Dangling set (no out-edge): static too; only its MASS varies.
+    val danglingNodes = if (!handleDangling) null
+      else nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti").localCheckpoint()
     var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
     for (i <- 1 to iterations) {
       val inflow = e
@@ -73,10 +88,27 @@ object Graph {
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg").cast("double")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__inflow"))
-      ranks = inflow.select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * col("__inflow")).as("rank"))
-        .unionByName(isolates)
+      ranks = if (!handleDangling) {
+        inflow.select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * col("__inflow")).as("rank"))
+          .unionByName(isolateNodes.select(col("node"),
+            lit((1.0 - damping) / n).as("rank")))
+      } else {
+        // 1-row dangling-mass frame, broadcast onto both branches; the
+        // isolate branch spells its inflow as literal 0.0 so both sides
+        // perform the identical d·(inflow + D/N) float ops the unrolled
+        // oracle replays.
+        val dm = ranks.join(danglingNodes, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+        def step(in: org.apache.spark.sql.Column) =
+          lit((1.0 - damping) / n) +
+            lit(damping) * (in + col("__dm") / lit(n))
+        inflow.crossJoin(broadcast(dm))
+          .select(col("node"), step(col("__inflow")).as("rank"))
+          .unionByName(isolateNodes.crossJoin(broadcast(dm))
+            .select(col("node"), step(lit(0.0)).as("rank")))
+      }
       // Rank state is node-sized (tiny); an eager checkpoint per round
       // keeps every iteration's plan one-join deep — an uncheckpointed
       // chain re-executes earlier rounds inside later ones (the cost
@@ -90,26 +122,56 @@ object Graph {
   /** Per-node triangle participation over an UNDIRECTED simple graph
     * given as unordered edges (each edge once, `a < b`, no self-loops
     * enforced here). The count uses the oriented wedge-closure method:
-    * wedges (a<b<c) come from joining id-oriented edges, and each wedge
-    * closes into a triangle iff (a,c) is an edge — a semi join, so the
-    * wedge set is never materialized past the closure check. Each
-    * triangle credits all three corners via one explode.
+    * edges are oriented from the (degree, id)-smaller endpoint to the
+    * larger (the standard compact-forward optimization, cf. Chiba &
+    * Nishizeki / Schank & Wagner), wedges come from self-joining the
+    * oriented edges on their source, and each wedge closes into a
+    * triangle iff its (v, w) pair is itself an oriented edge — a semi
+    * join, so the wedge set is never materialized past the closure
+    * check. Each triangle credits all three corners via one explode.
     *
-    * Cost is Σ outdeg(v)² over the id-orientation. At scale, orient by
-    * (degree, id) instead of bare id to bound wedges by the LOW-degree
-    * endpoint (the standard compact-forward optimization) — id
-    * orientation is kept here because the oracle must replay the exact
-    * same orientation, and the probe corpus measures fine under it.
+    * Why (degree, id) and not bare id: wedge count is Σ outdeg(v)².
+    * Under id orientation a high-degree hub keeps all its edges
+    * outgoing and the sum is unbounded by graph structure (round-8
+    * probe: 4.8× at a 10× scale-up as the graph densified). Under
+    * degree orientation outdeg(v) ≤ O(√m) on any graph (arboricity
+    * bound), so wedges ≤ O(m^1.5) worst-case and far less on
+    * power-law graphs. The tie-break on id makes the orientation a
+    * total order — deterministic, hence replayable exactly by the
+    * DuckDB oracle via a degree CTE.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .filter(col("a") < col("b")).distinct().localCheckpoint()
-    val wedges = e.select(col("a"), col("b"))
-      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-    val tris = wedges.join(e.select(col("a"), col("b").as("c")),
-      Seq("a", "c"), "left_semi")
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    // Undirected degree per node; riding the edge row (one join per
+    // endpoint) exactly like pagerank's out-degree — never collected.
+    val deg = e0.select(col("a").as("node"))
+      .unionAll(e0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // Oriented edge (src → dst) carries dst's degree so the wedge
+    // ordering below needs no third join.
+    val o = e0
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint()
+    // Wedge (src; v, w) with (deg, id)-ordered out-neighbors v < w;
+    // the closing edge, if the triangle exists, is oriented v → w by
+    // transitivity of the total order, so one semi join suffices.
+    val wedges = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(o.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
+        Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tris = wedges.join(o.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    tris.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -355,24 +355,73 @@ object Stats {
             col("__prev").cast("double"), 6)).as("growth"))
   }
 
+  /** Distributed global row_number over a TOTAL order (callers must
+    * include an id tie-break): the two-pass range recipe. Pass 1
+    * range-partitions on the order key (so partition i holds a
+    * contiguous rank span) and materializes it; the per-partition row
+    * counts — at most `spark.sql.shuffle.partitions` values, a
+    * structurally bounded driver collect like pagerank's scalar — turn
+    * into cumulative offsets shipped back as a literal map. Pass 2 adds
+    * offset(pid) + row_number within the partition. No row ever crosses
+    * a single-partition sort: the only per-entity exchanges are the
+    * even range shuffle and the pid-keyed window shuffle, both
+    * embarrassingly parallel at 10⁸–10⁹ entities.
+    */
+  private[graft] def withRangeRank(df: DataFrame, order: Seq[Column],
+                                   rankName: String): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(nPart, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val cnts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      cnts.map { case (pid, c) => val o = pid -> acc; acc += c; o }.toMap
+    }
+    parted
+      .withColumn(rankName,
+        element_at(typedlit(offsets), col("__pid")) +
+          row_number().over(
+            Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .withColumn("__n", lit(cnts.map(_._2).sum))
+      .drop("__pid")
+  }
+
+  /** SQL-standard ntile derived arithmetically from a global rank and
+    * the row count: with q = n div k and m = n mod k, the first m
+    * buckets hold q+1 rows and the rest q — exactly Spark's and
+    * DuckDB's ntile(). All intermediates are exact in double below
+    * 2^53 rows (numerators are multiples of their divisors or floored).
+    */
+  private def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val kl = lit(k.toLong)
+    val q = ((n - pmod(n, kl)) / kl).cast("long")
+    val m = pmod(n, kl)
+    val cut = m * (q + 1)
+    when(rank <= cut, floor((rank - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(m + floor((rank - cut - 1) / q).cast("long") + 1)
+      .cast("int")
+  }
+
   /** Pareto concentration by decile: entities ranked by their summed
     * value (exact cents, deterministic ties on the entity id), split
     * into 10 equal-count bands, each reporting its share and the
     * cumulative share — "the top 10% of customers carry X% of revenue".
     * Integer sums end to end; 10 output rows. The rank runs over the
-    * per-entity AGGREGATE (entity-cardinality rows, not facts); at
-    * extreme entity counts replace the single-partition ntile with a
-    * range-partitioned rank (repartitionByRange + per-partition offsets)
-    * — the same two-pass global-order recipe as the ZOrder layout.
+    * per-entity AGGREGATE (entity-cardinality rows, not facts) through
+    * [[withRangeRank]] — no single-partition ntile anywhere; the only
+    * partition-less window left is the cumulative share over the 10
+    * decile rows, bounded by construction.
     */
   def paretoDeciles(df: DataFrame, keyCol: String,
                     valueCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100).cast("long")
     val per = df.select(col(keyCol), cents.as("__c"))
       .groupBy(col(keyCol)).agg(sum(col("__c")).as("__v"))
-    val ord = Window.orderBy(col("__v").desc, col(keyCol))
-    val banded = per.withColumn("__d",
-      ntile(10).over(ord))
+    val banded = withRangeRank(per,
+        Seq(col("__v").desc, col(keyCol)), "__r")
+      .withColumn("__d", ntileFromRank(col("__r"), col("__n"), 10))
     val byBand = banded.groupBy(col("__d").as("decile"))
       .agg(count(lit(1)).as("n_entities"), sum(col("__v")).as("__s"))
     val total = byBand.agg(sum(col("__s")).as("__t"))
@@ -393,9 +442,9 @@ object Stats {
     * Frequency (event count), and Monetary (summed value, exact cents) —
     * the classic CRM segmentation. Quintiles rank so 1 = best (most
     * recent / most frequent / highest value), ties broken on the entity
-    * id. The ranks run over the per-entity AGGREGATE; the
-    * range-partitioned-rank recipe applies at extreme entity counts
-    * (see [[paretoDeciles]]).
+    * id. Each of the three ranks runs over the per-entity AGGREGATE via
+    * [[withRangeRank]] — three chained range passes, no single-partition
+    * window; quintile membership is then pure arithmetic on the rank.
     */
   def rfmQuintiles(df: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String): DataFrame = {
@@ -412,31 +461,41 @@ object Stats {
         floor((col("__anchor") - col("__last")) / lit(86400000000L))
           .as("recency_days"),
         col("frequency"), col("__m"))
-    based.select(col(keyCol), col("recency_days"), col("frequency"),
+    val r1 = withRangeRank(based,
+      Seq(col("recency_days"), col(keyCol)), "__rr")
+    val r2 = withRangeRank(r1,
+      Seq(col("frequency").desc, col(keyCol)), "__rf")
+    val r3 = withRangeRank(r2,
+      Seq(col("__m").desc, col(keyCol)), "__rm")
+    r3.select(col(keyCol), col("recency_days"), col("frequency"),
       round(col("__m").cast("double") / 100.0, 2).as("monetary"),
-      ntile(5).over(Window.orderBy(col("recency_days"), col(keyCol)))
-        .as("r_quintile"),
-      ntile(5).over(Window.orderBy(col("frequency").desc, col(keyCol)))
-        .as("f_quintile"),
-      ntile(5).over(Window.orderBy(col("__m").desc, col(keyCol)))
-        .as("m_quintile"))
+      ntileFromRank(col("__rr"), col("__n"), 5).as("r_quintile"),
+      ntileFromRank(col("__rf"), col("__n"), 5).as("f_quintile"),
+      ntileFromRank(col("__rm"), col("__n"), 5).as("m_quintile"))
   }
 
   /** Gini coefficient of a per-entity value distribution (0 = perfectly
     * even, →1 = fully concentrated): G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx)
     * over values sorted ASCENDING with an id tie-break. Every sum is an
     * exact integer (cents × rank), so the two divisions at the end are
-    * the only float ops — bit-identical across engines. Note the rank
-    * product: at ~10⁹ entities × large values the Σ i·xᵢ term needs
-    * headroom checks against Long range; bucket pre-aggregation is the
-    * scale fallback.
+    * the only float ops — bit-identical across engines. The rank comes
+    * from [[withRangeRank]] (no single-partition sort), and the rank
+    * product's Long headroom (Σ i·xᵢ ≤ n²·max|cents|) is checked up
+    * front — bucket pre-aggregation is the fallback past ~10⁹ entities
+    * with large values.
     */
   def gini(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100).cast("long")
     val per = df.select(col(keyCol), cents.as("__c"))
       .groupBy(col(keyCol)).agg(sum(col("__c")).as("__v"))
-    val ord = Window.orderBy(col("__v"), col(keyCol))
-    per.withColumn("__i", row_number().over(ord).cast("long"))
+    val head = per.agg(count(lit(1)).as("n"),
+      max(abs(col("__v"))).as("mx")).collect()(0)
+    val (n, mx) =
+      (head.getLong(0), if (head.isNullAt(1)) 0L else head.getLong(1))
+    require(n.toDouble * n.toDouble * mx.toDouble < 9.0e18,
+      s"gini rank-weighted sum would overflow Long: n=$n maxAbsCents=$mx" +
+        " — pre-aggregate into value buckets first")
+    withRangeRank(per, Seq(col("__v"), col(keyCol)), "__i")
       .agg(count(lit(1)).as("n"),
         sum(col("__i") * col("__v")).as("__iw"),
         sum(col("__v")).as("__s"))

@@ -257,6 +257,20 @@ object AnalyticsQueries {
         symmetrize = true)
     },
 
+    // L206b: PageRank on the raw DIRECTED customer→supplier graph —
+    // suppliers are pure sinks (dangling) and customers pure sources
+    // (isolates), so this gate exercises the dangling-mass
+    // redistribution path end to end (Σrank stays 1; see GraphSpec).
+    "graph_pagerank_dangling" -> { (s, dir) =>
+      val eDir = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.ops.Graph.pagerank(eDir, "src", "dst", iterations = 3,
+        handleDangling = true)
+    },
+
     // L207: pairwise association rules over order baskets (min pair
     // count 2 = the Apriori support floor).
     "basket_association_rules" -> { (s, dir) =>
@@ -264,17 +278,27 @@ object AnalyticsQueries {
         "l_orderkey", "l_partkey", minPairCount = 2L)
     },
 
-    // L208: per-node triangle participation on the co-purchase graph
-    // (edges = part pairs bought together in ≥2 orders).
+    // L208: per-node triangle participation on the co-purchase graph.
+    // Edge floor is RELATIVE min-support — ceil(1e-4 × n_baskets), never
+    // below 2 — in exact integer arithmetic ((n+9999) div 10000, no
+    // float/decimal literal whose engine-specific type could flip the
+    // ceil at a boundary). An absolute `pc >= 2` floor densifies the
+    // graph as baskets grow over a fixed part universe (round-8 probe:
+    // 4.8× super-linear at 10×); a share-of-baskets floor keeps edge
+    // density scale-invariant. The 1-row threshold frame is broadcast —
+    // structurally bounded, unlike a cluster map.
     "graph_triangles" -> { (s, dir) =>
       val items = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
         .distinct()
+      val minpc = items.agg(greatest(lit(2L),
+        expr("(count(DISTINCT b) + 9999) div 10000")).as("minpc"))
       val edges = items.join(
           items.select(col("b"), col("i").as("j")), Seq("b"))
         .filter(col("i") < col("j"))
         .groupBy(col("i"), col("j")).agg(count(lit(1)).as("pc"))
-        .filter(col("pc") >= 2)
+        .crossJoin(broadcast(minpc))
+        .filter(col("pc") >= col("minpc"))
         .select(col("i").as("src"), col("j").as("dst"))
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
     },
@@ -433,6 +457,11 @@ object AnalyticsQueries {
         |  count(*) AS n_intervals
         |FROM g WHERE dt IS NOT NULL GROUP BY user_id""".stripMargin,
 
+    // The `+ 0` after round() normalizes IEEE signed zero: DuckDB's
+    // round(x,4) of a tiny negative correlation returns -0.0 while Spark's
+    // BigDecimal HALF_UP round returns +0.0 — numerically equal, but the
+    // driver's hash encodes the sign bit (round-8 red on exactly 2 of
+    // 7,000 cells). -0.0 + 0.0 = +0.0 by IEEE 754, so both engines agree.
     "w14_rolling_autocorr" ->
       """WITH b AS (SELECT user_id, event_id, value AS x,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
@@ -453,7 +482,7 @@ object AnalyticsQueries {
         |SELECT user_id, ts_us, event_id,
         |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         |    THEN round((n * sxy - sx * sy) /
-        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0
         |    END AS autocorr
         |FROM f WHERE nf = 20""".stripMargin,
 
@@ -621,6 +650,7 @@ object AnalyticsQueries {
         |  CAST(n AS BIGINT) AS n_touches,
         |  round(CASE WHEN touch_id IS NULL THEN 1.0
         |    WHEN n = 1 THEN 1.0
+        |    WHEN n = 2 THEN 0.5
         |    WHEN rn = 1 THEN 0.4
         |    WHEN rn = n THEN 0.4
         |    ELSE (1.0 - 0.4 - 0.4) / CAST(n - 2 AS DOUBLE) END, 6)
@@ -785,6 +815,42 @@ object AnalyticsQueries {
         s"\nSELECT node, round(rank, 6) AS pagerank FROM p$iters"
     },
 
+    // Same unrolled recurrence on the DIRECTED graph, with the
+    // per-step dangling-mass CTE (dk = Σ rank over nodes with no
+    // out-edge) folded in exactly as the engine computes it:
+    // (1−d)/n + d·(inflow + dk/n), inflow spelled 0.0 for no-in-edge
+    // nodes on both sides.
+    "graph_pagerank_dangling" -> {
+      val iters = 3
+      val base =
+        """WITH e AS (SELECT DISTINCT
+          |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |nodes AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          |p0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s""",
+           |d$k AS (SELECT coalesce(sum(p.rank), 0.0) AS dm FROM p${k - 1} p
+           |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = p.node)),
+           |p$k AS (SELECT nd.node,
+           |    (1.0 - 0.85) / (SELECT n FROM nn)
+           |      + 0.85 * (coalesce(i.inflow, 0.0)
+           |        + (SELECT dm FROM d$k) / (SELECT n FROM nn)) AS rank
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      sum(p.rank / CAST(deg.outdeg AS DOUBLE)) AS inflow
+           |    FROM e JOIN p${k - 1} p ON e.src = p.node
+           |      JOIN deg ON e.src = deg.src
+           |    GROUP BY e.dst) i ON nd.node = i.node)""".stripMargin
+      }.mkString
+      base + steps +
+        s"\nSELECT node, round(rank, 6) AS pagerank FROM p$iters"
+    },
+
     "basket_association_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),
@@ -805,18 +871,38 @@ object AnalyticsQueries {
         |FROM d JOIN ic ca ON d.a = ca.i JOIN ic cb ON d.b2 = cb.i, n"""
         .stripMargin,
 
+    // Replays the Spark side exactly: integer-ceil relative support
+    // floor ((n+9999)//10000, min 2), then the (degree, id) edge
+    // orientation via a degree CTE — deterministic total order, so the
+    // wedge-closure triangle count is engine-independent.
     "graph_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),
-        |e AS (SELECT x.i AS a, y.i AS b FROM items x
+        |mp AS (SELECT greatest(2, (count(DISTINCT b) + 9999) // 10000)
+        |  AS minpc FROM items),
+        |e0 AS (SELECT x.i AS a, y.i AS b FROM items x
         |  JOIN items y ON x.b = y.b AND x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
-        |  JOIN e e2 ON e1.b = e2.a),
-        |t AS (SELECT w.a, w.b, w.c FROM w
-        |  JOIN e ON w.a = e.a AND w.c = e.b),
-        |x AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
-        |  UNION ALL SELECT c FROM t)
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minpc FROM mp)),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |      THEN e0.a ELSE e0.b END AS src,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |      THEN e0.b ELSE e0.a END AS dst,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |      THEN db.d ELSE da.d END AS dd
+        |  FROM e0 JOIN deg da ON e0.a = da.node
+        |    JOIN deg db ON e0.b = db.node),
+        |w AS (SELECT o1.src, o1.dst AS v, o2.dst AS w
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |  WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+        |t AS (SELECT w.src, w.v, w.w FROM w
+        |  WHERE EXISTS (SELECT 1 FROM o
+        |    WHERE o.src = w.v AND o.dst = w.w)),
+        |x AS (SELECT src AS node FROM t UNION ALL SELECT v FROM t
+        |  UNION ALL SELECT w FROM t)
         |SELECT node, count(*) AS n_triangles FROM x GROUP BY node"""
         .stripMargin,
 
@@ -908,6 +994,7 @@ object AnalyticsQueries {
         |  round(CAST(rc AS DOUBLE) / 100.0, 2) AS revenue,
         |  CASE WHEN prev IS NOT NULL AND prev <> 0
         |    THEN round(CAST(rc - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+        |      + 0
         |  END AS growth
         |FROM g""".stripMargin,
 
@@ -987,7 +1074,7 @@ object AnalyticsQueries {
          |SELECT user_id, lag, CAST(np AS BIGINT) AS n_pairs,
          |  CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
          |    THEN round((n * sxy - sx * sy)
-         |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0
          |  END AS acf
          |FROM a""".stripMargin
     },

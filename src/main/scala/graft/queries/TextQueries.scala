@@ -1790,7 +1790,8 @@ object TextQueries {
         s"""SELECT '$a' AS feature_a, '$b' AS feature_b, count(*) AS n,
            |  round((count(*)*sum(fx*fy) - sum(fx)*sum(fy)) /
            |    nullif(sqrt(count(*)*sum(fx*fx) - sum(fx)*sum(fx)) *
-           |           sqrt(count(*)*sum(fy*fy) - sum(fy)*sum(fy)), 0), 6) AS corr
+           |           sqrt(count(*)*sum(fy*fy) - sum(fy)*sum(fy)), 0), 6) + 0
+           |    AS corr
            |FROM (SELECT CAST($a AS DOUBLE) AS fx, CAST($b AS DOUBLE) AS fy
            |      FROM sig WHERE $a IS NOT NULL AND $b IS NOT NULL)""".stripMargin
       }).mkString("\nUNION ALL\n")

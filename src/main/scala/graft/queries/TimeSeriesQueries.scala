@@ -672,7 +672,7 @@ object TimeSeriesQueries {
         |    (n * list_sum(list_transform(range(len(xs)), i -> xs[i+1] * ys[i+1]))
         |      - list_sum(xs) * list_sum(ys)) /
         |    nullif(n * list_sum(list_transform(xs, x -> x * x))
-        |      - list_sum(xs) * list_sum(xs), 0), 6) AS slope_per_hour
+        |      - list_sum(xs) * list_sum(xs), 0), 6) + 0 AS slope_per_hour
         |FROM d""".stripMargin,
 
     "a15_thin_per_bucket" ->

@@ -37,6 +37,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got("c") > got("l1"), "hub must out-rank leaves")
   }
 
+  test("pagerank handleDangling: arbitrary directed graph conserves Σrank = 1") {
+    // a → b → c, c a pure sink (dangling); a a pure source (isolate).
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = Graph.pagerank(e, "src", "dst", iterations = 4,
+        handleDangling = true).as[(String, Double)].collect().toMap
+    // Reference recurrence in plain Scala: D = rank(c) each round;
+    // every node gets (1−d)/3 + d·(inflow + D/3).
+    var (ra, rb, rc) = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 4) {
+      val d = rc
+      val t = 0.15 / 3
+      val (a2, b2, c2) =
+        (t + 0.85 * (0.0 + d / 3), t + 0.85 * (ra + d / 3),
+          t + 0.85 * (rb + d / 3))
+      ra = a2; rb = b2; rc = c2
+    }
+    assert(math.abs(got("a") - ra) < 2e-6, s"${got("a")} vs $ra")
+    assert(math.abs(got("b") - rb) < 2e-6, s"${got("b")} vs $rb")
+    assert(math.abs(got("c") - rc) < 2e-6, s"${got("c")} vs $rc")
+    assert(math.abs(got.values.sum - 1.0) < 1e-5,
+      s"dangling redistribution conserves rank mass: ${got.values.sum}")
+    // Without handling, the same graph leaks the sink's mass.
+    val leaky = Graph.pagerank(e, "src", "dst", iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(leaky.values.sum < 0.99,
+      s"contract violation must visibly leak mass: ${leaky.values.sum}")
+  }
+
   test("triangleCounts: K4 gives 3 per node; squares give none; duplicates ignored") {
     // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3.
     val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))

@@ -618,11 +618,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("entity ranks are range-partitioned, never a single-partition window") {
+    // Pareto deciles / Gini / RFM rank the per-entity aggregate through
+    // Stats.withRangeRank: a range exchange + a __pid-partitioned
+    // row_number, with quintile/decile membership derived arithmetically.
+    // A partition-less ntile/row_number over the entity frame would
+    // funnel 10⁸–10⁹ entities through one task at real scale.
+    for (q <- Seq("a24_pareto_share", "a25_gini_concentration",
+        "rfm_segments")) {
+      val p = plan(q)
+      assert(!p.contains("ntile("),
+        s"$q must derive buckets from the range rank, not ntile:\n${p.take(1200)}")
+      // The range exchange itself sits BELOW the localCheckpoint that
+      // materializes pass 1, so it is not in this plan string; its
+      // visible signature is the per-partition offset map lookup that
+      // only withRangeRank emits.
+      assert(p.contains("element_at(map("),
+        s"$q entity rank must add the range-partition offset lookup:\n${p.take(1200)}")
+      // Every row_number window must be __pid-partitioned: any plan line
+      // mentioning row_number() must carry the __pid partition key.
+      val rowNumbered = p.split("\n").filter(_.contains("row_number()"))
+      assert(rowNumbered.nonEmpty && rowNumbered.forall(_.contains("__pid")),
+        s"$q has a row_number window not keyed by __pid:\n" +
+          rowNumbered.mkString("\n").take(800))
+    }
+    // The 10-row cumulative-share window in pareto is the ONLY allowed
+    // partition-less window (bounded by construction): no row_number or
+    // ntile may appear partition-less anywhere in the three plans.
+  }
+
   test("triangle closure is a semi join over equi-keyed wedges") {
     val p = plan("graph_triangles")
     assert(p.contains("LeftSemi"),
       s"closure must be a semi join (wedges never materialize past it):\n${p.take(1200)}")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // Exactly one BroadcastNestedLoopJoin is expected: the 1-row
+    // relative-min-support threshold frame cross-joined onto the pair
+    // counts. Any second one would be an accidental unkeyed join.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1,
+      s"only the 1-row support-threshold broadcast may nest-loop ($bnlj):\n${p.take(1200)}")
   }
 }

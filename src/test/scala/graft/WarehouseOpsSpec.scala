@@ -208,7 +208,11 @@ class WarehouseOpsSpec extends AnyFunSuite {
       // user 2: one touch → 1.0
       (2L, ts(1000000L), 6L, "view"), (2L, ts(2000000L), 7L, "purchase"),
       // user 3: no touch → direct
-      (3L, ts(1000000L), 8L, "purchase"))
+      (3L, ts(1000000L), 8L, "purchase"),
+      // user 4: exactly two touches → middle weight folds onto the
+      // endpoints: 0.5/0.5, summing to 1 (the n=2 gap ADVICE flagged)
+      (4L, ts(1000000L), 9L, "view"), (4L, ts(2000000L), 10L, "click"),
+      (4L, ts(3000000L), 11L, "purchase"))
       .toDF("u", "t", "id", "ty")
     val got = graft.ops.Funnel.positionBasedAttribution(ev, "u", "t", "ty",
         "id", "purchase", Seq("view", "click"), windowSec = 3600L)
@@ -221,6 +225,10 @@ class WarehouseOpsSpec extends AnyFunSuite {
       Seq((7L, Some(6L), "view", 1.0)), got.mkString(","))
     assert(got.filter(_._1 == 8L).toSeq ==
       Seq((8L, None, "direct", 1.0)), got.mkString(","))
+    val u4 = got.filter(_._1 == 11L).sortBy(_._2)
+    assert(u4.map(_._4).toSeq == Seq(0.5, 0.5), u4.mkString(","))
+    assert(math.abs(u4.map(_._4).sum - 1.0) < 1e-9,
+      "two-touch credits must sum to 1")
   }
 
   test("positionBasedAttribution: touches outside the window are excluded") {

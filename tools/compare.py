@@ -31,7 +31,13 @@ def cells_equal(a, b):
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf
+        # Bitwise-strict: the driver hashes stringified values, and
+        # str(-0.0) != str(0.0), so -0.0 == 0.0 (True under ==) must FAIL
+        # here. Round-8 lesson: DuckDB round() of a tiny negative emits
+        # -0.0 while Spark's HALF_UP round emits +0.0; this mirror called
+        # it green and the driver's hash called it red. copysign
+        # distinguishes the zero signs; == handles everything else.
+        return af == bf and math.copysign(1.0, af) == math.copysign(1.0, bf)
     return a == b
 
 
