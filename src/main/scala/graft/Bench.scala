@@ -171,13 +171,23 @@ object Bench {
     // otherwise a regression is flagged exactly once and then ratified
     // as the new baseline. A noise-suspect session never ratchets: its
     // timings measure the machine, not the queries.
+    // The ratchet is BOUNDED per run (never below prev/2): one
+    // anomalously fast fluke measurement — a timer hiccup, an
+    // accidentally-warm cache — would otherwise tighten the 2× budget
+    // forever with no recovery, flagging every later honest run. A real
+    // speedup still converges: each clean run halves the floor until
+    // the true time is reached. SPARK_GRAFT_BENCH_RESET=1 is the
+    // explicit escape hatch — discard history, re-seed from this run.
     try {
       if (!noiseSuspect) {
         val over = overBudget.toSet
-        val merged = history ++
+        val reset = sys.env.get("SPARK_GRAFT_BENCH_RESET").contains("1")
+        val base = if (reset) Map.empty[String, Double] else history
+        val merged = base ++
           results.filter { case (n, t) => t >= 0 && !over.contains(n) }
             .map { case (n, t) =>
-              n -> history.get(n).filter(_ > 0).fold(t)(math.min(_, t)) }
+              n -> base.get(n).filter(_ > 0)
+                .fold(t)(prev => math.min(prev, math.max(t, prev / 2.0))) }
             .toMap
         val body = merged.toSeq.sortBy(_._1)
           .map { case (k, v) => s"\"$k\":$v" }

@@ -57,9 +57,18 @@ object Changelog {
     * NEXT attribute change (half-open `[from, to)`), and the last
     * interval per key is open-ended (`to_us` null, `is_current` true).
     *
-    * Two windows over the same (key × order) exchange — the change-flag
-    * lag and the interval-end lead both reuse one sort, so the whole
-    * history build is a single shuffle of the change stream.
+    * Changes sharing one (key, seq) collapse to the LAST by `tieCol`
+    * before intervals form: an earlier same-seq change would produce a
+    * degenerate zero-width interval `[s, s)` — never valid at any
+    * point in time, and its nondeterministic placement would make the
+    * downstream [[dimensionLookup]] union-window ambiguous. Dropping
+    * it makes `from_us` unique per key, so every interval boundary is
+    * a total order.
+    *
+    * Three windows over the same (key × order) exchange — the same-seq
+    * last-tie filter, the change-flag lag, and the interval-end lead
+    * all reuse one sort, so the whole history build is a single
+    * shuffle of the change stream.
     */
   def scd2History(changes: DataFrame, keyCol: String, seqCol: String,
                   tieCol: String, attrCol: String): DataFrame = {
@@ -67,6 +76,8 @@ object Changelog {
       .orderBy(col(seqCol), col(tieCol))
     val flagged = changes
       .select(col(keyCol), col(seqCol), col(tieCol), col(attrCol))
+      .withColumn("__nseq", lead(col(seqCol), 1).over(ord))
+      .filter(col("__nseq").isNull || col("__nseq") =!= col(seqCol))
       .withColumn("__prev", lag(col(attrCol), 1).over(ord))
       .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
     val ord2 = Window.partitionBy(col(keyCol))

@@ -50,14 +50,22 @@ object DataQuality {
     * where float log-binning is ulp-fragile at power-of-ten boundaries.
     * Emits, per leading digit 1–9, the observed count/share, Benford's
     * expected share log10(1 + 1/d), and the chi-square term. Output is
-    * nine rows by construction.
+    * nine rows by construction: the counts join onto an explicit 1..9
+    * digit spine, so a digit with ZERO observations still reports its
+    * row (share 0, full expected-share chi-square term) — exactly the
+    * digits a fraud screen most needs to see.
     */
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
-    val counted = df.filter(col(valueCol) > 0)
-      .select(digit.as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val counted = spine.join(
+        df.filter(col(valueCol) > 0)
+          .select(digit.as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("__cnt")),
+        Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("__cnt"), lit(0L)).as("n"))
     val total = counted.agg(sum(col("n")).as("__total"))
     val share = col("n").cast("double") / col("__total").cast("double")
     val expected = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))

@@ -421,10 +421,16 @@ object AnalyticsQueries {
         |FROM snap s FULL OUTER JOIN latest l ON s.user_id = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
 
+    // e1 keeps only the LAST change per (key, seq) — mirrors the op's
+    // same-seq tie collapse (a zero-width interval never emits).
     "scd2_history_build" ->
-      """WITH e AS (SELECT user_id, event_type,
+      """WITH e0 AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS seq_us, event_id
         |  FROM events),
+        |e AS (SELECT user_id, event_type, seq_us, event_id FROM (
+        |    SELECT *, lead(seq_us) OVER (PARTITION BY user_id
+        |      ORDER BY seq_us, event_id) AS nseq FROM e0)
+        |  WHERE nseq IS NULL OR nseq <> seq_us),
         |f AS (SELECT *, lag(event_type) OVER
         |    (PARTITION BY user_id ORDER BY seq_us, event_id) AS prev
         |  FROM e),
@@ -567,12 +573,16 @@ object AnalyticsQueries {
         |    CAST(rows_total AS DOUBLE), 6) AS orphan_share
         |FROM rel""".stripMargin,
 
+    // Mirrors the op's 1..9 digit spine: absent digits report n = 0.
     "dq_benford_digits" ->
       """WITH d AS (SELECT CAST(substr(CAST(
         |      CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
         |      1, 1) AS INT) AS digit
         |  FROM lineitem WHERE l_extendedprice > 0),
-        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |c0 AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |c AS (SELECT s.digit, CAST(coalesce(c0.n, 0) AS BIGINT) AS n
+        |  FROM (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit) s
+        |  LEFT JOIN c0 ON s.digit = c0.digit),
         |t AS (SELECT sum(n) AS total FROM c)
         |SELECT digit, n,
         |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
@@ -613,9 +623,13 @@ object AnalyticsQueries {
         |FROM l""".stripMargin,
 
     "scd2_asof_lookup" ->
-      """WITH e AS (SELECT user_id, event_type,
+      """WITH e0 AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS seq_us, event_id
         |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |e AS (SELECT user_id, event_type, seq_us, event_id FROM (
+        |    SELECT *, lead(seq_us) OVER (PARTITION BY user_id
+        |      ORDER BY seq_us, event_id) AS nseq FROM e0)
+        |  WHERE nseq IS NULL OR nseq <> seq_us),
         |f AS (SELECT *, lag(event_type) OVER
         |    (PARTITION BY user_id ORDER BY seq_us, event_id) AS prev
         |  FROM e),

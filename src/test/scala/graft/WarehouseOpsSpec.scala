@@ -56,6 +56,28 @@ class WarehouseOpsSpec extends AnyFunSuite {
       (2L, "x", 10L, None, true)), got.toString)
   }
 
+  test("scd2History: same-seq ties collapse to the last by tie (no zero-width interval)") {
+    val ch = Seq(
+      (1L, 10000L, 1L, "a"),
+      (1L, 20000L, 2L, "b"), (1L, 20000L, 3L, "c"), // same seq: c survives
+      (2L, 10000L, 4L, "x"), (2L, 10000L, 5L, "x")) // same seq, same attr
+      .toDF("k", "seq", "tie", "attr")
+    val got = Changelog.scd2History(ch, "k", "seq", "tie", "attr")
+      .select("k", "attr", "from_us", "to_us", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10000L, Some(20000L), false),
+      (1L, "c", 20000L, None, true),
+      (2L, "x", 10000L, None, true)), got.toString)
+    // And the point-in-time lookup at the tied boundary is deterministic:
+    // the surviving (last-tie) attribute wins.
+    val facts = Seq((1L, ts(20000L), 100L)).toDF("k", "t", "fid")
+    val hist = Changelog.scd2History(ch, "k", "seq", "tie", "attr")
+    val look = Changelog.dimensionLookup(facts, hist, "k", "t", "fid", "attr")
+      .select("fid", "attr").as[(Long, Option[String])].collect().toMap
+    assert(look == Map(100L -> Some("c")), look.toString)
+  }
+
   // ---- TsAnalytics -----------------------------------------------------
 
   private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
@@ -158,8 +180,11 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val got = DataQuality.benfordDigits(df, "v")
       .select("digit", "n", "share").as[(Int, Long, Double)].collect()
     val byDigit = got.map(r => r._1 -> r._2).toMap
-    // 0 and negative excluded; digits: 1.00→1, 19.99→1, 250.0→2, 2.50→2, 999.99→9
-    assert(byDigit == Map(1 -> 2L, 2 -> 2L, 9 -> 1L), byDigit.toString)
+    // 0 and negative excluded; digits: 1.00→1, 19.99→1, 250.0→2, 2.50→2,
+    // 999.99→9 — and the 1..9 spine reports every absent digit as n = 0.
+    assert(byDigit == Map(1 -> 2L, 2 -> 2L, 3 -> 0L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L), byDigit.toString)
+    assert(got.length == 9, "nine rows by construction")
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
   }
 
