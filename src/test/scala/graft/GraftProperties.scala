@@ -330,6 +330,57 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("ooo funnel: watermark-bounded shuffle across batches equals the ordered fold") =
+    forAll(
+      Gen.listOfN(14, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 2), Gen.choose(0L, 120L))),
+      Gen.choose(1, 5), Gen.choose(0L, 30L), Gen.choose(1L, 997L)
+    ) { (evs, nBatches, jitterMin, seed) =>
+      evs.nonEmpty ==> {
+        import graft.streaming.StreamFunnel
+        import graft.streaming.StreamFunnel.{FunnelState, OooFunnelState, StageEvent}
+        val winUs = 3600L * 1000000L
+        val delayUs = jitterMin * 60000000L
+        val events = evs.map { case (u, st, m) =>
+          StageEvent(u, m * 60000000L, st) }
+        // Arrival = event time + bounded pseudo-random jitter in
+        // [0, delay]: by construction no event ever arrives with a
+        // timestamp at or below (max prior event time − delay), i.e.
+        // the stream honors the watermark contract the op requires.
+        def jit(i: Int): Long = if (delayUs == 0) 0L
+          else ((i * 2654435761L + seed) % (delayUs + 1) + delayUs + 1) %
+            (delayUs + 1)
+        val arrival = events.zipWithIndex
+          .map { case (e, i) => (e, e.tsUs + jit(i), i) }
+          .sortBy { case (_, ak, i) => (ak, i) }
+        val per = math.max(1, arrival.size / nBatches)
+        val batches = arrival.grouped(per).toSeq
+        val users = events.map(_.userId).distinct
+        // Fold the op's OWN per-trigger transition with the watermark
+        // Spark would publish: max event time through the PREVIOUS
+        // trigger minus the delay.
+        var maxSeen = Long.MinValue
+        var states = users.map(u =>
+          u -> OooFunnelState(FunnelState(0L, 0L, 0), Nil, 0L)).toMap
+        var lastSpec = Map.empty[Long, Int]
+        batches.foreach { b =>
+          val wm = if (maxSeen == Long.MinValue) Long.MinValue
+            else maxSeen - delayUs
+          users.foreach { u =>
+            val inc = b.collect { case (e, _, _) if e.userId == u => e }
+            val (ns, spec) = StreamFunnel.oooStep(states(u), inc, wm, 3, winUs)
+            states += u -> ns
+            lastSpec += u -> spec.level
+          }
+          maxSeen = math.max(maxSeen, b.map(_._1.tsUs).max)
+        }
+        val expect = users.map(u => u -> StreamFunnel.advance(
+          FunnelState(0L, 0L, 0), events.filter(_.userId == u), 3, winUs)
+          .level).toMap
+        Prop(lastSpec == expect) :|
+          s"got=$lastSpec expect=$expect jitter=${jitterMin}m n=$nBatches"
+      }
+    }
+
   private val genChange: Gen[(Long, Long, Long, String, Double)] = for {
     k <- Gen.choose(1L, 5L)
     seq <- Gen.choose(1L, 50L)

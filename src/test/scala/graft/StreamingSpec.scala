@@ -814,4 +814,97 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == 3, got.toString) // user 1 × 2 sessions + user 2
     } finally q.stop()
   }
+
+  test("session_window tolerates watermark-bounded out-of-order arrival") {
+    // Same corpus as the ordered test, but arrival is shuffled ACROSS
+    // batches: user 1's opening event lands a batch AFTER its successor
+    // (25 minutes of event-time disorder against a 40-minute watermark
+    // delay). The native merging-session state must still produce the
+    // identical sessions — late-but-within-watermark events merge into
+    // the open session before eviction.
+    def us(min: Long) = min * 60L * 1000000L
+    val b1 = Seq(Point(1, us(10), 2.0), Point(2, us(5), 6.0))
+    val b2 = Seq(Point(1, us(0), 1.0), Point(1, us(75), 4.0)) // us(0) late
+    val input = MemoryStream[Point](
+      implicitly[org.apache.spark.sql.Encoder[Point]], spark)
+    val src = input.toDF()
+      .select(col("userId").as("u"),
+        timestamp_micros(col("tsUs")).as("t"), col("value").as("v"))
+      .withWatermark("t", "40 minutes")
+    val q = graft.streaming.StreamSessions
+      .sessions(src, "u", "t", "v", gap = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ooo_sessions").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(Seq(Point(99, us(100000), 0.0))); q.processAllAvailable()
+      input.addData(Seq(Point(99, us(200000), 0.0))); q.processAllAvailable()
+      val got = spark.table("ooo_sessions").filter(col("u") =!= 99)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val ev = (b1 ++ b2).map(p => (p.userId,
+          new java.sql.Timestamp(p.tsUs / 1000L), p.tsUs, p.value))
+        .toDF("u", "t", "id", "v")
+      val batch = graft.streaming.StreamSessions
+        .sessions(ev, "u", "t", "v", gap = "30 minutes")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == batch, s"$got vs $batch")
+      assert(got.size == 3, got.toString)
+    } finally q.stop()
+  }
+
+  test("out-of-order streaming funnel equals batch funnel under bounded disorder") {
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.StampedStageEvent
+    val stages = Seq("view", "click", "purchase")
+    val raw = Seq(
+      (1L, "view", 0L), (1L, "click", 20L), (1L, "purchase", 40L),
+      (2L, "view", 0L), (2L, "purchase", 30L), (2L, "click", 60L),
+      (3L, "view", 0L), (3L, "click", 20L), (3L, "purchase", 90L),
+      (4L, "click", 5L),
+      (5L, "view", 0L), (5L, "view", 120L), (5L, "click", 130L),
+      (5L, "purchase", 140L)
+    ).map { case (u, t, min) => (u, t, min * 60L * 1000000L) }
+    val winSec = 3600L
+    val batchResult = graft.ops.Funnel.windowedFunnel(
+        raw.map { case (u, t, usv) =>
+          (u, t, new java.sql.Timestamp(usv / 1000L)) }
+          .toDF("user_id", "event_type", "ts"),
+        "user_id", "ts", "event_type", stages, winSec)
+      .select("user_id", "funnel_level", "converted")
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (u, l, c) => u -> ((l, c)) }.toMap
+    // Arrival order: event time plus a deterministic per-event jitter of
+    // up to 79 minutes — strictly inside the 80-minute watermark delay,
+    // so disorder crosses batch boundaries but never outruns the
+    // watermark contract.
+    val evs = raw.map { case (u, t, usv) =>
+      StampedStageEvent(u, new java.sql.Timestamp(usv / 1000L),
+        stages.indexOf(t)) }
+    val arrival = evs.sortBy(e =>
+      e.ts.getTime + ((e.userId * 37 + e.stage * 13) % 80) * 60000L)
+    assert(arrival != evs.sortBy(_.ts.getTime), "fixture must be disordered")
+    val input = MemoryStream[StampedStageEvent](
+      implicitly[org.apache.spark.sql.Encoder[StampedStageEvent]], spark)
+    val q = StreamFunnel.progressOutOfOrder(
+        input.toDS().withWatermark("ts", "80 minutes"), stages.size, winSec)(
+        implicitly, implicitly)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_ooo").start()
+    try {
+      arrival.grouped(4).foreach { b =>
+        input.addData(b); q.processAllAvailable() }
+      // nEvents is monotone per user, so the max-nEvents row is the
+      // final answer (a speculative level may transiently overshoot
+      // when a late stage-0 re-anchors the chain).
+      val got = spark.table("funnel_ooo")
+        .groupBy("userId")
+        .agg(max(struct(col("nEvents"), col("funnelLevel"),
+          col("converted"))).as("s"))
+        .select(col("userId"), col("s.funnelLevel"), col("s.converted"))
+        .as[(Long, Int, Boolean)].collect()
+        .map { case (u, l, c) => u -> ((l, c)) }.toMap
+      assert(got == batchResult, s"ooo diverged: $got vs $batchResult")
+    } finally q.stop()
+  }
 }
