@@ -119,6 +119,144 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
   }
 
+  /** Personalized PageRank: the random walk teleports to a SEED SET
+    * instead of everywhere — the classic related-entities /
+    * recommendation score (Page et al. 1999 §6; Jeh & Widom 2002).
+    * rank₀ = 1/|S| on seeds; rankₖ₊₁(v) = [v∈S]·((1−d)/|S| + d·Dₖ/|S|)
+    * + d·Σ_{u→v} rankₖ(u)/outdeg(u), with dangling mass Dₖ returning
+    * to the seeds.
+    *
+    * The rank frame stays SPARSE — only nodes with nonzero rank (the
+    * k-hop neighborhood of the seeds) ever materialize, which is the
+    * property that makes PPR tractable on a 100 TB graph where global
+    * pagerank is not: per-round cost is frontier-edges, not all edges.
+    * Zero-rank nodes are omitted from the output (their inflow terms
+    * would contribute exact 0.0 — the oracle replays the same recurrence
+    * densely and filters rank > 0, and IEEE identity x + 0.0 = x makes
+    * the two algebraically AND bitwise equal). Each round is one equi
+    * join + one key agg + a 1-row dangling broadcast; `localCheckpoint`
+    * truncates lineage exactly as [[pagerank]] does.
+    */
+  def personalizedPagerank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iterations: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "1..50 iterations")
+    require(damping > 0 && damping < 1, "damping in (0,1)")
+    val eIn = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = eIn.select(col("src").as("node"))
+      .unionByName(eIn.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outDeg = eIn.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = eIn.join(outDeg, Seq("src")).localCheckpoint()
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi").localCheckpoint()
+    val nSeeds = seedSet.count().toDouble // bounded driver scalar
+    require(nSeeds > 0, "no seed is a node of the graph")
+    val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti").localCheckpoint()
+    var ranks = seedSet.select(col("node"), lit(1.0 / nSeeds).as("rank"))
+    for (i <- 1 to iterations) {
+      val dm = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val inflow = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg").cast("double")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__inflow"))
+      // rank' per node = at most two addends (inflow part, seed part);
+      // two-element FP sums are order-independent, so the sparse union
+      // aggregation is deterministic and oracle-replayable.
+      val seedPart = seedSet.crossJoin(broadcast(dm))
+        .select(col("node"),
+          (lit((1.0 - damping) / nSeeds) +
+            lit(damping) * (col("__dm") / lit(nSeeds))).as("__c2"))
+      ranks = inflow
+        .select(col("node"), (lit(damping) * col("__inflow")).as("__c2"))
+        .unionByName(seedPart)
+        .groupBy(col("node")).agg(sum(col("__c2")).as("rank"))
+      if (i < iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("ppr"))
+  }
+
+  /** HITS hubs and authorities (Kleinberg 1999), fixed iteration count:
+    * authₖ(v) = Σ_{u→v} hubₖ₋₁(u), then L2-normalized; hubₖ(u) =
+    * Σ_{u→v} authₖ(v), then L2-normalized; hub₀ ≡ 1. Each half-round
+    * is one edge join + one key agg + a 1-row norm broadcast — the
+    * pagerank shuffle discipline with two state frames instead of one.
+    * Output covers every node (no out-edges ⇒ hub 0; no in-edges ⇒
+    * authority 0).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "1..20 iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def l2normalize(df: DataFrame, c: String): DataFrame = {
+      val norm = df.agg(sqrt(sum(col(c) * col(c))).as("__nrm"))
+      df.crossJoin(broadcast(norm))
+        .select(col("node"), (col(c) / col("__nrm")).as(c))
+        .localCheckpoint()
+    }
+    var hubs = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auths = nodes.select(col("node"), lit(0.0).as("authority"))
+    for (_ <- 1 to iterations) {
+      auths = l2normalize(
+        e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("hub")).as("authority")), "authority")
+      hubs = l2normalize(
+        e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("authority")).as("hub")), "hub")
+    }
+    nodes
+      .join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("hub"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("authority"), lit(0.0)), 6).as("authority"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * symmetrized edge list, fixed round count: every node adopts the
+    * MOST FREQUENT label among its neighbors, ties broken by the
+    * smallest label — fully deterministic (the async/random variants
+    * trade determinism for convergence speed; a fixed-round sync sweep
+    * is what an oracle can replay). Labels start as the node's own id.
+    * Per round: one edge⋈labels join and two key-partitioned
+    * aggregations ((node, label) counts, then the per-node argmax via a
+    * struct min — no window, no sort). Integer/string arithmetic only —
+    * no FP anywhere, so engine agreement is exact.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "1..20 iterations")
+    val eDir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = eDir
+      .unionByName(eDir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (i <- 1 to iterations) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(min(struct((lit(0L) - col("__c")).as("negc"),
+          col("label").as("l"))).as("__m"))
+        .select(col("node"), col("__m").getField("l").as("label"))
+      if (i < iterations) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** Per-node triangle participation over an UNDIRECTED simple graph
     * given as unordered edges (each edge once, `a < b`, no self-loops
     * enforced here). The count uses the oriented wedge-closure method:

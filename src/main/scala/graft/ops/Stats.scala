@@ -578,6 +578,95 @@ object Stats {
         round(col("adj_mean_a") - col("adj_mean_b"), 6))
   }
 
+  /** Mutual information (nats) between two categorical columns — the
+    * standard feature-selection / drift-detection signal: MI =
+    * Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))) over the observed contingency
+    * cells. All counts are exact integers from three hash aggregations
+    * (cells + two marginals — each shuffles one row per category, not
+    * the data); the ratio is computed in doubles ((nxy·N)/(nx·ny), so
+    * no integer product can overflow at 100 TB counts), and the final
+    * sum runs over the category-bounded cell set. Joins onto the
+    * marginals are AQE-sized — category cardinality is data-dependent,
+    * so nothing is force-broadcast.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val cells = base.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("__nxy"))
+    val mx = base.groupBy(col(xCol)).agg(count(lit(1)).as("__nx"))
+    val my = base.groupBy(col(yCol)).agg(count(lit(1)).as("__ny"))
+    val tot = base.agg(count(lit(1)).as("__n"))
+    cells.join(mx, Seq(xCol)).join(my, Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_cells"),
+        first(col("__n")).as("n_rows"),
+        round(sum((col("__nxy").cast("double") / col("__n").cast("double")) *
+          log(col("__nxy").cast("double") * col("__n").cast("double") /
+            (col("__nx").cast("double") * col("__ny").cast("double")))), 6)
+          .as("mutual_info_nats"))
+  }
+
+  /** Pearson chi-square test of independence over the same contingency:
+    * χ² = Σ_ALL_cells (n_xy − e_xy)²/e_xy with e_xy = n_x·n_y/N. The
+    * zero-count cells a naive observed-only sum silently drops are
+    * folded in algebraically: their contribution is Σ_absent e = N −
+    * Σ_observed e, so χ² = Σ_observed ((n−e)²/e − e) + N — no marginal
+    * cross join ever materializes. Reports χ² and the (R−1)(C−1)
+    * degrees of freedom.
+    */
+  def chiSquareIndependence(df: DataFrame, xCol: String,
+                            yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val cells = base.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("__nxy"))
+    val mx = base.groupBy(col(xCol)).agg(count(lit(1)).as("__nx"))
+    val my = base.groupBy(col(yCol)).agg(count(lit(1)).as("__ny"))
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val e = col("__nx").cast("double") * col("__ny").cast("double") /
+      col("__n").cast("double")
+    cells.join(mx, Seq(xCol)).join(my, Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .agg(
+        round(sum((col("__nxy").cast("double") - e) *
+            (col("__nxy").cast("double") - e) / e - e) +
+          first(col("__n")).cast("double"), 6).as("chi2"),
+        ((countDistinct(col(xCol)) - 1) *
+          (countDistinct(col(yCol)) - 1)).as("dof"))
+  }
+
+  /** EXACT percentiles of a numeric column at arbitrary scale — the
+    * nearest-rank definition (value at rank ⌈p·n⌉) computed through
+    * [[withRangeRank]], so no single-partition sort and no sketch
+    * error: where approx_percentile trades accuracy for one pass, this
+    * pays the two range passes and is bit-exact, which is what a
+    * correctness gate (or an SLA percentile) needs. Percentiles are
+    * taken at basis-point precision (p rounded to 4 decimals) so the
+    * target rank is EXACT INTEGER arithmetic ((bp·n + 9999) div 10⁴) —
+    * a float p·n product can straddle an integer boundary differently
+    * per engine. Duplicate values make rank ASSIGNMENT among ties
+    * arbitrary, but the value AT a given rank is the sorted multiset's
+    * — deterministic either way.
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "percentiles must lie in (0, 1]")
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val n = vals.count()
+    require(n > 0, "exactPercentiles needs at least one non-null value")
+    val ranked = withRangeRank(vals, Seq(col("__v")), "__r")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = ps.map(p => math.round(p * 10000).toLong)
+      .distinct.sorted
+      .map(bp => (bp.toDouble / 10000.0, (bp * n + 9999L) / 10000L))
+    val pdf = targets.toDF("percentile", "__r")
+    ranked.join(broadcast(pdf), Seq("__r"))
+      .select(col("percentile"), col("__v").as("value"),
+        col("__n").as("n_rows"))
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

@@ -938,4 +938,42 @@ object TextAnalysis {
     }
     matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Pointwise-mutual-information collocations: adjacent word pairs
+    * whose co-occurrence beats the independence expectation —
+    * PMI = ln(p(w1,w2)/(p(w1)p(w2))) with p(w1,w2) over the bigram
+    * total and p(w) over the unigram total (Church & Hanks 1990). The
+    * `minCount` floor does double duty: it is the standard guard
+    * against the PMI low-frequency pathology (hapax pairs always score
+    * highest) AND the cardinality cap that keeps the emitted set
+    * df-bounded — the output is every collocation above the floor, a
+    * deterministic integer-count cut, never a float-ranked top-k whose
+    * boundary membership could wobble across engines. Shapes: bigram
+    * and unigram counts are vocabulary-sized aggregations; the two
+    * joins back are AQE-sized (unbounded vocab — never force-broadcast,
+    * per the soft-dedup rule).
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5): DataFrame = {
+    val bi = docs.select(
+      explode(wordShingles(words(col(textCol)), 2)).as("bg"))
+    val bCnt = bi.groupBy(col("bg")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val tokens = docs.select(explode(words(col(textCol))).as("w"))
+    val uCnt = tokens.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val totals = bi.agg(count(lit(1)).as("__nb"))
+      .crossJoin(tokens.agg(count(lit(1)).as("__nu")))
+    bCnt
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uCnt.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uCnt.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          col("n_pair").cast("double") * col("__nu").cast("double") *
+            col("__nu").cast("double") /
+            (col("__nb").cast("double") * col("cu1").cast("double") *
+              col("cu2").cast("double"))), 4).as("pmi"))
+  }
 }

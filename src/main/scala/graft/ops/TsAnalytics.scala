@@ -224,4 +224,45 @@ object TsAnalytics {
         round(col("present_hours").cast("double") /
           col("expected_hours").cast("double"), 6).as("coverage"))
   }
+
+  /** Holt double (linear-trend) exponential smoothing per user: level
+    * lₜ = α·yₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
+    * initialized the textbook way (l₁ = y₁, b₁ = y₂−y₁; Holt 1957).
+    * Emits the final level/trend and the one-step-ahead forecast
+    * l + b — the [[ewma]] fold with a 2-component struct accumulator,
+    * so the same per-user-bounded collect_list contract applies (a
+    * user's own series fits an executor; the DISTRIBUTION is across
+    * users). Users with fewer than two samples have no trend estimate
+    * and are omitted. The (1.0 − α) subtractions are spelled
+    * identically in the oracle's recursion so both engines run the
+    * same IEEE ops in the same order.
+    */
+  def holtSmoothing(df: DataFrame, userCol: String, tsCol: String,
+                    valueCol: String, tieCol: String,
+                    alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta > 0.0 && beta <= 1.0, "beta must be in (0, 1]")
+    val pts = array_sort(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"), col(tieCol).as("k"),
+      col(valueCol).cast("double").as("v"))))
+    val v1 = element_at(col("__p"), 1).getField("v")
+    val v2 = element_at(col("__p"), 2).getField("v")
+    df.groupBy(col(userCol)).agg(pts.as("__p"))
+      .filter(size(col("__p")) >= 2)
+      .withColumn("__f", aggregate(
+        slice(col("__p"), lit(2), greatest(size(col("__p")) - 1, lit(0))),
+        struct(v1.as("l"), (v2 - v1).as("b")),
+        (acc, e) => {
+          val lNew = lit(alpha) * e.getField("v") +
+            (lit(1.0) - lit(alpha)) * (acc.getField("l") + acc.getField("b"))
+          struct(lNew.as("l"),
+            (lit(beta) * (lNew - acc.getField("l")) +
+              (lit(1.0) - lit(beta)) * acc.getField("b")).as("b"))
+        }))
+      .select(col(userCol), size(col("__p")).cast("long").as("n"),
+        round(col("__f").getField("l"), 4).as("level"),
+        round(col("__f").getField("b"), 4).as("trend"),
+        round(col("__f").getField("l") + col("__f").getField("b"), 4)
+          .as("forecast_next"))
+  }
 }

@@ -271,6 +271,85 @@ object AnalyticsQueries {
         handleDangling = true)
     },
 
+    // L223: personalized PageRank from the nation-1 customer seed set
+    // over the symmetrized trade graph — sparse frontier, 3 rounds.
+    "graph_ppr" -> { (s, dir) =>
+      val eDir = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val e = eDir.unionByName(
+        eDir.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_nationkey") === 1)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      graft.ops.Graph.personalizedPagerank(e, "src", "dst", seeds, "seed",
+        iterations = 3)
+    },
+
+    // L224: HITS hubs/authorities on the DIRECTED trade graph (customers
+    // are pure hubs, suppliers pure authorities — the bipartite shape
+    // makes the fixture self-checking), 2 rounds.
+    "graph_hits" -> { (s, dir) =>
+      val eDir = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.ops.Graph.hits(eDir, "src", "dst", iterations = 2)
+    },
+
+    // L225: synchronous label propagation (2 rounds, mode label with
+    // min tie-break) over the symmetrized trade graph.
+    "graph_label_prop" -> { (s, dir) =>
+      val eDir = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.ops.Graph.labelPropagation(eDir, "src", "dst", iterations = 2)
+    },
+
+    // L226: mutual information between document language and source —
+    // exact contingency counts, category-bounded cell sum.
+    "ml_mutual_info" -> { (s, dir) =>
+      Stats.mutualInfo(Tables.documents(s, dir), "lang", "source")
+    },
+
+    // L227: chi-square independence test on the same contingency, with
+    // zero cells folded in algebraically (no marginal cross join).
+    "dq_chi2_independence" -> { (s, dir) =>
+      Stats.chiSquareIndependence(Tables.documents(s, dir), "lang", "source")
+    },
+
+    // L229: EXACT p50/p90/p99 via the range-partitioned rank — no
+    // sketch error, no single-partition sort.
+    "a26_exact_percentiles" -> { (s, dir) =>
+      Stats.exactPercentiles(Tables.lineitem(s, dir), "l_extendedprice",
+        Seq(0.5, 0.9, 0.99))
+    },
+
+    // L230: Holt double exponential smoothing per user (level + trend
+    // + one-step forecast).
+    "ts_holt_smoothing" -> { (s, dir) =>
+      TsAnalytics.holtSmoothing(Tables.events(s, dir), "user_id", "ts",
+        "value", "event_id", alpha = 0.3, beta = 0.2)
+    },
+
+    // L231: rendezvous-hash shard assignment (8 shards) — map-side,
+    // bit-stable across engines.
+    "shard_rendezvous" -> { (s, dir) =>
+      graft.ops.Routing.rendezvousAssign(
+        Tables.customer(s, dir).select(col("c_custkey")), "c_custkey", 8)
+    },
+
+    // L232: reshard movement report 8 → 10 shards in one map-side pass.
+    "shard_reshard_report" -> { (s, dir) =>
+      graft.ops.Routing.reshardReport(
+        Tables.customer(s, dir).select(col("c_custkey")), "c_custkey", 8, 10)
+    },
+
     // L207: pairwise association rules over order baskets (min pair
     // count 2 = the Apriori support floor).
     "basket_association_rules" -> { (s, dir) =>
@@ -864,6 +943,198 @@ object AnalyticsQueries {
       base + steps +
         s"\nSELECT node, round(rank, 6) AS pagerank FROM p$iters"
     },
+
+    // Dense replay of the sparse engine recurrence: unreached nodes
+    // carry exact 0.0 (x + 0.0 = x bitwise), filtered at the end.
+    "graph_ppr" -> {
+      val iters = 3
+      val base =
+        """WITH e0 AS (SELECT DISTINCT
+          |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT src, dst FROM e0
+          |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          |nodes AS (SELECT DISTINCT src AS node FROM e),
+          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          |sg AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+          |  FROM customer WHERE c_nationkey = 1
+          |  AND 'c' || CAST(c_custkey AS VARCHAR) IN
+          |    (SELECT node FROM nodes)),
+          |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sg),
+          |p0 AS (SELECT nd.node,
+          |    CASE WHEN nd.node IN (SELECT node FROM sg)
+          |      THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS rank
+          |  FROM nodes nd)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s""",
+           |d$k AS (SELECT coalesce(sum(p.rank), 0.0) AS dm FROM p${k - 1} p
+           |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = p.node)),
+           |p$k AS (SELECT nd.node,
+           |    0.85 * coalesce(i.inflow, 0.0) +
+           |    CASE WHEN nd.node IN (SELECT node FROM sg)
+           |      THEN (1.0 - 0.85) / (SELECT ns FROM ns)
+           |        + 0.85 * ((SELECT dm FROM d$k) / (SELECT ns FROM ns))
+           |      ELSE 0.0 END AS rank
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      sum(p.rank / CAST(deg.outdeg AS DOUBLE)) AS inflow
+           |    FROM e JOIN p${k - 1} p ON e.src = p.node
+           |      JOIN deg ON e.src = deg.src
+           |    GROUP BY e.dst) i ON nd.node = i.node)""".stripMargin
+      }.mkString
+      base + steps +
+        s"\nSELECT node, round(rank, 6) AS ppr FROM p$iters WHERE rank > 0"
+    },
+
+    "graph_hits" -> {
+      val iters = 2
+      val base =
+        """WITH e0 AS (SELECT DISTINCT
+          |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |nodes AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+          |h0 AS (SELECT node, 1.0 AS hub FROM nodes)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s""",
+           |a${k}r AS (SELECT e0.dst AS node, sum(h.hub) AS a
+           |  FROM e0 JOIN h${k - 1} h ON e0.src = h.node GROUP BY 1),
+           |a$k AS (SELECT node,
+           |    a / (SELECT sqrt(sum(a * a)) FROM a${k}r) AS authority
+           |  FROM a${k}r),
+           |h${k}r AS (SELECT e0.src AS node, sum(a.authority) AS hub
+           |  FROM e0 JOIN a$k a ON e0.dst = a.node GROUP BY 1),
+           |h$k AS (SELECT node,
+           |    hub / (SELECT sqrt(sum(hub * hub)) FROM h${k}r) AS hub
+           |  FROM h${k}r)""".stripMargin
+      }.mkString
+      base + steps +
+        s"""
+           |SELECT nd.node, round(coalesce(h.hub, 0.0), 6) AS hub,
+           |  round(coalesce(a.authority, 0.0), 6) AS authority
+           |FROM nodes nd LEFT JOIN h$iters h ON nd.node = h.node
+           |LEFT JOIN a$iters a ON nd.node = a.node""".stripMargin
+    },
+
+    "graph_label_prop" -> {
+      val iters = 2
+      val base =
+        """WITH e0 AS (SELECT DISTINCT
+          |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT DISTINCT src, dst FROM (
+          |  SELECT src, dst FROM e0
+          |  UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+          |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+          .stripMargin
+      val steps = (1 to iters).map { k =>
+        s""",
+           |c$k AS (SELECT e.dst AS node, l.label, count(*) AS c
+           |  FROM e JOIN l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
+           |l$k AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY c DESC, label) AS rn FROM c$k)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString
+      base + steps + s"\nSELECT node, label FROM l$iters"
+    },
+
+    "ml_mutual_info" ->
+      """WITH b AS (SELECT lang, source FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |c AS (SELECT lang, source, count(*) AS nxy FROM b GROUP BY 1, 2),
+        |mx AS (SELECT lang, count(*) AS nx FROM b GROUP BY 1),
+        |my AS (SELECT source, count(*) AS ny FROM b GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST((SELECT n FROM t) AS BIGINT) AS n_rows,
+        |  round(sum((CAST(nxy AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+        |    ln(CAST(nxy AS DOUBLE) * CAST(t.n AS DOUBLE) /
+        |      (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))), 6)
+        |    AS mutual_info_nats
+        |FROM c JOIN mx USING (lang) JOIN my USING (source), t"""
+        .stripMargin,
+
+    "dq_chi2_independence" ->
+      """WITH b AS (SELECT lang, source FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |c AS (SELECT lang, source, count(*) AS nxy FROM b GROUP BY 1, 2),
+        |mx AS (SELECT lang, count(*) AS nx FROM b GROUP BY 1),
+        |my AS (SELECT source, count(*) AS ny FROM b GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM b),
+        |j AS (SELECT CAST(nxy AS DOUBLE) AS nxy,
+        |    CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |      AS e
+        |  FROM c JOIN mx USING (lang) JOIN my USING (source), t)
+        |SELECT
+        |  round(sum((nxy - e) * (nxy - e) / e - e)
+        |    + CAST((SELECT n FROM t) AS DOUBLE), 6) AS chi2,
+        |  CAST(((SELECT count(DISTINCT lang) FROM b) - 1) *
+        |    ((SELECT count(DISTINCT source) FROM b) - 1) AS BIGINT) AS dof
+        |FROM j""".stripMargin,
+
+    // Target rank in exact integer arithmetic ((bp·n + 9999) // 10⁴),
+    // mirroring the engine's basis-point form — a float p·n can
+    // straddle an integer boundary differently per engine.
+    "a26_exact_percentiles" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |t AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v),
+        |p AS (SELECT * FROM (VALUES (5000), (9000), (9900)) AS pt(bp))
+        |SELECT CAST(p.bp AS DOUBLE) / 10000.0 AS percentile,
+        |  r.x AS value, CAST(t.n AS BIGINT) AS n_rows
+        |FROM p, t, r
+        |WHERE r.rk = (p.bp * t.n + 9999) // 10000""".stripMargin,
+
+    // Recursive-CTE replay of the Holt fold, step arithmetic spelled
+    // exactly as the engine's lambda (l first, then b referencing l).
+    "ts_holt_smoothing" ->
+      """WITH RECURSIVE b AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |base AS (SELECT b1.user_id, b1.n, 2 AS i, q.l,
+        |    0.2 * (q.l - b1.v) + (1.0 - 0.2) * (b2.v - b1.v) AS tr
+        |  FROM b b1 JOIN b b2
+        |    ON b1.user_id = b2.user_id AND b1.i = 1 AND b2.i = 2,
+        |  LATERAL (SELECT 0.3 * b2.v
+        |    + (1.0 - 0.3) * (b1.v + (b2.v - b1.v)) AS l) q),
+        |r AS (SELECT user_id, n, i, l, tr FROM base
+        |  UNION ALL
+        |  SELECT r.user_id, r.n, r.i + 1, q.l,
+        |    0.2 * (q.l - r.l) + (1.0 - 0.2) * r.tr
+        |  FROM r JOIN b v ON v.user_id = r.user_id AND v.i = r.i + 1,
+        |  LATERAL (SELECT 0.3 * v.v + (1.0 - 0.3) * (r.l + r.tr) AS l) q)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, round(l, 4) AS level,
+        |  round(tr, 4) AS trend, round(l + tr, 4) AS forecast_next
+        |FROM r WHERE i = n""".stripMargin,
+
+    "shard_rendezvous" ->
+      """SELECT c_custkey,
+        |  (list_max(list_transform(range(0, 8), s -> struct_pack(
+        |    h := md5(CAST(c_custkey AS VARCHAR) || ':'
+        |      || CAST(s AS VARCHAR)),
+        |    shard := CAST(s AS INTEGER))))).shard AS shard
+        |FROM customer""".stripMargin,
+
+    "shard_reshard_report" ->
+      """WITH a AS (SELECT
+        |  (list_max(list_transform(range(0, 8), s -> struct_pack(
+        |    h := md5(CAST(c_custkey AS VARCHAR) || ':'
+        |      || CAST(s AS VARCHAR)),
+        |    shard := CAST(s AS INTEGER))))).shard AS shard_from,
+        |  (list_max(list_transform(range(0, 10), s -> struct_pack(
+        |    h := md5(CAST(c_custkey AS VARCHAR) || ':'
+        |      || CAST(s AS VARCHAR)),
+        |    shard := CAST(s AS INTEGER))))).shard AS shard_to
+        |FROM customer)
+        |SELECT shard_from, shard_to, count(*) AS n_keys
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     "basket_association_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -807,6 +807,13 @@ object TextQueries {
           col("n_transitions"), col("n_backoff"))
     },
 
+    // L228: PMI collocations — every adjacent pair above the count
+    // floor (deterministic integer cut, never a float-ranked top-k).
+    "text_pmi_collocations" -> { (s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir), "doc_id",
+        "text", minCount = 5)
+    },
+
     // Cross-corpus leak attribution: per benchmark doc (src2), THE nearest
     // training doc by capped-shingle Jaccard.
     "dedup_cross_corpus" -> { (s, dir) =>
@@ -1943,6 +1950,27 @@ object TextQueries {
          |  count(*) AS n_transitions,
          |  CAST(sum(bo) AS BIGINT) AS n_backoff
          |FROM scored GROUP BY doc_id""".stripMargin,
+
+    "text_pmi_collocations" ->
+      s"""WITH $wordsCte,
+         |bg AS (SELECT unnest(list_transform(range(greatest(len(ws)-1, 0)),
+         |  i -> ws[i+1] || ' ' || ws[i+2])) AS b FROM words),
+         |bc AS (SELECT b, count(*) AS n_pair FROM bg GROUP BY 1
+         |  HAVING count(*) >= 5),
+         |tok AS (SELECT unnest(ws) AS w FROM words),
+         |uc AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM bg) AS nb,
+         |  (SELECT count(*) FROM tok) AS nu)
+         |SELECT string_split(bc.b, ' ')[1] AS w1,
+         |  string_split(bc.b, ' ')[2] AS w2,
+         |  CAST(bc.n_pair AS BIGINT) AS n_pair,
+         |  round(ln(CAST(bc.n_pair AS DOUBLE) * CAST(tot.nu AS DOUBLE)
+         |      * CAST(tot.nu AS DOUBLE) /
+         |    (CAST(tot.nb AS DOUBLE) * CAST(u1.cu AS DOUBLE)
+         |      * CAST(u2.cu AS DOUBLE))), 4) + 0 AS pmi
+         |FROM bc
+         |JOIN uc u1 ON string_split(bc.b, ' ')[1] = u1.w
+         |JOIN uc u2 ON string_split(bc.b, ' ')[2] = u2.w, tot""".stripMargin,
 
     "dedup_cross_corpus" ->
       """WITH words AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws

@@ -65,6 +65,45 @@ class GraphSpec extends AnyFunSuite {
       s"contract violation must visibly leak mass: ${leaky.values.sum}")
   }
 
+  test("personalizedPagerank: path graph vs hand recurrence; seeds absorb all mass") {
+    // Symmetrized path a—b—c, seed {a}: sparse frontier grows one hop
+    // per round; with no dangling nodes Σrank stays exactly 1.
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("seed")
+    val got = Graph.personalizedPagerank(e, "src", "dst", seeds, "seed",
+        iterations = 3).as[(String, Double)].collect().toMap
+    // Hand recurrence (d = 0.85, |S| = 1):
+    // r1: a=0.15, b=0.85; r2: a=0.51125, b=0.1275, c=0.36125;
+    // r3: a=0.2041875, b=0.741625, c=0.0541875.
+    assert(math.abs(got("a") - 0.2041875) < 1e-5, got.toString)
+    assert(math.abs(got("b") - 0.741625) < 1e-5, got.toString)
+    assert(math.abs(got("c") - 0.0541875) < 1e-5, got.toString)
+    assert(math.abs(got.values.sum - 1.0) < 1e-5, got.toString)
+  }
+
+  test("hits: bipartite star matches the closed-form one-round solution") {
+    // h1→{a1,a2}, h2→a1. One round: auth ∝ (2, 1)/√5; hub ∝ (3, 2)/√13.
+    val e = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1")).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iterations = 1)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(got("a1")._2 - 2.0 / math.sqrt(5)) < 1e-5, got.toString)
+    assert(math.abs(got("a2")._2 - 1.0 / math.sqrt(5)) < 1e-5, got.toString)
+    assert(math.abs(got("h1")._1 - 3.0 / math.sqrt(13)) < 1e-5, got.toString)
+    assert(math.abs(got("h2")._1 - 2.0 / math.sqrt(13)) < 1e-5, got.toString)
+    // Bipartite: sources have no authority, sinks no hub score.
+    assert(got("h1")._2 == 0.0 && got("a1")._1 == 0.0, got.toString)
+  }
+
+  test("labelPropagation: two disjoint triangles converge to their min ids") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val got = Graph.labelPropagation(tri.toDF("src", "dst"), "src", "dst",
+        iterations = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), got.toString)
+  }
+
   test("triangleCounts: K4 gives 3 per node; squares give none; duplicates ignored") {
     // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3.
     val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))

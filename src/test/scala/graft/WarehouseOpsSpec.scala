@@ -188,6 +188,94 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
   }
 
+  test("mutualInfo: zero for independent columns, ln 2 for a perfect copy") {
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("l", "s")
+    val gotDep = Stats.mutualInfo(dep, "l", "s")
+      .select("n_cells", "n_rows", "mutual_info_nats")
+      .as[(Long, Long, Double)].collect().head
+    assert(gotDep._1 == 2L && gotDep._2 == 4L)
+    assert(math.abs(gotDep._3 - math.log(2.0)) < 1e-5, gotDep.toString)
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("l", "s")
+    val gotInd = Stats.mutualInfo(ind, "l", "s")
+      .select("mutual_info_nats").as[Double].collect().head
+    assert(math.abs(gotInd) < 1e-9, gotInd.toString)
+  }
+
+  test("chiSquareIndependence: zero cells counted via the algebraic fold") {
+    // 2×2 with two EMPTY cells: direct χ² over all four cells is 4
+    // ((2−1)² + (0−1)² + (0−1)² + (2−1)², each e = 1); an observed-only
+    // sum would read 0 + 4 = ... the + N term restores the absent cells.
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("l", "s")
+    val got = Stats.chiSquareIndependence(dep, "l", "s")
+      .select("chi2", "dof").as[(Double, Long)].collect().head
+    assert(math.abs(got._1 - 4.0) < 1e-9 && got._2 == 1L, got.toString)
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("l", "s")
+    val gotInd = Stats.chiSquareIndependence(ind, "l", "s")
+      .select("chi2").as[Double].collect().head
+    assert(math.abs(gotInd) < 1e-9, gotInd.toString)
+  }
+
+  test("exactPercentiles: nearest-rank values, duplicates and p=1.0 handled") {
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val got = Stats.exactPercentiles(df, "v", Seq(0.5, 0.9, 1.0))
+      .select("percentile", "value").as[(Double, Double)].collect().toMap
+    assert(got == Map(0.5 -> 5.0, 0.9 -> 9.0, 1.0 -> 10.0), got.toString)
+    val dup = Seq(1.0, 2.0, 2.0, 2.0, 3.0).toDF("v")
+    val gotDup = Stats.exactPercentiles(dup, "v", Seq(0.5))
+      .select("value").as[Double].collect().head
+    assert(gotDup == 2.0, gotDup.toString)
+  }
+
+  test("holtSmoothing: hand-folded level/trend; single-sample users omitted") {
+    // y = (10, 12, 13), α = β = 0.5: l₁=10 b₁=2 → l₂=12 b₂=2 →
+    // l₃=13.5 b₃=1.75, forecast 15.25.
+    val df = Seq((1L, ts(1000000L), 1L, 10.0), (1L, ts(2000000L), 2L, 12.0),
+      (1L, ts(3000000L), 3L, 13.0), (2L, ts(1000000L), 4L, 7.0))
+      .toDF("u", "t", "id", "v")
+    val got = graft.ops.TsAnalytics.holtSmoothing(df, "u", "t", "v", "id",
+        alpha = 0.5, beta = 0.5)
+      .select("u", "n", "level", "trend", "forecast_next")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.toSeq == Seq((1L, 3L, 13.5, 1.75, 15.25)), got.mkString(","))
+  }
+
+  test("pmiCollocations: exact PMI on a controlled corpus; floor cuts rare pairs") {
+    // 5 × "new york", 5 × "old town", 1 × "rare pair" (below the floor).
+    val docs = ((1 to 5).map(i => (i.toLong, "new york")) ++
+      (6 to 10).map(i => (i.toLong, "old town")) ++
+      Seq((11L, "rare pair"))).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+        minCount = 5)
+      .select("w1", "w2", "n_pair", "pmi")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // NB = 11 bigrams, NU = 22 tokens; PMI = ln(5·22²/(11·5·5)) = ln 8.8.
+    assert(got.keySet == Set(("new", "york"), ("old", "town")), got.toString)
+    assert(math.abs(got(("new", "york"))._2 - math.log(8.8)) < 1e-3,
+      got.toString)
+    assert(got(("new", "york"))._1 == 5L)
+  }
+
+  test("rendezvousAssign: deterministic, in range; growth moves keys ONLY to the new shard") {
+    val keys = (1L to 1000L).toDF("k")
+    val a1 = graft.ops.Routing.rendezvousAssign(keys, "k", 8)
+      .as[(Long, Int)].collect().toMap
+    val a2 = graft.ops.Routing.rendezvousAssign(keys, "k", 8)
+      .as[(Long, Int)].collect().toMap
+    assert(a1 == a2, "assignment must be deterministic")
+    assert(a1.values.forall(s => s >= 0 && s < 8))
+    assert(a1.values.toSet.size == 8, "1000 keys should touch all 8 shards")
+    // The rendezvous property: growing 8 → 9 moves a key ONLY if the
+    // new shard's digest wins, i.e. every moved key lands on shard 8.
+    val rep = graft.ops.Routing.reshardReport(keys, "k", 8, 9)
+      .as[(Int, Int, Long)].collect()
+    val moved = rep.filter(r => r._1 != r._2)
+    assert(moved.forall(_._2 == 8), rep.mkString(","))
+    val movedN = moved.map(_._3).sum
+    assert(movedN > 0 && movedN < 1000 / 4,
+      s"~1/9 of keys should move, got $movedN")
+  }
+
   test("wilsonShare: interval brackets the share and stays inside [0,1]") {
     val df = (1 to 10).map(i => ("s", i <= 9)).toDF("g", "ok")
     val got = DataQuality.wilsonShare(df, "g", col("ok"))
