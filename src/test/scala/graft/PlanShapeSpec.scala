@@ -647,6 +647,43 @@ class PlanShapeSpec extends AnyFunSuite {
     // ntile may appear partition-less anywhere in the three plans.
   }
 
+  test("round-9 graph ops never cartesian; label prop argmax is an agg, not a window") {
+    for (q <- Seq("graph_ppr", "graph_hits", "graph_label_prop")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(800)}")
+    }
+    // The per-node mode label comes from a struct-min aggregation on the
+    // same key exchange as the (node, label) count — a row_number window
+    // would add a sort per round.
+    val lp = plan("graph_label_prop")
+    assert(!lp.contains("Window"), s"no window in label prop:\n${lp.take(800)}")
+  }
+
+  test("rendezvous assignment is map-side only; reshard report aggregates once") {
+    val p = plan("shard_rendezvous")
+    assert(!p.contains("Exchange"),
+      s"shard assignment must not shuffle:\n${p.take(800)}")
+    val p2 = plan("shard_reshard_report")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p2).size
+    assert(exchanges == 1,
+      s"reshard report = one cell aggregation, got $exchanges:\n${p2.take(800)}")
+    assert(!p2.contains("Join"),
+      s"both placements must come from ONE pass, not a self-join:\n${p2.take(800)}")
+  }
+
+  test("exact percentiles ride the range rank; contingency stats never cartesian") {
+    val p = plan("a26_exact_percentiles")
+    assert(p.contains("element_at(map("),
+      s"percentiles must use the range-partition offset lookup:\n${p.take(800)}")
+    val rowNumbered = p.split("\n").filter(_.contains("row_number()"))
+    assert(rowNumbered.nonEmpty && rowNumbered.forall(_.contains("__pid")),
+      s"percentile rank must be __pid-partitioned:\n${p.take(800)}")
+    for (q <- Seq("ml_mutual_info", "dq_chi2_independence")) {
+      val pc = plan(q)
+      assert(!pc.contains("CartesianProduct"), s"$q:\n${pc.take(800)}")
+    }
+  }
+
   test("triangle closure is a semi join over equi-keyed wedges") {
     val p = plan("graph_triangles")
     assert(p.contains("LeftSemi"),

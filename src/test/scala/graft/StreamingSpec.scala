@@ -67,6 +67,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trailing KPIs are SET-based: any within-window arrival order gives the same final KPI") {
+    // trailingPerUser keeps every event inside [maxTs − win, maxTs] and
+    // recomputes from the kept set, so unlike the chain-state ops it
+    // needs no ordered-split contract: disorder bounded by the window
+    // span folds in exactly. Feed the same per-user points in three
+    // different cross-batch orders; final KPI rows must be identical.
+    import graft.streaming.StreamKpis.Point
+    val pts = Seq(Point(1, 10L * 60000000L, 4.0), Point(1, 20L * 60000000L, 8.0),
+      Point(1, 30L * 60000000L, 6.0), Point(1, 40L * 60000000L, 2.0))
+    val orders = Seq(pts, pts.reverse,
+      Seq(pts(2), pts(0), pts(3), pts(1)))
+    val finals = orders.zipWithIndex.map { case (ord, i) =>
+      val input = MemoryStream[Point](
+        implicitly[org.apache.spark.sql.Encoder[Point]], spark)
+      val name = s"trailing_ooo_$i"
+      val q = graft.streaming.StreamKpis
+        .trailingPerUser(input.toDS(), windowSec = 3600)(
+          implicitly, implicitly)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        ord.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name)
+          .groupBy("userId").agg(max(struct(col("n"), col("lastTsUs"),
+            col("avgValue"), col("minValue"), col("maxValue"))).as("s"))
+          .select("userId", "s.*")
+          .as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+      } finally q.stop()
+    }
+    assert(finals.distinct.size == 1, finals.toString)
+    // And the value is the full-window KPI over all four points.
+    val row = finals.head.head
+    assert(row._2 == 4L && row._4 == 5.0 && row._5 == 2.0 && row._6 == 8.0,
+      row.toString)
+  }
+
   test("seek with wrap replays the pre-seek prefix after the tail (stream_sim wrap)") {
     val df = batches.flatten.toDF("userId", "tsUs", "value")
       .withColumn("ts", timestamp_micros(col("tsUs")))
