@@ -156,10 +156,20 @@ object Graph {
     require(nSeeds > 0, "no seed is a node of the graph")
     val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
       Seq("node"), "left_anti").localCheckpoint()
+    // Bounded emptiness probe (the Dedup limit-probe discipline): a
+    // symmetrized graph has no dangling nodes, and then every round's
+    // semi-join + scalar agg is three wasted jobs. With an empty set
+    // the mass is literally 0.0 and d·(0.0/|S|) + teleport is the
+    // identical IEEE value the agg path produces — the oracle replays
+    // either path unchanged.
+    val anyDangling = dangling.limit(1).count() > 0
     var ranks = seedSet.select(col("node"), lit(1.0 / nSeeds).as("rank"))
     for (i <- 1 to iterations) {
-      val dm = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val dm =
+        if (!anyDangling)
+          edges.sparkSession.range(1).select(lit(0.0).as("__dm"))
+        else ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val inflow = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
