@@ -180,6 +180,36 @@ object Funnel {
         round(credit, 6).as("credit"))
   }
 
+  /** Funnel drop-off summary over a [[windowedFunnel]] result: one row
+    * per level 0..nStages with the users AT that level, the users who
+    * REACHED at least that level (suffix sum), and the step conversion
+    * share vs the previous level — the table every funnel dashboard
+    * draws. The per-level counts are one hash aggregation of the funnel
+    * frame; everything after runs on the (nStages+1)-row spine, bounded
+    * by construction, so its partition-less windows are fine (the
+    * pareto cum-share precedent). Levels nobody reached still appear,
+    * with zero counts.
+    */
+  def dropoffSummary(funnel: DataFrame, nStages: Int,
+                     levelCol: String = "funnel_level"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = funnel.groupBy(col(levelCol).cast("int").as("level"))
+      .agg(count(lit(1)).as("__c"))
+    val spine = funnel.sparkSession.range(0, nStages + 1)
+      .select(col("id").cast("int").as("level"))
+    val full = spine.join(counts, Seq("level"), "left")
+      .select(col("level"), coalesce(col("__c"), lit(0L)).as("n_at_level"))
+    val wDesc = Window.orderBy(col("level").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("level"))
+    full.withColumn("n_reached", sum(col("n_at_level")).over(wDesc))
+      .withColumn("__prev", lag(col("n_reached"), 1).over(wAsc))
+      .select(col("level"), col("n_at_level"), col("n_reached"),
+        when(col("__prev").isNotNull && col("__prev") =!= 0,
+          round(col("n_reached").cast("double") /
+            col("__prev").cast("double"), 6)).as("step_conversion"))
+  }
+
   /** Cohort retention matrix: cohort = epoch-week of the user's first
     * `cohortType` event; a user counts as retained in week-offset k when
     * ANY event of theirs falls k weeks after the cohort week. Two

@@ -667,6 +667,88 @@ object Stats {
         col("__n").as("n_rows"))
   }
 
+  /** Quantile normalization across groups — the batch-effect
+    * correction: each row's value is replaced by the GLOBAL value at
+    * its within-group quantile, so every group ends up with the same
+    * marginal distribution (the cross-source score-calibration a
+    * curation pipeline needs before mixing sources). Ranks: the
+    * within-group rank is an ordinary group-keyed window (the group
+    * partitions it — no global sort); the global rank goes through
+    * [[withRangeRank]]. The quantile mapping r → 1 + (r−1)(N−1) div
+    * (n_g−1) is EXACT integer arithmetic (singleton groups map to the
+    * global median (N+1) div 2), and the final lookup is a rank-keyed
+    * equi join.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col(groupCol).isNotNull)
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v"), col(idCol))
+    val grouped = base
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__ng",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
+    val nTot = base.agg(count(lit(1)).as("__n0"))
+    val lookup = withRangeRank(base.select(col("__v"), col(idCol)),
+        Seq(col("__v"), col(idCol)), "__gr")
+      .select(col("__gr").as("__t"), col("__v").as("__nv"))
+    grouped.crossJoin(broadcast(nTot))
+      .withColumn("__t",
+        when(col("__ng") > 1,
+          lit(1L) + expr("((__r - 1) * (__n0 - 1)) div (__ng - 1)"))
+          .otherwise(expr("(__n0 + 1) div 2")))
+      .join(lookup, Seq("__t"))
+      .select(col(idCol), col(groupCol), col("__v").as("value"),
+        round(col("__nv"), 6).as("normalized"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per group: for each
+    * group g, D_g = max over value points of |ECDF_g − ECDF_rest| —
+    * the standard distribution-drift screen for "did this source's
+    * quality profile diverge". Computed EXACTLY over integers: at each
+    * distinct value, |cum_g·(N−n_g) − (cum_all−cum_g)·n_g| is an
+    * integer (the single division happens once, at the max). The only
+    * materialized frame beyond the aggregates is the groups × distinct
+    * values grid — bounded by the report's own dimensions (a KS report
+    * over millions of groups is not a report; the group frame is
+    * category-bounded, hence broadcast). Headroom: cum·N products need
+    * n_g·N < 2⁶³; bucket the values first past ~10⁹ rows.
+    */
+  def ksDrift(df: DataFrame, groupCol: String,
+              valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val groups = base.groupBy(col("__g")).agg(count(lit(1)).as("__ng"))
+    val vals = base.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
+    val nTot = base.agg(count(lit(1)).as("__n0"))
+    val grid = vals.crossJoin(broadcast(groups))
+      .join(cells, Seq("__g", "__v"), "left")
+      .select(col("__g"), col("__ng"), col("__v"), col("__cv"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val wv = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__cumg", sum(col("__c")).over(wv))
+      .withColumn("__cumall", sum(col("__cv")).over(wv))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("__g"))
+      .agg(max(col("__ng")).as("__ngm"),
+        max(abs(col("__cumg") * (col("__n0") - col("__ng")) -
+          (col("__cumall") - col("__cumg")) * col("__ng"))).as("__num"),
+        max(col("__n0")).as("__n0m"))
+      .select(col("__g").as(groupCol), col("__ngm").as("n_group"),
+        (col("__n0m") - col("__ngm")).as("n_rest"),
+        when(col("__n0m") > col("__ngm"),
+          round(col("__num").cast("double") /
+            (col("__ngm").cast("double") *
+              (col("__n0m") - col("__ngm")).cast("double")), 6)).as("ks"))
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

@@ -225,6 +225,36 @@ object TsAnalytics {
           col("expected_hours").cast("double"), 6).as("coverage"))
   }
 
+  /** Union length of possibly-overlapping per-user intervals — "total
+    * covered time" when sessions/treatments overlap, where a plain
+    * SUM(end−start) double-counts. Classic gaps-and-islands: an
+    * interval opens a new island iff its start exceeds the running max
+    * end of every earlier interval; islands then collapse to merged
+    * spans. Three window expressions (running max, island flag,
+    * island id) plus the island aggregate all ride ONE user-keyed
+    * exchange; arithmetic is pure integers, so the oracle agrees
+    * exactly.
+    */
+  def intervalUnion(df: DataFrame, userCol: String, startCol: String,
+                    endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(startCol), col(endCol))
+    val runMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(userCol), col(startCol), col(endCol))
+      .withColumn("__rm", runMax)
+      .withColumn("__new",
+        when(col("__rm").isNull || col(startCol) > col("__rm"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__isl"))
+      .agg(min(col(startCol)).as("__ss"), max(col(endCol)).as("__se"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__se") - col("__ss")).as("covered_us"))
+  }
+
   /** Holt double (linear-trend) exponential smoothing per user: level
     * lₜ = α·yₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
     * initialized the textbook way (l₁ = y₁, b₁ = y₂−y₁; Holt 1957).

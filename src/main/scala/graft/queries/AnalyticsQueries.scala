@@ -337,6 +337,28 @@ object AnalyticsQueries {
         "value", "event_id", alpha = 0.3, beta = 0.2)
     },
 
+    // L233: per-user interval-union coverage (5-minute activity
+    // intervals; overlaps merge, integer micros end to end).
+    "ts_interval_union" -> { (s, dir) =>
+      val iv = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + 300000000L).as("end_us"))
+      TsAnalytics.intervalUnion(iv, "user_id", "start_us", "end_us")
+    },
+
+    // L235: quantile normalization of n_chars across sources — every
+    // source mapped onto the global marginal distribution.
+    "ml_quantile_normalize" -> { (s, dir) =>
+      Stats.quantileNormalize(Tables.documents(s, dir), "source",
+        "n_chars", "doc_id")
+    },
+
+    // L236: per-source Kolmogorov–Smirnov drift of n_chars vs the rest
+    // of the corpus (exact integer cross-multiplied ECDFs).
+    "dq_ks_drift" -> { (s, dir) =>
+      Stats.ksDrift(Tables.documents(s, dir), "source", "n_chars")
+    },
+
     // L231: rendezvous-hash shard assignment (8 shards) — map-side,
     // bit-stable across engines.
     "shard_rendezvous" -> { (s, dir) =>
@@ -1113,6 +1135,71 @@ object AnalyticsQueries {
         |SELECT user_id, CAST(n AS BIGINT) AS n, round(l, 4) AS level,
         |  round(tr, 4) AS trend, round(l + tr, 4) AS forecast_next
         |FROM r WHERE i = n""".stripMargin,
+
+    "ts_interval_union" ->
+      """WITH iv AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+        |  FROM events),
+        |f AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |    sum(CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM f),
+        |m AS (SELECT user_id, isl, min(s) AS ss, max(e) AS se
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(se - ss) AS BIGINT) AS covered_us
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // Integer quantile mapping replayed verbatim: global row_number over
+    // (value, id), within-source rank, r → 1 + (r−1)(N−1) // (n_g−1).
+    "ml_quantile_normalize" ->
+      """WITH b AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT doc_id, source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS ng
+        |  FROM b),
+        |t AS (SELECT count(*) AS n0 FROM b),
+        |gl AS (SELECT v AS nv,
+        |    row_number() OVER (ORDER BY v, doc_id) AS gr FROM b)
+        |SELECT g.doc_id, g.source, g.v AS value, round(gl.nv, 6) AS normalized
+        |FROM g, t, gl
+        |WHERE gl.gr = CASE WHEN g.ng > 1
+        |  THEN 1 + ((g.r - 1) * (t.n0 - 1)) // (g.ng - 1)
+        |  ELSE (t.n0 + 1) // 2 END""".stripMargin,
+
+    "dq_ks_drift" ->
+      """WITH b AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |grp AS (SELECT g, count(*) AS ng FROM b GROUP BY 1),
+        |vals AS (SELECT v, count(*) AS cv FROM b GROUP BY 1),
+        |t AS (SELECT count(*) AS n0 FROM b),
+        |grid AS (SELECT grp.g, grp.ng, vals.v, vals.cv,
+        |    coalesce(cells.c, 0) AS c
+        |  FROM grp CROSS JOIN vals
+        |  LEFT JOIN cells ON cells.g = grp.g AND cells.v = vals.v),
+        |cum AS (SELECT g, ng, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg,
+        |    sum(cv) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+        |  FROM grid)
+        |SELECT g AS source, CAST(max(ng) AS BIGINT) AS n_group,
+        |  CAST((SELECT n0 FROM t) - max(ng) AS BIGINT) AS n_rest,
+        |  CASE WHEN (SELECT n0 FROM t) > max(ng) THEN
+        |    round(CAST(max(abs(cumg * ((SELECT n0 FROM t) - ng)
+        |        - (cumall - cumg) * ng)) AS DOUBLE)
+        |      / (CAST(max(ng) AS DOUBLE) *
+        |        CAST((SELECT n0 FROM t) - max(ng) AS DOUBLE)), 6)
+        |  END AS ks
+        |FROM cum GROUP BY g""".stripMargin,
 
     "shard_rendezvous" ->
       """SELECT c_custkey,

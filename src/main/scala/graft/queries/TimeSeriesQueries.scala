@@ -205,6 +205,15 @@ object TimeSeriesQueries {
         windowSec = 86400L)
     },
 
+    // L234: funnel drop-off summary — per-level at/reached counts and
+    // step conversion over the windowed funnel.
+    "funnel_dropoff" -> { (s, dir) =>
+      val funnel = graft.ops.Funnel.windowedFunnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        windowSec = 86400L)
+      graft.ops.Funnel.dropoffSummary(funnel, nStages = 3)
+    },
+
     // Cohort retention matrix: signup-week cohorts × active-week offsets.
     "cohort_retention_matrix" -> { (s, dir) =>
       graft.ops.Funnel.cohortRetention(Tables.events(s, dir), "user_id",
@@ -476,6 +485,44 @@ object TimeSeriesQueries {
         |  t2 IS NOT NULL AS converted,
         |  round(CAST(t2 - t0 AS DOUBLE) / 1e6, 6) AS secs_to_convert
         |FROM c2""".stripMargin,
+
+    "funnel_dropoff" ->
+      """WITH su AS (SELECT user_id,
+        |    list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'view')) AS s0,
+        |    list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'click')) AS s1,
+        |    list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'purchase')) AS s2
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1),
+        |c0 AS (SELECT user_id, s0[1] AS t0, s1, s2 FROM su),
+        |c1 AS (SELECT user_id, t0,
+        |    list_filter(s1, t -> t > t0 AND t <= t0 + 86400000000)[1] AS t1,
+        |    s2 FROM c0),
+        |c2 AS (SELECT user_id, t0, t1,
+        |    list_filter(s2, t -> t > t1 AND t <= t0 + 86400000000)[1] AS t2
+        |  FROM c1),
+        |lv AS (SELECT CASE WHEN t2 IS NOT NULL THEN 3
+        |    WHEN t1 IS NOT NULL THEN 2
+        |    WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS level FROM c2),
+        |cnt AS (SELECT level, count(*) AS c FROM lv GROUP BY 1),
+        |sp AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS level),
+        |fl AS (SELECT sp.level,
+        |    CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_at_level
+        |  FROM sp LEFT JOIN cnt ON sp.level = cnt.level),
+        |re AS (SELECT level, n_at_level,
+        |    CAST(sum(n_at_level) OVER (ORDER BY level DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_reached
+        |  FROM fl)
+        |SELECT level, n_at_level, n_reached,
+        |  CASE WHEN lag(n_reached) OVER (ORDER BY level) <> 0
+        |    THEN round(CAST(n_reached AS DOUBLE) /
+        |      CAST(lag(n_reached) OVER (ORDER BY level) AS DOUBLE), 6)
+        |  END AS step_conversion
+        |FROM re""".stripMargin,
 
     "cohort_retention_matrix" ->
       """WITH wk AS (SELECT user_id, event_type,

@@ -276,6 +276,57 @@ class WarehouseOpsSpec extends AnyFunSuite {
       s"~1/9 of keys should move, got $movedN")
   }
 
+  test("intervalUnion: overlaps merge, touching intervals chain, disjoint stay apart") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L),   // overlap → [0,12)
+      (1L, 12L, 20L),                 // touches (s == prior max e) → merges
+      (1L, 30L, 40L),                 // disjoint
+      (2L, 0L, 100L), (2L, 10L, 20L)) // fully contained
+      .toDF("u", "s", "e")
+    val got = graft.ops.TsAnalytics.intervalUnion(iv, "u", "s", "e")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((2L, 30L)), 2L -> ((1L, 100L))), got.toString)
+  }
+
+  test("dropoffSummary: spine zeros, suffix reach counts, step conversion") {
+    val funnel = Seq(0, 1, 1, 3, 3, 3).toDF("funnel_level") // nobody at 2
+    val got = graft.ops.Funnel.dropoffSummary(funnel, nStages = 3)
+      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1)
+    // reached: lvl0=6, lvl1=5, lvl2=3, lvl3=3.
+    assert(got.toSeq == Seq(
+      (0, 1L, 6L, None),
+      (1, 2L, 5L, Some(0.833333)),
+      (2, 0L, 3L, Some(0.6)),
+      (3, 3L, 3L, Some(1.0))), got.mkString(","))
+  }
+
+  test("quantileNormalize: groups map onto the global marginal; singleton → median") {
+    // group a = (1, 2, 3), group b = (10, 20, 30), singleton c = (99).
+    // Global sorted: 1,2,3,10,20,30,99 (N=7). For n_g=3: ranks 1,2,3 →
+    // global ranks 1, 4, 7 → values 1, 10, 99 for BOTH groups.
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L),
+      ("b", 10.0, 4L), ("b", 20.0, 5L), ("b", 30.0, 6L), ("c", 99.0, 7L))
+      .toDF("g", "v", "id")
+    val got = graft.ops.Stats.quantileNormalize(df, "g", "v", "id")
+      .select("id", "normalized").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 10.0, 3L -> 99.0,
+      4L -> 1.0, 5L -> 10.0, 6L -> 99.0,
+      7L -> 10.0), got.toString) // singleton → (7+1) div 2 = rank 4 → 10
+  }
+
+  test("ksDrift: identical marginals give 0; disjoint supports give ~1") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val gotSame = graft.ops.Stats.ksDrift(same, "g", "v")
+      .select("ks").as[Option[Double]].collect().flatten
+    assert(gotSame.forall(_ == 0.0), gotSame.mkString(","))
+    val disj = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 20.0))
+      .toDF("g", "v")
+    val gotDisj = graft.ops.Stats.ksDrift(disj, "g", "v")
+      .select("ks").as[Option[Double]].collect().flatten
+    assert(gotDisj.forall(_ == 1.0), gotDisj.mkString(","))
+  }
+
   test("wilsonShare: interval brackets the share and stays inside [0,1]") {
     val df = (1 to 10).map(i => ("s", i <= 9)).toDF("g", "ok")
     val got = DataQuality.wilsonShare(df, "g", col("ok"))
