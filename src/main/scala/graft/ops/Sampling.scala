@@ -245,6 +245,64 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Neyman-allocation stratified sampling: a total budget of `totalN`
+    * rows split across strata proportionally to N_h·S_h (Neyman 1934) —
+    * variable strata get more budget than uniform ones, the
+    * minimum-variance allocation for estimating a mean from the sample.
+    *
+    * Engine-exact by construction: the per-stratum second moments come
+    * from an INTEGER-valued measure column (nh·Σx² − (Σx)² is an exact
+    * Long; headroom n_h·Σx² < 2⁶³ and < 2⁵³ for the double cast —
+    * holds to ~10⁹ rows of 10⁴-scale measures, bucket beyond), N_h·S_h
+    * simplifies to √(nh·s2 − s1²) whose IEEE sqrt is correctly rounded
+    * hence identical everywhere, and the weight total sums in SORTED
+    * order (the bigram-logprob discipline) so the allocation floor
+    * can't straddle differently per engine. Selection is the
+    * hash-ranked deterministic top-n_h per stratum ([[stratifiedExact]]
+    * machinery). Strata are a bounded report dimension — the stats
+    * collect is bounded like every other category collect here.
+    */
+  def neymanSample(df: DataFrame, keyCol: String, stratumCol: String,
+                   intValueCol: String, totalN: Int): DataFrame = {
+    require(totalN >= 1, "need a positive budget")
+    val base = df.filter(col(stratumCol).isNotNull)
+    val x = col(intValueCol).cast("long")
+    val stats = base.groupBy(col(stratumCol).cast("string").as("__st"))
+      .agg(count(lit(1)).as("__nh"), sum(x).as("__s1"),
+        sum(x * x).as("__s2"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.sqrt((r.getLong(1) * r.getLong(3) -
+          r.getLong(2) * r.getLong(2)).toDouble)))
+    val totalW = stats.map(_._3).sorted.sum
+    require(totalW > 0,
+      "every stratum has zero variance — Neyman allocation undefined")
+    // Largest-remainder completion: bare floors undershoot the budget
+    // by up to one row per stratum (floor(n·w/W) sums below n even when
+    // one stratum holds ALL the weight — 6·w/w can float to 5.999…);
+    // the leftover goes to the largest fractional shares, ties broken
+    // on the stratum key. All doubles here derive from the same exact
+    // integers on both engines, so the oracle's row_number replay picks
+    // the identical strata.
+    val shares = stats.map { case (s, nh, w) =>
+      val x = totalN * w / totalW
+      (s, nh, math.floor(x), x - math.floor(x))
+    }
+    val leftover = totalN - shares.map(_._3.toLong).sum
+    val bonus = shares.sortBy { case (s, _, _, frac) => (-frac, s) }
+      .take(math.max(0, leftover.toInt)).map(_._1).toSet
+    val quota: Map[String, Long] = shares.map { case (s, nh, f, _) =>
+      s -> math.min(nh.toDouble, f + (if (bonus(s)) 1 else 0)).toLong
+    }.toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(keyUniform(col(keyCol)), col(keyCol))
+    base.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <=
+        element_at(typedlit(quota), col(stratumCol).cast("string")))
+      .select(col(keyCol), col(stratumCol))
+  }
+
   /** DSIR-style importance weights for data selection: score each
     * source-domain document by how target-like it is under hashed
     * bag-of-words multinomial language models of the target vs source

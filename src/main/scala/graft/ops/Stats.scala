@@ -388,6 +388,70 @@ object Stats {
       .drop("__pid")
   }
 
+  /** Distributed EXACT prefix sum over a total order — the
+    * [[withRangeRank]] recipe generalized from counts to an arbitrary
+    * Long measure: range-partition on the order key, collect the
+    * per-partition measure totals (bounded by the partition count),
+    * broadcast the cumulative offsets back, add the within-partition
+    * running sum. `outCol` receives the sum of `measure` over all rows
+    * STRICTLY BEFORE the current row in the order (exclusive prefix) —
+    * the form rank statistics (midranks, ECDFs, AUC) want. Integer
+    * arithmetic end to end; no single-partition sort.
+    */
+  private[graft] def withRangeCumSum(df: DataFrame, order: Seq[Column],
+                                     measure: Column,
+                                     outCol: String): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(nPart, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__m", measure.cast("long"))
+      .localCheckpoint()
+    val cnts = parted.groupBy(col("__pid"))
+      .agg(sum(col("__m")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      cnts.map { case (pid, c) => val o = pid -> acc; acc += c; o }.toMap
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn(outCol,
+        element_at(typedlit(offsets), col("__pid")) +
+          coalesce(sum(col("__m")).over(w), lit(0L)))
+      .drop("__pid", "__m")
+  }
+
+  /** EXACT ROC AUC via the Mann–Whitney U statistic with midranks for
+    * ties — the rank form AUC = (Σ_pos rank − n₊(n₊+1)/2)/(n₊·n₋),
+    * computed entirely in integers until the final division: per
+    * distinct score, 2·midrank = 2·cumBefore + cnt + 1, so
+    * 2U = Σ_scores pos·(2·cumBefore + cnt + 1) − n₊(n₊+1) is an exact
+    * Long and AUC = 2U/(2·n₊·n₋) — bit-identical across engines, no
+    * sampling, no sort through one partition: the distinct-score
+    * aggregate rides [[withRangeCumSum]]. Headroom: 2U ≤ 2n² — bucket
+    * scores first past ~10⁹ rows.
+    */
+  def aucRoc(df: DataFrame, labelCol: Column, scoreCol: String): DataFrame = {
+    val base = df.select(col(scoreCol).cast("double").as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .filter(col("__s").isNotNull)
+    val cells = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__pos"))
+    val cum = withRangeCumSum(cells, Seq(col("__s")), col("__cnt"), "__cb")
+    cum
+      .agg(sum(col("__pos")).as("__n1"),
+        sum(col("__cnt") - col("__pos")).as("__n0"),
+        sum(col("__pos") * (lit(2L) * col("__cb") + col("__cnt") + 1))
+          .as("__rsum2"))
+      .select(col("__n1").as("n_pos"), col("__n0").as("n_neg"),
+        when(col("__n1") > 0 && col("__n0") > 0,
+          round((col("__rsum2") - col("__n1") * (col("__n1") + 1))
+            .cast("double") /
+            (lit(2.0) * col("__n1").cast("double") *
+              col("__n0").cast("double")), 6)).as("auc"))
+  }
+
   /** SQL-standard ntile derived arithmetically from a global rank and
     * the row count: with q = n div k and m = n mod k, the first m
     * buckets hold q+1 rows and the rest q — exactly Spark's and

@@ -225,6 +225,51 @@ object TsAnalytics {
           col("expected_hours").cast("double"), 6).as("coverage"))
   }
 
+  /** STL-lite seasonal decomposition per user: value = trend + seasonal
+    * + residual over the user's HOURLY TOTALS. Trend is the centered
+    * 25-row moving average over observed hourly buckets (index-based,
+    * so gaps compress rather than widen the window — the deliberate
+    * simplification vs calendar-grid STL), quantized to integer cents;
+    * seasonal is the mean detrended total per hour-of-day; residual the
+    * remainder.
+    *
+    * Determinism by construction, the integer-cent discipline: hourly
+    * totals are exact cent sums; the trend frame sum/count are exact
+    * integers (sliding-window retraction vs segment-tree evaluation
+    * both stay exact on Longs, unlike float frames); every emitted
+    * double derives from exact integers through the IDENTICAL spelled
+    * division sequence, so outputs ship UNROUNDED — rounding is where
+    * decimal-parked averages (x.xxxx5 rationals) make engines disagree
+    * at half-points, the failure the first cut of this op hit. One
+    * bucket aggregation + one user-keyed ordered window + one
+    * (user, hour-of-day)-keyed window — three even exchanges.
+    */
+  def stlDecompose(df: DataFrame, userCol: String, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val hb = floor(unix_micros(col(tsCol)) / lit(3600000000L))
+    val cents = round(col(valueCol) * 100).cast("long")
+    val hourly = df.groupBy(col(userCol), hb.as("hour_bucket"))
+      .agg(sum(cents).as("__vc"))
+    val wT = Window.partitionBy(col(userCol)).orderBy(col("hour_bucket"))
+      .rowsBetween(-12, 12)
+    val wS = Window.partitionBy(col(userCol),
+      pmod(col("hour_bucket"), lit(24L)))
+    hourly
+      .withColumn("__tc",
+        floor(sum(col("__vc")).over(wT).cast("double") /
+          count(lit(1)).over(wT)).cast("long"))
+      .withColumn("__sc",
+        sum(col("__vc") - col("__tc")).over(wS).cast("double") /
+          count(lit(1)).over(wS))
+      .select(col(userCol),
+        col("hour_bucket").cast("long").as("hour_bucket"),
+        (col("__vc").cast("double") / 100.0).as("value"),
+        (col("__tc").cast("double") / 100.0).as("trend"),
+        (col("__sc") / 100.0).as("seasonal"),
+        (((col("__vc") - col("__tc")).cast("double") - col("__sc")) / 100.0)
+          .as("residual"))
+  }
+
   /** Union length of possibly-overlapping per-user intervals — "total
     * covered time" when sessions/treatments overlap, where a plain
     * SUM(end−start) double-counts. Classic gaps-and-islands: an

@@ -346,6 +346,26 @@ object AnalyticsQueries {
       TsAnalytics.intervalUnion(iv, "user_id", "start_us", "end_us")
     },
 
+    // L237: exact ROC AUC (Mann–Whitney midranks over the range prefix
+    // sum) of n_chars as a separator for source src0.
+    "ml_auc_roc" -> { (s, dir) =>
+      Stats.aucRoc(Tables.documents(s, dir), col("source") === "src0",
+        "n_chars")
+    },
+
+    // L238: Neyman-allocation stratified sample — 200 docs split across
+    // sources ∝ N_h·S_h of n_chars, hash-ranked deterministic pick.
+    "sample_neyman" -> { (s, dir) =>
+      graft.ops.Sampling.neymanSample(Tables.documents(s, dir), "doc_id",
+        "source", "n_chars", totalN = 200)
+    },
+
+    // L239: STL-lite decomposition of each user's hourly series.
+    "ts_stl_decompose" -> { (s, dir) =>
+      TsAnalytics.stlDecompose(Tables.events(s, dir), "user_id", "ts",
+        "value")
+    },
+
     // L235: quantile normalization of n_chars across sources — every
     // source mapped onto the global marginal distribution.
     "ml_quantile_normalize" -> { (s, dir) =>
@@ -1132,9 +1152,87 @@ object AnalyticsQueries {
         |    0.2 * (q.l - r.l) + (1.0 - 0.2) * r.tr
         |  FROM r JOIN b v ON v.user_id = r.user_id AND v.i = r.i + 1,
         |  LATERAL (SELECT 0.3 * v.v + (1.0 - 0.3) * (r.l + r.tr) AS l) q)
-        |SELECT user_id, CAST(n AS BIGINT) AS n, round(l, 4) AS level,
-        |  round(tr, 4) AS trend, round(l + tr, 4) AS forecast_next
+        |SELECT user_id, CAST(n AS BIGINT) AS n, round(l, 4) + 0 AS level,
+        |  round(tr, 4) + 0 AS trend, round(l + tr, 4) + 0 AS forecast_next
         |FROM r WHERE i = n""".stripMargin,
+
+    // Mirrors the integer midrank algebra exactly: per distinct score,
+    // 2·midrank = 2·cumBefore + cnt + 1; everything integer until the
+    // final division.
+    "ml_auc_roc" ->
+      """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cells AS (SELECT s, count(*) AS cnt,
+        |    sum(y) AS pos FROM b GROUP BY 1),
+        |c2 AS (SELECT s, cnt, pos,
+        |    coalesce(sum(cnt) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM cells)
+        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(pos) > 0 AND sum(cnt - pos) > 0 THEN
+        |    round(CAST(sum(pos * (2 * cb + cnt + 1))
+        |        - sum(pos) * (sum(pos) + 1) AS DOUBLE)
+        |      / (2.0 * CAST(sum(pos) AS DOUBLE)
+        |        * CAST(sum(cnt - pos) AS DOUBLE)), 6) END AS auc
+        |FROM c2""".stripMargin,
+
+    // Weight total sums in SORTED order on both engines so the floor
+    // in the allocation cannot straddle an integer differently.
+    "sample_neyman" ->
+      """WITH b AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE source IS NOT NULL),
+        |st AS (SELECT source, count(*) AS nh, sum(x) AS s1,
+        |    sum(x * x) AS s2 FROM b GROUP BY 1),
+        |w AS (SELECT source, nh,
+        |    sqrt(CAST(nh * s2 - s1 * s1 AS DOUBLE)) AS wh FROM st),
+        |tot AS (SELECT list_sum(list_sort(list(wh))) AS tw FROM w),
+        |q0 AS (SELECT source, nh,
+        |    floor(200 * wh / (SELECT tw FROM tot)) AS fl,
+        |    200 * wh / (SELECT tw FROM tot)
+        |      - floor(200 * wh / (SELECT tw FROM tot)) AS frac
+        |  FROM w),
+        |lo AS (SELECT 200 - CAST(sum(fl) AS BIGINT) AS leftover FROM q0),
+        |qr AS (SELECT source, nh, fl,
+        |    row_number() OVER (ORDER BY frac DESC, source) AS rk FROM q0),
+        |q AS (SELECT source, CAST(least(CAST(nh AS DOUBLE),
+        |    fl + CASE WHEN rk <= (SELECT leftover FROM lo)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS quota
+        |  FROM qr),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        ::BIGINT / 4294967296.0, doc_id) AS rn
+        |  FROM b)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE r.rn <= q.quota""".stripMargin,
+
+    // Integer-cent replay: frame sum/count exact integers, every output
+    // double derived through the identical division sequence — shipped
+    // UNROUNDED (decimal-parked averages make rounded outputs straddle
+    // half-points differently per engine).
+    "ts_stl_decompose" ->
+      """WITH h AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS vc
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, hour_bucket, vc,
+        |    CAST(floor(CAST(sum(vc) OVER w AS DOUBLE)
+        |      / (count(*) OVER w)) AS BIGINT) AS tc
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY hour_bucket
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |s AS (SELECT *,
+        |    CAST(sum(vc - tc) OVER ws AS DOUBLE) / (count(*) OVER ws) AS sc
+        |  FROM t
+        |  WINDOW ws AS (PARTITION BY user_id, hour_bucket % 24))
+        |SELECT user_id, CAST(hour_bucket AS BIGINT) AS hour_bucket,
+        |  CAST(vc AS DOUBLE) / 100.0 AS value,
+        |  CAST(tc AS DOUBLE) / 100.0 AS trend,
+        |  sc / 100.0 AS seasonal,
+        |  (CAST(vc - tc AS DOUBLE) - sc) / 100.0 AS residual
+        |FROM s""".stripMargin,
 
     "ts_interval_union" ->
       """WITH iv AS (SELECT user_id,

@@ -327,6 +327,65 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(gotDisj.forall(_ == 1.0), gotDisj.mkString(","))
   }
 
+  test("aucRoc: perfect separation 1, reversal 0, all-ties 0.5 via midranks") {
+    val perfect = Seq((1.0, true), (2.0, true), (0.1, false), (0.2, false))
+      .toDF("s", "y")
+    def auc(df: org.apache.spark.sql.DataFrame): Double =
+      graft.ops.Stats.aucRoc(df, col("y"), "s")
+        .select("auc").as[Option[Double]].collect().head.get
+    assert(auc(perfect) == 1.0)
+    val reversed = Seq((1.0, false), (2.0, false), (0.1, true), (0.2, true))
+      .toDF("s", "y")
+    assert(auc(reversed) == 0.0)
+    val ties = Seq((5.0, true), (5.0, true), (5.0, false), (5.0, false))
+      .toDF("s", "y")
+    assert(auc(ties) == 0.5, "all-tied scores must midrank to 0.5")
+    // Hand case: pos scores (3, 1), neg (2): pairs (3>2)=1, (1<2)=0 → 0.5.
+    val hand = Seq((3.0, true), (1.0, true), (2.0, false)).toDF("s", "y")
+    assert(auc(hand) == 0.5, auc(hand).toString)
+  }
+
+  test("neymanSample: zero-variance stratum draws nothing; allocation tracks N·S") {
+    // Stratum a: constant values (S = 0) → weight 0 → quota 0.
+    // Stratum b: spread values take the whole budget, capped at |b|.
+    val df = ((1 to 10).map(i => (i.toLong, "a", 50L)) ++
+      (11 to 20).map(i => (i.toLong, "b", (i % 5) * 100L)))
+      .toDF("id", "st", "x")
+    val got = graft.ops.Sampling.neymanSample(df, "id", "st", "x", totalN = 6)
+      .select("st").as[String].collect()
+    assert(got.forall(_ == "b") && got.length == 6, got.mkString(","))
+    // Budget larger than the only eligible stratum: capped at its size.
+    val capped = graft.ops.Sampling.neymanSample(df, "id", "st", "x",
+      totalN = 100).select("st").as[String].collect()
+    assert(capped.length == 10 && capped.forall(_ == "b"),
+      capped.mkString(","))
+    // Determinism: same call, same rows.
+    val again = graft.ops.Sampling.neymanSample(df, "id", "st", "x",
+      totalN = 6).select("id").as[Long].collect().sorted
+    val first = graft.ops.Sampling.neymanSample(df, "id", "st", "x",
+      totalN = 6).select("id").as[Long].collect().sorted
+    assert(again.toSeq == first.toSeq)
+  }
+
+  test("stlDecompose: components reassemble; constant series has flat trend, zero rest") {
+    def hts(h: Long) = ts(h * 3600000000L)
+    val const = (0 until 30).map(h => (1L, hts(h.toLong), 4.0))
+      .toDF("u", "t", "v")
+    val gotC = graft.ops.TsAnalytics.stlDecompose(const, "u", "t", "v")
+      .select("value", "trend", "seasonal", "residual")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(gotC.forall(r => r._1 == 4.0 && r._2 == 4.0 && r._3 == 0.0 &&
+      r._4 == 0.0), gotC.take(3).mkString(","))
+    // Varied series: decomposition must reassemble to the value.
+    val varied = (0 until 72).map(h =>
+      (1L, hts(h.toLong), 10.0 + (h % 24) + 0.37 * h)).toDF("u", "t", "v")
+    val gotV = graft.ops.TsAnalytics.stlDecompose(varied, "u", "t", "v")
+      .select("value", "trend", "seasonal", "residual")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(gotV.forall(r => math.abs(r._1 - (r._2 + r._3 + r._4)) < 1e-9),
+      gotV.take(3).mkString(","))
+  }
+
   test("wilsonShare: interval brackets the share and stays inside [0,1]") {
     val df = (1 to 10).map(i => ("s", i <= 9)).toDF("g", "ok")
     val got = DataQuality.wilsonShare(df, "g", col("ok"))
