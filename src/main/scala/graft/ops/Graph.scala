@@ -267,6 +267,49 @@ object Graph {
     labels
   }
 
+  /** Adamic–Adar link prediction over an UNDIRECTED simple graph: for
+    * every 2-hop pair (v, w), score = Σ over common neighbors u of
+    * 1/ln(deg(u)) (Adamic & Adar 2003) — the classic "people you may
+    * know" signal, down-weighting hub-mediated paths.
+    *
+    * Unlike triangle counting (where every triangle has one minimum
+    * corner), common-neighbor enumeration needs wedges at EVERY center,
+    * so degree-orientation cannot bound it. The scale lever here is the
+    * `maxCenterDegree` cap: centers above it are EXCLUDED as
+    * connectors — principled, because a hub's per-pair contribution is
+    * already ≤ 1/ln(cap) and its wedge fan-out is deg², exactly the
+    * rows that blow up; with the cap the fan-out is ≤ cap·2m. The cap
+    * and the `minCommon` floor are integer cuts, so the emitted pair
+    * set is deterministic — no float-ranked boundary. Centers have
+    * degree ≥ 2 by construction (a wedge needs two edges), so
+    * ln(deg(u)) is never 0. Exact (cap-free semantics) whenever cap ≥
+    * the true max degree.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 minCommon: Long = 2,
+                 maxCenterDegree: Long = 10000): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = e0.select(col("a").as("node"))
+      .unionAll(e0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // Symmetric adjacency with the center's degree on the row, hub
+    // centers pre-cut BEFORE the self-join fan-out.
+    val adj = e0.select(col("a").as("u"), col("b").as("n"))
+      .unionAll(e0.select(col("b").as("u"), col("a").as("n")))
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .filter(col("du") <= maxCenterDegree)
+      .localCheckpoint()
+    adj.select(col("u"), col("du"), col("n").as("v"))
+      .join(adj.select(col("u"), col("n").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(lit(1.0) / log(col("du").cast("double"))), 6)
+          .as("aa_score"))
+      .filter(col("n_common") >= minCommon)
+  }
+
   /** Per-node triangle participation over an UNDIRECTED simple graph
     * given as unordered edges (each edge once, `a < b`, no self-loops
     * enforced here). The count uses the oriented wedge-closure method:

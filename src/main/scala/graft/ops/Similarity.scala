@@ -1157,4 +1157,56 @@ object Similarity {
       fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
   }
+
+  /** Top principal component of the (uncentered) embedding matrix by
+    * MATRIX-FREE power iteration: v ← XᵀXv / ‖XᵀXv‖, where XᵀXv is
+    * computed as one corpus pass — the per-row scalar x·v (native
+    * [[graft.functions.VectorFunctions.dotD]], index-order fold) feeds
+    * a per-dimension Σ x_j·(x·v) aggregation, so NOTHING of size d×d
+    * ever materializes and the shuffle carries d rows per round. That
+    * is the only PCA shape that works at 100 TB (a Gram matrix is
+    * d²-sized but needs the same passes; covariance solvers need the
+    * data centered and gathered).
+    *
+    * Determinism across engines: the k-means-oracle discipline — each
+    * round's vector is re-quantized ON-ENGINE to 6 decimals after the
+    * norm division, so float drift cannot compound across rounds, and
+    * the d quantized loadings (a dimension-bounded driver collect, like
+    * the IVF centroid collect) re-enter the next round as literals both
+    * engines share verbatim. v₀ is the uniform unit vector. Sign is
+    * pinned by v₀ (positive overall orientation); λ is the final
+    * pre-normalization norm, the Rayleigh-quotient estimate.
+    */
+  def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 10, "1..10 iterations")
+    val d = df.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(d >= 1, "empty embedding")
+    val v0 = BigDecimal(1.0 / math.sqrt(d.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v: Array[Double] = Array.fill(d)(v0)
+    var out: DataFrame = null
+    for (k <- 1 to iterations) {
+      val vLit = array(v.map(lit): _*)
+      val sums = df
+        .withColumn("__dot", dotD(col(vecCol), vLit))
+        .select(posexplode(col(vecCol)).as(Seq("pos", "__x")), col("__dot"))
+        .groupBy(col("pos"))
+        .agg(sum(col("__x").cast("double") * col("__dot")).as("__s"))
+      val norm = sums.agg(sqrt(sum(col("__s") * col("__s"))).as("__n"))
+      out = sums.crossJoin(broadcast(norm))
+        .select(col("pos").cast("int").as("pos"),
+          round(col("__s") / col("__n"), 6).as("loading"),
+          round(col("__n"), 4).as("lambda"))
+      if (k < iterations) {
+        // d rows — dimension-bounded, per round (the IVF-centroid
+        // collect class); the FINAL round stays a lazy frame.
+        val rows = out.collect()
+        val next = Array.ofDim[Double](d)
+        rows.foreach(r => next(r.getInt(0)) = r.getDouble(1))
+        v = next
+      }
+    }
+    out
+  }
 }

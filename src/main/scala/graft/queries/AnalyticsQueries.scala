@@ -424,6 +424,24 @@ object AnalyticsQueries {
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
     },
 
+    // L241: Adamic–Adar link prediction on the co-purchase graph (same
+    // relative-support edge floor as the triangles gate).
+    "graph_adamic_adar" -> { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val minpc = items.agg(greatest(lit(2L),
+        expr("(count(DISTINCT b) + 9999) div 10000")).as("minpc"))
+      val edges = items.join(
+          items.select(col("b"), col("i").as("j")), Seq("b"))
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("pc"))
+        .crossJoin(broadcast(minpc))
+        .filter(col("pc") >= col("minpc"))
+        .select(col("i").as("src"), col("j").as("dst"))
+      graft.ops.Graph.adamicAdar(edges, "src", "dst", minCommon = 2)
+    },
+
     // L210: positional-index phrase search (exact 3-token sequence).
     "text_phrase_search" -> { (s, dir) =>
       graft.ops.TextAnalysis.phraseSearch(Tables.documents(s, dir),
@@ -1375,6 +1393,27 @@ object AnalyticsQueries {
         |  UNION ALL SELECT w FROM t)
         |SELECT node, count(*) AS n_triangles FROM x GROUP BY node"""
         .stripMargin,
+
+    "graph_adamic_adar" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |mp AS (SELECT greatest(2, (count(DISTINCT b) + 9999) // 10000)
+        |  AS minpc FROM items),
+        |e0 AS (SELECT x.i AS a, y.i AS b FROM items x
+        |  JOIN items y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minpc FROM mp)),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY 1),
+        |adj AS (SELECT x.u, x.n, deg.d FROM (
+        |    SELECT a AS u, b AS n FROM e0
+        |    UNION ALL SELECT b AS u, a AS n FROM e0) x
+        |  JOIN deg ON x.u = deg.node WHERE deg.d <= 10000),
+        |wd AS (SELECT a1.u, a1.d, a1.n AS v, a2.n AS w
+        |  FROM adj a1 JOIN adj a2 ON a1.u = a2.u WHERE a1.n < a2.n)
+        |SELECT v, w, CAST(count(*) AS BIGINT) AS n_common,
+        |  round(sum(1.0 / ln(CAST(d AS DOUBLE))), 6) AS aa_score
+        |FROM wd GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // Positional index mirror: 0-based positions from a range unnest
     // (DuckDB lacks WITH ORDINALITY), then one EXISTS per later term at

@@ -366,6 +366,13 @@ object SimilarityQueries {
       Similarity.dimStats(Tables.embeddings(s, dir), "embedding")
     },
 
+    // L240: top principal component via matrix-free power iteration —
+    // nothing d×d materializes; per-round state is d quantized loadings.
+    "ml_pca_top_component" -> { (s, dir) =>
+      Similarity.pcaTopComponent(Tables.embeddings(s, dir), "vec_id",
+        "embedding", iterations = 3)
+    },
+
     // Deterministic spherical k-means (k=5, 2 Lloyd rounds) + map-side
     // assignment — IVF without a precomputed cluster column.
     "ivf_kmeans_assign" -> { (s, dir) =>
@@ -630,6 +637,42 @@ object SimilarityQueries {
          |SELECT m.source, m.cluster, m.n_docs,
          |  round(CAST(m.n_docs AS DOUBLE) / t.t, 6) AS share
          |FROM mixed m JOIN tot t USING (source)""".stripMargin,
+
+    // Unrolled power iteration with the k-means-oracle discipline: each
+    // round's loadings re-quantize to 6 dp (… + 0 normalizes DuckDB's
+    // signed zero) before feeding the next round's dot products, so
+    // float drift cannot compound. generate_subscripts is 1-based;
+    // Spark posexplode is 0-based — hence the final pos − 1.
+    "ml_pca_top_component" -> {
+      val iters = 3
+      val base =
+        """WITH comp AS (SELECT vec_id,
+          |    generate_subscripts(embedding, 1) AS pos,
+          |    unnest(embedding) AS x FROM embeddings),
+          |dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+          |v00 AS (SELECT d,
+          |    round(1.0 / sqrt(CAST(d AS DOUBLE)), 6) AS v0 FROM dim),
+          |v0l AS (SELECT list_transform(range(d), i -> v0) AS vl
+          |  FROM v00)"""
+      val steps = (1 to iters).map { k =>
+        s""",
+           |d$k AS (SELECT e.vec_id,
+           |    list_sum(list_transform(range(len(e.embedding)),
+           |      i -> CAST(e.embedding[i+1] AS DOUBLE) * v.vl[i+1])) AS dot
+           |  FROM embeddings e, v${k - 1}l v),
+           |s$k AS (SELECT c.pos, sum(CAST(c.x AS DOUBLE) * d.dot) AS s
+           |  FROM comp c JOIN d$k d USING (vec_id) GROUP BY 1),
+           |n$k AS (SELECT sqrt(sum(s * s)) AS n FROM s$k),
+           |v$k AS (SELECT pos,
+           |    round(s / (SELECT n FROM n$k), 6) + 0 AS l FROM s$k),
+           |v${k}l AS (SELECT list(l ORDER BY pos) AS vl FROM v$k)"""
+      }.mkString
+      (base + steps +
+        s"""
+           |SELECT CAST(pos - 1 AS INTEGER) AS pos, l AS loading,
+           |  round((SELECT n FROM n$iters), 4) AS lambda
+           |FROM v$iters""").stripMargin
+    },
 
     "embedding_source_drift" ->
       """WITH pe AS (SELECT label, generate_subscripts(embedding, 1) AS pos,

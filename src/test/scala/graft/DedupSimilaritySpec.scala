@@ -429,6 +429,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, "changed"), (4L, "added")))
   }
 
+  test("pcaTopComponent: colinear data recovers the direction; unit norm") {
+    // All vectors lie on span{(0.6, 0.8)} -> the top component IS that
+    // direction (sign pinned positive by the uniform start vector).
+    val df = Seq(
+      (1L, Array(6.0f, 8.0f)), (2L, Array(3.0f, 4.0f)),
+      (3L, Array(-6.0f, -8.0f)), (4L, Array(9.0f, 12.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity
+      .pcaTopComponent(df, "vec_id", "embedding", iterations = 3)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(math.abs(got(0)._2 - 0.6) < 1e-5, got.mkString(","))
+    assert(math.abs(got(1)._2 - 0.8) < 1e-5, got.mkString(","))
+    val norm = math.sqrt(got.map(r => r._2 * r._2).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, norm.toString)
+    assert(got(0)._3 > 0, "lambda must be positive")
+  }
+
   test("RRF fusion: rank-consensus doc outranks either ranker's solo #1") {
     // doc 10 is mid-ranked by BOTH rankers; docs 11/21 are each one
     // ranker's #1 but absent from the other. With kRrf small enough the

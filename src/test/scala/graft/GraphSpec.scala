@@ -104,6 +104,31 @@ class GraphSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 4L), got.toString)
   }
 
+  test("adamicAdar: K4 pairwise scores; path pair; hub cap empties") {
+    // K4: every unordered pair has exactly 2 common neighbors, each of
+    // degree 3 → score 2/ln 3.
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b)
+      yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val got = Graph.adamicAdar(k4, "src", "dst", minCommon = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 6, got.mkString(","))
+    val expect = BigDecimal(2.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.forall(r => r._3 == 2L && math.abs(r._4 - expect) < 1e-9),
+      got.mkString(","))
+    // Path 1—2—3: pair (1,3) shares only node 2 (degree 2) → 1/ln 2.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val gotP = Graph.adamicAdar(path, "src", "dst", minCommon = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    val e2 = BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gotP.toSeq == Seq((1L, 3L, 1L, e2)), gotP.mkString(","))
+    // Hub cap below every center degree → nothing survives.
+    val capped = Graph.adamicAdar(k4, "src", "dst", minCommon = 1,
+      maxCenterDegree = 2)
+    assert(capped.count() == 0)
+  }
+
   test("triangleCounts: K4 gives 3 per node; squares give none; duplicates ignored") {
     // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3.
     val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
