@@ -813,6 +813,95 @@ object Stats {
               (col("__n0m") - col("__ngm")).cast("double")), 6)).as("ks"))
   }
 
+  /** Stationary distribution of the empirical event-type Markov chain
+    * by fixed-count power iteration: πₖ₊₁(s) = Σ_t πₖ(t)·P(t,s) over
+    * the row-normalized transition matrix (the |S|²-bounded aggregate
+    * [[graft.ops.DataQuality.transitionMatrix]] builds) — "where does
+    * the user journey settle". π re-quantizes to 6 decimals each round
+    * (the k-means-oracle discipline), so the unrolled oracle replays
+    * the recurrence exactly. Contract: every reachable state needs an
+    * out-transition, or its mass leaks (the raw-pagerank contract; on
+    * long per-user event streams every type appears on both sides).
+    */
+  def markovStationary(df: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, stateCol: String,
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "1..20 iterations")
+    val tm = graft.ops.DataQuality.transitionMatrix(df, userCol, tsCol,
+      tieCol, stateCol).localCheckpoint()
+    val states = tm.select(col("from_state").as("state")).distinct()
+      .localCheckpoint()
+    val n = states.count().toDouble // bounded driver scalar (|S|)
+    require(n > 0, "no transitions")
+    var pi = states.select(col("state"),
+      round(lit(1.0 / n), 6).as("p"))
+    for (k <- 1 to iterations) {
+      pi = tm
+        .join(pi.withColumnRenamed("state", "from_state"),
+          Seq("from_state"))
+        .groupBy(col("to_state").as("state"))
+        .agg(round(sum(col("p") * col("prob")), 6).as("p"))
+      if (k < iterations) pi = pi.localCheckpoint()
+    }
+    pi.select(col("state"), col("p").as("stationary_p"))
+  }
+
+  /** Poisson-bootstrap confidence interval for a global mean — error
+    * bars that actually scale: each row enters replica b with
+    * multiplicity ~ Poisson(1), derived DETERMINISTICALLY by inverse
+    * CDF on the md5-uniform of (key, b) (the keyed-hash sampling
+    * doctrine — reproducible on any engine, any partitioning; Poisson
+    * bootstrap is the standard streaming form since rows need no
+    * global resample index). The replica fan-out is map-side and
+    * collapses immediately into B partial sums per partition, so the
+    * shuffle carries B rows, not B× the data. Replica means re-quantize
+    * to 6 dp, then the CI picks nearest-rank quantiles with
+    * basis-point integer rank arithmetic over the B-row (bounded)
+    * frame.
+    */
+  def bootstrapMeanCi(df: DataFrame, keyCol: String, valueCol: String,
+                      replicas: Int = 64,
+                      alphaBp: Int = 500): DataFrame = {
+    require(replicas >= 8 && replicas <= 4096, "8..4096 replicas")
+    require(alphaBp >= 1 && alphaBp < 10000, "alpha in basis points")
+    val base = df.select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183)
+    val u = graft.ops.Sampling.keyUniform(
+      concat(col("__k"), lit(":"), col("__b")))
+    // Nest REVERSED so the outermost branch is the smallest threshold:
+    // m = CASE WHEN u < c₀ THEN 0 WHEN u < c₁ THEN 1 … ELSE 6.
+    val m = cdf.zipWithIndex.reverse.foldLeft(lit(6): Column) {
+      case (acc, (t, i)) => when(u < t, lit(i)).otherwise(acc)
+    }
+    val perReplica = base
+      .select(col("__k"), col("__v"),
+        explode(array((0 until replicas).map(lit): _*)).as("__b"))
+      .withColumn("__m", m.cast("double"))
+      .groupBy(col("__b"))
+      .agg(round(sum(col("__m") * col("__v")) /
+        nullif(sum(col("__m")), lit(0.0)), 6).as("__mean"))
+    val loRank = (alphaBp / 2 * replicas + 9999) / 10000
+    val hiRank = ((10000 - alphaBp / 2) * replicas + 9999) / 10000
+    // B-row frame: the global order window is bounded by `replicas`.
+    // Degenerate replicas (zero total weight ⇒ null mean; only possible
+    // at tiny n) are dropped BEFORE ranking — engines disagree on where
+    // nulls sort (Spark NULLS FIRST, DuckDB NULLS LAST), and a null
+    // carries no interval information anyway.
+    val rn = row_number().over(Window.orderBy(col("__mean"), col("__b")))
+    val ranked = perReplica.filter(col("__mean").isNotNull)
+      .withColumn("__rn", rn)
+    val overall = base.agg(count(lit(1)).as("n"),
+      round(avg(col("__v")), 6).as("mean"))
+    overall.crossJoin(broadcast(ranked
+      .agg(min(when(col("__rn") === loRank, col("__mean"))).as("ci_lo"),
+        min(when(col("__rn") === hiRank, col("__mean"))).as("ci_hi"),
+        count(lit(1)).as("n_replicas"))))
+  }
+
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")

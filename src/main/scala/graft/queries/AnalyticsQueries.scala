@@ -157,6 +157,20 @@ object AnalyticsQueries {
         "event_id", "event_type")
     },
 
+    // L242: stationary distribution of that chain (3 power rounds,
+    // per-round 6-dp re-quantization).
+    "events_markov_stationary" -> { (s, dir) =>
+      Stats.markovStationary(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", iterations = 3)
+    },
+
+    // L243: deterministic Poisson-bootstrap 95% CI for the global mean
+    // event value (64 replicas, hash-derived multiplicities).
+    "stats_bootstrap_ci" -> { (s, dir) =>
+      Stats.bootstrapMeanCi(Tables.events(s, dir), "event_id", "value",
+        replicas = 64, alphaBp = 500)
+    },
+
     // L194: per-user EWMA (α = 0.3) via sorted-list fold.
     "ts_ewma" -> { (s, dir) =>
       TsAnalytics.ewma(Tables.events(s, dir), "user_id", "ts", "value",
@@ -1621,6 +1635,66 @@ object AnalyticsQueries {
         |    - round(sum(CASE WHEN a = 0 THEN adj END)
         |      / sum(CASE WHEN a = 0 THEN 1.0 END), 6), 6) AS adj_diff
         |FROM adj""".stripMargin,
+
+    "events_markov_stationary" -> {
+      val iters = 3
+      val base =
+        """WITH p AS (SELECT event_type AS from_state,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS to_state
+          |  FROM events),
+          |c AS (SELECT from_state, to_state, count(*) AS n FROM p
+          |  WHERE to_state IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_state, sum(n) AS row_total FROM c GROUP BY 1),
+          |tm AS (SELECT c.from_state, c.to_state,
+          |    round(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6)
+          |      AS prob
+          |  FROM c JOIN t ON c.from_state = t.from_state),
+          |st AS (SELECT DISTINCT from_state AS state FROM tm),
+          |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM st),
+          |p0 AS (SELECT state, round(1.0 / (SELECT n FROM ns), 6) AS p
+          |  FROM st)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s""",
+           |p$k AS (SELECT tm.to_state AS state,
+           |    round(sum(pp.p * tm.prob), 6) AS p
+           |  FROM tm JOIN p${k - 1} pp ON tm.from_state = pp.state
+           |  GROUP BY 1)""".stripMargin
+      }.mkString
+      base + steps + s"\nSELECT state, p AS stationary_p FROM p$iters"
+    },
+
+    // Ranks 2 and 63 are the basis-point nearest-rank quantiles the
+    // engine derives: (250·64 + 9999)//10⁴ and (9750·64 + 9999)//10⁴.
+    "stats_bootstrap_ci" ->
+      """WITH b AS (SELECT CAST(event_id AS VARCHAR) AS k,
+        |    CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |u AS (SELECT v, rb,
+        |    ('0x' || substr(md5(k || ':' || CAST(rb AS VARCHAR)), 1, 8))
+        |      ::BIGINT / 4294967296.0 AS uu
+        |  FROM (SELECT k, v, unnest(range(0, 64)) AS rb FROM b)),
+        |m AS (SELECT rb, v,
+        |    CASE WHEN uu < 0.36787944117144233 THEN 0
+        |         WHEN uu < 0.7357588823428847 THEN 1
+        |         WHEN uu < 0.9196986029286058 THEN 2
+        |         WHEN uu < 0.9810118431238463 THEN 3
+        |         WHEN uu < 0.9963401531726563 THEN 4
+        |         WHEN uu < 0.9994058151824183 THEN 5
+        |         ELSE 6 END AS mm
+        |  FROM u),
+        |pm AS (SELECT rb,
+        |    round(sum(CAST(mm AS DOUBLE) * v)
+        |      / nullif(sum(CAST(mm AS DOUBLE)), 0.0), 6) AS mean
+        |  FROM m GROUP BY 1),
+        |rk AS (SELECT rb, mean,
+        |    row_number() OVER (ORDER BY mean, rb) AS rn FROM pm
+        |  WHERE mean IS NOT NULL),
+        |ci AS (SELECT min(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
+        |    min(CASE WHEN rn = 63 THEN mean END) AS ci_hi,
+        |    CAST(count(*) AS BIGINT) AS n_replicas FROM rk),
+        |o AS (SELECT count(*) AS n, round(avg(v), 6) AS mean FROM b)
+        |SELECT o.n, o.mean, ci.ci_lo, ci.ci_hi, ci.n_replicas
+        |FROM o, ci""".stripMargin,
 
     "events_transition_matrix" ->
       """WITH p AS (SELECT event_type AS from_state,

@@ -386,6 +386,38 @@ class WarehouseOpsSpec extends AnyFunSuite {
       gotV.take(3).mkString(","))
   }
 
+  test("markovStationary: biased two-state chain matches the hand recurrence") {
+    // Sequence A A A A B A → P(A→A)=.75, P(A→B)=.25, P(B→A)=1.
+    // From (0.5, 0.5): π₁=(.875,.125), π₂=(.78125,.21875),
+    // π₃=(.8046875,.1953125).
+    val ev = Seq("A", "A", "A", "A", "B", "A").zipWithIndex.map {
+      case (st, i) => (1L, ts(i * 1000000L), i.toLong, st)
+    }.toDF("u", "t", "id", "s")
+    val got = graft.ops.Stats.markovStationary(ev, "u", "t", "id", "s",
+        iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("A") - 0.804688) < 1e-6, got.toString)
+    assert(math.abs(got("B") - 0.195313) < 1e-6, got.toString)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, got.toString)
+  }
+
+  test("bootstrapMeanCi: constant series collapses the interval; CI brackets the mean") {
+    val const = (1 to 200).map(i => (i.toLong, 7.5)).toDF("id", "v")
+    val gotC = graft.ops.Stats.bootstrapMeanCi(const, "id", "v",
+        replicas = 16)
+      .select("n", "mean", "ci_lo", "ci_hi", "n_replicas")
+      .as[(Long, Double, Double, Double, Long)].collect().head
+    assert(gotC == ((200L, 7.5, 7.5, 7.5, 16L)), gotC.toString)
+    val spread = (1 to 500).map(i => (i.toLong, (i % 10).toDouble))
+      .toDF("id", "v")
+    val gotS = graft.ops.Stats.bootstrapMeanCi(spread, "id", "v",
+        replicas = 32)
+      .select("mean", "ci_lo", "ci_hi")
+      .as[(Double, Double, Double)].collect().head
+    assert(gotS._2 <= gotS._1 && gotS._1 <= gotS._3, gotS.toString)
+    assert(gotS._3 - gotS._2 < 1.0, s"CI implausibly wide: $gotS")
+  }
+
   test("wilsonShare: interval brackets the share and stays inside [0,1]") {
     val df = (1 to 10).map(i => ("s", i <= 9)).toDF("g", "ok")
     val got = DataQuality.wilsonShare(df, "g", col("ok"))
