@@ -1188,11 +1188,14 @@ object Similarity {
     var out: DataFrame = null
     for (k <- 1 to iterations) {
       val vLit = array(v.map(lit): _*)
-      val sums = df
+      // Scope-cached: the d-row aggregate feeds BOTH the norm and the
+      // output projection — uncached, the corpus pass would run twice
+      // per round (the norm branch re-derives the aggregation).
+      val sums = OpCaches.scoped(df
         .withColumn("__dot", dotD(col(vecCol), vLit))
         .select(posexplode(col(vecCol)).as(Seq("pos", "__x")), col("__dot"))
         .groupBy(col("pos"))
-        .agg(sum(col("__x").cast("double") * col("__dot")).as("__s"))
+        .agg(sum(col("__x").cast("double") * col("__dot")).as("__s")))
       val norm = sums.agg(sqrt(sum(col("__s") * col("__s"))).as("__n"))
       out = sums.crossJoin(broadcast(norm))
         .select(col("pos").cast("int").as("pos"),

@@ -870,16 +870,28 @@ object Stats {
     val cdf = Seq(0.36787944117144233, 0.7357588823428847,
       0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
       0.9994058151824183)
-    val u = graft.ops.Sampling.keyUniform(
-      concat(col("__k"), lit(":"), col("__b")))
+    // One md5 digest carries 128 bits = FOUR independent 32-bit
+    // uniforms, so replica 4g+c reads chunk c of digest g. The digests
+    // are computed INSIDE the per-row transform — B/4 hashes per row —
+    // and only the prebuilt (b, u) chunks explode; hashing after the
+    // explode would still run per replica row (measured: no savings).
+    require(replicas % 4 == 0, "replicas must be a multiple of 4")
+    val chunks = flatten(transform(
+      sequence(lit(0), lit(replicas / 4 - 1)), g => {
+        val h = md5(concat(col("__k"), lit(":"), g.cast("string")))
+        transform(sequence(lit(0), lit(3)), c =>
+          struct((g * 4 + c).cast("int").as("b"),
+            (conv(h.substr(c * lit(8) + lit(1), lit(8)), 16, 10)
+              .cast("double") / lit(4294967296.0)).as("u")))
+      }))
     // Nest REVERSED so the outermost branch is the smallest threshold:
     // m = CASE WHEN u < c₀ THEN 0 WHEN u < c₁ THEN 1 … ELSE 6.
     val m = cdf.zipWithIndex.reverse.foldLeft(lit(6): Column) {
-      case (acc, (t, i)) => when(u < t, lit(i)).otherwise(acc)
+      case (acc, (t, i)) => when(col("__u") < t, lit(i)).otherwise(acc)
     }
     val perReplica = base
-      .select(col("__k"), col("__v"),
-        explode(array((0 until replicas).map(lit): _*)).as("__b"))
+      .select(col("__v"), explode(chunks).as("__e"))
+      .select(col("__v"), col("__e.b").as("__b"), col("__e.u").as("__u"))
       .withColumn("__m", m.cast("double"))
       .groupBy(col("__b"))
       .agg(round(sum(col("__m") * col("__v")) /

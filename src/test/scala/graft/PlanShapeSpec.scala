@@ -684,6 +684,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("PCA round is map-side dot + one dimension aggregation; AA joins stay equi-keyed") {
+    val p = plan("ml_pca_top_component")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // The per-round shape: posexplode feeds ONE hash aggregation on pos
+    // (d-row output), scope-cached so the norm branch and the output
+    // projection both read the materialized d rows instead of
+    // re-deriving the corpus pass (the plan prints the cached subtree
+    // under each scan, so exchange-counting is unreliable here — the
+    // InMemoryTableScan IS the single-pass evidence).
+    assert(p.contains("InMemoryTableScan"),
+      s"PCA sums must be cache-reused, not re-derived:\n${p.take(1200)}")
+    val aa = plan("graph_adamic_adar")
+    assert(!aa.contains("CartesianProduct"), aa.take(800))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(aa).size
+    assert(bnlj <= 1, // the 1-row support-threshold broadcast only
+      s"AA must join equi-keyed (wedges on the center): $bnlj\n${aa.take(1200)}")
+  }
+
+  test("bootstrap fan-out collapses map-side; stationary chain never cartesians") {
+    val p = plan("stats_bootstrap_ci")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // The 64-way replica explode must sit BELOW the per-replica partial
+    // aggregation: the exchange carries B rows per partition, so exactly
+    // one hash exchange (on __b) touches replica-sized data.
+    assert(p.contains("Generate explode"), s"replica explode missing:\n${p.take(800)}")
+    val m = plan("events_markov_stationary")
+    assert(!m.contains("CartesianProduct"), m.take(800))
+  }
+
   test("triangle closure is a semi join over equi-keyed wedges") {
     val p = plan("graph_triangles")
     assert(p.contains("LeftSemi"),
