@@ -210,6 +210,46 @@ object Funnel {
             col("__prev").cast("double"), 6)).as("step_conversion"))
   }
 
+  /** Cohort LTV curve: cumulative revenue per signup-week cohort by
+    * week offset — the "how much is a week-N user worth" table behind
+    * every retention-economics dashboard. Exact integer cents end to
+    * end; the cumulative sum is a cohort-keyed window over the
+    * (cohort × offset)-bounded aggregate, and the two emitted money
+    * doubles derive from exact integers through a fixed division
+    * sequence, shipped UNROUNDED (the stlDecompose lesson: rounding
+    * decimal-parked ratios is where engines split).
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, cohortType: String,
+                valueCol: String): DataFrame = {
+    def week(c: Column): Column = floor(unix_micros(c) / lit(604800000000L))
+    val cohorts = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol))
+      .agg(min(week(col(tsCol))).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cents = round(col(valueCol) * 100).cast("long")
+    val cells = events
+      .select(col(userCol), week(col(tsCol)).as("__w"), cents.as("__c"))
+      .join(cohorts, Seq(userCol))
+      .filter(col("__w") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("__c")).as("__rev"),
+        countDistinct(col(userCol)).as("n_active_users"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells.join(sizes, Seq("cohort_week"))
+      .withColumn("__cum", sum(col("__rev")).over(wc))
+      .select(col("cohort_week"), col("week_offset"),
+        col("n_active_users"), col("cohort_size"),
+        (col("__cum").cast("double") / 100.0).as("cum_revenue"),
+        ((col("__cum").cast("double") / col("cohort_size").cast("double"))
+          / 100.0).as("ltv_per_user"))
+  }
+
   /** Cohort retention matrix: cohort = epoch-week of the user's first
     * `cohortType` event; a user counts as retained in week-offset k when
     * ANY event of theirs falls k weeks after the cohort week. Two

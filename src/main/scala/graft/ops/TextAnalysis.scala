@@ -939,6 +939,55 @@ object TextAnalysis {
     matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs (gaps-and-islands over token
+    * positions — one doc-keyed window pass, the interval-union
+    * machinery applied to text); each word scores deg(w)/freq(w) where
+    * deg sums the lengths of the phrases containing it, and a phrase
+    * scores the sum of its words' scores. Emitted phrases clear an
+    * INTEGER occurrence floor (`minPhraseCount`) — the deterministic
+    * cut, never a float-ranked top-k — and a `maxLen` cap drops
+    * degenerate run-on candidates. All ratios are exact-integer
+    * divisions; the per-phrase score sums ≤ maxLen of them (round(4)
+    * with the usual margin).
+    */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, textCol: String,
+                     maxLen: Int = 4,
+                     minPhraseCount: Long = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = graft.functions.TextFunctions.Stopwords
+    val toks = docs.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.words(col(textCol)))
+        .as(Seq("pos", "w")))
+    val wIsl = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = toks
+      .withColumn("__stop", col("w").isin(stop: _*))
+      .withColumn("__g",
+        sum(when(col("__stop"), 1L).otherwise(0L)).over(wIsl))
+      .filter(!col("__stop"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          e => e.getField("w"))).as("phrase"),
+        count(lit(1)).as("__len"))
+      .filter(col("__len") <= maxLen)
+    val pCnt = cand.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minPhraseCount)
+    val wordStats = cand
+      .select(explode(split(col("phrase"), " ")).as("w"), col("__len"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+    val phraseScore = cand.select(col("phrase")).distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("w"))
+      .join(wordStats, Seq("w"))
+      .groupBy(col("phrase"))
+      .agg(round(sum(col("__deg").cast("double") /
+        col("__freq").cast("double")), 4).as("score"))
+    pCnt.join(phraseScore, Seq("phrase"))
+  }
+
   /** Pointwise-mutual-information collocations: adjacent word pairs
     * whose co-occurrence beats the independence expectation —
     * PMI = ln(p(w1,w2)/(p(w1)p(w2))) with p(w1,w2) over the bigram

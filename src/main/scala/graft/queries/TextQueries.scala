@@ -814,6 +814,12 @@ object TextQueries {
         "text", minCount = 5)
     },
 
+    // L244: RAKE keyphrases — stopword-free runs scored deg/freq.
+    "text_rake_keyphrases" -> { (s, dir) =>
+      TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), "doc_id",
+        "text", maxLen = 4, minPhraseCount = 3)
+    },
+
     // Cross-corpus leak attribution: per benchmark doc (src2), THE nearest
     // training doc by capped-shingle Jaccard.
     "dedup_cross_corpus" -> { (s, dir) =>
@@ -1971,6 +1977,39 @@ object TextQueries {
          |FROM bc
          |JOIN uc u1 ON string_split(bc.b, ' ')[1] = u1.w
          |JOIN uc u2 ON string_split(bc.b, ' ')[2] = u2.w, tot""".stripMargin,
+
+    "text_rake_keyphrases" ->
+      s"""WITH $wordsCte,
+         |p AS (SELECT doc_id, unnest(list_transform(range(len(ws)),
+         |    i -> struct_pack(pos := i, w := ws[i+1]))) AS e FROM words),
+         |q AS (SELECT doc_id, e.pos AS pos, e.w AS w,
+         |    e.w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is') AS stop
+         |  FROM p),
+         |isl AS (SELECT *, sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM q),
+         |cand AS (SELECT doc_id, g,
+         |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |    count(*) AS len
+         |  FROM isl WHERE NOT stop GROUP BY 1, 2
+         |  HAVING count(*) <= 4),
+         |pc AS (SELECT phrase, count(*) AS np FROM cand GROUP BY 1
+         |  HAVING count(*) >= 3),
+         |wt AS (SELECT unnest(string_split(phrase, ' ')) AS w, len
+         |  FROM cand),
+         |wsx AS (SELECT w, count(*) AS freq, sum(len) AS deg
+         |  FROM wt GROUP BY 1),
+         |ph AS (SELECT DISTINCT phrase FROM cand),
+         |pt AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+         |  FROM ph),
+         |sc AS (SELECT pt.phrase,
+         |    round(sum(CAST(wsx.deg AS DOUBLE) / CAST(wsx.freq AS DOUBLE)),
+         |      4) AS score
+         |  FROM pt JOIN wsx USING (w) GROUP BY 1)
+         |SELECT pc.phrase, CAST(pc.np AS BIGINT) AS n_occurrences,
+         |  sc.score
+         |FROM pc JOIN sc USING (phrase)""".stripMargin,
 
     "dedup_cross_corpus" ->
       """WITH words AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws

@@ -214,6 +214,13 @@ object TimeSeriesQueries {
       graft.ops.Funnel.dropoffSummary(funnel, nStages = 3)
     },
 
+    // L245: cohort LTV curve — cumulative revenue per signup-week
+    // cohort by week offset, exact cents, unrounded derived doubles.
+    "a28_cohort_ltv" -> { (s, dir) =>
+      graft.ops.Funnel.cohortLtv(Tables.events(s, dir), "user_id", "ts",
+        "event_type", cohortType = "signup", valueCol = "value")
+    },
+
     // Cohort retention matrix: signup-week cohorts × active-week offsets.
     "cohort_retention_matrix" -> { (s, dir) =>
       graft.ops.Funnel.cohortRetention(Tables.events(s, dir), "user_id",
@@ -523,6 +530,35 @@ object TimeSeriesQueries {
         |      CAST(lag(n_reached) OVER (ORDER BY level) AS DOUBLE), 6)
         |  END AS step_conversion
         |FROM re""".stripMargin,
+
+    "a28_cohort_ltv" ->
+      """WITH wk AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |co AS (SELECT user_id, min(w) AS cohort_week FROM wk
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM co
+        |  GROUP BY 1),
+        |cells AS (SELECT co.cohort_week, wk.w - co.cohort_week
+        |      AS week_offset,
+        |    sum(wk.c) AS rev,
+        |    count(DISTINCT wk.user_id) AS n_active_users
+        |  FROM wk JOIN co USING (user_id) WHERE wk.w >= co.cohort_week
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, week_offset, n_active_users,
+        |    CAST(sum(rev) OVER (PARTITION BY cohort_week
+        |      ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumc
+        |  FROM cells)
+        |SELECT cum.cohort_week, cum.week_offset,
+        |  CAST(cum.n_active_users AS BIGINT) AS n_active_users,
+        |  CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(cumc AS DOUBLE) / 100.0 AS cum_revenue,
+        |  (CAST(cumc AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)) / 100.0
+        |    AS ltv_per_user
+        |FROM cum JOIN sz USING (cohort_week)""".stripMargin,
 
     "cohort_retention_matrix" ->
       """WITH wk AS (SELECT user_id, event_type,

@@ -418,6 +418,38 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(gotS._3 - gotS._2 < 1.0, s"CI implausibly wide: $gotS")
   }
 
+  test("rakeKeyphrases: deg/freq scoring on a hand corpus; floor cuts rare phrases") {
+    // 3 × "good data pipeline" + 1 × "the good data": stopword 'the'
+    // opens an island, so candidates are the 3-run (×3) and the 2-run
+    // (×1, below the floor). Word stats over ALL candidates:
+    // good/data freq 4 deg 11, pipeline freq 3 deg 9 →
+    // score = 11/4 + 11/4 + 9/3 = 8.5.
+    val docs = ((1 to 3).map(i => (i.toLong, "good data pipeline")) ++
+      Seq((4L, "the good data"))).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.rakeKeyphrases(docs, "doc_id", "text",
+        maxLen = 4, minPhraseCount = 3)
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("good data pipeline", 3L, 8.5)),
+      got.mkString(","))
+  }
+
+  test("cohortLtv: cumulative cents per cohort, per-user LTV, separate cohorts") {
+    def wts(w: Long) = ts(w * 604800000000L)
+    val ev = Seq(
+      (1L, wts(0), 1L, "signup", 10.0), (1L, wts(1), 2L, "click", 20.0),
+      (2L, wts(0), 3L, "signup", 5.0),
+      (3L, wts(5), 4L, "signup", 1.0))
+      .toDF("u", "t", "id", "ty", "v")
+    val got = graft.ops.Funnel.cohortLtv(ev, "u", "t", "ty", "signup", "v")
+      .select("cohort_week", "week_offset", "n_active_users",
+        "cohort_size", "cum_revenue", "ltv_per_user")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L, 2L, 15.0, 7.5),
+      (0L, 1L, 1L, 2L, 35.0, 17.5),
+      (5L, 0L, 1L, 1L, 1.0, 1.0)), got.toString)
+  }
+
   test("wilsonShare: interval brackets the share and stays inside [0,1]") {
     val df = (1 to 10).map(i => ("s", i <= 9)).toDF("g", "ok")
     val got = DataQuality.wilsonShare(df, "g", col("ok"))
