@@ -183,8 +183,14 @@ object Bench {
         val over = overBudget.toSet
         val reset = sys.env.get("SPARK_GRAFT_BENCH_RESET").contains("1")
         val base = if (reset) Map.empty[String, Double] else history
+        // A FIRST measurement (no history entry) seeds the baseline even
+        // when it trips the 4 s floor: the floor flag means "no baseline
+        // to compare against", and without seeding, a legitimately-heavy
+        // new query would be flagged on every run forever and never
+        // ratified (round-9 lesson: three new graph/bootstrap queries).
         val merged = base ++
-          results.filter { case (n, t) => t >= 0 && !over.contains(n) }
+          results.filter { case (n, t) =>
+            t >= 0 && (!over.contains(n) || !base.contains(n)) }
             .map { case (n, t) =>
               n -> base.get(n).filter(_ > 0)
                 .fold(t)(prev => math.min(prev, math.max(t, prev / 2.0))) }

@@ -381,6 +381,29 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("range prefix sum equals the in-memory exclusive scan") =
+    forAll(Gen.listOfN(40, Gen.choose(0L, 500L)), Gen.choose(1L, 999L)) {
+      (weights, seed) =>
+        weights.nonEmpty ==> {
+          // Distinct order keys (the AUC contract: the caller aggregates
+          // to distinct keys first), shuffled so the range partitioner
+          // earns its keep.
+          val rows = weights.zipWithIndex
+            .map { case (m, i) => (i.toLong * seed % 100003L, m) }
+            .distinctBy(_._1)
+          val df = rows.toDF("k", "m")
+          val got = graft.ops.Stats
+            .withRangeCumSum(df, Seq(col("k")), col("m"), "cb")
+            .select(col("k"), col("cb")).as[(Long, Long)]
+            .collect().toMap
+          val expect = rows.sortBy(_._1)
+            .scanLeft((Long.MinValue, 0L, 0L)) { case ((_, acc, _), (k, m)) =>
+              (k, acc + m, acc)
+            }.drop(1).map { case (k, _, before) => k -> before }.toMap
+          Prop(got == expect) :| s"got=$got expect=$expect"
+        }
+    }
+
   private val genChange: Gen[(Long, Long, Long, String, Double)] = for {
     k <- Gen.choose(1L, 5L)
     seq <- Gen.choose(1L, 50L)
