@@ -267,6 +267,35 @@ object Graph {
     labels
   }
 
+  /** Bounded k-core peel: `rounds` synchronous sweeps of "drop every
+    * node with degree < k" over the symmetrized simple graph, reporting
+    * the survivors and their residual degrees. With enough rounds this
+    * IS the k-core (each sweep only ever removes nodes outside it); a
+    * FIXED round count keeps the plan deterministic and the oracle
+    * unrollable — the pagerank discipline — and in practice the peel
+    * converges in a few sweeps on bounded-degeneracy graphs. Each round
+    * is one degree aggregation + two semi joins, all integer, with
+    * per-round `localCheckpoint`.
+    */
+  def kcorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 20, "k ≥ 1, 1..20 rounds")
+    val eDir = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    var e = eDir
+      .unionByName(eDir.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("u").as("node"))
+        .localCheckpoint()
+      e = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+      if (r < rounds) e = e.localCheckpoint()
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("residual_degree"))
+  }
+
   /** Adamic–Adar link prediction over an UNDIRECTED simple graph: for
     * every 2-hop pair (v, w), score = Σ over common neighbors u of
     * 1/ln(deg(u)) (Adamic & Adar 2003) — the classic "people you may

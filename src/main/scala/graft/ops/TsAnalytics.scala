@@ -270,6 +270,38 @@ object TsAnalytics {
           .as("residual"))
   }
 
+  /** Seasonally-adjusted anomaly flags: hours whose [[stlDecompose]]
+    * residual exceeds `nSigma` robust sigmas of the user's OWN residual
+    * distribution (MAD × 1.4826) — the drift screen that a raw z-score
+    * or an unadjusted MAD misfires on whenever the series has daily
+    * shape (the anomaly IS "far from this hour's norm", not "far from
+    * the mean"). Residuals are the exact-integer-derived doubles the
+    * decomposition emits, the per-user MAD is the LOWER MEDIAN of a
+    * sorted bounded array (element_at — no interpolation, so both
+    * engines pick the identical element), and the comparison runs on
+    * raw doubles with no rounding anywhere — deterministic end to end.
+    */
+  def stlAnomalies(df: DataFrame, userCol: String, tsCol: String,
+                   valueCol: String, nSigma: Double = 3.0): DataFrame = {
+    // Scope-cached: the decomposition feeds both the MAD aggregate and
+    // the flag join — uncached it would derive twice.
+    val dec = OpCaches.scoped(stlDecompose(df, userCol, tsCol, valueCol))
+    val mad = dec.groupBy(col(userCol))
+      .agg(sort_array(collect_list(abs(col("residual")))).as("__a"))
+      .select(col(userCol),
+        element_at(col("__a"),
+          expr("CAST((size(__a) + 1) div 2 AS INT)")).as("__mad"))
+    // The threshold factor is ONE precomputed double (n·1.4826): the
+    // oracle interpolates the same value's decimal text, so the
+    // unrounded strict comparison sits on identical doubles both sides.
+    val thr = nSigma * 1.4826
+    dec.join(mad, Seq(userCol))
+      .filter(col("__mad") > 0.0 &&
+        abs(col("residual")) > lit(thr) * col("__mad"))
+      .select(col(userCol), col("hour_bucket"), col("value"),
+        col("residual"))
+  }
+
   /** Union length of possibly-overlapping per-user intervals — "total
     * covered time" when sessions/treatments overlap, where a plain
     * SUM(end−start) double-counts. Classic gaps-and-islands: an

@@ -23,6 +23,26 @@ object AnalyticsQueries {
     * 32-dim hashed features: base (features, labels, N, zero weights)
     * plus one score → residual → gradient → update step per round.
     */
+  // Shared STL-lite CTE chain (hourly integer-cent totals → floor-avg
+  // trend → exact-ratio seasonal), reused by the decomposition and the
+  // anomaly gates.
+  private val stlCtes =
+    """h AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, hour_bucket, vc,
+      |    CAST(floor(CAST(sum(vc) OVER w AS DOUBLE)
+      |      / (count(*) OVER w)) AS BIGINT) AS tc
+      |  FROM h
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY hour_bucket
+      |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |s AS (SELECT *,
+      |    CAST(sum(vc - tc) OVER ws AS DOUBLE) / (count(*) OVER ws) AS sc
+      |  FROM t
+      |  WINDOW ws AS (PARTITION BY user_id, hour_bucket % 24))"""
+      .stripMargin
+
   private def logregCtes(iters: Int): String = {
     val base =
       s"""WITH ${TextQueries.wordsCte},
@@ -380,6 +400,30 @@ object AnalyticsQueries {
     "ts_stl_decompose" -> { (s, dir) =>
       TsAnalytics.stlDecompose(Tables.events(s, dir), "user_id", "ts",
         "value")
+    },
+
+    // L247: seasonally-adjusted anomalies (residual > 3 robust sigmas
+    // of the user's own residual distribution).
+    "ts_stl_anomalies" -> { (s, dir) =>
+      TsAnalytics.stlAnomalies(Tables.events(s, dir), "user_id", "ts",
+        "value", nSigma = 3.0)
+    },
+
+    // L246: bounded 3-core peel of the co-purchase graph (3 sweeps).
+    "graph_kcore" -> { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val minpc = items.agg(greatest(lit(2L),
+        expr("(count(DISTINCT b) + 9999) div 10000")).as("minpc"))
+      val edges = items.join(
+          items.select(col("b"), col("i").as("j")), Seq("b"))
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("pc"))
+        .crossJoin(broadcast(minpc))
+        .filter(col("pc") >= col("minpc"))
+        .select(col("i").as("src"), col("j").as("dst"))
+      graft.ops.Graph.kcorePeel(edges, "src", "dst", k = 3, rounds = 3)
     },
 
     // L235: quantile normalization of n_chars across sources — every
@@ -1247,26 +1291,30 @@ object AnalyticsQueries {
     // UNROUNDED (decimal-parked averages make rounded outputs straddle
     // half-points differently per engine).
     "ts_stl_decompose" ->
-      """WITH h AS (SELECT user_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket,
-        |    sum(CAST(round(value * 100) AS BIGINT)) AS vc
-        |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT user_id, hour_bucket, vc,
-        |    CAST(floor(CAST(sum(vc) OVER w AS DOUBLE)
-        |      / (count(*) OVER w)) AS BIGINT) AS tc
-        |  FROM h
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY hour_bucket
-        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-        |s AS (SELECT *,
-        |    CAST(sum(vc - tc) OVER ws AS DOUBLE) / (count(*) OVER ws) AS sc
-        |  FROM t
-        |  WINDOW ws AS (PARTITION BY user_id, hour_bucket % 24))
+      s"""WITH $stlCtes
         |SELECT user_id, CAST(hour_bucket AS BIGINT) AS hour_bucket,
         |  CAST(vc AS DOUBLE) / 100.0 AS value,
         |  CAST(tc AS DOUBLE) / 100.0 AS trend,
         |  sc / 100.0 AS seasonal,
         |  (CAST(vc - tc AS DOUBLE) - sc) / 100.0 AS residual
         |FROM s""".stripMargin,
+
+    // Same decomposition feeding the seasonally-adjusted anomaly flags;
+    // the threshold literal interpolates the engine's precomputed
+    // double so the unrounded strict compare sits on identical values.
+    "ts_stl_anomalies" ->
+      s"""WITH $stlCtes,
+        |dec AS (SELECT user_id, CAST(hour_bucket AS BIGINT) AS hour_bucket,
+        |    CAST(vc AS DOUBLE) / 100.0 AS value,
+        |    (CAST(vc - tc AS DOUBLE) - sc) / 100.0 AS residual
+        |  FROM s),
+        |md AS (SELECT user_id, list_sort(list(abs(residual))) AS a
+        |  FROM dec GROUP BY 1),
+        |m2 AS (SELECT user_id, a[(len(a) + 1) // 2] AS mad FROM md)
+        |SELECT d.user_id, d.hour_bucket, d.value, d.residual
+        |FROM dec d JOIN m2 USING (user_id)
+        |WHERE m2.mad > 0.0
+        |  AND abs(d.residual) > ${3.0 * 1.4826} * m2.mad""".stripMargin,
 
     "ts_interval_union" ->
       """WITH iv AS (SELECT user_id,
@@ -1409,6 +1457,33 @@ object AnalyticsQueries {
         |  UNION ALL SELECT w FROM t)
         |SELECT node, count(*) AS n_triangles FROM x GROUP BY node"""
         .stripMargin,
+
+    "graph_kcore" -> {
+      val rounds = 3
+      val base =
+        """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+          |  FROM lineitem),
+          |mp AS (SELECT greatest(2, (count(DISTINCT b) + 9999) // 10000)
+          |  AS minpc FROM items),
+          |e00 AS (SELECT x.i AS a, y.i AS b FROM items x
+          |  JOIN items y ON x.b = y.b AND x.i < y.i
+          |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minpc FROM mp)),
+          |e0 AS (SELECT DISTINCT u, v FROM (
+          |  SELECT a AS u, b AS v FROM e00
+          |  UNION ALL SELECT b AS u, a AS v FROM e00))""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s""",
+           |k$r AS (SELECT u FROM e${r - 1} GROUP BY u
+           |  HAVING count(*) >= 3),
+           |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+           |  WHERE e.u IN (SELECT u FROM k$r)
+           |    AND e.v IN (SELECT u FROM k$r))""".stripMargin
+      }.mkString
+      base + steps +
+        s"""
+           |SELECT u AS node, CAST(count(*) AS BIGINT) AS residual_degree
+           |FROM e$rounds GROUP BY 1""".stripMargin
+    },
 
     "graph_adamic_adar" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i

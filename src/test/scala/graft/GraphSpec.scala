@@ -104,6 +104,24 @@ class GraphSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 4L), got.toString)
   }
 
+  test("kcorePeel: pendant peels off; core survives; too-high k empties") {
+    // Triangle {1,2,3} + pendant 4—1: 2-core = the triangle (pendant
+    // removed in sweep 1, all remaining degrees 2).
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.kcorePeel(g, "src", "dst", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got.toString)
+    // 3-core of a triangle is empty.
+    assert(Graph.kcorePeel(g, "src", "dst", k = 3, rounds = 3).count() == 0)
+    // K4 is its own 3-core.
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b)
+      yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val gotK4 = Graph.kcorePeel(k4, "src", "dst", k = 3, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(gotK4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      gotK4.toString)
+  }
+
   test("adamicAdar: K4 pairwise scores; path pair; hub cap empties") {
     // K4: every unordered pair has exactly 2 common neighbors, each of
     // degree 3 → score 2/ln 3.

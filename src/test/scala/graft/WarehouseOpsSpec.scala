@@ -450,6 +450,20 @@ class WarehouseOpsSpec extends AnyFunSuite {
       (5L, 0L, 1L, 1L, 1.0, 1.0)), got.toString)
   }
 
+  test("stlAnomalies: a spike against daily shape flags; its own hour alone") {
+    def hts(h: Long) = ts(h * 3600000000L)
+    // 72 hours of trend+daily shape, one massive spike at hour 50.
+    val rows = (0 until 72).map { h =>
+      val base = 10.0 + (h % 24) + 0.1 * h
+      (1L, hts(h.toLong), if (h == 50) base + 1000.0 else base)
+    }.toDF("u", "t", "v")
+    val got = graft.ops.TsAnalytics.stlAnomalies(rows, "u", "t", "v",
+        nSigma = 3.0)
+      .select("hour_bucket").as[Long].collect().toSet
+    assert(got.contains(50L), s"spike hour must flag: $got")
+    assert(got.size <= 5, s"flag set must stay tight: $got")
+  }
+
   test("wilsonShare: interval brackets the share and stays inside [0,1]") {
     val df = (1 to 10).map(i => ("s", i <= 9)).toDF("g", "ok")
     val got = DataQuality.wilsonShare(df, "g", col("ok"))
