@@ -713,6 +713,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!m.contains("CartesianProduct"), m.take(800))
   }
 
+  test("RAKE/LTV/kcore/anomaly plans: keyed windows, semi joins, cache reuse") {
+    val rake = plan("text_rake_keyphrases")
+    assert(!rake.contains("CartesianProduct") &&
+      !rake.contains("BroadcastNestedLoopJoin"), rake.take(800))
+    val ltv = plan("a28_cohort_ltv")
+    assert(!ltv.contains("CartesianProduct"), ltv.take(800))
+    // The cumulative window must be cohort-keyed, never partition-less.
+    val ltvWindows = ltv.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(ltvWindows.forall(_.contains("cohort_week")),
+      s"LTV cumsum must partition by cohort:\n${ltvWindows.mkString("\n").take(600)}")
+    val kc = plan("graph_kcore")
+    assert(kc.contains("LeftSemi"),
+      s"peel must filter via semi joins:\n${kc.take(800)}")
+    assert(!kc.contains("CartesianProduct"), kc.take(800))
+    val an = plan("ts_stl_anomalies")
+    assert(an.contains("InMemoryTableScan"),
+      s"anomalies must reuse the cached decomposition:\n${an.take(800)}")
+  }
+
   test("triangle closure is a semi join over equi-keyed wedges") {
     val p = plan("graph_triangles")
     assert(p.contains("LeftSemi"),
