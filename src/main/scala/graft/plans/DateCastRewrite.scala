@@ -93,5 +93,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "l2sq_d"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.VectorExpressions.L2SqD(exprs(0), exprs(1))))
+    // The remaining native expressions, SQL-named so a pure-SQL user of
+    // the library reaches every custom kernel without the Column API.
+    def inject1(name: String, clazz: Class[_],
+                b: org.apache.spark.sql.catalyst.expressions.Expression =>
+                  org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          clazz.getName, name),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          b(exprs.head)))
+    inject1("wkb_point_decode",
+      classOf[graft.functions.GeoFunctions.WkbPointDecode],
+      graft.functions.GeoFunctions.WkbPointDecode(_))
+    inject1("image_header",
+      classOf[graft.functions.MediaFunctions.ImageHeader],
+      graft.functions.MediaFunctions.ImageHeader(_))
+    inject1("audio_header",
+      classOf[graft.functions.MediaFunctions.AudioHeader],
+      graft.functions.MediaFunctions.AudioHeader(_))
+    inject1("video_header",
+      classOf[graft.functions.MediaFunctions.VideoHeader],
+      graft.functions.MediaFunctions.VideoHeader(_))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("wkb_point_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.GeoFunctions.WkbPointEncode].getName,
+        "wkb_point_encode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GeoFunctions.WkbPointEncode(exprs(0), exprs(1))))
   }
 }

@@ -48,6 +48,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("every native kernel answers by its SQL name (pure-SQL surface)") {
+    // wkb round-trip: encode a point, decode it back.
+    val pt = spark.sql(
+      "SELECT wkb_point_decode(wkb_point_encode(1.5d, -2.25d)) AS p")
+      .select("p.lon", "p.lat").head()
+    assert(pt.getDouble(0) == 1.5 && pt.getDouble(1) == -2.25, pt.toString)
+    // Media headers: malformed payloads answer a struct whose validity
+    // flag (last field) is false, never an exception — proof the
+    // functions resolve and evaluate through their SQL names.
+    val m = spark.sql(
+      "SELECT image_header(CAST('xx' AS BINARY)) AS i, " +
+        "audio_header(CAST('xx' AS BINARY)) AS a, " +
+        "video_header(CAST('xx' AS BINARY)) AS v").head()
+    Seq(0, 1, 2).foreach { i =>
+      val st = m.getStruct(i)
+      assert(!st.getBoolean(st.length - 1), s"col $i: $st")
+    }
+  }
+
   test("native l2sq is bit-identical to the fold formulation") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = emb.select(col("vec_id"), col("embedding").as("va"))
