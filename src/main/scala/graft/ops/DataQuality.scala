@@ -43,6 +43,27 @@ object DataQuality {
     }.reduce(_ unionByName _)
   }
 
+  /** Ingest-freshness report: per group (source/partition), the latest
+    * event time, its lag behind the corpus frontier in whole hours,
+    * and a staleness flag — the first page of any pipeline health
+    * dashboard. One group aggregation plus a 1-row frontier broadcast;
+    * integer microsecond arithmetic end to end.
+    */
+  def freshnessReport(df: DataFrame, groupCol: String, tsCol: String,
+                      staleAfterHours: Long = 24): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val per = df.groupBy(col(groupCol))
+      .agg(max(us).as("__last"), count(lit(1)).as("n_rows"))
+    val frontier = per.agg(max(col("__last")).as("__front"))
+    per.crossJoin(broadcast(frontier))
+      .select(col(groupCol), col("n_rows"),
+        col("__last").as("last_event_us"),
+        ((col("__front") - col("__last")) / lit(3600000000L))
+          .cast("long").as("lag_hours"),
+        (((col("__front") - col("__last")) / lit(3600000000L))
+          .cast("long") >= staleAfterHours).as("stale"))
+  }
+
   /** Benford first-digit screen over a positive currency-like column:
     * the digit is taken from the INTEGER cent representation
     * (`round(x·100)` formatted as a string), never from `log10`, so both

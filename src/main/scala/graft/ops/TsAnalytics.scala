@@ -302,6 +302,31 @@ object TsAnalytics {
         col("residual"))
   }
 
+  /** Rolling active-user counts: per day, DAU and the EXACT trailing
+    * 7-day WAU. Distinct-over-sliding-window does not decompose into
+    * partial aggregates — the classic fix is the COVERAGE EXPLODE:
+    * each (user, active-day) pair covers days d..d+6, turning the
+    * window distinct into a per-day `countDistinct` (two-phase
+    * partial-distinct aggregation, fully parallel). Fan-out is a flat
+    * 7× of the (user, day) DEDUPED frame — days per user, not events —
+    * which is the scalable trade against a per-day set union. Output
+    * covers days with activity (trailing windows of silent days join
+    * away).
+    */
+  def activeUsers(df: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val ud = df.select(col(userCol).as("__u"), day.as("__d")).distinct()
+    val dau = ud.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("__u"),
+        explode(sequence(col("__d"), col("__d") + 6)).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("__u")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day").cast("long").as("day"), col("dau"), col("wau"))
+  }
+
   /** Union length of possibly-overlapping per-user intervals — "total
     * covered time" when sessions/treatments overlap, where a plain
     * SUM(end−start) double-counts. Classic gaps-and-islands: an

@@ -171,6 +171,17 @@ object AnalyticsQueries {
         col("n_chars") > 800)
     },
 
+    // L248: ingest-freshness report per event type (lag vs frontier).
+    "dq_freshness" -> { (s, dir) =>
+      DataQuality.freshnessReport(Tables.events(s, dir), "event_type",
+        "ts", staleAfterHours = 24)
+    },
+
+    // L249: DAU + exact trailing 7-day WAU via the coverage explode.
+    "a29_active_users" -> { (s, dir) =>
+      TsAnalytics.activeUsers(Tables.events(s, dir), "user_id", "ts")
+    },
+
     // L193: first-order event-type transition matrix.
     "events_transition_matrix" -> { (s, dir) =>
       DataQuality.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
@@ -1712,6 +1723,30 @@ object AnalyticsQueries {
         |    - round(sum(CASE WHEN a = 0 THEN adj END)
         |      / sum(CASE WHEN a = 0 THEN 1.0 END), 6), 6) AS adj_diff
         |FROM adj""".stripMargin,
+
+    "dq_freshness" ->
+      """WITH per AS (SELECT event_type,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_event_us,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT max(last_event_us) AS front FROM per)
+        |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+        |  last_event_us,
+        |  (f.front - last_event_us) // 3600000000 AS lag_hours,
+        |  (f.front - last_event_us) // 3600000000 >= 24 AS stale
+        |FROM per, f""".stripMargin,
+
+    "a29_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        |  FROM events),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1),
+        |cov AS (SELECT u, d + x.x AS day FROM ud,
+        |  (SELECT unnest(range(0, 7)) AS x) x),
+        |wau AS (SELECT day, count(DISTINCT u) AS wau FROM cov GROUP BY 1)
+        |SELECT CAST(dau.day AS BIGINT) AS day,
+        |  CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau
+        |FROM dau JOIN wau USING (day)""".stripMargin,
 
     "events_markov_stationary" -> {
       val iters = 3

@@ -464,6 +464,37 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got.size <= 5, s"flag set must stay tight: $got")
   }
 
+  test("freshnessReport: frontier lag in whole hours; stale flag at the cutoff") {
+    def hts(h: Long) = ts(h * 3600000000L)
+    val df = Seq(
+      ("a", hts(100)), ("a", hts(90)),  // frontier group, lag 0
+      ("b", hts(76)),                   // lag 24 → stale at 24h cutoff
+      ("c", hts(99))                    // lag 1
+    ).toDF("g", "t")
+    val got = graft.ops.DataQuality.freshnessReport(df, "g", "t",
+        staleAfterHours = 24)
+      .select("g", "n_rows", "lag_hours", "stale")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("a" -> ((2L, 0L, false)), "b" -> ((1L, 24L, true)),
+      "c" -> ((1L, 1L, false))), got.toString)
+  }
+
+  test("activeUsers: DAU counts distinct per day; WAU is the exact trailing-7 union") {
+    def dts(d: Long) = ts(d * 86400000000L)
+    // user 1 on days 0 and 3; user 2 on day 3 (twice); user 3 on day 10.
+    val df = Seq((1L, dts(0)), (1L, dts(3)), (2L, dts(3)), (2L, dts(3)),
+      (3L, dts(10))).toDF("u", "t")
+    val got = graft.ops.TsAnalytics.activeUsers(df, "u", "t")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // day 0: dau 1 (u1), wau 1; day 3: dau 2 (u1,u2), wau 2 (u1 counted
+    // once though active on 0 AND 3 — both inside [−3, 3]); day 10:
+    // dau 1, wau 1 (days 0/3 fell out of the window).
+    assert(got == Map(0L -> ((1L, 1L)), 3L -> ((2L, 2L)),
+      10L -> ((1L, 1L))), got.toString)
+  }
+
   test("wilsonShare: interval brackets the share and stays inside [0,1]") {
     val df = (1 to 10).map(i => ("s", i <= 9)).toDF("g", "ok")
     val got = DataQuality.wilsonShare(df, "g", col("ok"))
