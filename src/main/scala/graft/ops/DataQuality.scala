@@ -64,6 +64,28 @@ object DataQuality {
           .cast("long") >= staleAfterHours).as("stale"))
   }
 
+  /** Per-column data-card profile: row count, null count, and distinct
+    * cardinality for each requested column, emitted as rows — the
+    * schema-health page of a dataset card. ONE aggregation pass
+    * (Spark expands the multi-distinct into one shuffle), then a
+    * map-side explode pivots the flat aggregate into per-column rows.
+    * Integer counts only.
+    */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__d_$c"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          col(s"__null_$c").as("n_null"),
+          col(s"__d_$c").as("n_distinct"))): _*)).as("e"))
+      .select(col("e.column"), col("e.n_rows"), col("e.n_null"),
+        col("e.n_distinct"))
+  }
+
   /** Benford first-digit screen over a positive currency-like column:
     * the digit is taken from the INTEGER cent representation
     * (`round(x·100)` formatted as a string), never from `log10`, so both

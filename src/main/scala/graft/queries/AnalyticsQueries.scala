@@ -171,6 +171,13 @@ object AnalyticsQueries {
         col("n_chars") > 800)
     },
 
+    // L250: per-column null/distinct data-card profile of lineitem.
+    "dq_null_profile" -> { (s, dir) =>
+      DataQuality.nullProfile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate",
+          "l_quantity"))
+    },
+
     // L248: ingest-freshness report per event type (lag vs frontier).
     "dq_freshness" -> { (s, dir) =>
       DataQuality.freshnessReport(Tables.events(s, dir), "event_type",
@@ -1723,6 +1730,18 @@ object AnalyticsQueries {
         |    - round(sum(CASE WHEN a = 0 THEN adj END)
         |      / sum(CASE WHEN a = 0 THEN 1.0 END), 6), 6) AS adj_diff
         |FROM adj""".stripMargin,
+
+    "dq_null_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_returnflag",
+        "l_shipdate", "l_quantity")
+      cols.map { c =>
+        s"""SELECT '$c' AS column, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
 
     "dq_freshness" ->
       """WITH per AS (SELECT event_type,

@@ -495,6 +495,16 @@ class WarehouseOpsSpec extends AnyFunSuite {
       10L -> ((1L, 1L))), got.toString)
   }
 
+  test("nullProfile: per-column rows, null counts, distinct cardinality") {
+    val df = Seq((Some(1), Some("a")), (None, Some("a")), (Some(2), None))
+      .toDF("x", "y")
+    val got = graft.ops.DataQuality.nullProfile(df, Seq("x", "y"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("x" -> ((3L, 1L, 2L)), "y" -> ((3L, 1L, 1L))),
+      got.toString)
+  }
+
   test("wilsonShare: interval brackets the share and stays inside [0,1]") {
     val df = (1 to 10).map(i => ("s", i <= 9)).toDF("g", "ok")
     val got = DataQuality.wilsonShare(df, "g", col("ok"))
