@@ -23,14 +23,20 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val HistoryPath = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.json"))
-  // Two floors: a query WITH a history entry gets max(2 s, 2×prev) — the
-  // old flat 4 s floor let a cheap composite query regress 2.2× before
-  // flagging (round-5's dedup_funnel_report went 1.78→4+ s silently until
-  // it crossed 4 s). A query WITHOUT history (first round it exists) keeps
-  // the looser 4 s floor: there is no baseline to regress from, and first
-  // measurements carry codegen/JIT noise.
+  // Floors: a query WITH a history entry gets
+  //   max(2 × prev, min(2 s, 2.5 × prev), 0.25 s)
+  // — the old flat "max(2 s, 2×prev)" exempted every sub-2 s query from
+  // relative regressions entirely (round-9 blind spot: w10_forward_fill
+  // 0.066→0.133 s, w8_sessionize 0.219→0.455 s ran >2× history without
+  // flagging). The 2.5× relative term surfaces those; the 0.25 s absolute
+  // micro-floor keeps best-of-3 jitter on sub-0.1 s queries (a single GC
+  // pause doubles them routinely) from false-tripping. A query WITHOUT
+  // history (first round it exists) keeps the looser 4 s floor: there is
+  // no baseline to regress from, and first measurements carry codegen/JIT
+  // noise.
   private val FloorSec = 4.0
   private val TrackedFloorSec = 2.0
+  private val MicroFloorSec = 0.25
 
   /** {"query":seconds,...} from the previous run AT THE SAME SCALE FACTOR
     * (empty otherwise — budgets derived from a different sf would flag or
@@ -63,8 +69,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def release(): Unit = {
-      graft.ops.OpCaches.releaseAll()
+      // BLOCKING unpersist: async removal let a heavy query start while the
+      // previous query's cached partitions still held storage memory — in
+      // the 272-query round-9 session that eviction churn pushed exactly
+      // the cache-heavy dedup/curation composites over budget while the
+      // no-cache sentinel basket stayed flat (none of the 8 reproduced in
+      // an isolated run). The wait is untimed; paying it here keeps the
+      // timed runs measuring the query.
+      graft.ops.OpCaches.releaseAll(blocking = true)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(rdd => try rdd.unpersist(blocking = true)
+          catch { case _: Throwable => () })
       // Nudge the ContextCleaner: broadcast blocks / shuffle files are
       // reclaimed only when their weak refs get GC-enqueued, and on an 8g
       // heap that lags tens of queries behind — round-8 sentinel traces
@@ -101,19 +117,30 @@ object Bench {
     // sustained load inflates every basket member at once.
     val sentinelFns = Seq("a1_kpis", "a10_counts", "a5_column_bounds")
       .flatMap(SparkEntry.queries.get)
-    def timeSentinel(): Double = if (sentinelFns.isEmpty) -1.0 else {
-      release()
-      sentinelFns.map { fn =>
-        (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => Double.MaxValue }
-        }.min
-      }.sum
-    }
+    // Mid-weight sentinel (~1 s, shuffle+agg heavy): discriminates "the
+    // heavy queries slowed" from "the machine slowed". Round 9's cheap
+    // basket stayed flat while 8 composites flagged — a cheap basket alone
+    // cannot tell genuine composite regressions from load that only bites
+    // memory/shuffle-heavy work.
+    val sentinelMidFns = Seq("text_tfidf_top_terms")
+      .flatMap(SparkEntry.queries.get)
+    def timeBasket(fns: Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame]): Double =
+      if (fns.isEmpty) -1.0 else {
+        release()
+        fns.map { fn =>
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => Double.MaxValue }
+          }.min
+        }.sum
+      }
+    def timeSentinel(): Double = timeBasket(sentinelFns)
     timeSentinel() // warm (ONLY-filtered runs skip it in the warm-up pass)
+    timeBasket(sentinelMidFns) // warm
     val sentinel0 = timeSentinel()
     val sentinelTimes = scala.collection.mutable.ArrayBuffer(sentinel0)
+    val sentinelMidTimes = scala.collection.mutable.ArrayBuffer(timeBasket(sentinelMidFns))
     // Best of 3 timed runs per query (local timing noise is substantial —
     // a single whole-session GC pause has been observed to triple a
     // sub-2 s query across two consecutive runs, which would false-flag
@@ -125,7 +152,10 @@ object Bench {
     // A failing query records the sentinel -1, NOT its time-to-exception —
     // a broken query must never masquerade as a fast one.
     val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx > 0 && idx % 20 == 0) sentinelTimes += timeSentinel()
+      if (idx > 0 && idx % 20 == 0) {
+        sentinelTimes += timeSentinel()
+        sentinelMidTimes += timeBasket(sentinelMidFns)
+      }
       release()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -135,32 +165,42 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     sentinelTimes += timeSentinel() // end-of-session load check
+    sentinelMidTimes += timeBasket(sentinelMidFns)
     // Noise signature = SUSTAINED drift: two consecutive baskets >1.5× the
     // session's best basket (vs the best, not the first — a loaded start
     // would make everything after it look fine). A single elevated reading
     // is one GC pause / scheduler blip; round 7's false-flag session was
     // uniformly 1.6-1.7× slow for its whole duration and trips this rule
     // at every pair.
-    val valid = sentinelTimes.filter(t => t > 0 && t < Double.MaxValue)
-    val noiseSuspect = valid.size >= 2 && {
-      val floor = valid.min * 1.5
-      valid.sliding(2).exists(w => w.forall(_ > floor))
+    def sustainedDrift(xs: Seq[Double]): Boolean = {
+      val valid = xs.filter(t => t > 0 && t < Double.MaxValue)
+      valid.size >= 2 && {
+        val floor = valid.min * 1.5
+        valid.sliding(2).exists(w => w.forall(_ > floor))
+      }
     }
+    val noiseSuspect =
+      sustainedDrift(sentinelTimes.toSeq) || sustainedDrift(sentinelMidTimes.toSeq)
     val failed = results.collect { case (n, t) if t < 0 => n }
     val history = loadHistory(sfDir)
     def budget(q: String): Double =
-      history.get(q).filter(_ > 0).map(t => math.max(TrackedFloorSec, 2.0 * t))
+      history.get(q).filter(_ > 0)
+        .map(t => math.max(math.max(2.0 * t, math.min(TrackedFloorSec, 2.5 * t)),
+          MicroFloorSec))
         .getOrElse(FloorSec)
     val overBudget = results.collect { case (n, t) if t > budget(n) => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val sentinelJson = sentinelTimes.filter(_ != Double.MaxValue)
+    def basketJson(xs: Seq[Double]) = xs.filter(_ != Double.MaxValue)
       .map(t => f"$t%.4f").mkString("[", ",", "]")
+    val sentinelJson = basketJson(sentinelTimes.toSeq)
+    val sentinelMidJson = basketJson(sentinelMidTimes.toSeq)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},""" +
       s""""noise_suspect":$noiseSuspect,"sentinel_sec":$sentinelJson,""" +
+      s""""sentinel_mid_sec":$sentinelMidJson,""" +
       s""""sf":"$sfDir"}""")
     // Persist this run's timings as the next run's budget baseline,
     // KEEP-MIN per query: a session on a slower host (round-8 lesson:

@@ -86,7 +86,14 @@ object Changelog {
       .withColumn("to_us", lead(col(seqCol), 1).over(ord2))
       .select(col(keyCol), col(attrCol),
         col(seqCol).as("from_us"), col("to_us"),
-        col("to_us").isNull.as("is_current"))
+        col("to_us").isNull.as("is_current"),
+        // The surviving change's tie value rides along so downstream
+        // consumers ([[dimensionLookup]]'s union-window ordering, audits)
+        // can break exact-boundary ties the same way this build did —
+        // last-by-tie. scd2History's own output has unique from_us per
+        // key, but an externally-assembled history (a union of two
+        // builds, a backfill) may not.
+        col(tieCol))
   }
 
   /** Point-in-time dimension lookup: each fact row picks the SCD2
@@ -100,19 +107,39 @@ object Changelog {
     * before a key's first interval emit a null attribute. At an exact
     * `from_us` tie the interval row sorts first and is visible to the
     * fact (closed-start `[from, to)` semantics).
+    *
+    * `tieCol`: when the history can carry two intervals sharing
+    * (key, from_us) — a union of builds, a backfill — the bare
+    * (__us, is_fact) ordering leaves which interval a boundary fact sees
+    * engine-dependent. Passing the history's tie column (carried through
+    * [[scd2History]]'s output) pins it: the LAST tie wins, matching the
+    * last-by-tie collapse rule the history build itself uses. Histories
+    * straight from [[scd2History]] have unique from_us per key, so the
+    * default `None` is safe there.
     */
   def dimensionLookup(facts: DataFrame, history: DataFrame, keyCol: String,
                       tsCol: String, factIdCol: String,
-                      attrCol: String): DataFrame = {
+                      attrCol: String, tieCol: Option[String] = None): DataFrame = {
     val idType = facts.schema(factIdCol).dataType
-    val f = facts.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+    val tieType = tieCol.map(t => history.schema(t).dataType)
+    val f0 = facts.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
       lit(1).as("__is_fact"), col(factIdCol),
       lit(null).cast("string").as("__attr"))
-    val h = history.select(col(keyCol), col("from_us").as("__us"),
+    val f = tieType.fold(f0)(dt => f0.withColumn("__tie", lit(null).cast(dt)))
+    val h0 = history.select(col(keyCol), col("from_us").as("__us"),
       lit(0).as("__is_fact"), lit(null).cast(idType).as(factIdCol),
       col(attrCol).cast("string").as("__attr"))
+    val h = tieCol.fold(h0)(t =>
+      history.select(col(keyCol), col("from_us").as("__us"),
+        lit(0).as("__is_fact"), lit(null).cast(idType).as(factIdCol),
+        col(attrCol).cast("string").as("__attr"), col(t).as("__tie")))
+    // Facts sort after every interval row at the same __us regardless of
+    // tie (__is_fact majorizes), so closed-start semantics are unchanged;
+    // the tie only orders history rows among themselves.
+    val orderCols = Seq(col("__us"), col("__is_fact")) ++
+      tieCol.map(_ => col("__tie")).toSeq
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__us"), col("__is_fact"))
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     f.unionByName(h)
       .withColumn("__cur", last(col("__attr"), ignoreNulls = true).over(w))

@@ -55,13 +55,16 @@ object DataQuality {
     val per = df.groupBy(col(groupCol))
       .agg(max(us).as("__last"), count(lit(1)).as("n_rows"))
     val frontier = per.agg(max(col("__last")).as("__front"))
+    // Integer `div`, not double `/` + cast: the lag is non-negative by
+    // construction (frontier = max of lasts) so floor-div == trunc-div,
+    // and exact integer division mirrors the DuckDB oracle's `//` with
+    // no double-representation boundary at extreme lags.
     per.crossJoin(broadcast(frontier))
       .select(col(groupCol), col("n_rows"),
         col("__last").as("last_event_us"),
-        ((col("__front") - col("__last")) / lit(3600000000L))
-          .cast("long").as("lag_hours"),
-        (((col("__front") - col("__last")) / lit(3600000000L))
-          .cast("long") >= staleAfterHours).as("stale"))
+        expr("(__front - __last) div 3600000000").as("lag_hours"),
+        (expr("(__front - __last) div 3600000000") >= staleAfterHours)
+          .as("stale"))
   }
 
   /** Per-column data-card profile: row count, null count, and distinct

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -216,6 +217,68 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** Exact pairwise Jaccard via PREFIX FILTERING (PPJoin-style): identical
+    * output to [[jaccardPairs]], sub-quadratic candidate generation.
+    *
+    * Tokens are globally ordered by (document frequency asc, token asc);
+    * a set of size `sz` keeps only its first `sz - ceil(t·sz) + 1` tokens
+    * as its PREFIX. Any pair with Jaccard ≥ t must share at least one
+    * prefix token (pigeonhole on the ordered sets), so the candidate join
+    * runs on prefixes — rare tokens by construction — instead of the full
+    * inverted index, and a hot token (a grid cell every user visits, a
+    * stopword shingle) falls out of most prefixes instead of routing the
+    * corpus through one reducer. A length filter (J ≤ min/max sizes)
+    * prunes candidates before the verification join. Verification is the
+    * exact intersection count over full sets, restricted to candidates —
+    * LOSSLESS, unlike the banded [[nearDuplicates]] path, which trades
+    * recall for fewer candidates.
+    *
+    * Scale shape: df ranking is one agg + one window partitioned per doc
+    * (per-doc set size bounded by doc/trajectory length); the candidate
+    * join shuffles only prefix tokens; the verify join carries candidate
+    * pairs × their shingles, the same shape as [[nearDuplicates]]'s
+    * verify. No all-pairs stage anywhere.
+    */
+  def jaccardPairsPrefix(shinglesIn: DataFrame, idCol: String,
+                         minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val shingles = OpCaches.scoped(
+      shinglesIn.select(col(idCol), col("shingle")))
+    val dfCounts = shingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__df").asc, col("shingle").asc)
+    val ranked = OpCaches.scoped(
+      shingles.join(dfCounts, Seq("shingle"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+        .withColumn("__prefix",
+          col("__rn") <= col("__sz") - ceil(lit(minJaccard) * col("__sz")) + 1))
+    val pa = ranked.filter(col("__prefix"))
+      .select(col(idCol).as("doc_a"), col("shingle"), col("__sz").as("sz_a"))
+    val pb = ranked.filter(col("__prefix"))
+      .select(col(idCol).as("doc_b"), col("shingle"), col("__sz").as("sz_b"))
+    val candidates = pa.join(pb, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      // Length filter: inter ≤ min(sz), union ≥ max(sz) ⇒ J ≤ min/max.
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(minJaccard) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    val fullA = ranked.select(col(idCol).as("doc_a"), col("shingle"))
+    val fullB = ranked.select(col(idCol).as("doc_b"), col("shingle"))
+    candidates
+      .join(fullA, Seq("doc_a"))
+      .join(fullB, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

@@ -34,11 +34,20 @@ object OpCaches {
   /** Unpersist every op-internal cache registered since the last release.
     * Safe to call at any time: frames still referenced by un-executed plans
     * simply recompute (correctness is unaffected, only reuse).
+    *
+    * `blocking = true` waits until the blocks are actually dropped. The
+    * bench harness needs this: with async removal, a long session's next
+    * heavy query starts while the previous query's cached partitions still
+    * occupy storage memory, and the resulting eviction churn shows up as a
+    * 1.5-2× slowdown on exactly the cache-heavy composites (round-9
+    * over-budget pattern: 8 dedup/curation composites flagged in the
+    * 272-query session, none reproducible in an isolated run; the cheap
+    * no-cache sentinel basket stayed flat the whole session).
     */
-  def releaseAll(): Unit = {
+  def releaseAll(blocking: Boolean = false): Unit = {
     val it = frames.iterator()
     while (it.hasNext) {
-      try it.next().unpersist(blocking = false)
+      try it.next().unpersist(blocking)
       catch { case _: Throwable => () }
       it.remove()
     }

@@ -261,6 +261,15 @@ object Sampling {
     * hash-ranked deterministic top-n_h per stratum ([[stratifiedExact]]
     * machinery). Strata are a bounded report dimension — the stats
     * collect is bounded like every other category collect here.
+    *
+    * Budget semantics: `totalN` is a CEILING, not a guarantee. When a
+    * stratum's Neyman quota exceeds its population, the quota caps at
+    * n_h and the surplus is DISCARDED, not redistributed — the emitted
+    * sample then undershoots totalN (pinned by spec). Redistribution
+    * would shift surplus onto strata the allocation deliberately
+    * down-weighted, quietly changing the variance profile; callers who
+    * need an exact row count should raise totalN or drop the
+    * over-subscribed stratum and re-allocate explicitly.
     */
   def neymanSample(df: DataFrame, keyCol: String, stratumCol: String,
                    intValueCol: String, totalN: Int): DataFrame = {

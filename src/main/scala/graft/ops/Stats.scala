@@ -587,9 +587,16 @@ object Stats {
       .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
     rows.join(agg, Seq(catCol))
       .select(col(idCol), col(catCol),
+        // Round to 4 dp in INTEGER arithmetic (half away from zero):
+        // double-round here sits exactly on a .5 ulp boundary for some
+        // groups, where Spark's BigDecimal HALF_UP and DuckDB's
+        // multiply-round disagree by 1e-4. round4(N/D) with N=(Σ−y)·100,
+        // D=n−1 is sign·((2|N|+D) div 2D), then one exact-integer →
+        // double division by 10⁴ — bit-identical across engines.
         when(col("__n") > 1,
-          round((col("__s") - col("__c")).cast("double") /
-            ((col("__n") - 1).cast("double") * lit(100.0)), 4))
+          (when(col("__s") >= col("__c"), lit(1L)).otherwise(lit(-1L)) *
+            expr("(2 * abs((__s - __c) * 100) + (__n - 1)) div (2 * (__n - 1))"))
+            .cast("double") / lit(10000.0))
           .as("loo_mean"))
   }
 
@@ -722,7 +729,10 @@ object Stats {
     val ranked = withRangeRank(vals, Seq(col("__v")), "__r")
     val spark = df.sparkSession
     import spark.implicits._
-    val targets = ps.map(p => math.round(p * 10000).toLong)
+    // A p in (0, 0.00005) passes the range require but rounds to basis
+    // point 0 → target rank 0, which matches no row and would silently
+    // drop the requested percentile from the output; clamp to bp 1.
+    val targets = ps.map(p => math.max(1L, math.round(p * 10000).toLong))
       .distinct.sorted
       .map(bp => (bp.toDouble / 10000.0, (bp * n + 9999L) / 10000L))
     val pdf = targets.toDF("percentile", "__r")
@@ -896,16 +906,23 @@ object Stats {
       .groupBy(col("__b"))
       .agg(round(sum(col("__m") * col("__v")) /
         nullif(sum(col("__m")), lit(0.0)), 6).as("__mean"))
-    val loRank = (alphaBp / 2 * replicas + 9999) / 10000
-    val hiRank = ((10000 - alphaBp / 2) * replicas + 9999) / 10000
     // B-row frame: the global order window is bounded by `replicas`.
     // Degenerate replicas (zero total weight ⇒ null mean; only possible
     // at tiny n) are dropped BEFORE ranking — engines disagree on where
     // nulls sort (Spark NULLS FIRST, DuckDB NULLS LAST), and a null
-    // carries no interval information anyway.
+    // carries no interval information anyway. Ranks are computed from
+    // the SURVIVING replica count (not `replicas`): if any replica
+    // drops, rank == replicas never exists and ci_hi would silently
+    // read null. ceil((α/2)·cnt) in half-basis-point integer arithmetic
+    // handles odd alphaBp symmetrically (no alphaBp/2 truncation), with
+    // ranks clamped into [1, cnt].
     val rn = row_number().over(Window.orderBy(col("__mean"), col("__b")))
     val ranked = perReplica.filter(col("__mean").isNotNull)
       .withColumn("__rn", rn)
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy()))
+    val loRank = expr(s"greatest(1L, ($alphaBp * __cnt + 19999) div 20000)")
+    val hiRank = expr(
+      s"least(__cnt, ((20000 - $alphaBp) * __cnt + 19999) div 20000)")
     val overall = base.agg(count(lit(1)).as("n"),
       round(avg(col("__v")), 6).as("mean"))
     overall.crossJoin(broadcast(ranked

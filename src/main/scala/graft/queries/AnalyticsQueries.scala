@@ -1653,8 +1653,11 @@ object AnalyticsQueries {
         |a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s2,
         |    count(*) AS n FROM r GROUP BY 1)
         |SELECT r.event_id, r.event_type,
-        |  CASE WHEN a.n > 1 THEN round(CAST(a.s2 - r.c AS DOUBLE)
-        |    / (CAST(a.n - 1 AS DOUBLE) * 100.0), 4) END AS loo_mean
+        |  CASE WHEN a.n > 1 THEN
+        |    CAST((CASE WHEN a.s2 >= r.c THEN 1 ELSE -1 END) *
+        |      ((2 * abs((a.s2 - r.c) * 100) + (a.n - 1))
+        |        // (2 * (a.n - 1))) AS DOUBLE) / 10000.0
+        |  END AS loo_mean
         |FROM r JOIN a USING (event_type)""".stripMargin,
 
     // Scoring + binning stacked on the SAME unrolled GD chain.
@@ -1819,10 +1822,13 @@ object AnalyticsQueries {
         |      / nullif(sum(CAST(mm AS DOUBLE)), 0.0), 6) AS mean
         |  FROM m GROUP BY 1),
         |rk AS (SELECT rb, mean,
-        |    row_number() OVER (ORDER BY mean, rb) AS rn FROM pm
+        |    row_number() OVER (ORDER BY mean, rb) AS rn,
+        |    count(*) OVER () AS cnt FROM pm
         |  WHERE mean IS NOT NULL),
-        |ci AS (SELECT min(CASE WHEN rn = 1 THEN mean END) AS ci_lo,
-        |    min(CASE WHEN rn = 32 THEN mean END) AS ci_hi,
+        |ci AS (SELECT min(CASE WHEN rn = greatest(1,
+        |      (500 * cnt + 19999) // 20000) THEN mean END) AS ci_lo,
+        |    min(CASE WHEN rn = least(cnt,
+        |      (19500 * cnt + 19999) // 20000) THEN mean END) AS ci_hi,
         |    CAST(count(*) AS BIGINT) AS n_replicas FROM rk),
         |o AS (SELECT count(*) AS n, round(avg(v), 6) AS mean FROM b)
         |SELECT o.n, o.mean, ci.ci_lo, ci.ci_hi, ci.n_replicas

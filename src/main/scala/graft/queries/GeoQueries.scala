@@ -87,18 +87,18 @@ object GeoQueries {
         cellDeg = 0.5, minPoints = 3)
     },
 
-    // Trajectory similarity: grid-cell Jaccard between users' paths.
-    // minJaccard tuned against the testdata's spatial spread so the gate
-    // emits a stable non-empty result (22 pairs at sf0.001, ~2.3k at
-    // sf0.01) — a green gate must compare actual rows. The population is
-    // cohort-scoped (user_id < 300; all users at ≤ sf0.01): all-pairs
-    // path similarity is O(|users|²) in its OUTPUT, so the unbounded op
-    // belongs behind a cohort selection, like the ANN query sets.
+    // Trajectory similarity: grid-cell Jaccard between users' paths,
+    // UNCAPPED over the full user population. Routed through the exact
+    // prefix-filtered join (Dedup.jaccardPairsPrefix): candidates come
+    // only from rare-cell prefixes, so a hot cell every user visits never
+    // routes the population through one reducer — the output is still the
+    // EXACT set of pairs with Jaccard ≥ 0.3 (prefix filtering is
+    // lossless), which is what the all-pairs DuckDB oracle computes.
     "traj_similarity_grid" -> { (s, dir) =>
       val cells = graft.ops.Trajectory.gridCells(
-        withPoints(Tables.events(s, dir)).filter(col("user_id") < 300),
+        withPoints(Tables.events(s, dir)),
         "user_id", "lon", "lat", cellDeg = 0.1)
-      graft.ops.Dedup.jaccardPairs(cells, "doc_id", minJaccard = 0.3)
+      graft.ops.Dedup.jaccardPairsPrefix(cells, "doc_id", minJaccard = 0.3)
         .select(col("doc_a").as("user_a"), col("doc_b").as("user_b"),
           col("inter"), round(col("jaccard"), 6).as("jaccard"))
     },
@@ -186,8 +186,7 @@ object GeoQueries {
       s"""WITH $ptsCte,
          |cells AS (SELECT DISTINCT user_id,
          |  CAST(CAST(floor(lon / 0.1) AS BIGINT) AS VARCHAR) || ':' ||
-         |  CAST(CAST(floor(lat / 0.1) AS BIGINT) AS VARCHAR) AS cell FROM pts
-         |  WHERE user_id < 300),
+         |  CAST(CAST(floor(lat / 0.1) AS BIGINT) AS VARCHAR) AS cell FROM pts),
          |sz AS (SELECT user_id, count(*) AS sz FROM cells GROUP BY 1),
          |inter AS (SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS inter
          |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.user_id < b.user_id

@@ -149,6 +149,60 @@ object ScalarQueries {
         round(expr("percentile(value, 0.9)"), 6).as("p90"))
     },
 
+    // L91 (sketch): per-group approx quantiles GATED — the exact p50 column
+    // is cross-checked against DuckDB, and the approx side is asserted
+    // against its own GK rank guarantee (rank of the returned value within
+    // p ± 1/accuracy of the group size, +1 element of slack for ties at
+    // the boundary): a broken digest flips the ok flags → hash mismatch.
+    "sketch_group_quantiles" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val acc = 1000
+      val approx = graft.ops.Sketches.approxGroupQuantiles(
+        ev, "event_type", "value", Seq(0.5, 0.9), accuracy = acc)
+      def rankOk(q: org.apache.spark.sql.Column, p: Double) = {
+        val eps = 1.0 / acc
+        val le = sum(when(col("value") <= q, 1L).otherwise(0L))
+        val lt = sum(when(col("value") < q, 1L).otherwise(0L))
+        val n = count(lit(1))
+        (le >= floor(lit(p - eps) * n) - 1 &&
+          lt <= ceil(lit(p + eps) * n) + 1).cast("int")
+      }
+      ev.join(broadcast(approx), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+          rankOk(col("q_0_5"), 0.5).as("ok_p50"),
+          rankOk(col("q_0_9"), 0.9).as("ok_p90"))
+    },
+
+    // L92 (sketch): HLL++ distinct GATED — exact distinct cross-checked
+    // against DuckDB; the HLL estimate asserted within 5×rsd of it (HLL
+    // error is deterministic for fixed data, so the flag is stable).
+    "sketch_hll_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("exact_distinct"),
+        (abs(approx_count_distinct(col("user_id"), 0.05).cast("double") -
+          countDistinct(col("user_id")).cast("double")) <=
+          lit(0.25) * countDistinct(col("user_id")).cast("double") + lit(2.0))
+          .cast("int").as("hll_ok"))
+    },
+
+    // L93 (sketch): bloom-prefiltered semi-join, EXACT end to end — the
+    // fitted filter ships as a plan-time literal and prunes map-side (no
+    // false negatives), the verify semi-join strips false positives, so
+    // the result is exactly the plain semi-join DuckDB computes.
+    "sketch_bloom_semijoin" -> { (s, dir) =>
+      val cohort = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("user_id"))
+      val bf = graft.ops.Sketches.bloomFit(cohort, "user_id",
+        expectedItems = 100000L, numBits = 1L << 20)
+      Tables.events(s, dir)
+        .filter(graft.ops.Sketches.mightContain(bf, col("user_id")))
+        .join(cohort, Seq("user_id"), "left_semi")
+        .select(col("event_id"), col("user_id"), col("value"))
+    },
+
     // W13: per-group winsorization — exact [p05, p95] clamp, broadcast
     // bounds, map-side saturation.
     "w13_winsorize" -> { (s, dir) =>
@@ -309,6 +363,21 @@ object ScalarQueries {
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY 1""".stripMargin,
+
+    "sketch_group_quantiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  1 AS ok_p50, 1 AS ok_p90
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "sketch_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |  1 AS hll_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "sketch_bloom_semijoin" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id IN (SELECT c_custkey FROM customer
+        |                  WHERE c_mktsegment = 'BUILDING')""".stripMargin,
 
     "w13_winsorize" ->
       """WITH b AS (SELECT event_type,

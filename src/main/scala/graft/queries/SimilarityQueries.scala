@@ -29,6 +29,14 @@ object SimilarityQueries {
   private val MtProdTables = 3
   private val QueryPred = "vec_id < 10"
 
+  /** Fit-once artifact memo for [[defs]]' `ann_ivfpq_probe_only`:
+    * (coarse IVF, PQ codebook, code-store path) per sf dir, so repeated
+    * invocations (Bench warm-up then timed runs) pay the k-means fits and
+    * the store write exactly once and the timed runs measure SERVING.
+    */
+  private val probeOnlyArtifacts = new java.util.concurrent.ConcurrentHashMap[
+    String, (Similarity.IvfIndex, Similarity.PqIndex, String)]()
+
   // DuckDB: sequential-fold dot product of two list columns in double.
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
@@ -492,6 +500,38 @@ object SimilarityQueries {
         coarse = coarse, pq = pq)
     },
 
+    // IVF-PQ SERVE-ONLY: identical answer to ann_ivfpq/_pruned (shared
+    // oracle), but the codebooks and the partitioned code store are
+    // fit-once artifacts — fitted, SAVED, and re-LOADED on first call,
+    // reused thereafter — so this entry times exactly what a 100 TB
+    // deployment runs per query batch: load-from-artifact + probe.
+    // (ann_ivfpq deliberately keeps timing fit+serve; the bench needs
+    // both numbers to tell index-training regressions from serving
+    // regressions.)
+    "ann_ivfpq_probe_only" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val (coarse, pq, storeDir) = probeOnlyArtifacts.computeIfAbsent(dir,
+        _ => {
+          val c = Similarity.ivfFit(emb, "label", "embedding")
+          val p = Similarity.pqFit(emb, "vec_id", "embedding", m = 8,
+            k = 256, iters = 2)
+          val base = System.getProperty("java.io.tmpdir") +
+            "/graft_ann_probe_" + ProcessHandle.current().pid() + "_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_")
+          Similarity.pqStoreWrite(emb, "vec_id", "embedding", "label", p,
+            base + "/store")
+          Similarity.ivfSave(s, c, base + "/ivf")
+          Similarity.pqSave(s, p, base + "/pq")
+          // Serve from the LOADED artifacts, exactly as a separate
+          // serving process would.
+          (Similarity.ivfLoad(s, base + "/ivf"),
+            Similarity.pqLoad(s, base + "/pq"), base + "/store")
+        })
+      Similarity.ivfPqKnnStored(s.read.parquet(storeDir),
+        emb.filter(expr(QueryPred)), "vec_id", "embedding", k = 3,
+        nprobe = 2, coarse = coarse, pq = pq)
+    },
+
     // Multi-probe LSH: home bucket + all Hamming-1 buckets.
     "ann_lsh_multiprobe" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -749,6 +789,12 @@ object SimilarityQueries {
     // Same answer as ann_ivfpq by construction — the store is just a
     // partition-pruned layout of the same codes.
     "ann_ivfpq_pruned" -> ivfPqSql(m = 8, k = 256, iters = 2, dims = 64,
+      knn = 3, nprobe = 2),
+
+    // Serve-only path: same codebooks (deterministic fits), same store
+    // layout, same answer — the entry exists to give serving its own
+    // regression-tracked bench number.
+    "ann_ivfpq_probe_only" -> ivfPqSql(m = 8, k = 256, iters = 2, dims = 64,
       knn = 3, nprobe = 2),
 
     "ann_pq_adc" -> pqAdcSql(m = 8, k = 256, iters = 2, dims = 64, knn = 3),

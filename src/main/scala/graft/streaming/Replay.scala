@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: the distinct-timestamp cursor is collected to the driver —
   * that is the simulator's own design (a replay HARNESS, not a data path);
-  * the data rows themselves stay distributed.
+  * the data rows themselves stay distributed. The production-grade
+  * [[ReplayStreamSource]] does NOT share this bound: its cursor is PAGED
+  * (O(pageSize + distinct/pageSize) driver state, independent of the
+  * event-time domain) — prefer it for anything beyond tests.
   */
 object Replay {
 

@@ -162,25 +162,101 @@ private[graft] class ReplayMicroBatchStream(spark: SparkSession,
   }
   private val tsOrdinal = tableSchema.fieldIndex(tsCol)
 
-  /** The ONLY driver-side state: distinct event times (micros) in serve
-    * order — ascending, then rotated for seek/wrap
-    * (stream_sim.py:60-61: after the seek position is exhausted, replay
-    * continues from the beginning up to the seek point, then ends).
-    * Row slices are never collected; they stay executor-side in the
-    * per-batch scans.
+  /** PAGED cursor: driver-side state is O(pageSize + distinct/pageSize),
+    * INDEPENDENT of the event-time domain — not the full distinct-timestamp
+    * array the round-9 design collected (O(distinct) driver memory, the one
+    * structural collect the round-9 audit flagged).
+    *
+    * Layout: [[pageFirstTs]] holds every pageSize-th distinct timestamp
+    * (sorted order) from ONE distributed zipWithIndex pass at init; a
+    * single page of timestamps is materialized at a time, fetched by a
+    * range-pushed parquet scan over [boundary(p), boundary(p+1)) — row
+    * groups outside the page prune away. Serve order (seek rotation,
+    * stream_sim.py:60-61: post-seek suffix first, then the pre-seek prefix
+    * when wrapping) is an INDEX mapping over sorted order, so paging and
+    * rotation compose without materializing anything rotated.
+    *
+    * Access is effectively sequential (offsets advance monotonically), so
+    * steady-state cost is one bounded page fetch per pageSize slices.
     */
-  private lazy val cursor: Array[Long] = {
-    val distinct = spark.read.parquet(pathOpt)
-      .filter(col(tsCol).isNotNull) // a null event time has no replay position
-      .select(col(tsCol)).distinct().orderBy(col(tsCol))
-      .queryExecution.executedPlan.executeCollect().map(_.getLong(0))
-    startingTs match {
-      case None => distinct
-      case Some(s0) =>
-        val (pre, post) = distinct.partition(_ < s0)
-        if (wrap) post ++ pre else post
-    }
+  private val pageSize = options.get("cursorPageSize").map(_.toInt).getOrElse(8192)
+  require(pageSize > 0, "cursorPageSize must be positive")
+
+  private def distinctTs = spark.read.parquet(pathOpt)
+    .filter(col(tsCol).isNotNull) // a null event time has no replay position
+    .select(col(tsCol)).distinct()
+
+  /** Event-time boundary literal as a Column in the ts column's own type
+    * (comparisons stay pushdown-eligible; session TZ is UTC so the NTZ
+    * cast is micros-exact).
+    */
+  private def tsBound(us: Long) = tsField.dataType match {
+    case LongType => org.apache.spark.sql.functions.lit(us)
+    case TimestampNTZType =>
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.lit(us)).cast(TimestampNTZType)
+    case _ => org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.lit(us))
   }
+
+  /** (page boundaries, distinct count): one sorted distributed pass;
+    * extracting the long before zipWithIndex avoids InternalRow reuse.
+    */
+  private lazy val (pageFirstTs: Array[Long], distinctCount: Long) = {
+    val ps = pageSize // local copy: RDD closures must not capture `this`
+    val indexed = distinctTs.orderBy(col(tsCol))
+      .queryExecution.toRdd.map(_.getLong(0)).zipWithIndex()
+    val bounds = indexed.filter(_._2 % ps == 0).map(_._1).collect()
+    val n = if (bounds.isEmpty) 0L else indexed.count()
+    (bounds, n)
+  }
+
+  /** Sorted position of the seek timestamp (count of distinct times before
+    * it) — a distributed count, never a collect.
+    */
+  private lazy val seekIdx: Long = startingTs.fold(0L) { s0 =>
+    val bound = s0 // local copy: RDD closures must not capture `this`
+    distinctTs.queryExecution.toRdd.map(_.getLong(0)).filter(_ < bound).count()
+  }
+
+  /** Number of slices in serve order: everything when wrapping or
+    * unseeked; the post-seek suffix otherwise.
+    */
+  private lazy val serveLen: Long = startingTs match {
+    case None => distinctCount
+    case Some(_) => if (wrap) distinctCount else distinctCount - seekIdx
+  }
+
+  // Single-page cache (guarded: latestOffset/planInputPartitions run on the
+  // stream execution thread, but cheap insurance against engine changes).
+  private[this] var cachedPageIdx: Long = -1L
+  private[this] var cachedPage: Array[Long] = Array.emptyLongArray
+
+  private def page(p: Long): Array[Long] = synchronized {
+    if (p != cachedPageIdx) {
+      val lo = pageFirstTs(p.toInt)
+      val base = spark.read.parquet(pathOpt)
+        .filter(col(tsCol).isNotNull && col(tsCol) >= tsBound(lo))
+      val bounded =
+        if (p.toInt + 1 < pageFirstTs.length)
+          base.filter(col(tsCol) < tsBound(pageFirstTs(p.toInt + 1)))
+        else base
+      cachedPage = bounded.select(col(tsCol)).distinct()
+        .queryExecution.toRdd.map(_.getLong(0)).collect().sorted
+      cachedPageIdx = p
+    }
+    cachedPage
+  }
+
+  /** Event time (micros) of serve-order slice `i`. */
+  private def tsAt(i: Long): Long = {
+    val sorted = (seekIdx + i) % distinctCount
+    page(sorted / pageSize)((sorted % pageSize).toInt)
+  }
+
+  /** Driver-held cursor state in Longs (bounded-memory spec hook). */
+  private[graft] def cursorStateSize: Long =
+    pageFirstTs.length.toLong + cachedPage.length.toLong
 
   // One file listing, shared by every batch (the history is static).
   private lazy val index = ParquetScanBridge.fileIndex(spark, pathOpt)
@@ -211,7 +287,7 @@ private[graft] class ReplayMicroBatchStream(spark: SparkSession,
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = idx(start)
-    val n = cursor.length.toLong
+    val n = serveLen
     if (s >= n) return LongOffset(n)
     val e = limit match {
       case _: ReadAllAvailable => n // Trigger.AvailableNow: drain
@@ -220,10 +296,10 @@ private[graft] class ReplayMicroBatchStream(spark: SparkSession,
         // the next simAdvance window. A wrap point (event time jumps
         // backwards in serve order) ends the batch; the next trigger
         // starts a fresh window at the wrapped timestamp.
-        val startTs = cursor(s.toInt)
+        val startTs = tsAt(s)
         var e0 = s + 1
-        while (e0 < n && cursor(e0.toInt) >= startTs &&
-               cursor(e0.toInt) < startTs + simAdvanceUs) e0 += 1
+        while (e0 < n && tsAt(e0) >= startTs &&
+               tsAt(e0) < startTs + simAdvanceUs) e0 += 1
         e0
       case r: ReadMaxRows =>
         // Saturating add: the unbounded-maxRows sentinel must not overflow.
@@ -245,7 +321,7 @@ private[graft] class ReplayMicroBatchStream(spark: SparkSession,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = idx(start)
     val e = idx(end)
-    val ts = (s until e).map(i => cursor(i.toInt))
+    val ts = (s until e).map(tsAt)
     if (ts.isEmpty) return Array.empty
     // The slice indices are contiguous in serve order; event times ascend
     // except at the single wrap point, so the batch is at most two

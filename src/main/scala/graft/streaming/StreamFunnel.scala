@@ -49,8 +49,10 @@ object StreamFunnel {
 
   /** One trigger's worth of the out-of-order fold, as a pure function
     * (the ScalaCheck property folds it directly): buffered + incoming
-    * events split at the watermark — those at or before it are FINAL
-    * (no older event can still arrive, by the watermark contract), so
+    * events split at the watermark — those strictly before it are FINAL
+    * (no event at or below can still arrive: Spark drops ts < watermark
+    * but ADMITS ts == watermark, so equal-timestamp events stay
+    * buffered one more trigger), so
     * they fold irrevocably into the committed chain via [[advance]]
     * (which sorts them, restoring event-time order); the rest stay
     * buffered. The emitted view folds the buffer speculatively on top,
@@ -63,7 +65,13 @@ object StreamFunnel {
                              wmUs: Long, nStages: Int, winUs: Long)
       : (OooFunnelState, FunnelState) = {
     val all = st.buffer ++ incoming
-    val (ripe, pending) = all.partition(_.tsUs <= wmUs)
+    // STRICTLY below the watermark: Spark admits events with ts ==
+    // watermark in later triggers (only ts < watermark is dropped), so a
+    // boundary-timestamp event committed at `<=` could be followed by an
+    // equal-timestamp sibling that then folds AFTER the commit, diverging
+    // from the globally ordered fold. `<` keeps boundary events buffered
+    // one more trigger, until the watermark passes them.
+    val (ripe, pending) = all.partition(_.tsUs < wmUs)
     val committed = advance(st.committed, ripe, nStages, winUs)
     (OooFunnelState(committed, pending, st.seen + incoming.size),
       advance(committed, pending, nStages, winUs))

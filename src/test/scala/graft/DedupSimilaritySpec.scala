@@ -33,6 +33,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccardPairsPrefix is LOSSLESS: identical output to all-pairs jaccardPairs") {
+    // 40 users over a small cell vocabulary with one corpus-wide hot cell
+    // (every user visits cell "H") — the case the prefix filter exists for.
+    // The prefix join must still return EXACTLY the pairs the ground-truth
+    // all-pairs join returns, at several thresholds including ones where
+    // the hot cell alone cannot satisfy the prefix condition.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 40).flatMap { u =>
+      val cells = Seq("H") ++ (1 to (3 + rnd.nextInt(5))).map(_ => s"c${rnd.nextInt(12)}")
+      cells.distinct.map(c => (u.toLong, c))
+    }.toDF("doc_id", "shingle")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.jaccardPairs(rows, "doc_id", t)
+        .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+      val prefix = Dedup.jaccardPairsPrefix(rows, "doc_id", t)
+        .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+      assert(prefix == exact, s"threshold $t: prefix-filtered result diverged")
+    }
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("prefix filter keeps candidate count below the all-pairs space on a hot cell") {
+    // 60 users ALL share one cell; besides it each has a private cell, so
+    // no pair reaches J >= 0.5. All-pairs candidate space via the hot cell
+    // would be C(60,2)=1770; with prefix length 1 + df-asc ordering, every
+    // user's prefix is its PRIVATE cell (df=1 sorts before df=60), so the
+    // candidate join produces zero pairs.
+    val rows = (1 to 60).flatMap(u => Seq((u.toLong, "HOT"), (u.toLong, s"p$u")))
+      .toDF("doc_id", "shingle")
+    val got = Dedup.jaccardPairsPrefix(rows, "doc_id", 0.5).count()
+    assert(got == 0)
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("hot-shingle cap drops corpus-wide stop-shingles before joins") {
     // 'the quick brown' etc. appear in 3 of 4 docs (75%); cap at 50%.
     val sh = Dedup.shingleSets(docs, "doc_id", "text", maxDocFrequency = Some(0.5))

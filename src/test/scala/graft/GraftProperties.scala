@@ -196,15 +196,21 @@ object GraftProperties extends Properties("graft") {
     }
 
   property("dedup keep-first: one row per key, minimal tiebreak (U4)") =
-    forAll(Gen.listOfN(50, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L)))) { rows =>
-      (rows.nonEmpty && rows.map(_._2).distinct.size == rows.size) ==> {
-        val df = rows.map { case (k, tb) => (k.toString, tb, tb * 2.0) }
-          .toDF("key", "seq", "value")
-        val got = SeriesOps.dedupKeepFirst(df, Seq("key"), "seq")
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val expect = rows.groupBy(_._1.toString).map { case (k, g) => k -> g.map(_._2).min }
-        Prop(got == expect)
-      }
+    // Seqs are distinct BY CONSTRUCTION (a shuffled prefix of 0..n-1 scaled by a
+    // stride), never via a `==>` filter: the old all-distinct precondition
+    // discarded ~71% of draws and made ScalaCheck intermittently give up.
+    forAll(
+      Gen.choose(1, 50).flatMap { n =>
+        Gen.zip(Gen.listOfN(n, Gen.choose(0, 5)), Gen.choose(1L, 20L))
+      }) { case (keys, stride) =>
+      val rows = keys.zipWithIndex.map { case (k, i) => (k, i.toLong * stride) }
+      val shuffled = rows.sortBy { case (k, s) => (s * 2654435761L) ^ k }
+      val df = shuffled.map { case (k, tb) => (k.toString, tb, tb * 2.0) }
+        .toDF("key", "seq", "value")
+      val got = SeriesOps.dedupKeepFirst(df, Seq("key"), "seq")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = rows.groupBy(_._1.toString).map { case (k, g) => k -> g.map(_._2).min }
+      Prop(got == expect)
     }
 
   property("CDC chunks partition the document: reassembly is lossless (L113)") =

