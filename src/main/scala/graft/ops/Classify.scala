@@ -45,7 +45,11 @@ object Classify {
       explode(words(col(textCol))).as("__w"))
       .select(lab, pmod(wordCode24(col("__w")), lit(dim.toLong)).as("bucket"))
     val classBucket = feat.groupBy(lab, col("bucket")).agg(count(lit(1)).as("__c"))
-    val classTokens = feat.groupBy(lab).agg(count(lit(1)).as("__tot"))
+    // Per-class token totals roll up from the (class, bucket) counts —
+    // summing counts equals counting tokens, and deriving it here avoids a
+    // SECOND tokenize+hash explode over the corpus (the fit's dominant
+    // cost; the rollup aggregates ≤ |labels|×dim rows instead).
+    val classTokens = classBucket.groupBy(lab).agg(sum(col("__c")).as("__tot"))
     val classDocs = docs.groupBy(lab).agg(count(lit(1)).as("__nd"))
     val totalDocs = docs.agg(count(lit(1)).as("__ndt"))
     // Dense |labels| × dim grid so unseen (label, bucket) pairs carry the

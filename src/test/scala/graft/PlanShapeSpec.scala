@@ -732,6 +732,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anomalies must reuse the cached decomposition:\n${an.take(800)}")
   }
 
+  test("uncapped trajectory similarity: equi-joins only, no all-pairs stage") {
+    // The prefix-filtered set join must never degrade to an unkeyed pair
+    // space: every join is an equi-join (candidates on the prefix token,
+    // verification on (doc, token)), and the per-doc ranking windows are
+    // doc-keyed, never partition-less.
+    val p = plan("traj_similarity_grid")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must stay equi-keyed:\n${p.take(1200)}")
+    val windows = p.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"prefix/size ranks must partition per doc:\n${windows.mkString("\n").take(600)}")
+  }
+
+  test("serve-only IVF-PQ probes the partition-pruned store like the pruned gate") {
+    val p = plan("ann_ivfpq_probe_only")
+    assert("""PartitionFilters: \[[^\]]*cluster""".r.findFirstIn(p).isDefined,
+      s"probe-only must prune store partitions by cluster:\n${p.take(1200)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the bounded query side must broadcast")
+  }
+
   test("triangle closure is a semi join over equi-keyed wedges") {
     val p = plan("graph_triangles")
     assert(p.contains("LeftSemi"),
