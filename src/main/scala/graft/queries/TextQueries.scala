@@ -299,6 +299,20 @@ object TextQueries {
           round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // The SCALE path for exact text Jaccard: PPJoin-style prefix filtering
+    // (df-asc token ordering, prefix length sz − ⌈t·sz⌉ + 1, min/max size
+    // filter, exact verify) — LOSSLESS, so it shares dedup_jaccard_exact's
+    // all-pairs oracle. Unlike the banded LSH path this trades zero recall
+    // and still never touches the O(N²) pair space; unlike jaccardPairs a
+    // corpus-wide hot shingle falls out of prefixes instead of routing
+    // the corpus through one reducer.
+    "dedup_jaccard_prefix" -> { (s, dir) =>
+      val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.jaccardPairsPrefix(sh, "doc_id", minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
     },
@@ -1376,6 +1390,18 @@ object TextQueries {
          |               CAST(i.inter AS DOUBLE) / y.sz) >= 0.8""".stripMargin,
 
     "dedup_jaccard_exact" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |${interCte("sh")}
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5""".stripMargin,
+
+    // Same answer as dedup_jaccard_exact by construction (prefix
+    // filtering is lossless).
+    "dedup_jaccard_prefix" ->
       s"""WITH $wordsCte,
          |$shinglesCte,
          |${interCte("sh")}
