@@ -33,6 +33,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   .option("startingTimestamp", "1970-01-01 00:02:00") // seek (UTC)
   *   .option("wrap", "true")                   // replay pre-seek prefix last
   *   .option("simAdvancePerTriggerSec", "3600") // OR time-based batching
+  *   .option("cursorPageSize", "8192")         // paged-cursor page size
   *   .load()
   * }}}
   *
