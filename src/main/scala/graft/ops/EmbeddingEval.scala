@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Label-aware embedding evaluation — the quality harness a curation
+  * pipeline runs over a labeled embedding table (reference surface:
+  * the toolkit's cohort/KPI evaluation loop, generalized to vector
+  * data; beyond-reference ops for the training-data pipeline).
+  *
+  *   - [[knnLabelAccuracy]]: leave-one-out k-NN majority-vote accuracy
+  *     per label — "do my embeddings separate my labels" as a measured
+  *     number, the standard probe before spending GPU time on a model.
+  *   - [[silhouetteSimplified]]: per-label simplified silhouette
+  *     (centroid-based): a = cosine distance to the own-label centroid,
+  *     b = min distance to any other centroid, s = (b−a)/max(a,b).
+  *     The classic O(n²) silhouette is replaced by the centroid form —
+  *     one centroid fit (explode + two hash-aggs) + a map-side score
+  *     against the broadcast centroid table, which is the only shape
+  *     that survives 100 TB.
+  *   - [[conformalThresholds]]: split-conformal per-label nonconformity
+  *     thresholds — q̂ = the ⌈(n+1)(1−α)⌉-th smallest score, computed
+  *     WITHOUT a per-row window: scores collapse to per-(label, score)
+  *     counts first (map-side combine; ≤ 10⁶ distinct at 6-dp rounding),
+  *     then the cumulative rank runs over that bounded frame. A per-row
+  *     `row_number` window over 10 labels would put each label's entire
+  *     partition through one task at scale.
+  *
+  * Determinism discipline (matches [[Similarity]]): cosines are
+  * sequential-left-fold doubles ROUNDED to 6 decimals before any
+  * comparison or ranking; ties break on id / label ascending. All three
+  * ops hash-match DuckDB oracles exactly.
+  */
+object EmbeddingEval {
+
+  private def cosine6(qv: org.apache.spark.sql.Column,
+                      qn: org.apache.spark.sql.Column,
+                      cv: org.apache.spark.sql.Column,
+                      cn: org.apache.spark.sql.Column) =
+    round(dotD(qv, cv) / nullif(qn * cn, lit(0.0)), 6)
+
+  /** Leave-one-out k-NN classification accuracy per label.
+    *
+    * `queries` is the evaluation sample (a bounded slice of the corpus —
+    * at production scale you evaluate on a fixed sample, never all-pairs);
+    * candidates are the full corpus minus the query row itself. The
+    * majority vote ties break to the SMALLEST label. Output:
+    * (label, n_queries, n_correct, accuracy).
+    */
+  def knnLabelAccuracy(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       k: Int): DataFrame = {
+    val knn = Similarity.bruteForceKnn(corpus, queries, idCol, vecCol, k)
+    val candLabels = corpus.select(col(idCol).as("cand_id"),
+      col(labelCol).as("__cl"))
+    val trueLabels = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__tl"))
+    // Vote: neighbor-label counts per query, then one rank over the ≤ k
+    // rows per query (votes desc, label asc).
+    val votes = knn.join(candLabels, Seq("cand_id"))
+      .groupBy(col("query_id"), col("__cl"))
+      .agg(count(lit(1)).as("__v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__v").desc, col("__cl"))
+    val pred = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__cl").as("__pl"))
+    pred.join(trueLabels, Seq("query_id"))
+      .groupBy(col("__tl"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__pl") === col("__tl"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("__tl").as("label"), col("n_queries"), col("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_queries").cast("double"), 6).as("accuracy"))
+  }
+
+  /** Per-label simplified (centroid) silhouette over cosine distance.
+    * Output: (label, n, mean_silhouette) — mean of per-point
+    * s = (b − a) / max(a, b) rounded to 6 decimals (0 when both distances
+    * are 0), where distances are 1 − cosine₆(point, centroid).
+    */
+  def silhouetteSimplified(emb: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String): DataFrame = {
+    val cent = Similarity.centroids(emb, labelCol, vecCol)
+      .select(col(labelCol).as("__clab"), col("centroid"),
+        normD(col("centroid")).as("__cn"))
+    val pts = emb.select(col(idCol).as("__id"), col(labelCol).as("__plab"),
+      col(vecCol).as("__pv"), normD(col(vecCol)).as("__pn"))
+    // |labels| centroids broadcast against every point: the distance
+    // matrix is map-side; per-point a/b reduce over ≤ |labels| rows.
+    val d = pts.crossJoin(broadcast(cent))
+      .withColumn("__d",
+        lit(1.0) - cosine6(col("__pv"), col("__pn"), col("centroid"), col("__cn")))
+    val ab = d.groupBy(col("__id"), col("__plab"))
+      .agg(max(when(col("__plab") === col("__clab"), col("__d"))).as("__a"),
+        min(when(col("__plab") =!= col("__clab"), col("__d"))).as("__b"))
+    val s = ab.withColumn("__s",
+      when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+        .otherwise(round((col("__b") - col("__a")) /
+          greatest(col("__a"), col("__b")), 6)))
+    s.groupBy(col("__plab"))
+      .agg(count(lit(1)).as("n"), round(avg(col("__s")), 6).as("mean_silhouette"))
+      .select(col("__plab").as("label"), col("n"), col("mean_silhouette"))
+  }
+
+  /** Split-conformal per-label thresholds on the nonconformity score
+    * s = round(1 − cosine₆(point, own-label centroid), 6): for each label,
+    * q̂ = the r-th smallest score with r = min(n, ⌈(n+1)·(1−α)⌉) —
+    * the standard finite-sample-valid conformal quantile. `alphaBp` is α
+    * in basis points (exact integer rank arithmetic; no float quantile).
+    *
+    * Output: (label, n, qhat, coverage) where coverage = the fraction of
+    * calibration scores ≤ q̂ (≥ 1−α by construction, > it only through
+    * ties — emitted so drift in the score distribution is observable).
+    *
+    * Scale shape: scores collapse to per-(label, score) COUNTS before any
+    * window; the cumulative rank runs over distinct 6-dp scores per label
+    * (bounded ≤ 2·10⁶ rows/label whatever n is), not per point.
+    */
+  def conformalThresholds(emb: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, alphaBp: Int): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000, "alphaBp must lie in (0, 10000)")
+    val cent = Similarity.centroids(emb, labelCol, vecCol)
+      .select(col(labelCol).as("__clab"), col("centroid"),
+        normD(col("centroid")).as("__cn"))
+    val scored = emb.select(col(labelCol).as("__lab"), col(vecCol).as("__pv"),
+        normD(col(vecCol)).as("__pn"))
+      .join(broadcast(cent), col("__lab") === col("__clab"))
+      .select(col("__lab"),
+        round(lit(1.0) -
+          cosine6(col("__pv"), col("__pn"), col("centroid"), col("__cn")), 6)
+          .as("__s"))
+    val grp = scored.groupBy(col("__lab"), col("__s")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__lab")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grp.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("__lab"))))
+    // r = min(n, ceil((n+1)(1-α))) in exact integer arithmetic; q̂ = the
+    // smallest score whose cumulative count reaches r.
+    val r = least(col("__n"),
+      expr(s"((__n + 1) * ${10000 - alphaBp} + 9999) div 10000"))
+    cum.filter(col("__cum") >= r)
+      .groupBy(col("__lab"))
+      .agg(min_by(struct(col("__s"), col("__cum")), col("__s")).as("__q"),
+        max(col("__n")).as("n"))
+      .select(col("__lab").as("label"), col("n"),
+        col("__q.__s").as("qhat"),
+        round(col("__q.__cum").cast("double") / col("n").cast("double"), 6)
+          .as("coverage"))
+  }
+}

@@ -252,6 +252,45 @@ object ScalarQueries {
         regexp_replace(lower(col("p_name")), " ", "_").as("name_snake"),
         split_part(col("p_type"), lit(" "), lit(1)).as("type_first"),
         regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"))
+    },
+
+    // L92b (sketch): MERGEABLE HLL set algebra — pairwise audience
+    // overlap between event types via Datasketches HLL union +
+    // inclusion-exclusion (|A∩B| ≈ |A| + |B| − |A∪B|). The sketches are
+    // fitted in ONE corpus pass and combined per pair as pure sketch
+    // arithmetic on a T²-row frame — at 100 TB the exact intersection
+    // computed here exists only as the gate's ground truth; production
+    // keeps the per-type sketches as persisted artifacts and answers any
+    // pairwise (or k-way, via repeated union) overlap without rescanning.
+    // Gate shape follows sketch_hll_distinct: exact values hash-checked,
+    // the estimate asserted within a deterministic bound via the ok flag.
+    "sketch_hll_intersection" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("__sk"),
+          countDistinct(col("user_id")).as("__nd"))
+      val a = sk.select(col("event_type").as("type_a"), col("__sk").as("__ska"),
+        col("__nd").as("__nda"))
+      val b = sk.select(col("event_type").as("type_b"), col("__sk").as("__skb"),
+        col("__nd").as("__ndb"))
+      val est = a.join(broadcast(b), col("type_a") < col("type_b"))
+        .withColumn("__estu",
+          expr("hll_sketch_estimate(hll_union(__ska, __skb))"))
+      val users = ev.distinct()
+      val inter = users.select(col("event_type").as("type_a"), col("user_id"))
+        .join(users.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("__exact"))
+      est.join(inter, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          coalesce(col("__exact"), lit(0L)).as("exact_inter"),
+          (abs(col("__nda").cast("double") + col("__ndb").cast("double") -
+            col("__estu") - coalesce(col("__exact"), lit(0L)).cast("double"))
+            <= lit(0.25) * coalesce(col("__exact"), lit(0L)).cast("double") +
+               lit(10.0))
+            .cast("int").as("hll_ok"))
     }
   )
 
@@ -405,6 +444,21 @@ object ScalarQueries {
         |  replace(lower(p_name), ' ', '_') AS name_snake,
         |  split_part(p_type, ' ', 1) AS type_first,
         |  regexp_extract(p_name, '[a-z]+') AS first_word
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+
+    "sketch_hll_intersection" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM u a JOIN u b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |t AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM (SELECT DISTINCT event_type FROM events) a,
+        |       (SELECT DISTINCT event_type FROM events) b
+        |  WHERE a.event_type < b.event_type)
+        |SELECT type_a, type_b, coalesce(exact_inter, 0) AS exact_inter,
+        |  1 AS hll_ok
+        |FROM t LEFT JOIN p USING (type_a, type_b)""".stripMargin
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Similarity
+import graft.ops.{EmbeddingEval, Similarity}
 import graft.sources.Tables
 
 /** Similarity-search queries over the `embeddings` table (64-dim float
@@ -623,6 +623,33 @@ object SimilarityQueries {
       val ann = Similarity.lshKnnMultiTable(emb, queries, "vec_id", "embedding",
         k = 3, planes = MtProdPlanes, tables = MtProdTables, dims = 64)
       Similarity.recallAtK(ann, truth, k = 3)
+    },
+
+    // Leave-one-out 5-NN majority-vote accuracy per label on a bounded
+    // evaluation sample — "do these embeddings separate these labels" as
+    // a measured number before any model training. Queries broadcast
+    // (bounded sample), candidates stream; the vote rank runs over ≤ k
+    // rows per query.
+    "knn_label_accuracy" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      EmbeddingEval.knnLabelAccuracy(emb, emb.filter(col("vec_id") < 100),
+        "vec_id", "embedding", "label", k = 5)
+    },
+
+    // Per-label simplified silhouette (centroid-based, cosine distance):
+    // the O(n²) pairwise silhouette replaced by the one-centroid-fit +
+    // map-side-score shape that survives 100 TB.
+    "ml_silhouette" -> { (s, dir) =>
+      EmbeddingEval.silhouetteSimplified(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label")
+    },
+
+    // Split-conformal per-label nonconformity thresholds at α = 10%:
+    // exact integer-rank quantile over per-(label, score) counts — no
+    // per-row window, driver state zero.
+    "ml_conformal_threshold" -> { (s, dir) =>
+      EmbeddingEval.conformalThresholds(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", alphaBp = 1000)
     }
   )
 
@@ -1067,6 +1094,74 @@ object SimilarityQueries {
          |tk AS (SELECT query_id, count(*) AS truth_k FROM truth GROUP BY 1)
          |SELECT tk.query_id, COALESCE(hits.hits, 0) AS hits, tk.truth_k,
          |  round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / tk.truth_k, 6) AS recall
-         |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin
+         |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin,
+
+    "knn_label_accuracy" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS tl
+         |  FROM embeddings WHERE vec_id < 100),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cl
+         |  FROM embeddings),
+         |knn AS (SELECT query_id, tl, cl FROM (
+         |  SELECT query_id, tl, cl, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6)
+         |      DESC, cand_id) AS rn
+         |  FROM q, c WHERE query_id <> cand_id) WHERE rn <= 5),
+         |votes AS (SELECT query_id, tl, cl, count(*) AS v
+         |  FROM knn GROUP BY 1, 2, 3),
+         |pred AS (SELECT tl, cl AS pl FROM (
+         |  SELECT query_id, tl, cl, v, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY v DESC, cl) AS rn FROM votes) WHERE rn = 1)
+         |SELECT tl AS label, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN pl = tl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CASE WHEN pl = tl THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    count(*), 6) AS accuracy
+         |FROM pred GROUP BY 1""".stripMargin,
+
+    "ml_silhouette" ->
+      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS v FROM embeddings),
+         |cent AS (SELECT label AS clab, list(cr ORDER BY pos) AS centroid
+         |  FROM (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+         |        FROM comp GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |pts AS (SELECT vec_id, label AS plab, embedding AS pv FROM embeddings),
+         |d AS (SELECT vec_id, plab, clab,
+         |  1 - round(${dotSql("pv", "centroid")} /
+         |    (sqrt(${dotSql("pv", "pv")}) *
+         |     sqrt(${dotSql("centroid", "centroid")})), 6) AS dd
+         |  FROM pts, cent),
+         |ab AS (SELECT vec_id, plab,
+         |  max(CASE WHEN plab = clab THEN dd END) AS a,
+         |  min(CASE WHEN plab <> clab THEN dd END) AS b
+         |  FROM d GROUP BY 1, 2),
+         |s AS (SELECT plab, CASE WHEN greatest(a, b) = 0 THEN 0.0
+         |    ELSE round((b - a) / greatest(a, b), 6) END AS sv FROM ab)
+         |SELECT plab AS label, CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(sv), 6) AS mean_silhouette
+         |FROM s GROUP BY 1""".stripMargin,
+
+    "ml_conformal_threshold" ->
+      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS v FROM embeddings),
+         |cent AS (SELECT label AS clab, list(cr ORDER BY pos) AS centroid
+         |  FROM (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+         |        FROM comp GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |sc AS (SELECT e.label AS lab,
+         |  round(1 - round(${dotSql("e.embedding", "centroid")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("centroid", "centroid")})), 6), 6) AS s
+         |  FROM embeddings e JOIN cent ON e.label = cent.clab),
+         |rk AS (SELECT lab, s, row_number() OVER (PARTITION BY lab ORDER BY s)
+         |    AS rn, count(*) OVER (PARTITION BY lab) AS n FROM sc),
+         |qh AS (SELECT lab, n, s AS qhat FROM rk
+         |  WHERE rn = least(n, ((n + 1) * 9000 + 9999) // 10000)),
+         |cov AS (SELECT r.lab, count(*) AS covered
+         |  FROM rk r JOIN qh ON r.lab = qh.lab WHERE r.s <= qh.qhat
+         |  GROUP BY 1)
+         |SELECT qh.lab AS label, CAST(qh.n AS BIGINT) AS n, qh.qhat,
+         |  round(CAST(covered AS DOUBLE) / qh.n, 6) AS coverage
+         |FROM qh JOIN cov ON qh.lab = cov.lab""".stripMargin
   )
 }
