@@ -62,6 +62,20 @@ object TextAnalysis {
         least(lit(1.0), col("n_words") / lit(50.0)) * (lit(1.0) - col("stopword_ratio")))
   }
 
+  /** [[quality]]'s composite score as a single COLUMN over the text —
+    * for composites that consume the score as one more map-side signal:
+    * a per-doc score is a projection, and joining a 1:1 self-derived
+    * frame back onto the corpus pays a full-corpus shuffle for values
+    * the scan row already holds (round-10 lesson: that join was the gap
+    * between `curation_pipeline_v2` and the sum of its parts).
+    * Expression-identical to `quality().quality_score`.
+    */
+  def qualityScoreCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ws = words(t)
+    least(lit(1.0), size(ws).cast("long") / lit(50.0)) *
+      (lit(1.0) - stopwordCount(ws).cast("double") / size(ws))
+  }
+
   /** Marker-word language ID with deterministic priority tie-breaking.
     * `markers` maps language → marker words; priority = insertion order.
     */
@@ -814,12 +828,20 @@ object TextAnalysis {
   val CtrlClass = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
   val ZeroWidthClass = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
 
-  def unicodeScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** [[unicodeScrub]]'s cleaned text as a single COLUMN — same
+    * rationale as [[qualityScoreCol]]: scrubbing is a projection, so
+    * composites inline it instead of joining the scrubbed frame back.
+    */
+  def scrubbedTextCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val stripped = regexp_replace(regexp_replace(t, CtrlClass, ""),
       ZeroWidthClass, "")
+    trim(regexp_replace(stripped, "  +", " "))
+  }
+
+  def unicodeScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
     docs.select(col(idCol),
-      trim(regexp_replace(stripped, "  +", " ")).as("text_clean"),
+      scrubbedTextCol(t).as("text_clean"),
       // Counted as length deltas, not regexp_count: the subtraction form
       // is portable to engines without a count function.
       (length(t) - length(regexp_replace(t, CtrlClass, "")))
@@ -859,6 +881,27 @@ object TextAnalysis {
           .when(col("n_cjk") >= greatest(col("n_digit"), col("n_other")), "cjk")
           .when(col("n_digit") >= col("n_other"), "digit")
           .otherwise("other"))
+  }
+
+  /** [[scriptShare]]'s `dominant` classification as a single COLUMN over
+    * the text — the routing predicate for composites (same
+    * joins-to-columns rationale as [[qualityScoreCol]]). Integer counts
+    * and the identical fixed tie order, so the routing decision matches
+    * the standalone op bit-for-bit.
+    */
+  def dominantScriptCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def cnt(cls: String) =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val latin = cnt(LatinClass)
+    val cyr = cnt(CyrillicClass)
+    val cjk = cnt(CjkClass)
+    val digit = cnt(DigitClass)
+    val other = (length(t).cast("long") - latin - cyr - cjk - digit)
+    when(latin >= greatest(cyr, cjk, digit, other), "latin")
+      .when(cyr >= greatest(cjk, digit, other), "cyrillic")
+      .when(cjk >= greatest(digit, other), "cjk")
+      .when(digit >= other, "digit")
+      .otherwise("other")
   }
 
   /** Zipf rank–frequency diagnostic: OLS slope of ln(freq) on ln(rank)

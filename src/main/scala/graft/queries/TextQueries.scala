@@ -431,13 +431,18 @@ object TextQueries {
     // engine-exact.
     "curation_pipeline_v2" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val quality = TextAnalysis.quality(docs, "doc_id", "text")
-        .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
+      // Quality is a PROJECTION (TextAnalysis.qualityScoreCol) — inlined
+      // as a column rather than joined back as a 1:1 self-derived frame,
+      // which paid a full-corpus shuffle for values the scan row already
+      // holds. Only the LM signal (needs a corpus vocab aggregation +
+      // per-doc re-agg) and the dup-victim set genuinely join.
       val lm = TextAnalysis.unigramLogProbTopV(docs, "doc_id", "text", v = 50)
         .select(col("doc_id"), round(col("mean_nll"), 6).as("mean_nll"))
       val dupVictims = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
         .select(col("doc_b").as("doc_id")).distinct()
-      docs.join(quality, Seq("doc_id"))
+      docs
+        .withColumn("quality_score",
+          round(TextAnalysis.qualityScoreCol(col("text")), 6))
         .join(lm, Seq("doc_id"))
         .filter(col("quality_score") >= 0.5 && col("mean_nll") <= 3.402)
         .join(dupVictims, Seq("doc_id"), "left_anti")
@@ -995,18 +1000,20 @@ object TextQueries {
           lit("你好世界 机器 学习 模型 训练 数据"))
           .when(pmod(col("doc_id"), lit(7)) === 0, dirtyInject(col("text")))
           .otherwise(col("text")).as("text"))
-      val clean = TextAnalysis.unicodeScrub(dirty, "doc_id", "text")
-        .join(dirty.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // Scrub and script routing are both PROJECTIONS
+      // (TextAnalysis.scrubbedTextCol / dominantScriptCol), so the whole
+      // clean-and-route stage is ONE map-side select + filter — the
+      // previous composition joined the scrubbed frame back for `source`
+      // and the script frame back for the routing verdict, two
+      // full-corpus self-join shuffles for per-row values.
       // Scoped-cache the survivor set (only the three columns downstream
       // consumers read): importanceWeights' feature projection reads it
       // once and the final source join-back reads it again — uncached,
       // the scrub+script upstream would run twice.
-      val kept = OpCaches.scoped(clean
-        .select(col("doc_id"), col("source"), col("text_clean"))
-        .join(
-          TextAnalysis.scriptShare(clean, "doc_id", "text_clean")
-            .filter(col("dominant") === "latin").select(col("doc_id")),
-          Seq("doc_id")))
+      val kept = OpCaches.scoped(dirty
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.scrubbedTextCol(col("text")).as("text_clean"))
+        .filter(TextAnalysis.dominantScriptCol(col("text_clean")) === "latin"))
       graft.ops.Sampling.importanceWeights(kept, "doc_id", "text_clean",
           "source", "src2")
         .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))

@@ -754,6 +754,49 @@ class PlanShapeSpec extends AnyFunSuite {
       "the bounded query side must broadcast")
   }
 
+  test("curation v2 computes quality map-side: no quality self-join exchange") {
+    // quality_score is a projection (qualityScoreCol); the only corpus
+    // joins are the per-doc LM frame (one doc_id exchange pair) and the
+    // dup-victim anti join. A quality join would add one more
+    // full-corpus hashpartitioning exchange on doc_id over the raw scan.
+    val q = SparkEntry.queries("curation_pipeline_v2")(spark, dir)
+    val opt = q.queryExecution.optimizedPlan
+    val p = opt.toString
+    assert(p.contains("quality_score"),
+      s"quality must be inlined as a projection:\n${p.take(1200)}")
+    // Corpus scans in the OPTIMIZED plan: the quality-as-a-joined-frame
+    // shape re-scanned documents once more than the inlined-column shape
+    // (scans: main spine, LM tokens, and the dedup machinery's passes).
+    val scans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.toString.contains("documents") => r
+    }.size
+    assert(scans <= docScansV2Expected,
+      s"unexpected extra documents scan (quality join regressed?): $scans\n${p.take(1500)}")
+  }
+  // Measured for the inlined-quality shape; the joined shape adds 1.
+  private val docScansV2Expected = 4
+
+  test("curation v4 cleans and routes in ONE projection: no self-join before the cache") {
+    // Scrub + script routing are both projections; everything upstream
+    // of the scoped cache must be scan → project → filter with no join
+    // at all (the pre-round-10 shape joined the scrubbed frame back for
+    // `source` and the script frame back for the routing verdict).
+    val q = SparkEntry.queries("curation_pipeline_v4")(spark, dir)
+    // AQE wraps the physical plan, so the cached stage is collected from
+    // the optimized LOGICAL plan's InMemoryRelation leaves (each holds
+    // its physical cachedPlan).
+    val cachedPlans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }
+    assert(cachedPlans.nonEmpty, "v4 must scope-cache the clean-and-route stage")
+    cachedPlans.foreach { cp =>
+      assert(!cp.contains("Join") && !cp.contains("Exchange"),
+        s"the cached clean-and-route stage must be one map-side pass:\n${cp.take(1200)}")
+    }
+  }
+
   test("triangle closure is a semi join over equi-keyed wedges") {
     val p = plan("graph_triangles")
     assert(p.contains("LeftSemi"),
