@@ -107,6 +107,79 @@ object EmbeddingEval {
       .select(col("__plab").as("label"), col("n"), col("mean_silhouette"))
   }
 
+  /** Nearest-centroid cluster assignment: each vector goes to the
+    * centroid with the highest 6-dp cosine (ties → smallest cluster id).
+    * Centroids broadcast (bounded |clusters| rows); the distance matrix
+    * is map-side; the argmax reduces ≤ |clusters| rows per vector.
+    * Output: (idCol, cluster).
+    */
+  def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, clusterCol: String): DataFrame = {
+    val cent = centroids.select(col(clusterCol).cast("long").as("__c"),
+      col("centroid"), normD(col("centroid")).as("__cn"))
+    val pts = emb.select(col(idCol), col(vecCol).as("__pv"),
+      normD(col(vecCol)).as("__pn"))
+    pts.crossJoin(broadcast(cent))
+      .select(col(idCol),
+        struct(
+          cosine6(col("__pv"), col("__pn"), col("centroid"), col("__cn"))
+            .as("__cos"),
+          (-col("__c")).as("__negc")).as("__s"))
+      .groupBy(col(idCol))
+      // struct max = (highest cosine, then highest -c = SMALLEST cluster).
+      .agg(max(col("__s")).as("__m"))
+      .select(col(idCol), (-col("__m.__negc")).as("cluster"))
+  }
+
+  /** Cluster-balanced (semantic-diversity) sampling: `totalN` rows split
+    * EQUALLY across nearest-centroid clusters — the curation step that
+    * keeps a sample from collapsing onto the corpus's dominant semantic
+    * mode the way a uniform draw does. Assignment via [[assignClusters]];
+    * the equal shares complete by largest remainder deterministically
+    * (+1 to the `totalN mod k` largest clusters, ties → smallest id), a
+    * cluster smaller than its quota contributes all its members
+    * (`totalN` is a CEILING, the [[Sampling.neymanSample]] contract);
+    * the per-cluster pick is the hash-ranked deterministic top-quota.
+    *
+    * Scale shape: centroids broadcast; quotas derive on the |clusters|-row
+    * aggregate (bounded windows); the rank window is PRE-THINNED by key
+    * hash to ~10× the max quota (+1000-row floor) per cluster first —
+    * quota ≤ base+1 by construction, so the thin keeps every possible
+    * winner with negligible (deterministic, data-fixed) miss risk and no
+    * cluster's full population ever rides one window task.
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, clusterCol: String,
+                            totalN: Int): DataFrame = {
+    require(totalN > 0, "totalN must be positive")
+    val assigned = assignClusters(emb, idCol, vecCol, centroids, clusterCol)
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRem = Window.partitionBy(lit(1))
+      .orderBy(col("__n").desc, col("cluster"))
+    // base/remainder in exact integer arithmetic over the k-row frame.
+    val quotas = sizes
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__rk", row_number().over(wRem))
+      .select(col("cluster"), col("__n"),
+        least(col("__n"),
+          expr(s"$totalN div __k") +
+            when(col("__rk") <= expr(s"$totalN - (($totalN div __k) * __k)"),
+              1L).otherwise(0L)).as("quota"))
+    // Pre-thin before the rank window (stratifiedExact discipline): the
+    // quota is ≤ totalN div k + 1, so 10× that (with a 1000-row floor)
+    // bounds every window partition independent of cluster size.
+    val expectKeep = greatest(lit(10.0) * col("quota"), lit(1000.0))
+    val thinned = assigned.join(broadcast(quotas), Seq("cluster"))
+      .filter(Sampling.keyUniform(col(idCol)) <
+        least(lit(1.0), expectKeep / col("__n")))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(Sampling.keyUniform(col(idCol)), col(idCol))
+    thinned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("quota"))
+      .select(col(idCol), col("cluster"))
+  }
+
   /** Split-conformal per-label thresholds on the nonconformity score
     * s = round(1 − cosine₆(point, own-label centroid), 6): for each label,
     * q̂ = the r-th smallest score with r = min(n, ⌈(n+1)·(1−α)⌉) —

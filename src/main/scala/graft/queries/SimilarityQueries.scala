@@ -650,6 +650,17 @@ object SimilarityQueries {
     "ml_conformal_threshold" -> { (s, dir) =>
       EmbeddingEval.conformalThresholds(Tables.embeddings(s, dir),
         "vec_id", "embedding", "label", alphaBp = 1000)
+    },
+
+    // Cluster-balanced (semantic-diversity) sampling: 300 vectors split
+    // equally across nearest-centroid clusters by largest remainder,
+    // hash-ranked deterministic pick, rank window pre-thinned — the
+    // anti-mode-collapse counterpart of uniform sampling.
+    "sample_cluster_balanced" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cent = Similarity.centroids(emb, "label", "embedding")
+      EmbeddingEval.clusterBalancedSample(emb, "vec_id", "embedding",
+        cent, "label", totalN = 300)
     }
   )
 
@@ -1162,6 +1173,41 @@ object SimilarityQueries {
          |  GROUP BY 1)
          |SELECT qh.lab AS label, CAST(qh.n AS BIGINT) AS n, qh.qhat,
          |  round(CAST(covered AS DOUBLE) / qh.n, 6) AS coverage
-         |FROM qh JOIN cov ON qh.lab = cov.lab""".stripMargin
+         |FROM qh JOIN cov ON qh.lab = cov.lab""".stripMargin,
+
+    // Assignment = argmax 6-dp cosine to the label-fitted centroids
+    // (ties → smallest cluster); equal-share quotas complete by largest
+    // remainder (+1 to the biggest clusters, ties → smallest id); the
+    // pick is the md5-uniform rank — the engine's pre-thin keeps the
+    // selected set identical, so the oracle omits it.
+    "sample_cluster_balanced" ->
+      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS v FROM embeddings),
+         |cent AS (SELECT label AS clab, list(cr ORDER BY pos) AS centroid
+         |  FROM (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+         |        FROM comp GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |pts AS (SELECT vec_id, embedding AS pv FROM embeddings),
+         |d AS (SELECT vec_id, CAST(clab AS BIGINT) AS clab,
+         |  round(${dotSql("pv", "centroid")} /
+         |    (sqrt(${dotSql("pv", "pv")}) *
+         |     sqrt(${dotSql("centroid", "centroid")})), 6) AS cs
+         |  FROM pts, cent),
+         |asg AS (SELECT vec_id, clab AS cluster FROM (
+         |  SELECT vec_id, clab, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, clab) AS rn FROM d) WHERE rn = 1),
+         |sz AS (SELECT cluster, count(*) AS n FROM asg GROUP BY 1),
+         |kq AS (SELECT cluster, n, count(*) OVER () AS k,
+         |    row_number() OVER (ORDER BY n DESC, cluster) AS rk FROM sz),
+         |q AS (SELECT cluster, least(n, (300 // k) +
+         |    CASE WHEN rk <= 300 - (300 // k) * k THEN 1 ELSE 0 END) AS quota
+         |  FROM kq),
+         |r AS (SELECT vec_id, cluster, row_number() OVER (
+         |    PARTITION BY cluster
+         |    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+         |        ::BIGINT / 4294967296.0, vec_id) AS rn
+         |  FROM asg)
+         |SELECT r.vec_id, r.cluster FROM r JOIN q USING (cluster)
+         |WHERE r.rn <= q.quota""".stripMargin
   )
 }

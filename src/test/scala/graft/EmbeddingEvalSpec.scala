@@ -90,6 +90,54 @@ class EmbeddingEvalSpec extends AnyFunSuite {
     assert(math.abs(half - 5.0 / 9.0) < 1e-6)
   }
 
+  test("assignClusters routes each vector to its nearest centroid, not its label") {
+    // A "y"-labeled point lying on the x axis must assign to cluster of
+    // the x centroid regardless of its own label.
+    val emb = axisEmb.union(
+      Seq((7L, Array(5.0f, 0.0f), "y")).toDF("vec_id", "embedding", "label"))
+    // Numeric cluster ids: x-cluster = 0, y-cluster = 1.
+    val cent = graft.ops.Similarity.centroids(
+      emb.withColumn("cl", when(col("label") === "x", 0L).otherwise(1L))
+        .filter(col("vec_id") <= 6L), // fit on the clean axis points only
+      "cl", "embedding")
+    val got = EmbeddingEval.assignClusters(emb, "vec_id", "embedding", cent, "cl")
+      .as[(Long, Long)].collect().toMap
+    assert(got(7L) == 0L) // the stray y-labeled point routes to x
+    assert(got(1L) == 0L && got(4L) == 1L)
+  }
+
+  test("clusterBalancedSample: equal shares, largest-remainder +1, deterministic") {
+    // 6 x-vectors, 3 y-vectors, totalN = 5 over k = 2 clusters:
+    // base = 2, remainder 1 → the LARGER cluster (x) gets 3, y gets 2.
+    val emb = ((1L to 6L).map(i => (i, Array(i.toFloat, 0.0f), 0L)) ++
+      (7L to 9L).map(i => (i, Array(0.0f, i.toFloat), 1L)))
+      .toDF("vec_id", "embedding", "cl")
+    val cent = graft.ops.Similarity.centroids(emb, "cl", "embedding")
+    val got = EmbeddingEval.clusterBalancedSample(emb, "vec_id", "embedding",
+        cent, "cl", totalN = 5)
+      .as[(Long, Long)].collect().toSeq
+    val byCluster = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCluster == Map(0L -> 3, 1L -> 2), s"got $byCluster")
+    // Deterministic: a second run returns the identical set.
+    val again = EmbeddingEval.clusterBalancedSample(emb, "vec_id", "embedding",
+        cent, "cl", totalN = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.toSet == again.toSet)
+  }
+
+  test("clusterBalancedSample: quota caps at cluster size (totalN is a ceiling)") {
+    // One singleton cluster: quotas (5, 5) cap to (5, 1) → 6 rows out.
+    val emb = ((1L to 20L).map(i => (i, Array(i.toFloat, 0.0f), 0L)) ++
+      Seq((21L, Array(0.0f, 1.0f), 1L)))
+      .toDF("vec_id", "embedding", "cl")
+    val cent = graft.ops.Similarity.centroids(emb, "cl", "embedding")
+    val got = EmbeddingEval.clusterBalancedSample(emb, "vec_id", "embedding",
+        cent, "cl", totalN = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.size == 6)
+    assert(got.count(_._2 == 1L) == 1)
+  }
+
   test("conformalThresholds rejects alphaBp outside (0, 10000)") {
     intercept[IllegalArgumentException] {
       EmbeddingEval.conformalThresholds(axisEmb,

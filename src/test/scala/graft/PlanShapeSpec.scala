@@ -797,6 +797,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-balanced sample broadcasts centroids and pre-thins the rank window") {
+    val p = plan("sample_cluster_balanced")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid matrix must broadcast:\n${p.take(1200)}")
+    // The rank window's input must carry the hash pre-thin filter (an
+    // unthinned window would put a whole cluster through one task).
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0)
+    assert(p.substring(winIdx).contains("Filter") ||
+      p.substring(0, winIdx).contains("4294967296"),
+      s"rank window must be fed by the keyUniform pre-thin:\n${p.take(1500)}")
+  }
+
   test("triangle closure is a semi join over equi-keyed wedges") {
     val p = plan("graph_triangles")
     assert(p.contains("LeftSemi"),
