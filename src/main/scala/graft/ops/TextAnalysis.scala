@@ -235,6 +235,49 @@ object TextAnalysis {
         round(col("freq").cast("double") / col("__total"), 6).as("share"))
   }
 
+  /** Vocabulary coverage curve: for each requested vocabulary size V,
+    * the fraction of ALL corpus token occurrences covered by the top-V
+    * tokens (frequency desc, token asc ties) — the tokenizer-budget
+    * analysis ("how big must the vocab be before OOV mass is
+    * negligible"). Sizes clamp to the actual vocabulary (the
+    * [[Stats.exactPercentiles]] clamp discipline), so an oversized V
+    * reports the full-vocabulary row rather than vanishing.
+    *
+    * Scale shape: the curve is computed on the VOCABULARY frame (one
+    * hash-agg of the exploded corpus), never per token occurrence; rank
+    * and the inclusive cumulative mass ride TWO range-partitioned
+    * prefix passes ([[Stats.withRangeRank]]/[[Stats.withRangeCumSum]] —
+    * no single-partition sort, integer arithmetic end to end); the
+    * requested sizes join the |sizes|-row target frame by rank.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    vocabSizes: Seq[Int]): DataFrame = {
+    require(vocabSizes.nonEmpty && vocabSizes.forall(_ > 0),
+      "vocabulary sizes must be positive")
+    val counts = docs.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
+    val order = Seq(col("__cnt").desc, col("w").asc)
+    val ranked = Stats.withRangeCumSum(
+      Stats.withRangeRank(counts, order, "__r"), order, col("__cnt"), "__cum0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = vocabSizes.distinct.sorted.toDF("vocab_size")
+    ranked
+      .crossJoin(broadcast(targets))
+      .filter(col("__r") === least(col("vocab_size").cast("long"), col("__n")))
+      .select(col("vocab_size"),
+        col("__r").as("n_terms"),
+        (col("__cum0") + col("__cnt")).as("covered_tokens"))
+      .transform { cov =>
+        val total = counts.agg(sum(col("__cnt")).as("total_tokens"))
+        cov.crossJoin(broadcast(total))
+          .select(col("vocab_size"), col("n_terms"), col("covered_tokens"),
+            col("total_tokens"),
+            round(col("covered_tokens").cast("double") /
+              col("total_tokens").cast("double"), 6).as("coverage"))
+      }
+  }
+
   /** Per-group unigram drift: KL(P_group ‖ P_corpus) over the corpus
     * top-`v` vocabulary — the dataset-mixture drift monitor ("has src2's
     * language shifted away from the corpus?"). Both distributions are

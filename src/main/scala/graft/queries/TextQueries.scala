@@ -904,6 +904,14 @@ object TextQueries {
         minShare = 0.005)
     },
 
+    // Vocabulary coverage curve: corpus token mass covered by the top-V
+    // vocabulary at several V (tokenizer budget analysis). The 1000 row
+    // exercises the clamp-to-actual-vocabulary contract.
+    "text_vocab_coverage" -> { (s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text",
+        vocabSizes = Seq(5, 10, 1000))
+    },
+
     // Per-source unigram KL drift vs the corpus top-50 vocabulary.
     "text_source_kl" -> { (s, dir) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, dir), "text",
@@ -2156,6 +2164,24 @@ object TextQueries {
          |t AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM c)
          |SELECT token, freq, round(CAST(freq AS DOUBLE) / total, 6) AS share
          |FROM c, t WHERE CAST(freq AS DOUBLE) / total > 0.005""".stripMargin,
+
+    // Rank = (freq desc, token asc); inclusive cumulative mass at the
+    // clamped rank; oversized V reports the full-vocabulary row.
+    "text_vocab_coverage" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(ws) AS w FROM words),
+         |c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+         |r AS (SELECT w, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, w) AS rk,
+         |    sum(cnt) OVER (ORDER BY cnt DESC, w
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    count(*) OVER () AS nv FROM c),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+         |v(vocab_size) AS (VALUES (5), (10), (1000))
+         |SELECT v.vocab_size, CAST(r.rk AS BIGINT) AS n_terms,
+         |  CAST(r.cum AS BIGINT) AS covered_tokens, t.total_tokens,
+         |  round(CAST(r.cum AS DOUBLE) / t.total_tokens, 6) AS coverage
+         |FROM v JOIN r ON r.rk = least(v.vocab_size, r.nv), t""".stripMargin,
 
     // KL folds over SORTED per-term contributions (list_sort → list_sum ≡
     // Spark array_sort → aggregate): order-identical double sums.

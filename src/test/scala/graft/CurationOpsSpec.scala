@@ -66,6 +66,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got("hot") == 98L)
   }
 
+  test("vocabCoverage: inclusive mass at the ranked cut; oversized V clamps") {
+    // Corpus: "a"×6, "b"×3, "c"×1 → total 10. Rank order a, b, c.
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(1, 2, 99))
+      .select("vocab_size", "n_terms", "covered_tokens", "total_tokens", "coverage")
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, 1L, 6L, 10L, 0.6),   // top-1 = "a"
+      (2, 2L, 9L, 10L, 0.9),   // + "b"
+      (99, 3L, 10L, 10L, 1.0)  // clamps to the 3-term vocabulary
+    ), got.toString)
+  }
+
+  test("vocabCoverage ties rank by token ascending") {
+    // "x" and "y" both occur twice: rank 1 must be "x" (asc tie), so
+    // V = 1 covers exactly 2 of 4 tokens.
+    val docs = Seq((1L, "y x y x")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(1))
+      .select("covered_tokens", "coverage").as[(Long, Double)].collect().head
+    assert(got == ((2L, 0.5)))
+  }
+
   test("sourceDivergence: identical mixes score ~0, shifted mixes score > 0") {
     val balanced = (1 to 20).flatMap(i => Seq(
       (i.toLong, "common words shared by every source here", "srcA"),
