@@ -256,4 +256,41 @@ object DataQuality {
     pairs.select(col("from_state"), col("to_state"), col("n"),
       round(col("n").cast("double") / rowTotal.cast("double"), 6).as("prob"))
   }
+
+  /** Corpus version diff — the crawl-to-crawl regression report: per
+    * group, how many documents were ADDED, REMOVED, CHANGED (same id,
+    * different content), or UNCHANGED between two corpus versions, plus
+    * the net size delta in characters. The report a pipeline reads
+    * before re-training on a refreshed source ("src3 silently lost 40%
+    * of its documents" is the incident this catches).
+    *
+    * Scale shape: content collapses to its md5 AND length MAP-SIDE, so
+    * the full-outer id join shuffles (id, group, hash, len) per side —
+    * never document text; the status classification is a projection
+    * over the joined row and the report is one hash-agg on (group,
+    * status). Group attribution: a changed/unchanged doc reports the
+    * NEW version's group; removed docs report the old one.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String, groupCol: String): DataFrame = {
+    def slim(df: DataFrame, side: String) = df.select(
+      col(idCol),
+      col(groupCol).as(s"__g_$side"),
+      md5(col(textCol)).as(s"__h_$side"),
+      length(col(textCol)).cast("long").as(s"__len_$side"))
+    val joined = slim(oldDf, "old")
+      .join(slim(newDf, "new"), Seq(idCol), "full_outer")
+    joined
+      .select(
+        coalesce(col("__g_new"), col("__g_old")).as(groupCol),
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("__len_new"), lit(0L)) -
+          coalesce(col("__len_old"), lit(0L))).as("__delta"))
+      .groupBy(col(groupCol), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__delta")).as("char_delta"))
+  }
 }

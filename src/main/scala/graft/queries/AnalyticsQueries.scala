@@ -189,6 +189,24 @@ object AnalyticsQueries {
       TsAnalytics.activeUsers(Tables.events(s, dir), "user_id", "ts")
     },
 
+    // Corpus version diff: the "new crawl" is derived deterministically
+    // from documents (drop id%17, rewrite id%13, add shifted ids for
+    // id%19) so every status bucket is populated; content hashes map-side
+    // — text never crosses the full-outer id join.
+    "dq_corpus_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newV = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" revised"))).otherwise(col("text"))
+            .as("text"),
+          col("source"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            col("source")))
+      DataQuality.corpusDiff(docs, newV, "doc_id", "text", "source")
+    },
+
     // L193: first-order event-type transition matrix.
     "events_transition_matrix" -> { (s, dir) =>
       DataQuality.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
@@ -1745,6 +1763,30 @@ object AnalyticsQueries {
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    "dq_corpus_diff" ->
+      """WITH oldv AS (SELECT doc_id, source, md5(text) AS h,
+        |    CAST(length(text) AS BIGINT) AS len FROM documents),
+        |newv AS (SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' revised'
+        |      ELSE text END) AS h,
+        |    CAST(length(CASE WHEN doc_id % 13 = 0 THEN text || ' revised'
+        |      ELSE text END) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, md5(text),
+        |    CAST(length(text) AS BIGINT)
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |j AS (SELECT coalesce(n.source, o.source) AS source,
+        |    CASE WHEN o.h IS NULL THEN 'added'
+        |      WHEN n.h IS NULL THEN 'removed'
+        |      WHEN o.h <> n.h THEN 'changed'
+        |      ELSE 'unchanged' END AS status,
+        |    coalesce(n.len, 0) - coalesce(o.len, 0) AS delta
+        |  FROM oldv o FULL OUTER JOIN newv n USING (doc_id))
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(delta) AS BIGINT) AS char_delta
+        |FROM j GROUP BY 1, 2""".stripMargin,
 
     "dq_freshness" ->
       """WITH per AS (SELECT event_type,

@@ -494,6 +494,34 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got.size <= 5, s"flag set must stay tight: $got")
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged with char deltas") {
+    val oldV = Seq(
+      (1L, "alpha", "s1"),   // unchanged
+      (2L, "beta", "s1"),    // changed (+4 chars)
+      (3L, "gamma", "s2")    // removed
+    ).toDF("doc_id", "text", "source")
+    val newV = Seq(
+      (1L, "alpha", "s1"),
+      (2L, "beta new", "s1"),
+      (4L, "delta", "s2")    // added
+    ).toDF("doc_id", "text", "source")
+    val got = DataQuality.corpusDiff(oldV, newV, "doc_id", "text", "source")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("s1", "unchanged", 1L, 0L),
+      ("s1", "changed", 1L, 4L),
+      ("s2", "removed", 1L, -5L),
+      ("s2", "added", 1L, 5L)), got.toString)
+  }
+
+  test("corpusDiff: a changed doc reports the NEW version's group") {
+    val oldV = Seq((1L, "t", "gOld")).toDF("doc_id", "text", "source")
+    val newV = Seq((1L, "t2", "gNew")).toDF("doc_id", "text", "source")
+    val got = DataQuality.corpusDiff(oldV, newV, "doc_id", "text", "source")
+      .select("source", "status").as[(String, String)].collect().toSeq
+    assert(got == Seq(("gNew", "changed")))
+  }
+
   test("freshnessReport: frontier lag in whole hours; stale flag at the cutoff") {
     def hts(h: Long) = ts(h * 3600000000L)
     val df = Seq(
