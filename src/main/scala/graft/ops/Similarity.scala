@@ -258,9 +258,9 @@ object Similarity {
     * (rounded to 6 dp), array_sort by (cosine desc, label asc), slice.
     * No join, no window, no shuffle for the assignment step.
     */
-  private def probeClusters(qv: org.apache.spark.sql.Column,
-                            qn: org.apache.spark.sql.Column,
-                            index: IvfIndex, nprobe: Int): org.apache.spark.sql.Column = {
+  private[graft] def probeClusters(qv: org.apache.spark.sql.Column,
+                                   qn: org.apache.spark.sql.Column,
+                                   index: IvfIndex, nprobe: Int): org.apache.spark.sql.Column = {
     val scored = array(index.centroids.map { c =>
       struct(round(dotD(qv, typedlit(c.vec)) / nullif(qn * lit(c.norm), lit(0.0)), 6).as("ccos"),
         lit(c.label).as("label"))

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+import graft.streaming.StreamAnnServe
+
+/** MemoryStream element type — top-level so the encoder needs no outer
+  * scope (a spec-nested case class fails at newInstance time).
+  */
+case class AnnVec(vec_id: Long, embedding: Array[Float], label: Long)
+
+/** Streaming ANN serving: micro-batched query vectors against a static
+  * cluster-keyed store must match the batch IVF kNN on the same inputs,
+  * across batch splits (the keyed top-k state refines, never dups).
+  */
+class StreamAnnServeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private type Vec = AnnVec
+  private def Vec(id: Long, emb: Array[Float], label: Long) =
+    AnnVec(id, emb, label)
+
+  // Two well-separated clusters on orthogonal axes + slight per-id jitter
+  // so cosines are distinct and ranks deterministic.
+  private def store = ((1L to 8L).map(i =>
+    Vec(i, Array(1.0f, (i * 0.01).toFloat), 0L)) ++
+    (9L to 16L).map(i => Vec(i, Array((i * 0.01).toFloat, 1.0f), 1L)))
+    .toDF("vec_id", "embedding", "label")
+
+  private def queryRows = Seq(
+    Vec(101L, Array(1.0f, 0.05f), 0L),
+    Vec(102L, Array(0.02f, 1.0f), 0L),
+    Vec(103L, Array(1.0f, 0.11f), 0L))
+
+  test("streamed IVF top-k equals batch ivfKnn, including across batch splits") {
+    val st = store
+    val idx = Similarity.ivfFit(st, "label", "embedding")
+    val expected = Similarity.ivfKnn(st,
+        queryRows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", k = 3, nprobe = 1, index = Some(idx))
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    val input = MemoryStream[Vec](implicitly[org.apache.spark.sql.Encoder[Vec]], spark)
+    val served = StreamAnnServe.serve(input.toDF(), st, idx,
+      "vec_id", "embedding", "label", k = 3, nprobe = 1)
+    val q = served.writeStream.outputMode("complete")
+      .format("memory").queryName("ann_serve").start()
+    try {
+      // Split the queries across two triggers.
+      input.addData(queryRows.take(1))
+      q.processAllAvailable()
+      input.addData(queryRows.drop(1))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == expected, s"stream/batch divergence:\n$got\nvs\n$expected")
+    } finally q.stop()
+  }
+
+  test("scoredCandidates only touches the probed cluster's store slice") {
+    val st = store
+    val idx = Similarity.ivfFit(st, "label", "embedding")
+    val input = MemoryStream[Vec](implicitly[org.apache.spark.sql.Encoder[Vec]], spark)
+    val cands = StreamAnnServe.scoredCandidates(input.toDF(), st, idx,
+      "vec_id", "embedding", "label", nprobe = 1)
+    val q = cands.writeStream.outputMode("append")
+      .format("memory").queryName("ann_cands").start()
+    try {
+      input.addData(Seq(Vec(200L, Array(1.0f, 0.0f), 0L))) // x-axis query
+      q.processAllAvailable()
+      val got = spark.table("ann_cands").select("cand_id")
+        .as[Long].collect().toSet
+      assert(got == (1L to 8L).toSet, // never the y-cluster's 9..16
+        s"x-axis query must only score cluster-0 candidates: $got")
+    } finally q.stop()
+  }
+}
