@@ -943,4 +943,50 @@ object Stats {
             sqrt(col("n") * col("__syy") - col("__sy") * col("__sy")), lit(0.0)))
           .as("corr"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters (the labeling-pipeline QA metric: "are annotator A and the
+    * model actually agreeing beyond what their marginals force").
+    * κ = (p_o − p_e) / (1 − p_e), p_o = agreement share, p_e = Σ_c of
+    * the two raters' marginal shares multiplied.
+    *
+    * One hash-agg over the (rater_a, rater_b) contingency cells (bounded
+    * by |categories|²), then the marginals and κ fold on that bounded
+    * frame — integer counts until the final divisions. Rows where either
+    * side is null are excluded (no-label ≠ a label). κ = null when
+    * p_e = 1 (both raters constant and equal — agreement is undefined,
+    * not perfect). Output: (n_items, p_observed, p_expected, kappa).
+    */
+  def cohensKappa(df: DataFrame, raterACol: String,
+                  raterBCol: String): DataFrame = {
+    // ONE corpus pass builds the |cats|²-bounded contingency cells;
+    // marginals, the diagonal, and the total all derive from that frame.
+    val cells = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .groupBy(col(raterACol).cast("string").as("__a"),
+        col(raterBCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // reused four ways; recomputing = 4 corpus scans
+    val ma = cells.groupBy(col("__a").as("__c")).agg(sum(col("__n")).as("__na"))
+    val mb = cells.groupBy(col("__b").as("__c")).agg(sum(col("__n")).as("__nb"))
+    // Inner join: a category one rater never uses has n_a·n_b = 0 and
+    // contributes nothing to p_e. Products stay in Long (< 2^63 up to
+    // ~3·10⁹ items per side).
+    val peNum = ma.join(mb, Seq("__c"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__pe_num"))
+    val totals = cells.agg(sum(col("__n")).as("n_items"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))),
+        lit(0L)).as("__agree"))
+    totals.crossJoin(broadcast(peNum))
+      .select(col("n_items"),
+        round(col("__agree").cast("double") / col("n_items"), 6)
+          .as("p_observed"),
+        round(col("__pe_num").cast("double") /
+          (col("n_items") * col("n_items")).cast("double"), 6)
+          .as("p_expected"))
+      .withColumn("kappa",
+        when(col("p_expected") === 1.0, lit(null).cast("double"))
+          .otherwise(round((col("p_observed") - col("p_expected")) /
+            (lit(1.0) - col("p_expected")), 6)))
+  }
 }

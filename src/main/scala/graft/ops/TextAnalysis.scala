@@ -235,6 +235,35 @@ object TextAnalysis {
         round(col("freq").cast("double") / col("__total"), 6).as("share"))
   }
 
+  /** Per-document character-level Shannon entropy — the compressibility
+    * quality signal (low entropy ⇒ repetitive/templated junk; the
+    * cheap stand-in for the classic gzip-ratio filter, with no codec
+    * dependency). Entirely MAP-SIDE: per-char counts come from array
+    * lambdas over the row's own text, no explode, no shuffle.
+    *
+    * Numerics: H = ln(L) − (Σ n_c·ln n_c)/L with INTEGER counts inside
+    * the logs, and the Σ folds over VALUE-SORTED terms (the house
+    * cross-engine double-sum discipline); ties in term values are exact
+    * duplicates, so the fold order is fully determined. Empty text ⇒
+    * null (an entropy of nothing is undefined, and engines disagree on
+    * splitting the empty string).
+    */
+  def charEntropy(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val chars = split(col(textCol), "")
+    val counts = transform(array_sort(array_distinct(chars)),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    val terms = array_sort(transform(counts, n => n * log(n)))
+    val sterm = aggregate(terms, lit(0.0), (acc, t) => acc + t)
+    val len = length(col(textCol)).cast("double")
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      when(length(col(textCol)) > 0, size(array_distinct(chars)).cast("long"))
+        .as("n_distinct_chars"),
+      when(length(col(textCol)) > 0,
+        round(log(len) - sterm / len, 6)).as("char_entropy"))
+  }
+
   /** Vocabulary coverage curve: for each requested vocabulary size V,
     * the fraction of ALL corpus token occurrences covered by the top-V
     * tokens (frequency desc, token asc ties) — the tokenizer-budget

@@ -249,6 +249,25 @@ object TextQueries {
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // Per-doc character entropy (map-side array lambdas, no shuffle) —
+    // the no-codec compressibility filter; summarized per source so the
+    // gate exercises the signal as a corpus report.
+    "text_char_entropy" -> { (s, dir) =>
+      TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // Annotator-agreement QA: the declared `lang` label vs the marker
+    // langId prediction, chance-corrected — the labeling-pipeline
+    // acceptance metric.
+    "ml_cohens_kappa" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pred = TextAnalysis.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+      graft.ops.Stats.cohensKappa(
+        docs.select(col("doc_id"), col("lang")).join(pred, Seq("doc_id")),
+        "lang", "predicted_lang")
+    },
+
     // Exact dedup over a doubled corpus (simulated re-ingest): every text
     // collapses to one canonical row with n_copies = 2.
     "dedup_exact" -> { (s, dir) =>
@@ -1309,6 +1328,63 @@ object TextQueries {
          |       WHEN score_de = g AND g > 0 THEN 'de'
          |       ELSE 'und' END AS predicted_lang
          |FROM (SELECT *, greatest(score_en, score_es, score_fr, score_de) AS g FROM s)""".stripMargin,
+
+    // H = ln(L) − (Σ n·ln n)/L, integer counts inside the logs, the Σ
+    // folded over VALUE-SORTED terms (list_sort → list_sum ≡ Spark
+    // array_sort → aggregate).
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cnts AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+        |  FROM ch GROUP BY 1, 2),
+        |s AS (SELECT doc_id,
+        |    list_sum(list_sort(list(n * ln(n)))) AS sterm,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM cnts GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  s.nd AS n_distinct_chars,
+        |  round(ln(CAST(length(d.text) AS DOUBLE)) -
+        |    s.sterm / length(d.text), 6) AS char_entropy
+        |FROM documents d JOIN s USING (doc_id)""".stripMargin,
+
+    // κ from the ROUNDED p_o/p_e (the engine rounds both to 6 dp before
+    // the final ratio, then rounds κ — replicated in that exact order).
+    "ml_cohens_kappa" ->
+      s"""WITH $wordsCte,
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(ws, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS score_es,
+         |  CAST(len(list_filter(ws, x -> x IN ('le','les','de','et','un'))) AS BIGINT) AS score_fr,
+         |  CAST(len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS score_de
+         |  FROM words),
+         |pred AS (SELECT doc_id,
+         |  CASE WHEN score_en = g AND g > 0 THEN 'en'
+         |       WHEN score_es = g AND g > 0 THEN 'es'
+         |       WHEN score_fr = g AND g > 0 THEN 'fr'
+         |       WHEN score_de = g AND g > 0 THEN 'de'
+         |       ELSE 'und' END AS pl
+         |  FROM (SELECT *, greatest(score_en, score_es, score_fr, score_de) AS g FROM s)),
+         |pair AS (SELECT d.lang AS a, p.pl AS b
+         |  FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE d.lang IS NOT NULL),
+         |cells AS (SELECT a, b, count(*) AS n FROM pair GROUP BY 1, 2),
+         |ma AS (SELECT a AS c, sum(n) AS na FROM cells GROUP BY 1),
+         |mb AS (SELECT b AS c, sum(n) AS nb FROM cells GROUP BY 1),
+         |pe AS (SELECT coalesce(sum(na * nb), 0) AS pe_num
+         |  FROM ma JOIN mb USING (c)),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+         |    coalesce(sum(CASE WHEN a = b THEN n END), 0) AS agree
+         |  FROM cells),
+         |r AS (SELECT n_items,
+         |    round(CAST(agree AS DOUBLE) / n_items, 6) AS p_observed,
+         |    round(CAST(pe_num AS DOUBLE) / (CAST(n_items AS DOUBLE) * n_items), 6)
+         |      AS p_expected
+         |  FROM tot, pe)
+         |SELECT n_items, p_observed, p_expected,
+         |  CASE WHEN p_expected = 1.0 THEN NULL
+         |    ELSE round((p_observed - p_expected) / (1.0 - p_expected), 6)
+         |  END AS kappa
+         |FROM r""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH $wordsCte

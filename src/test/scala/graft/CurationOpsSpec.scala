@@ -66,6 +66,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got("hot") == 98L)
   }
 
+  test("charEntropy: constant text → 0, uniform pair → ln 2, empty → null") {
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_chars", "char_entropy")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set(
+      (1L, 4L, Some(0.0)),
+      (2L, 4L, Some(math.floor(math.log(2.0) * 1e6) / 1e6)), // 0.693147
+      (3L, 0L, None)), got.toString)
+  }
+
+  test("cohensKappa: perfect agreement → 1; independent raters → ~0; constant-equal → null") {
+    import graft.ops.Stats
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("r1", "r2")
+    val k1 = Stats.cohensKappa(perfect, "r1", "r2")
+      .select("kappa").as[Double].collect().head
+    assert(k1 == 1.0)
+    // 2×2 balanced independence: every cell 1 → p_o = 0.5, p_e = 0.5, κ = 0.
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("r1", "r2")
+    val k0 = Stats.cohensKappa(indep, "r1", "r2")
+      .select("kappa").as[Double].collect().head
+    assert(k0 == 0.0)
+    // Both raters constant and equal: p_e = 1 → κ undefined (null).
+    val const = Seq(("a", "a"), ("a", "a")).toDF("r1", "r2")
+    val kNull = Stats.cohensKappa(const, "r1", "r2")
+      .select("kappa").collect().head
+    assert(kNull.isNullAt(0))
+    // Null labels are excluded, not treated as a category.
+    val withNull = Seq(("a", "a"), (null, "b"), ("b", null), ("b", "b"))
+      .toDF("r1", "r2")
+    val n = Stats.cohensKappa(withNull, "r1", "r2")
+      .select("n_items").as[Long].collect().head
+    assert(n == 2L)
+  }
+
   test("vocabCoverage: inclusive mass at the ranked cut; oversized V clamps") {
     // Corpus: "a"×6, "b"×3, "c"×1 → total 10. Rank order a, b, c.
     val docs = Seq((1L, "a a a b b c"), (2L, "a a a b")).toDF("doc_id", "text")
