@@ -207,6 +207,24 @@ object AnalyticsQueries {
       DataQuality.corpusDiff(docs, newV, "doc_id", "text", "source")
     },
 
+    // Bradley–Terry preference strengths (3 MM rounds) over per-user
+    // "best vs worst event type" judgments — the RLHF preference-
+    // aggregation primitive, with the PageRank unrolled-oracle
+    // discipline. Winner/loser pick is the (value, event_id) struct
+    // extremum, so ties never reach the type column.
+    "pref_bradley_terry" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+      val judged = ev.groupBy(col("user_id"))
+        .agg(max(struct(col("value"), col("event_id"), col("event_type")))
+            .as("__w"),
+          min(struct(col("value"), col("event_id"), col("event_type")))
+            .as("__l"))
+        .select(col("__w.event_type").as("winner"),
+          col("__l.event_type").as("loser"))
+      graft.ops.Preference.bradleyTerry(judged, "winner", "loser", rounds = 3)
+    },
+
     // L193: first-order event-type transition matrix.
     "events_transition_matrix" -> { (s, dir) =>
       DataQuality.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
@@ -1762,6 +1780,53 @@ object AnalyticsQueries {
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
+    },
+
+    // Unrolled MM rounds; denominators and the normalizing total fold
+    // over value-sorted term lists (list_sort → list_sum ≡ Spark
+    // array_sort → aggregate); strengths re-quantize to 6 dp per round.
+    "pref_bradley_terry" -> {
+      val rounds = 3
+      val base =
+        """WITH ev AS (SELECT user_id, event_id, event_type, value
+          |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          |wz AS (SELECT user_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY value DESC, event_id DESC) AS rw,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY value ASC, event_id ASC) AS rl
+          |  FROM ev),
+          |judged AS (SELECT w.event_type AS wi, l.event_type AS lj
+          |  FROM (SELECT user_id, event_type FROM wz WHERE rw = 1) w
+          |  JOIN (SELECT user_id, event_type FROM wz WHERE rl = 1) l
+          |    USING (user_id)
+          |  WHERE w.event_type <> l.event_type),
+          |wins AS (SELECT wi AS i, count(*) AS w FROM judged GROUP BY 1),
+          |g AS (SELECT i, j, count(*) AS n FROM (
+          |    SELECT wi AS i, lj AS j FROM judged
+          |    UNION ALL SELECT lj, wi FROM judged)
+          |  GROUP BY 1, 2),
+          |items AS (SELECT DISTINCT i FROM g),
+          |w0 AS (SELECT items.i, coalesce(wins.w, 0) AS wins, 1.0 AS s
+          |  FROM items LEFT JOIN wins ON items.i = wins.i)""".stripMargin
+      val steps = (1 to rounds).map { k =>
+        s""",
+           |d$k AS (SELECT g.i,
+           |    list_sum(list_sort(list(CAST(g.n AS DOUBLE) / (si.s + sj.s))))
+           |      AS d
+           |  FROM g JOIN w${k - 1} si ON g.i = si.i
+           |    JOIN w${k - 1} sj ON g.j = sj.i
+           |  GROUP BY 1),
+           |r$k AS (SELECT p.i, p.wins,
+           |    round(CAST(p.wins AS DOUBLE) / d$k.d, 6) AS raw
+           |  FROM w${k - 1} p JOIN d$k ON p.i = d$k.i),
+           |t$k AS (SELECT list_sum(list_sort(list(raw))) AS t FROM r$k),
+           |w$k AS (SELECT i, wins, round(raw / (SELECT t FROM t$k), 6) AS s
+           |  FROM r$k)""".stripMargin
+      }.mkString
+      base + steps +
+        s"\nSELECT i AS item, CAST(wins AS BIGINT) AS wins, s AS strength" +
+        s"\nFROM w$rounds"
     },
 
     "dq_corpus_diff" ->
