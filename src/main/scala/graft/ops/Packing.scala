@@ -101,4 +101,62 @@ object Packing {
       .withColumn("naive_waste",
         round(lit(1.0) - col("sum_tokens").cast("double") / col("naive_tokens"), 6))
   }
+
+  /** T5-style span-corruption example generation, deterministic: each
+    * document's tokens split into `blockLen`-token blocks; block b of
+    * doc d is masked iff the md5-uniform of (d, b) < `maskProb` (the
+    * keyed-hash sampling doctrine — reproducible on any engine at any
+    * partitioning, unlike RNG masking). The k-th masked block is
+    * replaced by the sentinel `<extra_id_k>` in the INPUT and emitted as
+    * `<extra_id_k> tokens…` in the TARGET — the standard denoising
+    * pretraining pair.
+    *
+    * Entirely MAP-SIDE: blocks, mask decisions, sentinel numbering, and
+    * both assemblies are array lambdas over the row's own tokens — no
+    * explode, no shuffle, no state. Sentinel numbering recomputes the
+    * mask hash for the preceding blocks (O(blocks²) per doc with tiny
+    * constants) rather than carrying a prefix-count struct — blocks per
+    * doc is context-window bounded.
+    *
+    * Output: (idCol, n_blocks, n_masked, input_text, target_text).
+    * Token-less docs emit 0 blocks and empty strings.
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+                     blockLen: Int, maskProb: Double): DataFrame = {
+    require(blockLen > 0, "blockLen must be positive")
+    require(maskProb > 0.0 && maskProb < 1.0, "maskProb must lie in (0, 1)")
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.Column
+    val ws = words(col(textCol))
+    val nTok = size(ws)
+    // Ceil-div in exact arithmetic (Column `/` is double division; the
+    // floor+cast is exact far beyond any real token count).
+    val nBlocks = floor((nTok + lit(blockLen - 1)) / lit(blockLen)).cast("int")
+    def maskedAt(b: Column): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        b.cast("string"))), 1, 8), 16, 10).cast("double") /
+        lit(4294967296.0) < lit(maskProb)
+    def sentinelNo(b: Column): Column =
+      when(b > 0,
+        size(filter(sequence(lit(0), b - 1), bb => maskedAt(bb))))
+        .otherwise(lit(0))
+    def blockText(b: Column): Column =
+      array_join(slice(ws, b * blockLen + 1, lit(blockLen)), " ")
+    val blockIdx = when(nTok > 0,
+      sequence(lit(0), nBlocks - 1)).otherwise(array().cast("array<int>"))
+    val inputText = array_join(
+      transform(blockIdx, b =>
+        when(maskedAt(b),
+          concat(lit("<extra_id_"), sentinelNo(b).cast("string"), lit(">")))
+          .otherwise(blockText(b))), " ")
+    val targetText = array_join(
+      transform(filter(blockIdx, b => maskedAt(b)), b =>
+        concat(lit("<extra_id_"), sentinelNo(b).cast("string"), lit("> "),
+          blockText(b))), " ")
+    docs.select(col(idCol),
+      when(nTok > 0, nBlocks).otherwise(lit(0)).cast("long").as("n_blocks"),
+      size(filter(blockIdx, b => maskedAt(b))).cast("long").as("n_masked"),
+      inputText.as("input_text"),
+      targetText.as("target_text"))
+  }
 }

@@ -958,6 +958,14 @@ object TextQueries {
         maxLen = 512, bucket = 64)
     },
 
+    // T5 span corruption: deterministic keyed-hash masking of 5-token
+    // blocks at 25%, sentinel-numbered input/target pair assembly —
+    // entirely map-side.
+    "pack_span_corruption" -> { (s, dir) =>
+      graft.ops.Packing.spanCorruption(Tables.documents(s, dir), "doc_id",
+        "text", blockLen = 5, maskProb = 0.25)
+    },
+
     // Leakage-safe splits: the split decision hashes the near-dup CLUSTER,
     // so a doc and its near-duplicates always share a split (no train/eval
     // contamination through duplicates).
@@ -2314,6 +2322,42 @@ object TextQueries {
          |  round(1.0 - CAST(sum_tokens AS DOUBLE) / (n_docs * bucket_ub), 6) AS waste,
          |  round(1.0 - CAST(sum_tokens AS DOUBLE) / (n_docs * 512), 6) AS naive_waste
          |FROM a""".stripMargin,
+
+    // Mask decision = md5-uniform of (doc_id:block) < 0.25, identical
+    // hash idiom to the engine; sentinel k = masked blocks before b
+    // (hash recomputed per predecessor, same as the engine's lambda).
+    "pack_span_corruption" ->
+      s"""WITH $wordsCte,
+         |d AS (SELECT doc_id, ws,
+         |    CAST(len(ws) AS INTEGER) AS l,
+         |    CAST((len(ws) + 4) // 5 AS INTEGER) AS nb
+         |  FROM words),
+         |b AS (SELECT doc_id, ws, nb,
+         |    CASE WHEN l > 0 THEN range(nb) ELSE [] END AS bs
+         |  FROM d),
+         |m AS (SELECT doc_id, nb, bs, ws,
+         |    list_transform(bs, x ->
+         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |        CAST(x AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < 0.25)
+         |      AS mk
+         |  FROM b)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN len(bs) > 0 THEN nb ELSE 0 END AS BIGINT)
+         |    AS n_blocks,
+         |  CAST(len(list_filter(bs, x -> mk[x + 1])) AS BIGINT) AS n_masked,
+         |  coalesce(array_to_string(list_transform(bs, x ->
+         |    CASE WHEN mk[x + 1] THEN '<extra_id_' ||
+         |      CAST(len(list_filter(range(x), y -> mk[y + 1])) AS VARCHAR)
+         |        || '>'
+         |    ELSE array_to_string(ws[x * 5 + 1 : x * 5 + 5], ' ') END), ' '),
+         |    '') AS input_text,
+         |  coalesce(array_to_string(list_transform(list_filter(bs, x ->
+         |      mk[x + 1]),
+         |    x -> '<extra_id_' ||
+         |      CAST(len(list_filter(range(x), y -> mk[y + 1])) AS VARCHAR)
+         |      || '> ' || array_to_string(ws[x * 5 + 1 : x * 5 + 5], ' ')), ' '),
+         |    '') AS target_text
+         |FROM m""".stripMargin,
 
     "split_leakage_safe" ->
       s"""WITH RECURSIVE $wordsCte,

@@ -66,6 +66,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got("hot") == 98L)
   }
 
+  test("spanCorruption: sentinel numbering, target/mask parity, reassembly") {
+    import graft.ops.Packing
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to 20).map(t => s"w$t").mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.spanCorruption(docs, "doc_id", "text",
+        blockLen = 5, maskProb = 0.5)
+      .select("doc_id", "n_blocks", "n_masked", "input_text", "target_text")
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(got.forall(_._2 == 4L)) // 20 tokens / 5 per block
+    got.foreach { case (_, _, m, in, tgt) =>
+      // Every sentinel 0..m-1 appears exactly once in input AND target.
+      (0L until m).foreach { k =>
+        assert(in.split(" ").count(_ == s"<extra_id_$k>") == 1, in)
+        assert(tgt.contains(s"<extra_id_$k> "), tgt)
+      }
+      assert(!in.contains(s"<extra_id_$m>") && !tgt.contains(s"<extra_id_$m>"))
+      // Masked token mass moved to the target: input tokens + target
+      // tokens (minus sentinels on both sides) = the original 20.
+      val inToks = in.split(" ").count(!_.startsWith("<extra_id_"))
+      val tgtToks =
+        if (tgt.isEmpty) 0 else tgt.split(" ").count(!_.startsWith("<extra_id_"))
+      assert(inToks + tgtToks == 20, s"$in | $tgt")
+    }
+    // ~50% masking actually masks something across 40 docs.
+    assert(got.map(_._3).sum > 0)
+  }
+
+  test("spanCorruption: near-zero maskProb reproduces the document; short doc = 1 block") {
+    import graft.ops.Packing
+    val docs = Seq((7L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = Packing.spanCorruption(docs, "doc_id", "text",
+        blockLen = 5, maskProb = 1e-9)
+      .select("n_blocks", "n_masked", "input_text", "target_text")
+      .as[(Long, Long, String, String)].collect().head
+    assert(got == ((1L, 0L, "alpha beta gamma", "")))
+  }
+
   test("charEntropy: constant text → 0, uniform pair → ln 2, empty → null") {
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "")).toDF("doc_id", "text")
     val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
