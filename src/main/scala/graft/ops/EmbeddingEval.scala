@@ -180,6 +180,72 @@ object EmbeddingEval {
       .select(col(idCol), col("cluster"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * from each query's `poolK` most-relevant candidates, greedily select
+    * `selectK` that trade relevance against redundancy —
+    * score(c) = λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s) — the
+    * diversity-aware retrieval/eval step that keeps a context window (or
+    * an eval set) from filling with near-copies of one passage.
+    *
+    * Deterministic and oracle-replayable: λ is basis points (exact
+    * double λ = bp/10⁴), every cosine and every MMR score re-quantizes
+    * to 6 dp before the argmax, ties break to the smallest candidate id,
+    * and the greedy loop is a FIXED `selectK` unrolled rounds (the
+    * PageRank discipline — no data-dependent convergence).
+    *
+    * Scale shape: the pool is per-query bounded (≤ poolK rows carrying
+    * their vectors), scope-cached once; each greedy round is one
+    * pool×selected equi join on query_id (≤ poolK·r rows per query) +
+    * one struct-max argmax — never a window over the corpus, and the
+    * corpus itself is touched only by the pool builder
+    * ([[Similarity.bruteForceKnn]] here; any ANN pool works the same).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, poolK: Int, selectK: Int,
+                lambdaBp: Int): DataFrame = {
+    require(poolK >= selectK && selectK >= 1, "need 1 <= selectK <= poolK")
+    require(lambdaBp >= 0 && lambdaBp <= 10000, "lambda in basis points")
+    val lam = lambdaBp.toDouble / 10000.0
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+      normD(col(vecCol)).as("__cn"))
+    val pool = OpCaches.scoped(
+      Similarity.bruteForceKnn(corpus, queries, idCol, vecCol, poolK)
+        .select(col("query_id"), col("cand_id"), col("cosine").as("__rel"))
+        .join(cv, Seq("cand_id")))
+    // Greedy rounds: selected carries (query_id, cand_id, rel, vec, norm,
+    // mmr_rank). Round r: per remaining candidate, penalty = max cosine
+    // to any selected; argmax (6-dp mmr, smallest id) via struct max.
+    val empty = pool.filter(lit(false))
+      .select(col("query_id"), col("cand_id"), col("__rel"), col("__cv"),
+        col("__cn"), lit(0).as("mmr_rank"))
+    val selected = (1 to selectK).foldLeft(empty) { (sel, r) =>
+      val s = sel.select(col("query_id"), col("cand_id").as("__sid"),
+        col("__cv").as("__sv"), col("__cn").as("__sn"))
+      val remaining = pool.join(sel.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val pen = remaining.join(s, Seq("query_id"), "left")
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(first(col("__rel")).as("__rel"), first(col("__cv")).as("__cv"),
+          first(col("__cn")).as("__cn"),
+          coalesce(max(cosine6(col("__cv"), col("__cn"), col("__sv"),
+            col("__sn"))), lit(0.0)).as("__pen"))
+        .withColumn("__mmr",
+          round(lit(lam) * col("__rel") - lit(1.0 - lam) * col("__pen"), 6))
+      val pick = pen.groupBy(col("query_id"))
+        .agg(max(struct(col("__mmr"), (-col("cand_id")).as("__negid")))
+          .as("__best"))
+      sel.unionByName(pen
+        .join(pick, Seq("query_id"))
+        .filter(col("__mmr") === col("__best.__mmr") &&
+          col("cand_id") === -col("__best.__negid"))
+        .select(col("query_id"), col("cand_id"), col("__rel"), col("__cv"),
+          col("__cn"), lit(r).as("mmr_rank")))
+        .localCheckpoint()
+    }
+    selected.select(col("query_id"), col("cand_id"),
+      col("__rel").as("relevance"), col("mmr_rank"))
+  }
+
   /** Split-conformal per-label thresholds on the nonconformity score
     * s = round(1 − cosine₆(point, own-label centroid), 6): for each label,
     * q̂ = the r-th smallest score with r = min(n, ⌈(n+1)·(1−α)⌉) —

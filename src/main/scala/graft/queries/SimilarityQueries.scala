@@ -652,6 +652,15 @@ object SimilarityQueries {
         "vec_id", "embedding", "label", alphaBp = 1000)
     },
 
+    // MMR diversity re-ranking: top-10 relevance pool per query, 3 greedy
+    // selections at λ = 0.7 — redundancy-penalized retrieval, unrolled
+    // fixed rounds (the PageRank determinism discipline).
+    "ann_mmr_rerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      EmbeddingEval.mmrRerank(emb, emb.filter(expr(QueryPred)),
+        "vec_id", "embedding", poolK = 10, selectK = 3, lambdaBp = 7000)
+    },
+
     // Cluster-balanced (semantic-diversity) sampling: 300 vectors split
     // equally across nearest-centroid clusters by largest remainder,
     // hash-ranked deterministic pick, rank window pre-thinned — the
@@ -1174,6 +1183,50 @@ object SimilarityQueries {
          |SELECT qh.lab AS label, CAST(qh.n AS BIGINT) AS n, qh.qhat,
          |  round(CAST(covered AS DOUBLE) / qh.n, 6) AS coverage
          |FROM qh JOIN cov ON qh.lab = cov.lab""".stripMargin,
+
+    // Unrolled greedy MMR rounds; λ and (1 − λ) are computed as the same
+    // IEEE expressions the engine plans (1.0 - 0.7 ≠ the literal 0.3);
+    // penalties and scores re-quantize to 6 dp before every argmax.
+    "ann_mmr_rerank" -> {
+      val selectK = 3
+      def cos(a: String, b: String) =
+        s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+      val base =
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |  FROM embeddings WHERE $QueryPred),
+           |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+           |sc AS (SELECT query_id, cand_id, ${cos("qv", "cv")} AS rel, cv
+           |  FROM q, c WHERE query_id <> cand_id),
+           |pool AS (SELECT query_id, cand_id, rel, cv FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rel DESC, cand_id) AS rn FROM sc) WHERE rn <= 10),
+           |s0 AS (SELECT query_id, cand_id, rel, cv, 0 AS r
+           |  FROM pool WHERE false)""".stripMargin
+      val steps = (1 to selectK).map { k =>
+        s""",
+           |rem$k AS (SELECT p.* FROM pool p
+           |  LEFT JOIN s${k - 1} s
+           |    ON p.query_id = s.query_id AND p.cand_id = s.cand_id
+           |  WHERE s.cand_id IS NULL),
+           |pen$k AS (SELECT p.query_id, p.cand_id, p.rel, p.cv,
+           |    round(0.7 * p.rel - (1.0 - 0.7) * coalesce(mx.pen, 0.0), 6)
+           |      AS mmr
+           |  FROM rem$k p LEFT JOIN (
+           |    SELECT p2.query_id, p2.cand_id,
+           |        max(${cos("p2.cv", "s.cv")}) AS pen
+           |      FROM rem$k p2 JOIN s${k - 1} s ON p2.query_id = s.query_id
+           |      GROUP BY 1, 2) mx
+           |    ON p.query_id = mx.query_id AND p.cand_id = mx.cand_id),
+           |pick$k AS (SELECT query_id, cand_id, rel, cv, $k AS r FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY mmr DESC, cand_id) AS rn2 FROM pen$k)
+           |  WHERE rn2 = 1),
+           |s$k AS (SELECT * FROM s${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+      }.mkString
+      base + steps +
+        s"\nSELECT query_id, cand_id, rel AS relevance," +
+        s" CAST(r AS INTEGER) AS mmr_rank FROM s$selectK"
+    },
 
     // Assignment = argmax 6-dp cosine to the label-fitted centroids
     // (ties → smallest cluster); equal-share quotas complete by largest

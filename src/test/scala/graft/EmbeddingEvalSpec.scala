@@ -138,6 +138,41 @@ class EmbeddingEvalSpec extends AnyFunSuite {
     assert(got.count(_._2 == 1L) == 1)
   }
 
+  test("mmrRerank: redundancy penalty promotes the diverse candidate") {
+    // Query 100 on the x axis. c1/c2 are near-duplicates hugging the
+    // axis (c1 slightly more relevant); c3 is near-orthogonal (less
+    // relevant, but diverse). At λ = 0.3 the second pick trades off
+    // mmr(c2) = 0.3·0.9998 − 0.7·0.99995 ≈ −0.400 against
+    // mmr(c3) = 0.3·0.3011 − 0.7·0.3107 ≈ −0.127 → c3 wins.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.01f)),
+      (2L, Array(1.0f, 0.02f)),
+      (3L, Array(0.3f, 0.95f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = EmbeddingEval.mmrRerank(corpus, queries, "vec_id", "embedding",
+        poolK = 3, selectK = 3, lambdaBp = 3000)
+      .select("cand_id", "mmr_rank").as[(Long, Int)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    assert(got == Seq(1L, 3L, 2L), got.toString)
+  }
+
+  test("mmrRerank at λ = 10000 reduces to pure relevance order") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.01f)),
+      (2L, Array(1.0f, 0.02f)),
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val mmr = EmbeddingEval.mmrRerank(corpus, queries, "vec_id", "embedding",
+        poolK = 3, selectK = 3, lambdaBp = 10000)
+      .select("cand_id", "mmr_rank").as[(Long, Int)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    val brute = graft.ops.Similarity.bruteForceKnn(corpus, queries,
+        "vec_id", "embedding", k = 3)
+      .select("cand_id", "rn").as[(Long, Int)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    assert(mmr == brute, s"$mmr vs $brute")
+  }
+
   test("conformalThresholds rejects alphaBp outside (0, 10000)") {
     intercept[IllegalArgumentException] {
       EmbeddingEval.conformalThresholds(axisEmb,
