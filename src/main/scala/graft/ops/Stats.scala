@@ -957,6 +957,46 @@ object Stats {
     * p_e = 1 (both raters constant and equal — agreement is undefined,
     * not perfect). Output: (n_items, p_observed, p_expected, kappa).
     */
+  /** Welch's unequal-variance two-sample t — the A/B significance
+    * statistic that doesn't assume equal group variances:
+    * t = (m_a − m_b)/√(v_a/n_a + v_b/n_b), with the Welch–Satterthwaite
+    * degrees of freedom. Emits t and dof only — p-values need the
+    * incomplete beta, whose libm paths differ per engine; the caller
+    * compares t against their chosen critical value.
+    *
+    * One group-keyed aggregation (count/avg/var_samp), two 1-row
+    * broadcasts, a closed-form projection. Outputs round at 4 dp (the
+    * [[groupStats]] moment-stat discipline — variance accumulation
+    * order differs across engines in the last ulps). Null when either
+    * group has < 2 rows or both variances are 0.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val agg = df.filter(col(groupCol).isin(groupA, groupB) && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), avg(v).as("__m"), var_samp(v).as("__v"))
+    def side(g: String, suffix: String) = agg
+      .filter(col(groupCol) === g)
+      .select(col("__n").as(s"n_$suffix"), col("__m").as(s"__m_$suffix"),
+        col("__v").as(s"__v_$suffix"))
+    val a = side(groupA, "a")
+    val b = side(groupB, "b")
+    val sa = col("__v_a") / col("n_a")
+    val sb = col("__v_b") / col("n_b")
+    val se2 = sa + sb
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        round(col("__m_a"), 4).as("mean_a"),
+        round(col("__m_b"), 4).as("mean_b"),
+        when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0,
+          round((col("__m_a") - col("__m_b")) / sqrt(se2), 4)).as("t_stat"),
+        when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0,
+          round((se2 * se2) /
+            (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1)), 2))
+          .as("dof"))
+  }
+
   def cohensKappa(df: DataFrame, raterACol: String,
                   raterBCol: String): DataFrame = {
     // ONE corpus pass builds the |cats|²-bounded contingency cells;

@@ -207,6 +207,14 @@ object AnalyticsQueries {
       DataQuality.corpusDiff(docs, newV, "doc_id", "text", "source")
     },
 
+    // Welch's unequal-variance t between two event types' value
+    // distributions — the A/B read-out (t + Welch–Satterthwaite dof;
+    // p-values are libm-divergent cross-engine and stay out).
+    "ab_test_welch_t" -> { (s, dir) =>
+      Stats.welchTTest(Tables.events(s, dir), "event_type", "value",
+        groupA = "click", groupB = "view")
+    },
+
     // Bradley–Terry preference strengths (3 MM rounds) over per-user
     // "best vs worst event type" judgments — the RLHF preference-
     // aggregation primitive, with the PageRank unrolled-oracle
@@ -1781,6 +1789,26 @@ object AnalyticsQueries {
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    "ab_test_welch_t" ->
+      """WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m,
+        |    var_samp(value) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT n AS n_a, m AS ma, v AS va FROM g
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT n AS n_b, m AS mb, v AS vb FROM g
+        |  WHERE event_type = 'view')
+        |SELECT n_a, n_b, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0
+        |    THEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) END
+        |    AS t_stat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0
+        |    THEN round(((va / n_a + vb / n_b) * (va / n_a + vb / n_b)) /
+        |      ((va / n_a) * (va / n_a) / (n_a - 1) +
+        |       (vb / n_b) * (vb / n_b) / (n_b - 1)), 2) END AS dof
+        |FROM a, b""".stripMargin,
 
     // Unrolled MM rounds; denominators and the normalizing total fold
     // over value-sorted term lists (list_sort → list_sum ≡ Spark

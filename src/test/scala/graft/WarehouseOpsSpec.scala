@@ -494,6 +494,31 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got.size <= 5, s"flag set must stay tight: $got")
   }
 
+  test("welchTTest: hand-computed t and Welch dof; degenerate groups null") {
+    // a = {1,2,3} (m=2, v=1), b = {2,4,6,8} (m=5, v≈6.6667):
+    // se² = 1/3 + 20/3·(1/4)… exact: v_b = 20/3; se² = 1/3 + 5/3 = 2;
+    // t = (2−5)/√2 = −2.1213; dof = 4/((1/3)²/2 + (5/3)²/3) ≈ 4.0755
+    // → 4.08 at 2 dp.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val got = Stats.welchTTest(df, "g", "v", "a", "b")
+      .select("n_a", "n_b", "mean_a", "mean_b", "t_stat", "dof")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(got._1 == 3L && got._2 == 4L)
+    assert(got._3 == 2.0 && got._4 == 5.0)
+    assert(got._5 == -2.1213, got.toString)
+    assert(math.abs(got._6 - 4.08) < 1e-9, got.toString)
+    // Single-row group → t and dof null.
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = Stats.welchTTest(tiny, "g", "v", "a", "b").collect().head
+    assert(r.isNullAt(r.fieldIndex("t_stat")) && r.isNullAt(r.fieldIndex("dof")))
+    // Zero variance on both sides → null, not a 0-divide.
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val rc = Stats.welchTTest(const, "g", "v", "a", "b").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("t_stat")))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged with char deltas") {
     val oldV = Seq(
       (1L, "alpha", "s1"),   // unchanged
