@@ -337,6 +337,56 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between the groups' unigram
+    * distributions over the corpus top-`v` vocabulary — the symmetric,
+    * bounded (≤ ln 2) mixture-design distance matrix ("which sources are
+    * interchangeable, which add diversity"), where [[sourceDivergence]]'s
+    * KL only measures each group against the corpus.
+    *
+    * Same bounded-vocab discipline: per-group distributions restrict to
+    * the top-V terms; the (pair × term) spine is |groups|²·V rows — a
+    * report dimension, never corpus-sized. Absent terms contribute only
+    * through the present side (0·ln 0 ≡ 0); each pair's sum folds over
+    * SORTED per-term contributions.
+    */
+  def sourceJsDivergence(docs: DataFrame, textCol: String, groupCol: String,
+                         v: Int): DataFrame = {
+    val tokens = docs.select(col(groupCol), explode(words(col(textCol))).as("w"))
+    val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(v).select(col("w"))
+    val g = tokens.join(broadcast(vocab), Seq("w"), "left_semi")
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("__gcnt"))
+    val gTotal = g.groupBy(col(groupCol)).agg(sum(col("__gcnt")).as("__gtot"))
+    val dist = g.join(gTotal, Seq(groupCol))
+      .select(col(groupCol),
+        col("w"), (col("__gcnt").cast("double") / col("__gtot").cast("double"))
+          .as("__p"))
+    val groups = gTotal.select(col(groupCol))
+    val spine = groups.select(col(groupCol).as("source_a"))
+      .crossJoin(broadcast(groups.select(col(groupCol).as("source_b"))))
+      .filter(col("source_a") < col("source_b"))
+      .crossJoin(broadcast(vocab))
+    val terms = spine
+      .join(dist.select(col(groupCol).as("source_a"), col("w"),
+        col("__p").as("__pa")), Seq("source_a", "w"), "left")
+      .join(dist.select(col(groupCol).as("source_b"), col("w"),
+        col("__p").as("__pb")), Seq("source_b", "w"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("__pa"), lit(0.0)).as("__pa"),
+        coalesce(col("__pb"), lit(0.0)).as("__pb"))
+      .filter(col("__pa") > 0.0 || col("__pb") > 0.0)
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2.0)
+      .withColumn("__term",
+        coalesce(when(col("__pa") > 0.0,
+          lit(0.5) * col("__pa") * log(col("__pa") / col("__m"))), lit(0.0)) +
+        coalesce(when(col("__pb") > 0.0,
+          lit(0.5) * col("__pb") * log(col("__pb") / col("__m"))), lit(0.0)))
+    terms.groupBy(col("source_a"), col("source_b"))
+      .agg(round(aggregate(array_sort(collect_list(col("__term"))),
+          lit(0.0), (acc, x) => acc + x), 6).as("js"),
+        count(lit(1)).as("n_terms"))
+  }
+
   /** BPE merge-pair mining — the first iteration of byte-pair-encoding
     * tokenizer training: corpus-wide counts of adjacent CHARACTER pairs
     * within words, ranked; the top pair is the first merge a BPE trainer

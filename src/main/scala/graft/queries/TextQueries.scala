@@ -923,6 +923,13 @@ object TextQueries {
         minShare = 0.005)
     },
 
+    // Pairwise Jensen–Shannon distance matrix between sources over the
+    // corpus top-50 vocabulary — symmetric mixture-design distances.
+    "text_source_js" -> { (s, dir) =>
+      TextAnalysis.sourceJsDivergence(Tables.documents(s, dir), "text",
+        "source", v = 50)
+    },
+
     // Vocabulary coverage curve: corpus token mass covered by the top-V
     // vocabulary at several V (tokenizer budget analysis). The 1000 row
     // exercises the clamp-to-actual-vocabulary contract.
@@ -2248,6 +2255,39 @@ object TextQueries {
          |t AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM c)
          |SELECT token, freq, round(CAST(freq AS DOUBLE) / total, 6) AS share
          |FROM c, t WHERE CAST(freq AS DOUBLE) / total > 0.005""".stripMargin,
+
+    // Pair spine = groups² × top-V; absent terms contribute through the
+    // present side only; sums fold value-sorted (list_sort → list_sum).
+    "text_source_js" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT d.source, unnest(w.ws) AS w
+         |  FROM documents d JOIN words w ON d.doc_id = w.doc_id),
+         |vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok
+         |  GROUP BY 1 ORDER BY cnt DESC, w LIMIT 50)),
+         |g AS (SELECT source, t.w, count(*) AS gcnt FROM tok t
+         |  JOIN vocab USING (w) GROUP BY 1, 2),
+         |gt AS (SELECT source, sum(gcnt) AS gtot FROM g GROUP BY 1),
+         |dist AS (SELECT g.source, g.w,
+         |    CAST(gcnt AS DOUBLE) / gtot AS p
+         |  FROM g JOIN gt ON g.source = gt.source),
+         |spine AS (SELECT a.source AS source_a, b.source AS source_b, v.w
+         |  FROM gt a, gt b, vocab v WHERE a.source < b.source),
+         |t AS (SELECT source_a, source_b,
+         |    coalesce(pa.p, 0.0) AS pa, coalesce(pb.p, 0.0) AS pb
+         |  FROM spine s
+         |  LEFT JOIN dist pa ON pa.source = s.source_a AND pa.w = s.w
+         |  LEFT JOIN dist pb ON pb.source = s.source_b AND pb.w = s.w
+         |  WHERE coalesce(pa.p, 0.0) > 0 OR coalesce(pb.p, 0.0) > 0),
+         |terms AS (SELECT source_a, source_b,
+         |    coalesce(CASE WHEN pa > 0
+         |      THEN 0.5 * pa * ln(pa / ((pa + pb) / 2.0)) END, 0.0) +
+         |    coalesce(CASE WHEN pb > 0
+         |      THEN 0.5 * pb * ln(pb / ((pa + pb) / 2.0)) END, 0.0) AS term
+         |  FROM t)
+         |SELECT source_a, source_b,
+         |  round(list_sum(list_sort(list(term))), 6) AS js,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM terms GROUP BY 1, 2""".stripMargin,
 
     // Rank = (freq desc, token asc); inclusive cumulative mass at the
     // clamped rank; oversized V reports the full-vocabulary row.

@@ -162,6 +162,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == ((2L, 0.5)))
   }
 
+  test("sourceJsDivergence: identical → 0, disjoint vocab → ln 2") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "alpha beta gamma", "s2"),   // identical distribution to s1
+      (3L, "delta epsilon zeta", "s3")  // disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceJsDivergence(docs, "text", "source", v = 50)
+      .select("source_a", "source_b", "js")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s1", "s2")) == 0.0, got.toString)
+    assert(got(("s1", "s3")) == got(("s2", "s3")), got.toString)
+    assert(math.abs(got(("s1", "s3")) - 0.693147) < 1e-6, got.toString)
+  }
+
   test("sourceDivergence: identical mixes score ~0, shifted mixes score > 0") {
     val balanced = (1 to 20).flatMap(i => Seq(
       (i.toLong, "common words shared by every source here", "srcA"),
