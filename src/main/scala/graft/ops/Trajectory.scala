@@ -142,6 +142,86 @@ object Trajectory {
     lit(2.0 * 6371.0) * asin(sqrt(a))
   }
 
+  /** [[haversineKm]] between two point COLUMN pairs (same fixed operation
+    * order; same ≤1-ulp cross-engine contract).
+    */
+  def haversinePairKm(lat1: org.apache.spark.sql.Column,
+                      lon1: org.apache.spark.sql.Column,
+                      lat2: org.apache.spark.sql.Column,
+                      lon2: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * 6371.0) * asin(sqrt(a))
+  }
+
+  /** Origin–destination matrix: trip counts between the grid cells of
+    * each user's FIRST and LAST point — the mobility-flow aggregate (the
+    * endpoint extremes come from one [[endpoints]]-style struct min/max,
+    * ties broken by `tieCol`; no per-user ordering pass). Output:
+    * (origin_cell, dest_cell, n_users), cells as "x:y" strings at
+    * `cellDeg` resolution.
+    */
+  def odMatrix(df: DataFrame, userCol: String, tsCol: String,
+               tieCol: String, lonCol: String, latCol: String,
+               cellDeg: Double): DataFrame = {
+    def cell(lon: org.apache.spark.sql.Column,
+             lat: org.apache.spark.sql.Column) =
+      concat(floor(lon / lit(cellDeg)).cast("long").cast("string"), lit(":"),
+        floor(lat / lit(cellDeg)).cast("long").cast("string"))
+    val pt = struct(col(tsCol), col(tieCol), col(lonCol).as("__lon"),
+      col(latCol).as("__lat"))
+    df.groupBy(col(userCol))
+      .agg(min(pt).as("__s"), max(pt).as("__e"))
+      .select(cell(col("__s.__lon"), col("__s.__lat")).as("origin_cell"),
+        cell(col("__e.__lon"), col("__e.__lat")).as("dest_cell"))
+      .groupBy(col("origin_cell"), col("dest_cell"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Co-location detection: user pairs observed within `maxKm` of each
+    * other in the same time bucket — the proximity-analytics primitive.
+    * Candidates are BLOCKED on (time bucket, grid cell): the join is
+    * equi-keyed on the block, never all-pairs, and the exact haversine
+    * verifies survivors (the dedup candidate/verify shape, in space-time).
+    * Same-cell blocking is the declared contract: a pair straddling a
+    * cell boundary is not a candidate — size `cellDeg` ≥ the `maxKm`
+    * radius so misses are boundary-only (or probe neighbor cells
+    * upstream for exactness).
+    *
+    * Output: (user_a, user_b, n_moments) — distinct co-located buckets
+    * per pair. The distance filter runs on the RAW haversine (the
+    * [[withinRadius]] inclusion discipline).
+    */
+  def coLocations(df: DataFrame, userCol: String, tsCol: String,
+                  lonCol: String, latCol: String, bucketSec: Long,
+                  cellDeg: Double, maxKm: Double): DataFrame = {
+    val buckUs = lit(bucketSec * 1000000L)
+    val us = unix_micros(col(tsCol))
+    // Exact bucket index: subtract the remainder first so the double
+    // division is between exact multiples (a raw trunc(us / b) can land
+    // a half-ulp across the integer boundary DuckDB's `//` floors to).
+    val pts = df.select(col(userCol).as("__u"),
+      ((us - pmod(us, buckUs)) / buckUs).cast("long").as("__bucket"),
+      concat(floor(col(lonCol) / lit(cellDeg)).cast("long").cast("string"),
+        lit(":"),
+        floor(col(latCol) / lit(cellDeg)).cast("long").cast("string"))
+        .as("__cell"),
+      col(lonCol).as("__lon"), col(latCol).as("__lat"))
+    val a = pts.select(col("__u").as("user_a"), col("__bucket"), col("__cell"),
+      col("__lon").as("__lon_a"), col("__lat").as("__lat_a"))
+    val b = pts.select(col("__u").as("user_b"), col("__bucket"), col("__cell"),
+      col("__lon").as("__lon_b"), col("__lat").as("__lat_b"))
+    a.join(b, Seq("__bucket", "__cell"))
+      .filter(col("user_a") < col("user_b"))
+      .filter(haversinePairKm(col("__lat_a"), col("__lon_a"),
+        col("__lat_b"), col("__lon_b")) <= maxKm)
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(countDistinct(col("__bucket")).as("n_moments"))
+  }
+
   /** Radius search: points within `radiusKm` of the center, with their
     * distance — one map-side predicate over the scan (at scale, pair
     * with a Z-order/grid layout so the bounding-box pre-filter prunes

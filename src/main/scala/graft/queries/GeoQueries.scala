@@ -44,6 +44,22 @@ object GeoQueries {
         centerLat = 34.5, centerLon = -117.5, radiusKm = 30.0)
     },
 
+    // G8 (beyond ref): origin–destination flow matrix between 0.05°
+    // endpoint grid cells.
+    "g8_od_matrix" -> { (s, dir) =>
+      Trajectory.odMatrix(withPoints(Tables.events(s, dir)),
+        "user_id", "ts", "event_id", "lon", "lat", cellDeg = 0.05)
+    },
+
+    // G9 (beyond ref): co-location pairs — same 10-minute bucket, same
+    // 0.05° cell, within 3 km (blocked candidates + exact haversine
+    // verify; the dedup candidate/verify shape in space-time).
+    "g9_colocation_pairs" -> { (s, dir) =>
+      Trajectory.coLocations(withPoints(Tables.events(s, dir)),
+        "user_id", "ts", "lon", "lat", bucketSec = 600L, cellDeg = 0.05,
+        maxKm = 3.0)
+    },
+
     // G4: start/end vertex per user.
     "g4_trajectory_endpoints" -> { (s, dir) =>
       Trajectory.endpoints(withPoints(Tables.events(s, dir)),
@@ -117,6 +133,47 @@ object GeoQueries {
     // Haversine in the op's exact operation order; the FILTER runs on
     // the raw distance (round only the emitted column — a rounded-value
     // filter would make inclusion itself rounding-divergent).
+    // Endpoint extremes mirror the engine's struct min/max on (ts,
+    // event_id); cells floor at 0.05°.
+    "g8_od_matrix" ->
+      s"""WITH $ptsCte,
+         |r AS (SELECT user_id, lon, lat,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rs,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS re
+         |  FROM pts),
+         |ends AS (SELECT s.user_id,
+         |    CAST(floor(s.lon / 0.05) AS BIGINT) || ':' ||
+         |      CAST(floor(s.lat / 0.05) AS BIGINT) AS origin_cell,
+         |    CAST(floor(e.lon / 0.05) AS BIGINT) || ':' ||
+         |      CAST(floor(e.lat / 0.05) AS BIGINT) AS dest_cell
+         |  FROM (SELECT * FROM r WHERE rs = 1) s
+         |  JOIN (SELECT * FROM r WHERE re = 1) e USING (user_id))
+         |SELECT origin_cell, dest_cell, CAST(count(*) AS BIGINT) AS n_users
+         |FROM ends GROUP BY 1, 2""".stripMargin,
+
+    // Same-bucket/same-cell blocking, raw-haversine verify, distinct
+    // bucket count per pair.
+    "g9_colocation_pairs" ->
+      s"""WITH $ptsCte,
+         |p AS (SELECT user_id, epoch_us(ts) // 600000000 AS bucket,
+         |    CAST(floor(lon / 0.05) AS BIGINT) || ':' ||
+         |      CAST(floor(lat / 0.05) AS BIGINT) AS cell,
+         |    lon, lat
+         |  FROM pts),
+         |cand AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |    a.bucket,
+         |    12742.0 * asin(sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2)
+         |      + cos(radians(a.lat)) * cos(radians(b.lat))
+         |        * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist
+         |  FROM p a JOIN p b
+         |    ON a.bucket = b.bucket AND a.cell = b.cell
+         |      AND a.user_id < b.user_id)
+         |SELECT user_a, user_b,
+         |  CAST(count(DISTINCT bucket) AS BIGINT) AS n_moments
+         |FROM cand WHERE dist <= 3.0 GROUP BY 1, 2""".stripMargin,
+
     "g7_radius_search" ->
       s"""WITH $ptsCte,
          |d AS (SELECT event_id,

@@ -52,6 +52,39 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 3.5 && r.getDouble(1) == -7.25)
   }
 
+  test("odMatrix counts trips between first/last-point cells") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val pts = Seq(
+      // u: starts in cell 0:0, ends in cell 2:0 (lon 0.12 / 0.05 = 2)
+      ("u", t(100), 1L, 0.01, 0.01), ("u", t(200), 2L, 0.12, 0.01),
+      // v: same flow
+      ("v", t(100), 3L, 0.02, 0.02), ("v", t(300), 4L, 0.13, 0.02),
+      // w: stationary → diagonal entry
+      ("w", t(100), 5L, 0.01, 0.01), ("w", t(150), 6L, 0.02, 0.02)
+    ).toDF("user_id", "ts", "event_id", "lon", "lat")
+    val got = graft.ops.Trajectory.odMatrix(pts, "user_id", "ts", "event_id",
+        "lon", "lat", cellDeg = 0.05)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("0:0", "2:0", 2L), ("0:0", "0:0", 1L)), got.toString)
+  }
+
+  test("coLocations: same bucket+cell within radius; far pair excluded") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // a and b co-located twice (~1.3 km apart, same bucket+cell);
+    // c is in the same cell but ~5.5 km away (0.05° cell ≈ 5.6 km);
+    // d shares the location but a DIFFERENT bucket.
+    val pts = Seq(
+      ("a", t(100), 0.001, 0.001), ("b", t(110), 0.011, 0.008),
+      ("a", t(700), 0.001, 0.001), ("b", t(710), 0.011, 0.008),
+      ("c", t(120), 0.049, 0.030),
+      ("d", t(1300), 0.001, 0.001)
+    ).toDF("user_id", "ts", "lon", "lat")
+    val got = graft.ops.Trajectory.coLocations(pts, "user_id", "ts",
+        "lon", "lat", bucketSec = 600L, cellDeg = 0.05, maxKm = 3.0)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 2L)), got.toString)
+  }
+
   test("stayPoints: runs split on cell change; a revisit is a separate stay") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
     // user u: 3 pts in cell (0,0), 1 pt in cell (1,0), 2 pts back in (0,0).
