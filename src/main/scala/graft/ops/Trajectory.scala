@@ -194,10 +194,17 @@ object Trajectory {
     * Output: (user_a, user_b, n_moments) — distinct co-located buckets
     * per pair. The distance filter runs on the RAW haversine (the
     * [[withinRadius]] inclusion discipline).
+    *
+    * `maxBlockRows` is the hot-block guard (the edit-distance blocking
+    * discipline): a (bucket, cell) block with more rows than the cap is
+    * DROPPED — its pair space is quadratic in exactly the stadium-crowd
+    * case where pairwise proximity stops being informative; re-run those
+    * cells at finer `cellDeg` when they matter. None = exact.
     */
   def coLocations(df: DataFrame, userCol: String, tsCol: String,
                   lonCol: String, latCol: String, bucketSec: Long,
-                  cellDeg: Double, maxKm: Double): DataFrame = {
+                  cellDeg: Double, maxKm: Double,
+                  maxBlockRows: Option[Int] = None): DataFrame = {
     val buckUs = lit(bucketSec * 1000000L)
     val us = unix_micros(col(tsCol))
     // Exact bucket index: subtract the remainder first so the double
@@ -210,9 +217,19 @@ object Trajectory {
         floor(col(latCol) / lit(cellDeg)).cast("long").cast("string"))
         .as("__cell"),
       col(lonCol).as("__lon"), col(latCol).as("__lat"))
-    val a = pts.select(col("__u").as("user_a"), col("__bucket"), col("__cell"),
+    // Hot-block cap: one (bucket, cell)-keyed count aggregate gates the
+    // self-join's quadratic blocks (the capped side is a semi join, so
+    // nothing widens).
+    val gated = maxBlockRows.fold(pts) { cap =>
+      val ok = pts.groupBy(col("__bucket"), col("__cell"))
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= cap)
+        .select(col("__bucket"), col("__cell"))
+      pts.join(ok, Seq("__bucket", "__cell"), "left_semi")
+    }
+    val a = gated.select(col("__u").as("user_a"), col("__bucket"), col("__cell"),
       col("__lon").as("__lon_a"), col("__lat").as("__lat_a"))
-    val b = pts.select(col("__u").as("user_b"), col("__bucket"), col("__cell"),
+    val b = gated.select(col("__u").as("user_b"), col("__bucket"), col("__cell"),
       col("__lon").as("__lon_b"), col("__lat").as("__lat_b"))
     a.join(b, Seq("__bucket", "__cell"))
       .filter(col("user_a") < col("user_b"))

@@ -60,6 +60,19 @@ object GeoQueries {
         maxKm = 3.0)
     },
 
+    // Skew stress: a third of all events relocate to ONE point (the
+    // stadium crowd), and the hot-block cap (50 rows per bucket×cell)
+    // drops those quadratic blocks while sparse cells stay exact.
+    "skew_stress_colocation" -> { (s, dir) =>
+      val hot = pmod(col("event_id"), lit(3)) === 0
+      val pts = withPoints(Tables.events(s, dir))
+        .withColumn("lon", when(hot, lit(-117.123)).otherwise(col("lon")))
+        .withColumn("lat", when(hot, lit(34.567)).otherwise(col("lat")))
+      Trajectory.coLocations(pts, "user_id", "ts", "lon", "lat",
+        bucketSec = 600L, cellDeg = 0.05, maxKm = 3.0,
+        maxBlockRows = Some(50))
+    },
+
     // G4: start/end vertex per user.
     "g4_trajectory_endpoints" -> { (s, dir) =>
       Trajectory.endpoints(withPoints(Tables.events(s, dir)),
@@ -168,6 +181,33 @@ object GeoQueries {
          |      + cos(radians(a.lat)) * cos(radians(b.lat))
          |        * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist
          |  FROM p a JOIN p b
+         |    ON a.bucket = b.bucket AND a.cell = b.cell
+         |      AND a.user_id < b.user_id)
+         |SELECT user_a, user_b,
+         |  CAST(count(DISTINCT bucket) AS BIGINT) AS n_moments
+         |FROM cand WHERE dist <= 3.0 GROUP BY 1, 2""".stripMargin,
+
+    "skew_stress_colocation" ->
+      s"""WITH $ptsCte,
+         |hp AS (SELECT user_id, ts,
+         |    CASE WHEN event_id % 3 = 0 THEN -117.123 ELSE lon END AS lon,
+         |    CASE WHEN event_id % 3 = 0 THEN 34.567 ELSE lat END AS lat
+         |  FROM pts),
+         |p AS (SELECT user_id, epoch_us(ts) // 600000000 AS bucket,
+         |    CAST(floor(lon / 0.05) AS BIGINT) || ':' ||
+         |      CAST(floor(lat / 0.05) AS BIGINT) AS cell,
+         |    lon, lat,
+         |    count(*) OVER (PARTITION BY epoch_us(ts) // 600000000,
+         |      CAST(floor(lon / 0.05) AS BIGINT) || ':' ||
+         |        CAST(floor(lat / 0.05) AS BIGINT)) AS bn
+         |  FROM hp),
+         |g AS (SELECT * FROM p WHERE bn <= 50),
+         |cand AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |    a.bucket,
+         |    12742.0 * asin(sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2)
+         |      + cos(radians(a.lat)) * cos(radians(b.lat))
+         |        * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist
+         |  FROM g a JOIN g b
          |    ON a.bucket = b.bucket AND a.cell = b.cell
          |      AND a.user_id < b.user_id)
          |SELECT user_a, user_b,

@@ -85,6 +85,23 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(got == Set(("a", "b", 2L)), got.toString)
   }
 
+  test("coLocations hot-block cap drops the crowded cell, keeps sparse cells exact") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // 5 users piled on one point (the crowd) + one genuine sparse pair.
+    val crowd = (1 to 5).map(i => (s"crowd$i", t(100), 0.3, 0.3))
+    val pair = Seq(("a", t(100), 0.001, 0.001), ("b", t(110), 0.011, 0.008))
+    val pts = (crowd ++ pair).toDF("user_id", "ts", "lon", "lat")
+    val capped = graft.ops.Trajectory.coLocations(pts, "user_id", "ts",
+        "lon", "lat", bucketSec = 600L, cellDeg = 0.05, maxKm = 3.0,
+        maxBlockRows = Some(4))
+      .as[(String, String, Long)].collect().toSet
+    assert(capped == Set(("a", "b", 1L)), capped.toString)
+    val exact = graft.ops.Trajectory.coLocations(pts, "user_id", "ts",
+        "lon", "lat", bucketSec = 600L, cellDeg = 0.05, maxKm = 3.0)
+      .count()
+    assert(exact == 1L + 10L) // the pair + C(5,2) crowd pairs
+  }
+
   test("stayPoints: runs split on cell change; a revisit is a separate stay") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
     // user u: 3 pts in cell (0,0), 1 pt in cell (1,0), 2 pts back in (0,0).
