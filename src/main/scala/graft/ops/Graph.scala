@@ -394,4 +394,71 @@ object Graph {
     tris.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Time-respecting reachability (contact tracing): nodes reachable
+    * from the seed set within `hops` edges whose times NEVER DECREASE
+    * along the path — an edge at time t transmits only to contacts at
+    * t' ≥ t, which plain BFS over the flattened graph gets wrong (it
+    * happily routes "infection" backwards in time). Edges are treated
+    * as undirected contacts.
+    *
+    * Output: (node, hop, first_time) — the earliest hop at which each
+    * node is reached, and its minimal arrival time over ALL
+    * time-respecting paths of ≤ `hops` edges (seeds: hop 0, null).
+    * A node's minimal arrival can IMPROVE at a later hop (a longer path
+    * through earlier contacts), and that improvement can unlock onward
+    * edges a greedy first-reach search would miss — so the frontier is
+    * "nodes whose minimal arrival improved this round", not "nodes
+    * newly reached".
+    *
+    * Fixed-hop frontier expansion (the PageRank determinism
+    * discipline): each hop is one frontier⋈edges equi join + one
+    * min-arrival aggregate + one improvement anti-check against the
+    * bounded (node, arrival) state, `localCheckpoint` per hop.
+    */
+  def temporalReachability(edges: DataFrame, srcCol: String, dstCol: String,
+                           timeCol: String, seeds: Seq[Long],
+                           hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 10, "hops must lie in [1, 10]")
+    require(seeds.nonEmpty, "need at least one seed")
+    val sym = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"), col(timeCol).cast("long").as("t"))
+      .unionAll(edges.select(col(dstCol).cast("long").as("a"),
+        col(srcCol).cast("long").as("b"), col(timeCol).cast("long").as("t")))
+      .localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seed0 = seeds.distinct.sorted
+      .map(s => (s, 0, Long.MinValue)).toDF("node", "hop", "arr")
+      .localCheckpoint()
+    var best = seed0      // (node, first hop, minimal arrival so far)
+    var frontier = seed0.select(col("node"), col("arr"))
+    for (h <- 1 to hops) {
+      val cand = frontier.join(sym, col("node") === col("a"))
+        .filter(col("t") >= col("arr"))
+        .groupBy(col("b"))
+        .agg(min(col("t")).as("__cand"))
+        .select(col("b").as("node"), col("__cand"))
+      // Keep candidates that reach a NEW node or IMPROVE a known node's
+      // minimal arrival; merged state keeps the earliest hop either way.
+      val merged = cand.join(best, Seq("node"), "left")
+        .select(col("node"), col("__cand"), col("hop"), col("arr"))
+      val improved = merged
+        .filter(col("arr").isNull || col("__cand") < col("arr"))
+        .select(col("node"), col("__cand").as("arr"),
+          coalesce(col("hop"), lit(h)).as("hop"))
+        .localCheckpoint()
+      best = best.join(improved.select(col("node"),
+          col("arr").as("__na")), Seq("node"), "left")
+        .select(col("node"), col("hop"),
+          least(col("arr"), coalesce(col("__na"), col("arr"))).as("arr"))
+        .unionByName(improved
+          .join(best.select(col("node")), Seq("node"), "left_anti")
+          .select(col("node"), col("hop"), col("arr")))
+        .localCheckpoint()
+      frontier = improved.select(col("node"), col("arr"))
+    }
+    best.select(col("node"), col("hop"),
+      when(col("hop") > 0, col("arr")).as("first_time"))
+  }
 }

@@ -204,7 +204,22 @@ object Trajectory {
   def coLocations(df: DataFrame, userCol: String, tsCol: String,
                   lonCol: String, latCol: String, bucketSec: Long,
                   cellDeg: Double, maxKm: Double,
-                  maxBlockRows: Option[Int] = None): DataFrame = {
+                  maxBlockRows: Option[Int] = None): DataFrame =
+    coLocationMoments(df, userCol, tsCol, lonCol, latCol, bucketSec,
+      cellDeg, maxKm, maxBlockRows)
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_moments"))
+
+  /** The TIMED contact edges behind [[coLocations]]: one row per
+    * distinct (user_a, user_b, bucket) co-located moment — the edge list
+    * a time-respecting analysis ([[Graph.temporalReachability]]) feeds
+    * on, where the aggregate pair counts would lose the event times.
+    * Same blocking/verify semantics and parameters as [[coLocations]].
+    */
+  def coLocationMoments(df: DataFrame, userCol: String, tsCol: String,
+                        lonCol: String, latCol: String, bucketSec: Long,
+                        cellDeg: Double, maxKm: Double,
+                        maxBlockRows: Option[Int] = None): DataFrame = {
     val buckUs = lit(bucketSec * 1000000L)
     val us = unix_micros(col(tsCol))
     // Exact bucket index: subtract the remainder first so the double
@@ -217,9 +232,6 @@ object Trajectory {
         floor(col(latCol) / lit(cellDeg)).cast("long").cast("string"))
         .as("__cell"),
       col(lonCol).as("__lon"), col(latCol).as("__lat"))
-    // Hot-block cap: one (bucket, cell)-keyed count aggregate gates the
-    // self-join's quadratic blocks (the capped side is a semi join, so
-    // nothing widens).
     val gated = maxBlockRows.fold(pts) { cap =>
       val ok = pts.groupBy(col("__bucket"), col("__cell"))
         .agg(count(lit(1)).as("__bn"))
@@ -227,16 +239,16 @@ object Trajectory {
         .select(col("__bucket"), col("__cell"))
       pts.join(ok, Seq("__bucket", "__cell"), "left_semi")
     }
-    val a = gated.select(col("__u").as("user_a"), col("__bucket"), col("__cell"),
-      col("__lon").as("__lon_a"), col("__lat").as("__lat_a"))
-    val b = gated.select(col("__u").as("user_b"), col("__bucket"), col("__cell"),
-      col("__lon").as("__lon_b"), col("__lat").as("__lat_b"))
+    val a = gated.select(col("__u").as("user_a"), col("__bucket"),
+      col("__cell"), col("__lon").as("__lon_a"), col("__lat").as("__lat_a"))
+    val b = gated.select(col("__u").as("user_b"), col("__bucket"),
+      col("__cell"), col("__lon").as("__lon_b"), col("__lat").as("__lat_b"))
     a.join(b, Seq("__bucket", "__cell"))
       .filter(col("user_a") < col("user_b"))
       .filter(haversinePairKm(col("__lat_a"), col("__lon_a"),
         col("__lat_b"), col("__lon_b")) <= maxKm)
-      .groupBy(col("user_a"), col("user_b"))
-      .agg(countDistinct(col("__bucket")).as("n_moments"))
+      .select(col("user_a"), col("user_b"), col("__bucket").as("bucket"))
+      .distinct()
   }
 
   /** Radius search: points within `radiusKm` of the center, with their

@@ -60,6 +60,17 @@ object GeoQueries {
         maxKm = 3.0)
     },
 
+    // G10 (beyond ref): time-respecting contact tracing — 3 hops over
+    // the co-location moment edges from seed users {1, 2}; a hop only
+    // transmits through contacts at non-decreasing bucket times.
+    "g10_contact_chains" -> { (s, dir) =>
+      val moments = Trajectory.coLocationMoments(
+        withPoints(Tables.events(s, dir)), "user_id", "ts", "lon", "lat",
+        bucketSec = 600L, cellDeg = 0.05, maxKm = 3.0)
+      graft.ops.Graph.temporalReachability(moments, "user_a", "user_b",
+        "bucket", seeds = Seq(1L, 2L), hops = 3)
+    },
+
     // Skew stress: a third of all events relocate to ONE point (the
     // stadium crowd), and the hot-block cap (50 rows per bucket×cell)
     // drops those quadratic blocks while sparse cells stay exact.
@@ -186,6 +197,54 @@ object GeoQueries {
          |SELECT user_a, user_b,
          |  CAST(count(DISTINCT bucket) AS BIGINT) AS n_moments
          |FROM cand WHERE dist <= 3.0 GROUP BY 1, 2""".stripMargin,
+
+    // Unrolled hops; frontier = "minimal arrival improved this round";
+    // seeds carry arrival −2⁶³ (any contact transmits) and null out in
+    // the report.
+    "g10_contact_chains" -> {
+      val hops = 3
+      val base =
+        s"""WITH $ptsCte,
+           |p AS (SELECT user_id, epoch_us(ts) // 600000000 AS bucket,
+           |    CAST(floor(lon / 0.05) AS BIGINT) || ':' ||
+           |      CAST(floor(lat / 0.05) AS BIGINT) AS cell,
+           |    lon, lat
+           |  FROM pts),
+           |mom AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub,
+           |    a.bucket AS t
+           |  FROM p a JOIN p b
+           |    ON a.bucket = b.bucket AND a.cell = b.cell
+           |      AND a.user_id < b.user_id
+           |  WHERE 12742.0 * asin(sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2)
+           |      + cos(radians(a.lat)) * cos(radians(b.lat))
+           |        * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 3.0),
+           |sym AS (SELECT ua AS a, ub AS b, t FROM mom
+           |  UNION ALL SELECT ub, ua, t FROM mom),
+           |best0(node, hop, arr) AS (
+           |  VALUES (1, 0, -9223372036854775808), (2, 0, -9223372036854775808)),
+           |f0 AS (SELECT node, arr FROM best0)""".stripMargin
+      val steps = (1 to hops).map { h =>
+        s""",
+           |cand$h AS (SELECT e.b AS node, min(e.t) AS c
+           |  FROM f${h - 1} f JOIN sym e ON f.node = e.a AND e.t >= f.arr
+           |  GROUP BY 1),
+           |imp$h AS (SELECT c.node, c.c AS arr, coalesce(b.hop, $h) AS hop
+           |  FROM cand$h c LEFT JOIN best${h - 1} b ON c.node = b.node
+           |  WHERE b.node IS NULL OR c.c < b.arr),
+           |best$h AS (SELECT b.node, b.hop,
+           |    CASE WHEN i.arr IS NOT NULL AND i.arr < b.arr THEN i.arr
+           |      ELSE b.arr END AS arr
+           |  FROM best${h - 1} b LEFT JOIN imp$h i ON b.node = i.node
+           |  UNION ALL
+           |  SELECT i.node, i.hop, i.arr FROM imp$h i
+           |  LEFT JOIN best${h - 1} b ON i.node = b.node WHERE b.node IS NULL),
+           |f$h AS (SELECT node, arr FROM imp$h)""".stripMargin
+      }.mkString
+      base + steps +
+        s"""\nSELECT CAST(node AS BIGINT) AS node, CAST(hop AS INTEGER) AS hop,
+           |  CASE WHEN hop > 0 THEN arr END AS first_time
+           |FROM best$hops""".stripMargin
+    },
 
     "skew_stress_colocation" ->
       s"""WITH $ptsCte,

@@ -187,4 +187,38 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.toSet.size == 1, s"ring symmetry: $got")
     assert(math.abs(got.values.sum - 1.0) < 1e-5)
   }
+
+  test("temporalReachability: a later-hop EARLIER arrival unlocks onward edges") {
+    // Seed S=1. Edges: S–A @10, S–B @1, B–A @2, A–C @5.
+    // Greedy first-reach finds A at hop 1 with arrival 10 and would then
+    // block A–C (5 < 10). The time-respecting path S→B(1)→A(2)→C(5) is
+    // valid: A's arrival IMPROVES to 2 at hop 2, which unlocks C at hop 3.
+    val edges = Seq(
+      (1L, 2L, 10L), // S–A
+      (1L, 3L, 1L),  // S–B
+      (3L, 2L, 2L),  // B–A
+      (2L, 4L, 5L)   // A–C
+    ).toDF("u", "v", "t")
+    val got = Graph.temporalReachability(edges, "u", "v", "t",
+        seeds = Seq(1L), hops = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got == Map(
+      1L -> ((0, None)),       // seed
+      2L -> ((1, Some(2L))),   // A: first reached hop 1; arrival improved to 2
+      3L -> ((1, Some(1L))),   // B
+      4L -> ((3, Some(5L)))    // C: only via the improved-arrival path
+    ), got.toString)
+  }
+
+  test("temporalReachability respects time: a backwards-in-time 2-hop path is NOT a chain") {
+    // S–A @10, A–C @5 only: reaching C needs A→C at 5 after arriving at
+    // A at 10 — invalid. C must be absent.
+    val edges = Seq((1L, 2L, 10L), (2L, 4L, 5L)).toDF("u", "v", "t")
+    val nodes = Graph.temporalReachability(edges, "u", "v", "t",
+        seeds = Seq(1L), hops = 3)
+      .select("node").as[Long].collect().toSet
+    assert(nodes == Set(1L, 2L), nodes.toString)
+  }
 }
