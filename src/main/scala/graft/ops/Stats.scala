@@ -1029,4 +1029,136 @@ object Stats {
           .otherwise(round((col("p_observed") - col("p_expected")) /
             (lit(1.0) - col("p_expected")), 6)))
   }
+
+  /** Mann–Whitney U — the nonparametric two-sample A/B test (does one
+    * arm's value distribution stochastically dominate the other's),
+    * robust where Welch's t is not: heavy tails, ordinal metrics.
+    *
+    * Same exact-integer midrank algebra as [[aucRoc]] (U IS the AUC
+    * numerator): per distinct value, 2·midrank = 2·cumBefore + cnt + 1,
+    * so 2·R_A = Σ cntA·(2·cb + cnt + 1) is an exact Long and
+    * U_A = R_A − n_A(n_A+1)/2 follows without ever ranking row-by-row.
+    * The normal approximation carries the standard tie correction:
+    * Var(U) = n_A·n_B/12 · ((N+1) − Σ(t³−t)/(N(N−1))). No continuity
+    * correction (engines and textbooks disagree on ±0.5; the exact U is
+    * emitted so callers can apply their own).
+    *
+    * Plan: one value-keyed hash-agg to the distinct-value cells, the
+    * [[withRangeCumSum]] exclusive prefix (no single-partition sort),
+    * one global fold. Headroom: Σt³ — past ~2M rows tied on ONE value,
+    * pre-bucket. z rounds at 4 dp ([[welchTTest]] discipline); U is an
+    * exact half-integer and emits unrounded.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cells = df
+      .filter(col(groupCol).isin(groupA, groupB) && v.isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"))
+    val cum = withRangeCumSum(cells, Seq(col("__v")), col("__cnt"), "__cb")
+    val folded = cum.agg(
+      sum(col("__ca")).as("__na"),
+      sum(col("__cnt") - col("__ca")).as("__nb"),
+      sum(col("__ca") * (lit(2L) * col("__cb") + col("__cnt") + 1))
+        .as("__r2a"),
+      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt"))
+        .as("__t3"),
+      sum(col("__cnt")).as("__n"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val n = col("__n").cast("double")
+    // 2U = 2R_A − n_A(n_A+1): exact Long; U in exact .5 steps.
+    val u2 = col("__r2a") - col("__na") * (col("__na") + 1)
+    val varU = na * nb / 12.0 *
+      ((n + 1.0) - col("__t3").cast("double") / (n * (n - 1.0)))
+    folded.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      (u2.cast("double") / 2.0).as("u_stat"),
+      when(col("__na") > 0 && col("__nb") > 0 && col("__n") > 1 && varU > 0.0,
+        round((u2.cast("double") / 2.0 - na * nb / 2.0) / sqrt(varU), 4))
+        .as("z_stat"))
+  }
+
+  /** Kruskal–Wallis H — the k-group generalization of [[mannWhitneyU]]
+    * ("do ANY of these arms differ in location"), the nonparametric
+    * one-way ANOVA. H = 12/(N(N+1)) · Σ_g R̄²_g/n_g − 3(N+1), divided by
+    * the tie factor 1 − Σ(t³−t)/(N³−N).
+    *
+    * Ranks never materialize per row: distinct-value cells carry
+    * (cnt, per-group cnt) — the per-(group, value) frame joins the
+    * value-keyed exclusive prefix on the value key (one co-keyed
+    * shuffle) and each group's DOUBLED rank sum Σ gcnt·(2·cb + cnt + 1)
+    * is an exact Long. Output is one row: (k, n, h_stat, h_tie_corrected),
+    * both at 4 dp; dof = k − 1 is the caller's chi-square lookup.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(col(groupCol).isNotNull && v.isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), v.as("__v"))
+    val cells = base.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    val cum = withRangeCumSum(cells, Seq(col("__v")), col("__cnt"), "__cb")
+    val gcells = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__gc"))
+    // Doubled per-group rank sums: exact Longs until the final fold.
+    val perGroup = gcells.join(cum, "__v")
+      .groupBy(col("__g"))
+      .agg(sum(col("__gc")).as("__ng"),
+        sum(col("__gc") * (lit(2L) * col("__cb") + col("__cnt") + 1))
+          .as("__r2g"))
+    val ties = cum.agg(
+      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt"))
+        .as("__t3"),
+      sum(col("__cnt")).as("__n"))
+    val n = col("__n").cast("double")
+    // Σ (R2_g/2)²/n_g : half-integer squares are exact in double.
+    val hCore = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum((col("__r2g").cast("double") / 2.0) *
+        (col("__r2g").cast("double") / 2.0) /
+        col("__ng").cast("double")).as("__rss"))
+    val h = lit(12.0) / (n * (n + 1.0)) * col("__rss") - 3.0 * (n + 1.0)
+    val tieFactor =
+      lit(1.0) - col("__t3").cast("double") / (n * n * n - n)
+    hCore.crossJoin(broadcast(ties)).select(
+      col("k"), col("__n").as("n"),
+      when(col("__n") > 1, round(h, 4)).as("h_stat"),
+      when(col("__n") > 1 && tieFactor > 0.0, round(h / tieFactor, 4))
+        .as("h_tie_corrected"))
+  }
+
+  /** One-way ANOVA F — the parametric k-group mean test. Derived
+    * entirely from per-group moments (n, Σv, Σv²): SSB = Σ n_g m_g² −
+    * N·m², SSW = Σv² − Σ n_g m_g², F = (SSB/(k−1))/(SSW/(N−k)). One
+    * group-keyed hash-agg (shuffle = k rows) and a scalar fold — the
+    * same moment discipline as [[welchTTest]]; F and the two mean
+    * squares round at 4 dp. Null F when N ≤ k or SSW = 0 (all-constant
+    * groups: the ratio is undefined, not infinite significance).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.filter(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"), sum(v).as("__s"),
+        sum(v * v).as("__ss"))
+    val folded = g.agg(
+      count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+      sum(col("__s")).as("__ts"), sum(col("__ss")).as("__tss"),
+      sum(col("__s") * col("__s") / col("__ng").cast("double"))
+        .as("__snm2"))
+    val n = col("n").cast("double")
+    val k = col("k").cast("double")
+    val ssb = col("__snm2") - col("__ts") * col("__ts") / n
+    val ssw = col("__tss") - col("__snm2")
+    val msb = ssb / (k - 1.0)
+    val msw = ssw / (n - k)
+    folded.select(
+      col("k"), col("n"),
+      when(col("k") > 1, round(msb, 4)).as("ms_between"),
+      when(col("n") > col("k"), round(msw, 4)).as("ms_within"),
+      when(col("k") > 1 && col("n") > col("k") && msw > 0.0,
+        round(msb / msw, 4)).as("f_stat"))
+  }
 }

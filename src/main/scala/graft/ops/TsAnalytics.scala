@@ -397,4 +397,82 @@ object TsAnalytics {
         round(col("__f").getField("l") + col("__f").getField("b"), 4)
           .as("forecast_next"))
   }
+
+  /** Lead–lag cross-correlation between two bucketed series (does metric
+    * A anticipate metric B, and by how many buckets): Pearson corr of
+    * (a(t), b(t + lag)) for each lag in [−maxLag, +maxLag], over hours
+    * where BOTH sides exist. Positive lag = a leads b.
+    *
+    * Each side reduces to its per-bucket mean first (two bucket-keyed
+    * hash-aggs, shuffle = |buckets| rows), so the lag join runs on the
+    * TINY bucketed frames, never on events: the 2·maxLag+1 lag spine is
+    * a broadcast literal and the shifted equi-join is bucket-keyed.
+    * Pairwise-complete correlation from frame-local moments, 4 dp.
+    */
+  def crossCorrelation(df: DataFrame, tsCol: String, valueCol: String,
+                       seriesCol: String, seriesA: String, seriesB: String,
+                       bucket: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 48, "maxLag in 1..48")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def side(name: String, out: String) = df
+      .filter(col(seriesCol) === name && col(valueCol).isNotNull)
+      .groupBy(unix_micros(date_trunc(bucket, col(tsCol))).as("__t"))
+      .agg(avg(col(valueCol)).as(out))
+    val bucketUs: Long = bucket match {
+      case "hour" => 3600000000L
+      case "day"  => 86400000000L
+      case other  => throw new IllegalArgumentException(
+        s"unsupported bucket '$other' (hour|day)")
+    }
+    val lags = (-maxLag to maxLag).toDF("lag")
+    val a = side(seriesA, "__va").crossJoin(broadcast(lags))
+      .withColumn("__tb", col("__t") + col("lag") * bucketUs)
+    val joined = a.join(side(seriesB, "__vb")
+        .withColumnRenamed("__t", "__tb"), "__tb")
+    joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__va")).as("__sa"), sum(col("__vb")).as("__sb"),
+        sum(col("__va") * col("__va")).as("__saa"),
+        sum(col("__vb") * col("__vb")).as("__sbb"),
+        sum(col("__va") * col("__vb")).as("__sab"))
+      .select(col("lag"), col("n_buckets"),
+        when(col("n_buckets") >= 3,
+          round((col("n_buckets") * col("__sab") - col("__sa") * col("__sb")) /
+            nullif(sqrt(col("n_buckets") * col("__saa") -
+                col("__sa") * col("__sa")) *
+              sqrt(col("n_buckets") * col("__sbb") -
+                col("__sb") * col("__sb")), lit(0.0)), 4))
+          .as("xcorr"))
+  }
+
+  /** Burstiness per entity: the Goh–Barabási coefficient
+    * B = (σ − μ)/(σ + μ) of the inter-arrival gaps (−1 = perfectly
+    * periodic, 0 = Poisson, →1 = extremely bursty), plus the CV — the
+    * traffic-shape fingerprint that separates schedulers from humans
+    * from retry storms. One (user × ts) window for the lag, one
+    * user-keyed agg of the gap moments; entities need ≥ 3 events
+    * (≥ 2 gaps) for a sample σ. Gaps in integer micros until the final
+    * moment divisions; 4 dp.
+    */
+  def burstiness(df: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val ord = Window.partitionBy(col(userCol)).orderBy(us, col(tieCol))
+    val gap = (us - lag(us, 1).over(ord)).cast("double") / 1e6
+    df.select(col(userCol), gap.as("__g"))
+      .filter(col("__g").isNotNull)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        avg(col("__g")).as("__mu"),
+        stddev_samp(col("__g")).as("__sd"))
+      .filter(col("n_gaps") >= 2)
+      .select(col(userCol), col("n_gaps"),
+        round(col("__mu"), 4).as("mean_gap_secs"),
+        when(col("__sd") + col("__mu") > 0.0,
+          round((col("__sd") - col("__mu")) / (col("__sd") + col("__mu")), 4))
+          .as("burstiness"),
+        when(col("__mu") > 0.0, round(col("__sd") / col("__mu"), 4))
+          .as("cv"))
+  }
 }

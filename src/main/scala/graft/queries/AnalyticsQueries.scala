@@ -215,6 +215,43 @@ object AnalyticsQueries {
         groupA = "click", groupB = "view")
     },
 
+    // L269: Mann–Whitney U between the same two arms — the rank-based
+    // companion read-out (heavy-tail-robust); exact-integer midranks,
+    // tie-corrected z.
+    "ab_test_mann_whitney" -> { (s, dir) =>
+      Stats.mannWhitneyU(Tables.events(s, dir), "event_type", "value",
+        groupA = "click", groupB = "view")
+    },
+
+    // L270: Kruskal–Wallis H across ALL event types (the "any arm
+    // differs" omnibus, nonparametric).
+    "ab_test_kruskal_wallis" -> { (s, dir) =>
+      Stats.kruskalWallis(Tables.events(s, dir), "event_type", "value")
+    },
+
+    // L271: one-way ANOVA F over the same k arms — the parametric
+    // omnibus from pure group moments.
+    "ab_test_anova_f" -> { (s, dir) =>
+      Stats.anovaF(Tables.events(s, dir), "event_type", "value")
+    },
+
+    // L272: lead–lag cross-correlation between the hourly click and
+    // view mean-value series (does one metric anticipate the other) —
+    // the lag join runs on the tiny bucketed frames, never on events.
+    "ts_cross_correlation" -> { (s, dir) =>
+      TsAnalytics.crossCorrelation(Tables.events(s, dir), "ts", "value",
+        "event_type", seriesA = "click", seriesB = "view",
+        bucket = "hour", maxLag = 6)
+    },
+
+    // L273: Goh–Barabási burstiness + CV of per-user inter-arrival
+    // gaps — the traffic-shape fingerprint (scheduler vs human vs
+    // retry storm).
+    "ts_burstiness" -> { (s, dir) =>
+      TsAnalytics.burstiness(Tables.events(s, dir), "user_id", "ts",
+        tieCol = "event_id")
+    },
+
     // Bradley–Terry preference strengths (3 MM rounds) over per-user
     // "best vs worst event type" judgments — the RLHF preference-
     // aggregation primitive, with the PageRank unrolled-oracle
@@ -1809,6 +1846,87 @@ object AnalyticsQueries {
         |      ((va / n_a) * (va / n_a) / (n_a - 1) +
         |       (vb / n_b) * (vb / n_b) / (n_b - 1)), 2) END AS dof
         |FROM a, b""".stripMargin,
+
+    // Midranks via the distinct-value exclusive prefix — the same
+    // doubled-integer algebra as the Spark op, so U and z are
+    // bit-comparable before their rounds.
+    "ab_test_mann_whitney" ->
+      """WITH base AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ya
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |cells AS (SELECT v, count(*) AS cnt, sum(ya) AS ca
+        |  FROM base GROUP BY 1),
+        |cum AS (SELECT cnt, ca,
+        |    coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM cells),
+        |s AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cnt - ca) AS BIGINT) AS nb,
+        |    CAST(sum(ca * (2 * cb + cnt + 1)) AS BIGINT) AS r2a,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t3,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM cum),
+        |d AS (SELECT *, CAST(r2a - na * (na + 1) AS DOUBLE) AS u2,
+        |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |      ((CAST(n AS DOUBLE) + 1.0) - CAST(t3 AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS varu
+        |  FROM s)
+        |SELECT na AS n_a, nb AS n_b, u2 / 2.0 AS u_stat,
+        |  CASE WHEN na > 0 AND nb > 0 AND n > 1 AND varu > 0
+        |    THEN round((u2 / 2.0 - CAST(na AS DOUBLE) *
+        |      CAST(nb AS DOUBLE) / 2.0) / sqrt(varu), 4) END AS z_stat
+        |FROM d""".stripMargin,
+
+    "ab_test_kruskal_wallis" ->
+      """WITH base AS (SELECT CAST(event_type AS VARCHAR) AS g, value AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT v, count(*) AS cnt FROM base GROUP BY 1),
+        |cum AS (SELECT v, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM cells),
+        |gc AS (SELECT g, v, count(*) AS gcnt FROM base GROUP BY 1, 2),
+        |pg AS (SELECT g, CAST(sum(gcnt) AS BIGINT) AS ng,
+        |    CAST(sum(gcnt * (2 * cb + cnt + 1)) AS BIGINT) AS r2g
+        |  FROM gc JOIN cum USING (v) GROUP BY 1),
+        |ties AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t3,
+        |    CAST(sum(cnt) AS BIGINT) AS n FROM cum),
+        |core AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum((CAST(r2g AS DOUBLE) / 2.0) * (CAST(r2g AS DOUBLE) / 2.0)
+        |      / CAST(ng AS DOUBLE)) AS rss
+        |  FROM pg),
+        |d AS (SELECT k, n,
+        |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * rss
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+        |    1.0 - CAST(t3 AS DOUBLE) / (CAST(n AS DOUBLE) *
+        |      CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+        |      AS tf
+        |  FROM core, ties)
+        |SELECT k, n, CASE WHEN n > 1 THEN round(h, 4) END AS h_stat,
+        |  CASE WHEN n > 1 AND tf > 0 THEN round(h / tf, 4) END
+        |    AS h_tie_corrected
+        |FROM d""".stripMargin,
+
+    "ab_test_anova_f" ->
+      """WITH g AS (SELECT event_type, count(*) AS ng, sum(value) AS s,
+        |    sum(value * value) AS ss
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n, sum(s) AS ts, sum(ss) AS tss,
+        |    sum(s * s / CAST(ng AS DOUBLE)) AS snm2
+        |  FROM g),
+        |d AS (SELECT *,
+        |    (snm2 - ts * ts / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
+        |      AS msb,
+        |    (tss - snm2) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+        |  FROM f)
+        |SELECT k, n, CASE WHEN k > 1 THEN round(msb, 4) END AS ms_between,
+        |  CASE WHEN n > k THEN round(msw, 4) END AS ms_within,
+        |  CASE WHEN k > 1 AND n > k AND msw > 0 THEN round(msb / msw, 4) END
+        |    AS f_stat
+        |FROM d""".stripMargin,
 
     // Unrolled MM rounds; denominators and the normalizing total fold
     // over value-sorted term lists (list_sort → list_sum ≡ Spark
