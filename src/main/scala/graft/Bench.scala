@@ -164,6 +164,52 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    // Streaming replay throughput (r10 verdict #6): the DSv2 replay
+    // source — paged cursor, admission control — previously regressed
+    // invisibly because only specs exercised it. A fixed 16-trigger
+    // replay of the events table, timed like any query, makes a cursor
+    // or planning regression show up in BENCH files. Prep (normalized
+    // parquet copy, span probe) is untimed; each timed run gets a fresh
+    // checkpoint so the source actually replays.
+    val replayName = "stream_replay_throughput"
+    var replayRows = 0L
+    val replayTime: Option[Double] =
+      if (!only.forall(_.contains(replayName))) None
+      else try {
+        import org.apache.spark.sql.{Dataset, Row}
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_bench_replay").toString
+        val ev = graft.sources.Tables.events(spark, sfDir)
+        val raw = s"$work/raw"
+        ev.write.mode("overwrite").parquet(raw)
+        val span = ev.agg(org.apache.spark.sql.functions.min("ts"),
+          org.apache.spark.sql.functions.max("ts")).head()
+        val spanSec =
+          (span.getTimestamp(1).getTime - span.getTimestamp(0).getTime) / 1000.0
+        val advanceSec = math.max(1.0, spanSec / 16.0)
+        def runOnce(tag: String): Double = {
+          release()
+          var rows = 0L
+          val stream = spark.readStream
+            .format(classOf[graft.streaming.ReplayStreamSource].getName)
+            .option("path", raw).option("tsCol", "ts")
+            .option("simAdvancePerTriggerSec", advanceSec.toString)
+            .option("cursorPageSize", "4096")
+            .load()
+          val q = stream.writeStream
+            .option("checkpointLocation", s"$work/ckpt_$tag")
+            .foreachBatch { (b: Dataset[Row], _: Long) =>
+              rows += b.count(); ()
+            }
+            .start()
+          val t0 = System.nanoTime()
+          try q.processAllAvailable() finally q.stop()
+          replayRows = rows
+          (System.nanoTime() - t0) / 1e9
+        }
+        runOnce("warm") // untimed warm-up, matching the batch queries
+        Some(Seq(runOnce("t1"), runOnce("t2")).min)
+      } catch { case _: Throwable => Some(-1.0) }
     sentinelTimes += timeSentinel() // end-of-session load check
     sentinelMidTimes += timeBasket(sentinelMidFns)
     // Noise signature = SUSTAINED drift: two consecutive baskets >1.5× the
@@ -181,18 +227,21 @@ object Bench {
     }
     val noiseSuspect =
       sustainedDrift(sentinelTimes.toSeq) || sustainedDrift(sentinelMidTimes.toSeq)
-    val failed = results.collect { case (n, t) if t < 0 => n }
+    val allResults = results ++ replayTime.map(replayName -> _).toSeq
+    val failed = allResults.collect { case (n, t) if t < 0 => n }
     val history = loadHistory(sfDir)
     def budget(q: String): Double =
       history.get(q).filter(_ > 0)
         .map(t => math.max(math.max(2.0 * t, math.min(TrackedFloorSec, 2.5 * t)),
           MicroFloorSec))
         .getOrElse(FloorSec)
-    val overBudget = results.collect { case (n, t) if t > budget(n) => n }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val overBudget = allResults.collect { case (n, t) if t > budget(n) => n }
+    val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = allResults.map(_._2).filter(_ >= 0).sum
+    val replayEps = replayTime.filter(t => t > 0 && replayRows > 0)
+      .map(t => replayRows / t).getOrElse(-1.0)
     def basketJson(xs: Seq[Double]) = xs.filter(_ != Double.MaxValue)
       .map(t => f"$t%.4f").mkString("[", ",", "]")
     val sentinelJson = basketJson(sentinelTimes.toSeq)
@@ -201,6 +250,7 @@ object Bench {
       s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},""" +
       s""""noise_suspect":$noiseSuspect,"sentinel_sec":$sentinelJson,""" +
       s""""sentinel_mid_sec":$sentinelMidJson,""" +
+      s""""stream_replay_events_per_sec":${f"$replayEps%.1f"},""" +
       s""""sf":"$sfDir"}""")
     // Persist this run's timings as the next run's budget baseline,
     // KEEP-MIN per query: a session on a slower host (round-8 lesson:
@@ -229,7 +279,7 @@ object Bench {
         // new query would be flagged on every run forever and never
         // ratified (round-9 lesson: three new graph/bootstrap queries).
         val merged = base ++
-          results.filter { case (n, t) =>
+          allResults.filter { case (n, t) =>
             t >= 0 && (!over.contains(n) || !base.contains(n)) }
             .map { case (n, t) =>
               n -> base.get(n).filter(_ > 0)

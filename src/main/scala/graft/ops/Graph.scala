@@ -461,4 +461,40 @@ object Graph {
     best.select(col("node"), col("hop"),
       when(col("hop") > 0, col("arr")).as("first_time"))
   }
+
+  /** Degree assortativity: the Pearson correlation of
+    * (deg(src), deg(dst)) over the symmetrized edge list — do hubs
+    * attach to hubs (ρ > 0, social graphs) or to leaves (ρ < 0,
+    * bipartite/infrastructure graphs)? One degree aggregation, two
+    * node-keyed equi-joins to put both endpoint degrees on the edge
+    * row, one moment fold. Degrees are integers, so the five sums fold
+    * as EXACT Longs (the spearmanCorr discipline — bit-identical to
+    * the oracle's integer sums) and cast to double only inside the
+    * closed form; ρ rounds at 4 dp. Headroom: Σd(u)·d(v) ≤ E·dmax² —
+    * past ~1e6 edges with 1e3-degree hubs, cap or bucket degrees.
+    * Self-loops and duplicate edges are honored as given.
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val eIn = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val e = eIn.unionByName(
+      eIn.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__d"))
+    val onEdge = e
+      .join(deg.select(col("node").as("src"), col("__d").as("__dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("__d").as("__dy")), "dst")
+    val m = onEdge.agg(count(lit(1)).as("n_edges"),
+      sum(col("__dx")).as("__sx"), sum(col("__dy")).as("__sy"),
+      sum(col("__dx") * col("__dx")).as("__sxx"),
+      sum(col("__dy") * col("__dy")).as("__syy"),
+      sum(col("__dx") * col("__dy")).as("__sxy"))
+    val nD = col("n_edges").cast("double")
+    def d(c: String) = col(c).cast("double")
+    m.select(col("n_edges"),
+      when(col("n_edges") >= 2,
+        round((nD * d("__sxy") - d("__sx") * d("__sy")) /
+          nullif(sqrt(nD * d("__sxx") - d("__sx") * d("__sx")) *
+            sqrt(nD * d("__syy") - d("__sy") * d("__sy")), lit(0.0)), 4))
+        .as("assortativity"))
+  }
 }

@@ -1118,6 +1118,93 @@ object Similarity {
         round(max(col("__v")), 6).as("max_v"))
       .withColumn("dead", col("std") < deadEps)
 
+  /** Diagonal whitening of an embedding column: per dimension,
+    * w_j = (v_j − μ_j)/σ_j with μ/σ from [[dimStats]]'s one-pass
+    * dim-keyed aggregation — the standard pre-conditioner before
+    * cosine ANN when dimensions carry wildly different scales (it
+    * makes Euclidean ≈ Mahalanobis-diagonal). The d (mean, std) pairs
+    * are a dimension-bounded driver collect (the IVF-centroid collect
+    * class) shipped back as two array literals, so the transform
+    * itself is MAP-SIDE over the corpus — no join, no shuffle, any
+    * scale. Dead dimensions (σ < deadEps) pass through as 0.0 rather
+    * than dividing by ~0. Components round at 6 dp (the k-means /
+    * dimStats float-parity discipline).
+    */
+  def whitenDiagonal(emb: DataFrame, idCol: String, vecCol: String,
+                     deadEps: Double = 1e-9): DataFrame = {
+    val stats = emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim"), col("__v").cast("double").as("__v"))
+      .groupBy(col("dim"))
+      .agg(avg(col("__v")).as("__mu"), stddev_samp(col("__v")).as("__sd"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mu = typedlit(stats.map(_._2).toSeq)
+    val sd = typedlit(stats.map(_._3).toSeq)
+    emb.select(col(idCol), col(vecCol).as("__in"))
+      .select(col(idCol), size(col("__in")).as("n_dims"),
+        zip_with(col("__in").cast("array<double>"),
+          sequence(lit(0), size(col("__in")) - 1),
+          (v, i) => {
+            // `get` = 0-based, out-of-bounds-null (ANSI-safe).
+            val s = get(sd, i)
+            when(s.isNull || s < deadEps, lit(0.0))
+              .otherwise(round((v - get(mu, i)) / s, 6))
+          }).as("whitened"))
+  }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    * between two top-k rankings: RBO@k = (1−p)·Σ_{d=1..k}
+    * p^{d−1}·|A_{1..d} ∩ B_{1..d}|/d — the top-weighted agreement
+    * measure for comparing rankers (BM25 vs ANN) that, unlike RRF,
+    * SCORES the agreement instead of fusing the lists. Truncated sum =
+    * the RBO_min lower bound; no extrapolated residual, so two
+    * identical prefixes score (1−p)·Σp^{d−1} < 1 by the withheld
+    * tail.
+    *
+    * Everything after the id-keyed intersection join is k-bounded: the
+    * depth histogram is ≤ k rows, the weight spine is a k-row literal
+    * (powers computed by repeated multiplication — exact for dyadic p
+    * like 0.5, matching any engine), and the X_d prefix join is k×k.
+    * Inputs carry (`idCol`, `rank`) top-k lists by construction, so
+    * nothing here is corpus-sized.
+    */
+  def rboOverlap(a: DataFrame, b: DataFrame, idCol: String,
+                 p: Double, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k in 1..1000")
+    require(p > 0.0 && p < 1.0, "p in (0,1)")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ra = a.filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("int").as("__ra"))
+    val rb = b.filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("int").as("__rb"))
+    val byDepth = ra.join(rb, idCol)
+      .select(greatest(col("__ra"), col("__rb")).as("__depth"))
+      .groupBy(col("__depth")).agg(count(lit(1)).as("__c"))
+    val weights = {
+      var w = 1.0
+      (1 to k).map { d => val r = (d, w); w *= p; r }
+    }
+    val spine = weights.toDF("d", "__w")
+    val xd = broadcast(spine)
+      .join(byDepth, col("__depth") <= col("d"), "left")
+      .groupBy(col("d"), col("__w"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__xd"))
+    // Value-sorted fold (the rrfFuse / list_sum(list_sort(...))
+    // discipline) so the k-term double sum is order-identical on any
+    // engine.
+    xd.agg(
+        max(when(col("d") === k, col("__xd"))).as("__ok"),
+        sort_array(collect_list(
+          col("__w") * col("__xd").cast("double") / col("d").cast("double")))
+          .as("__ts"))
+      .select(lit(k).as("k"), col("__ok").as("overlap_at_k"),
+        round(lit(1.0 - p) *
+          aggregate(col("__ts"), lit(0.0), (acc, x) => acc + x), 4)
+          .as("rbo"))
+  }
+
   /** Reciprocal-rank fusion of several retrieval rankings (Cormack,
     * Clarke & Buettcher, SIGIR'09): score(d) = Σ_r 1/(kRrf + rank_r(d))
     * over the rankers that surfaced d. The standard way to combine a

@@ -1119,7 +1119,7 @@ object Stats {
       sum((col("__r2g").cast("double") / 2.0) *
         (col("__r2g").cast("double") / 2.0) /
         col("__ng").cast("double")).as("__rss"))
-    val h = lit(12.0) / (n * (n + 1.0)) * col("__rss") - 3.0 * (n + 1.0)
+    val h = lit(12.0) / (n * (n + 1.0)) * col("__rss") - lit(3.0) * (n + 1.0)
     val tieFactor =
       lit(1.0) - col("__t3").cast("double") / (n * n * n - n)
     hCore.crossJoin(broadcast(ties)).select(
@@ -1160,5 +1160,100 @@ object Stats {
       when(col("n") > col("k"), round(msw, 4)).as("ms_within"),
       when(col("k") > 1 && col("n") > col("k") && msw > 0.0,
         round(msb / msw, 4)).as("f_stat"))
+  }
+
+  /** Spearman rank correlation between two numeric columns — Pearson
+    * over midranks, the monotone-association statistic that survives
+    * heavy tails and nonlinearity (value-vs-time drift, score-vs-score
+    * agreement). Tie-exact: per distinct value the DOUBLED midrank
+    * 2r = 2·cumBefore + cnt + 1 is an integer Long from the same
+    * [[withRangeCumSum]] exclusive prefix that powers [[aucRoc]] — no
+    * single-partition sort. The five moment sums fold as exact Longs
+    * (bit-identical to the oracle's HUGEINT sums), cast to double only
+    * for the closed-form ρ; doubling cancels in the ratio. Headroom:
+    * Σ(2r)² ≤ 4n³ needs n ≲ 1.3e6 to stay in Long — past that, bucket
+    * values first (the rank map is per-DISTINCT-value, so any
+    * quantization of the inputs shrinks it). Each rank map is a
+    * |distinct|-row frame; the joins back to rows are value-keyed
+    * equi-joins, AQE-sized.
+    */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rankMap(c: String, out: String): DataFrame = {
+      val cells = base.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      withRangeCumSum(cells, Seq(col(c)), col("__cnt"), "__cb")
+        .select(col(c),
+          (lit(2L) * col("__cb") + col("__cnt") + 1).as(out))
+    }
+    val ranked = base
+      .join(rankMap("__x", "__rx"), "__x")
+      .join(rankMap("__y", "__ry"), "__y")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+      sum(col("__rx") * col("__rx")).as("__sxx"),
+      sum(col("__ry") * col("__ry")).as("__syy"),
+      sum(col("__rx") * col("__ry")).as("__sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    m.select(col("n"),
+      when(col("n") >= 3,
+        round((nD * d("__sxy") - d("__sx") * d("__sy")) /
+          nullif(sqrt(nD * d("__sxx") - d("__sx") * d("__sx")) *
+            sqrt(nD * d("__syy") - d("__sy") * d("__sy")), lit(0.0)), 4))
+        .as("spearman_rho"))
+  }
+
+  /** Levene's variance-homogeneity test (mean-centered): W = the
+    * one-way ANOVA F computed on z_ij = |v_ij − mean_j| — the check
+    * that guards [[anovaF]]'s equal-variance assumption. Two passes:
+    * a k-row group-mean broadcast join, then [[anovaF]]'s single
+    * moment aggregation on z. Output mirrors anovaF with the statistic
+    * renamed w_stat.
+    */
+  def leveneTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val filtered = df.filter(col(groupCol).isNotNull && v.isNotNull)
+    val means = filtered.groupBy(col(groupCol)).agg(avg(v).as("__gm"))
+    val z = filtered.join(broadcast(means), Seq(groupCol))
+      .select(col(groupCol), abs(v - col("__gm")).as("__z"))
+    anovaF(z, groupCol, "__z")
+      .select(col("k"), col("n"),
+        col("ms_between"), col("ms_within"),
+        col("f_stat").as("w_stat"))
+  }
+
+  /** Standardized effect size for a two-arm comparison: Cohen's d on
+    * the pooled standard deviation, plus Hedges' g small-sample
+    * correction g = d·(1 − 3/(4N − 9)) — the magnitude read-out that a
+    * significance test ([[welchTTest]]) doesn't give. Same single
+    * group-keyed moment aggregation and two 1-row broadcasts as the t;
+    * null d when either arm has < 2 rows or the pooled variance is 0.
+    */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String,
+              groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val agg0 = df.filter(col(groupCol).isin(groupA, groupB) && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), avg(v).as("__m"), var_samp(v).as("__v"))
+    def side(g: String, suffix: String) = agg0
+      .filter(col(groupCol) === g)
+      .select(col("__n").as(s"n_$suffix"), col("__m").as(s"__m_$suffix"),
+        col("__v").as(s"__v_$suffix"))
+    val joined = side(groupA, "a").crossJoin(broadcast(side(groupB, "b")))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val sp2 = ((nA - 1.0) * col("__v_a") + (nB - 1.0) * col("__v_b")) /
+      (nA + nB - 2.0)
+    val dStat = (col("__m_a") - col("__m_b")) / sqrt(sp2)
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && sp2 > 0.0
+    joined.select(col("n_a"), col("n_b"),
+      round(col("__m_a"), 4).as("mean_a"),
+      round(col("__m_b"), 4).as("mean_b"),
+      when(ok, round(dStat, 4)).as("cohens_d"),
+      when(ok, round(dStat *
+        (lit(1.0) - lit(3.0) / (lit(4.0) * (nA + nB) - 9.0)), 4))
+        .as("hedges_g"))
   }
 }

@@ -1198,4 +1198,38 @@ object TextAnalysis {
             (col("__nb").cast("double") * col("cu1").cast("double") *
               col("cu2").cast("double"))), 4).as("pmi"))
   }
+
+  /** Lexical diversity per document: type–token ratio (distinct/total
+    * words) and hapax share (fraction of types occurring exactly once
+    * in the doc) — low TTR flags template/boilerplate text, high hapax
+    * flags OCR noise and gibberish; both are standard corpus-quality
+    * signals. Entirely MAP-SIDE array expressions over the shared
+    * whitespace tokenization: hapaxes are counted on the SORTED token
+    * array with an index-aware filter (a position is a hapax iff it
+    * differs from both neighbors) — O(L log L) per doc, never a
+    * per-type rescan of the token list, no shuffle at any corpus size.
+    */
+  def typeTokenRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.words(col(textCol))
+    val s = array_sort(toks)
+    val nTok = size(toks)
+    // filter's lambda index i is 0-based; `get` is the 0-based
+    // out-of-bounds-null accessor (ANSI-safe, unlike element_at which
+    // throws), and `true OR null = true` covers the boundary
+    // positions.
+    val hapax = size(filter(s, (x, i) =>
+      (i === 0 || x =!= get(s, i - 1)) &&
+        (i === size(s) - 1 || x =!= get(s, i + 1))))
+    docs.select(col(idCol),
+        nTok.cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        hapax.cast("long").as("__h"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 4)).as("ttr"),
+        when(col("n_types") > 0,
+          round(col("__h").cast("double") /
+            col("n_types").cast("double"), 4)).as("hapax_share"))
+  }
 }

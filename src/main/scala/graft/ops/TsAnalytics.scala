@@ -408,12 +408,25 @@ object TsAnalytics {
     * TINY bucketed frames, never on events: the 2·maxLag+1 lag spine is
     * a broadcast literal and the shifted equi-join is bucket-keyed.
     * Pairwise-complete correlation from frame-local moments, 4 dp.
+    *
+    * The shifted key is `trunc(ts) + lag·bucket_micros`, which assumes
+    * truncated-bucket starts are uniformly spaced — true for 'hour'
+    * always, but for 'day' only in a fixed-offset zone (DST days are
+    * 23/25 h). The 'day' bucket therefore requires a UTC session
+    * timezone and asserts it.
     */
   def crossCorrelation(df: DataFrame, tsCol: String, valueCol: String,
                        seriesCol: String, seriesA: String, seriesB: String,
                        bucket: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 48, "maxLag in 1..48")
     val spark = df.sparkSession
+    if (bucket == "day") {
+      val tz = spark.conf.get("spark.sql.session.timeZone", "")
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+        s"bucket='day' needs a fixed-offset UTC session timezone " +
+          s"(got '$tz'): DST days are not 86400s apart, so the fixed " +
+          s"micros shift would miss buckets")
+    }
     import spark.implicits._
     def side(name: String, out: String) = df
       .filter(col(seriesCol) === name && col(valueCol).isNotNull)

@@ -252,6 +252,39 @@ object AnalyticsQueries {
         tieCol = "event_id")
     },
 
+    // L269: Spearman ρ between event value and event time — the
+    // monotone-drift read-out (rank-exact under ties, integer-Long
+    // moment sums).
+    "ml_spearman_corr" -> { (s, dir) =>
+      Stats.spearmanCorr(Tables.events(s, dir)
+          .select(col("value"), unix_micros(col("ts")).as("ts_us")),
+        "value", "ts_us")
+    },
+
+    // L270: Levene's variance-homogeneity W across all event-type
+    // arms — the assumption check in front of ab_test_anova_f.
+    "ab_test_levene" -> { (s, dir) =>
+      Stats.leveneTest(Tables.events(s, dir), "event_type", "value")
+    },
+
+    // L271: Cohen's d + Hedges' g between the two A/B arms — effect
+    // MAGNITUDE to pair with ab_test_welch_t's significance.
+    "ab_test_effect_size" -> { (s, dir) =>
+      Stats.cohensD(Tables.events(s, dir), "event_type", "value",
+        groupA = "click", groupB = "view")
+    },
+
+    // L272: degree assortativity of the customer–supplier trade graph
+    // (bipartite → expect ρ < 0: hubs attach to leaves).
+    "graph_assortativity" -> { (s, dir) =>
+      val eDir = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.ops.Graph.assortativity(eDir, "src", "dst")
+    },
+
     // Bradley–Terry preference strengths (3 MM rounds) over per-user
     // "best vs worst event type" judgments — the RLHF preference-
     // aggregation primitive, with the PageRank unrolled-oracle
@@ -1927,6 +1960,147 @@ object AnalyticsQueries {
         |  CASE WHEN k > 1 AND n > k AND msw > 0 THEN round(msb / msw, 4) END
         |    AS f_stat
         |FROM d""".stripMargin,
+
+    // Same per-bucket means, same broadcast lag spine, same
+    // pairwise-complete moment fold — UTC session on both engines, so
+    // epoch_us(date_trunc) keys are bit-identical.
+    "ts_cross_correlation" ->
+      """WITH a AS (SELECT epoch_us(date_trunc('hour', ts)) AS t,
+        |    avg(value) AS va
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (SELECT epoch_us(date_trunc('hour', ts)) AS t, avg(value) AS vb
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |lags AS (SELECT CAST(range AS INT) AS lag FROM range(-6, 7)),
+        |j AS (SELECT lags.lag, a.va, b.vb
+        |  FROM a CROSS JOIN lags
+        |  JOIN b ON b.t = a.t + CAST(lags.lag AS BIGINT) * 3600000000),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    sum(va) AS sa, sum(vb) AS sb, sum(va * va) AS saa,
+        |    sum(vb * vb) AS sbb, sum(va * vb) AS sab
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n_buckets,
+        |  CASE WHEN n_buckets >= 3 THEN
+        |    round((n_buckets * sab - sa * sb) /
+        |      nullif(sqrt(n_buckets * saa - sa * sa) *
+        |             sqrt(n_buckets * sbb - sb * sb), 0), 4) END AS xcorr
+        |FROM m""".stripMargin,
+
+    // Integer-micros gaps, the same (ts, event_id) tie order, sample σ.
+    "ts_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id)) / 1e6 AS gap
+        |  FROM events),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    avg(gap) AS mu, stddev_samp(gap) AS sd
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, round(mu, 4) AS mean_gap_secs,
+        |  CASE WHEN sd + mu > 0 THEN round((sd - mu) / (sd + mu), 4) END
+        |    AS burstiness,
+        |  CASE WHEN mu > 0 THEN round(sd / mu, 4) END AS cv
+        |FROM m WHERE n_gaps >= 2""".stripMargin,
+
+    // Doubled midranks from the distinct-value exclusive prefix (the
+    // mann_whitney algebra on both axes); HUGEINT-exact sums cast to
+    // double only inside the closed form — bit-comparable to Spark's
+    // Long sums.
+    "ml_spearman_corr" ->
+      """WITH base AS (SELECT CAST(value AS DOUBLE) AS x,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cx AS (SELECT x, count(*) AS cnt FROM base GROUP BY 1),
+        |rx AS (SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r FROM cx),
+        |cy AS (SELECT y, count(*) AS cnt FROM base GROUP BY 1),
+        |ry AS (SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r FROM cy),
+        |j AS (SELECT rx.r AS a, ry.r AS b
+        |  FROM base JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+        |    CAST(sum(a * a) AS DOUBLE) AS saa,
+        |    CAST(sum(b * b) AS DOUBLE) AS sbb,
+        |    CAST(sum(a * b) AS DOUBLE) AS sab
+        |  FROM j)
+        |SELECT n, CASE WHEN n >= 3 THEN
+        |    round((n * sab - sa * sb) /
+        |      nullif(sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb), 0), 4)
+        |  END AS spearman_rho
+        |FROM m""".stripMargin,
+
+    // Group means join, |v − mean| transform, then the anova moment
+    // fold on z — W is anova's F renamed.
+    "ab_test_levene" ->
+      """WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |gm AS (SELECT g, avg(v) AS m FROM base GROUP BY 1),
+        |z AS (SELECT base.g, abs(v - m) AS z FROM base JOIN gm USING (g)),
+        |ga AS (SELECT g, count(*) AS ng, sum(z) AS s, sum(z * z) AS ss
+        |  FROM z GROUP BY 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n, sum(s) AS ts, sum(ss) AS tss,
+        |    sum(s * s / CAST(ng AS DOUBLE)) AS snm2
+        |  FROM ga),
+        |d AS (SELECT *,
+        |    (snm2 - ts * ts / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
+        |      AS msb,
+        |    (tss - snm2) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+        |  FROM f)
+        |SELECT k, n, CASE WHEN k > 1 THEN round(msb, 4) END AS ms_between,
+        |  CASE WHEN n > k THEN round(msw, 4) END AS ms_within,
+        |  CASE WHEN k > 1 AND n > k AND msw > 0 THEN round(msb / msw, 4) END
+        |    AS w_stat
+        |FROM d""".stripMargin,
+
+    "ab_test_effect_size" ->
+      """WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m,
+        |    var_samp(value) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT n AS n_a, m AS ma, v AS va FROM g
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT n AS n_b, m AS mb, v AS vb FROM g
+        |  WHERE event_type = 'view'),
+        |d AS (SELECT *,
+        |    ((n_a - 1.0) * va + (n_b - 1.0) * vb) / (n_a + n_b - 2.0) AS sp2
+        |  FROM a, b)
+        |SELECT n_a, n_b, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0
+        |    THEN round((ma - mb) / sqrt(sp2), 4) END AS cohens_d,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0
+        |    THEN round((ma - mb) / sqrt(sp2) *
+        |      (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 4) END AS hedges_g
+        |FROM d""".stripMargin,
+
+    // Integer degree sums (HUGEINT-exact, matching Spark's Longs);
+    // double only inside the closed form.
+    "graph_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT
+        |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |oe AS (SELECT dx.d AS x, dy.d AS y FROM e
+        |  JOIN deg dx ON e.src = dx.node
+        |  JOIN deg dy ON e.dst = dy.node),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM oe)
+        |SELECT n AS n_edges, CASE WHEN n >= 2 THEN
+        |    round((n * sxy - sx * sy) /
+        |      nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 4)
+        |  END AS assortativity
+        |FROM m""".stripMargin,
 
     // Unrolled MM rounds; denominators and the normalizing total fold
     // over value-sorted term lists (list_sort → list_sum ≡ Spark

@@ -298,6 +298,30 @@ object SimilarityQueries {
       Similarity.rrfFuse(Seq("bm25" -> lex, "cosine" -> sem), "doc_id", k = 20)
     },
 
+    // L274: truncated rank-biased overlap between the same two
+    // rankings RRF fuses — SCORES the lexical↔semantic agreement
+    // (p = 0.5 keeps the weight powers dyadic-exact on any engine).
+    "retrieval_rbo" -> { (s, dir) =>
+      val lex = graft.ops.TextAnalysis.bm25(Tables.documents(s, dir),
+          "doc_id", "text", terms = Seq("spark", "join", "query"), k = 50)
+        .withColumn("rank", row_number().over(org.apache.spark.sql
+          .expressions.Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("cand_id").as("doc_id"), col("rn").as("rank"))
+      Similarity.rboOverlap(lex, sem, "doc_id", p = 0.5, k = 20)
+    },
+
+    // L275: diagonal whitening — gate compares the exploded
+    // (vec_id, dim, w) cells so the oracle never hashes arrays.
+    "embedding_whiten" -> { (s, dir) =>
+      Similarity.whitenDiagonal(Tables.embeddings(s, dir), "vec_id",
+          "embedding")
+        .select(col("vec_id"), posexplode(col("whitened")).as(Seq("dim", "w")))
+    },
+
     "embedding_norm_stats" -> { (s, dir) =>
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
     },
@@ -712,6 +736,60 @@ object SimilarityQueries {
          |  round(list_sum(list_sort(list(1.0 / (60 + rnk)))), 6) AS rrf_score,
          |  count(*) AS n_rankers
          |FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Same bm25/cosine rank lists as the rrf oracle; RBO fold with
+    // dyadic p = 0.5 (power() exact) and the value-sorted list_sum.
+    "retrieval_rbo" ->
+      s"""WITH ${TextQueries.wordsCte},
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |  avg(len(ws)) AS avgdl FROM words),
+         |hits AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+         |  unnest(list_filter(ws, x -> x IN ('spark','join','query'))) AS term
+         |  FROM words),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM hits GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sb AS (SELECT tf.doc_id,
+         |  ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS ts
+         |  FROM tf JOIN dfq USING (term), stats),
+         |bm AS (SELECT doc_id, round(list_sum(list_sort(list(ts))), 6) AS bm25
+         |  FROM sb GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |bmr AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM bm),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id AS doc_id,
+         |  round(${dotSql("q", "e.embedding")} /
+         |    nullif(sqrt(${dotSql("q", "q")}) *
+         |           sqrt(${dotSql("e.embedding", "e.embedding")}), 0), 6) AS cosine
+         |  FROM embeddings e, qv WHERE e.vec_id <> 0
+         |  ORDER BY cosine DESC, doc_id LIMIT 50),
+         |scr AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY cosine DESC, doc_id) AS rnk FROM sc),
+         |cm AS (SELECT greatest(b.rnk, s.rnk) AS depth
+         |  FROM bmr b JOIN scr s USING (doc_id)
+         |  WHERE b.rnk <= 20 AND s.rnk <= 20),
+         |bd AS (SELECT depth, count(*) AS c FROM cm GROUP BY 1),
+         |spine AS (SELECT CAST(range + 1 AS INTEGER) AS d,
+         |  power(0.5, range) AS w FROM range(20)),
+         |xd AS (SELECT d, w, coalesce(sum(c), 0) AS x
+         |  FROM spine LEFT JOIN bd ON bd.depth <= spine.d GROUP BY 1, 2)
+         |SELECT CAST(20 AS INTEGER) AS k,
+         |  CAST(max(CASE WHEN d = 20 THEN x END) AS BIGINT) AS overlap_at_k,
+         |  round(0.5 * list_sum(list_sort(list(w * CAST(x AS DOUBLE) / d))), 4)
+         |    AS rbo
+         |FROM xd""".stripMargin,
+
+    "embedding_whiten" ->
+      """WITH pe AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |st AS (SELECT dim, avg(v) AS mu, stddev_samp(v) AS sd
+        |  FROM pe GROUP BY 1)
+        |SELECT vec_id, dim,
+        |  CASE WHEN sd IS NULL OR sd < 1e-9 THEN 0.0
+        |    ELSE round((v - mu) / sd, 6) END AS w
+        |FROM pe JOIN st USING (dim)""".stripMargin,
 
     "corpus_topic_mix" ->
       s"""WITH ${kmeansCtes(5, 2)},

@@ -210,6 +210,12 @@ object TextQueries {
         "doc_id", "text", "lang")
     },
 
+    // L273: type–token ratio + hapax share per document — lexical
+    // diversity, entirely map-side (sorted-array neighbor test).
+    "text_ttr" -> { (s, dir) =>
+      TextAnalysis.typeTokenRatio(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // Corpus datacard: per-(source, lang) doc/char counts with ROLLUP
     // subtotals and a grand total — the one-query dataset report. Spark
     // plans the grouping sets through ONE Expand + hash aggregate (a
@@ -1292,6 +1298,27 @@ object TextQueries {
         |    AS chars_per_token,
         |  count(*) AS n_docs
         |FROM t GROUP BY 1""".stripMargin,
+
+    // DuckDB lambda index i is 1-based and s[i] 1-based too, so the
+    // neighbor test reads (i = 1 OR s[i] <> s[i-1]) — same semantics
+    // as Spark's 0-based filter lambda with 1-based element_at.
+    "text_ttr" ->
+      s"""WITH $wordsCte,
+         |t AS (SELECT doc_id, ws, list_sort(ws) AS s,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_types
+         |  FROM words),
+         |h AS (SELECT doc_id, n_tokens, n_types,
+         |    CAST(len(list_filter(s, (x, i) ->
+         |      (i = 1 OR x <> s[i - 1]) AND
+         |      (i = len(s) OR x <> s[i + 1]))) AS BIGINT) AS hx
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_types,
+         |  CASE WHEN n_tokens > 0
+         |    THEN round(CAST(n_types AS DOUBLE) / n_tokens, 4) END AS ttr,
+         |  CASE WHEN n_types > 0
+         |    THEN round(CAST(hx AS DOUBLE) / n_types, 4) END AS hapax_share
+         |FROM h""".stripMargin,
 
     "corpus_datacard" ->
       """SELECT source, lang, count(*) AS n_docs,

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Graph, Similarity, Stats, TextAnalysis}
+
+/** Round-11 batch: rank/effect-size statistics, ranking agreement,
+  * lexical diversity, and embedding whitening (SURVEY §2.12 L269–L275).
+  */
+class Round11OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Spearman --------------------------------------------------------
+
+  test("spearmanCorr: classic no-tie case matches 1 - 6Σd²/(n(n²-1))") {
+    // x = 1..5, y = (2,1,4,3,5): d² sums to 4 → ρ = 1 − 24/120 = 0.8.
+    val df = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0), (5.0, 5.0))
+      .toDF("x", "y")
+    val got = Stats.spearmanCorr(df, "x", "y")
+      .as[(Long, Double)].collect().head
+    assert(got == ((5L, 0.8)), got.toString)
+  }
+
+  test("spearmanCorr: midranks under ties; perfect monotone = 1.0") {
+    // x = (1,1,2) → midranks (1.5, 1.5, 3); y = (1,2,3) → (1,2,3).
+    // Pearson over ranks = 1.5/√(1.5·2) = 0.8660254 → 0.866.
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val r = Stats.spearmanCorr(tied, "x", "y")
+      .as[(Long, Double)].collect().head
+    assert(r == ((3L, 0.866)), r.toString)
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
+    val m = Stats.spearmanCorr(mono, "x", "y")
+      .as[(Long, Double)].collect().head
+    assert(m == ((3L, 1.0)), m.toString)
+  }
+
+  test("spearmanCorr: n < 3 or constant column → null rho, never a crash") {
+    val tiny = Seq((1.0, 2.0), (2.0, 1.0)).toDF("x", "y")
+    val r = Stats.spearmanCorr(tiny, "x", "y").collect().head
+    assert(r.getLong(0) == 2L && r.isNullAt(1))
+    // Constant x: zero rank variance → denominator nullif(0) → null.
+    val const = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    val c = Stats.spearmanCorr(const, "x", "y").collect().head
+    assert(c.isNullAt(1), c.toString)
+  }
+
+  // ---- Levene ----------------------------------------------------------
+
+  test("leveneTest: hand-computed W on unequal-spread groups") {
+    // a = {0,2} → z = {1,1}; b = {0,4,8} → z = {4,0,4}.
+    // SSB = 10/3, SSW = 32/3 → W = (10/3)/(32/9) = 0.9375.
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 0.0), ("b", 4.0), ("b", 8.0))
+      .toDF("g", "v")
+    val got = Stats.leveneTest(df, "g", "v")
+      .select("k", "n", "w_stat")
+      .as[(Long, Long, Double)].collect().head
+    assert(got == ((2L, 5L, 0.9375)), got.toString)
+  }
+
+  test("leveneTest: symmetric groups give zero within-variance → null W") {
+    // Both groups' |v − mean| are constant → SSW = 0 → W undefined.
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.leveneTest(df, "g", "v").collect().head
+    assert(r.isNullAt(r.fieldIndex("w_stat")), r.toString)
+  }
+
+  // ---- Cohen's d / Hedges' g --------------------------------------------
+
+  test("cohensD: pooled-σ d and small-sample g on the welch fixture") {
+    // a = {1,2,3} (m=2, v=1), b = {2,4,6,8} (m=5, v=20/3):
+    // sp² = (2·1 + 3·20/3)/5 = 4.4; d = −3/√4.4 = −1.4302;
+    // g = d·(1 − 3/19) = −1.2044.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val got = Stats.cohensD(df, "g", "v", "a", "b")
+      .select("n_a", "n_b", "cohens_d", "hedges_g")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((3L, 4L, -1.4302, -1.2044)), got.toString)
+  }
+
+  test("cohensD: single-row arm and zero pooled variance → null") {
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = Stats.cohensD(tiny, "g", "v", "a", "b").collect().head
+    assert(r.isNullAt(r.fieldIndex("cohens_d")))
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0))
+      .toDF("g", "v")
+    val c = Stats.cohensD(const, "g", "v", "a", "b").collect().head
+    assert(c.isNullAt(c.fieldIndex("cohens_d")))
+  }
+
+  // ---- Assortativity ----------------------------------------------------
+
+  test("assortativity: star graph is perfectly disassortative (−1)") {
+    val edges = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val got = Graph.assortativity(edges, "src", "dst")
+      .as[(Long, Double)].collect().head
+    assert(got == ((6L, -1.0)), got.toString)
+  }
+
+  test("assortativity: regular graph has zero degree variance → null") {
+    // 4-cycle: every node degree 2 → no variance → nullif → null ρ.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val r = Graph.assortativity(edges, "src", "dst").collect().head
+    assert(r.getLong(0) == 8L && r.isNullAt(1), r.toString)
+  }
+
+  // ---- Type–token ratio --------------------------------------------------
+
+  test("typeTokenRatio: hapaxes counted on the sorted array") {
+    val docs = Seq((1L, "a b a c"), (2L, "a a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.typeTokenRatio(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 4L, 3L, 0.75, 0.6667)), got(1L).toString)
+    assert(got(2L) == ((2L, 2L, 1L, 0.5, 0.0)), got(2L).toString)
+    assert(got(3L) == ((3L, 1L, 1L, 1.0, 1.0)), got(3L).toString)
+  }
+
+  // ---- RBO ---------------------------------------------------------------
+
+  test("rboOverlap: hand-computed truncated RBO at p=0.5") {
+    // A = (1,2,3), B = (1,3,2): depths 1,3,3 → X = (1,1,3);
+    // RBO = 0.5·(1 + 0.5·(1/2) + 0.25·(3/3)) = 0.75.
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((1L, 1), (3L, 2), (2L, 3)).toDF("id", "rank")
+    val got = Similarity.rboOverlap(a, b, "id", p = 0.5, k = 3)
+      .as[(Int, Long, Double)].collect().head
+    assert(got == ((3, 3L, 0.75)), got.toString)
+  }
+
+  test("rboOverlap: identical lists score the truncated bound; disjoint 0") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val same = Similarity.rboOverlap(a, a, "id", p = 0.5, k = 2)
+      .as[(Int, Long, Double)].collect().head
+    // (1−p)·Σ p^{d−1} = 0.5·1.5 = 0.75 — the withheld-tail bound, not 1.
+    assert(same == ((2, 2L, 0.75)), same.toString)
+    val b = Seq((9L, 1), (8L, 2)).toDF("id", "rank")
+    val disj = Similarity.rboOverlap(a, b, "id", p = 0.5, k = 2)
+      .as[(Int, Long, Double)].collect().head
+    assert(disj._2 == 0L && disj._3 == 0.0, disj.toString)
+  }
+
+  // ---- Whitening ----------------------------------------------------------
+
+  test("whitenDiagonal: per-dim standardization; dead dims zero out") {
+    val emb = Seq((1L, Seq(1.0f, 10.0f, 5.0f)), (2L, Seq(3.0f, 30.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.whitenDiagonal(emb, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .select("vec_id", "n_dims", "whitened")
+      .as[(Long, Int, Seq[Double])].collect()
+    // dims 0/1: {1,3}/{10,30} standardized → ∓1/√2 = ∓0.707107;
+    // dim 2 constant → σ=0 → dead → 0.0.
+    assert(got(0) == ((1L, 3, Seq(-0.707107, -0.707107, 0.0))), got(0).toString)
+    assert(got(1) == ((2L, 3, Seq(0.707107, 0.707107, 0.0))), got(1).toString)
+  }
+}
