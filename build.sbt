@@ -23,8 +23,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 32g default (the box has 125 GiB): at 8g a 300-query bench session
+// accumulates enough heap churn that cache-heavy ANN/checkpoint queries
+// ran 4x slower IN-SESSION than isolated (round-11 measurement:
+// ann_pq_adc 11.0 s in-session vs 2.5 s isolated on a quiet host) —
+// storage-memory eviction + GC, not the queries. A cap, not a
+// reservation; SPARK_DRIVER_MEM still overrides.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -1256,4 +1256,164 @@ object Stats {
         (lit(1.0) - lit(3.0) / (lit(4.0) * (nA + nB) - 9.0)), 4))
         .as("hedges_g"))
   }
+
+  /** Cramér's V — the normalized effect size for the
+    * [[chiSquareIndependence]] contingency: V = √(χ²/(N·min(R−1,C−1)))
+    * ∈ [0,1], comparable across tables of any shape where raw χ² is
+    * not. Same three category-bounded hash aggregations and
+    * zero-cell-folded χ² as the test; V derives from the UNROUNDED χ²
+    * so the two reported numbers round independently. Null V for a
+    * 1×C or R×1 table (no association is definable).
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val cells = base.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("__nxy"))
+    val mx = base.groupBy(col(xCol)).agg(count(lit(1)).as("__nx"))
+    val my = base.groupBy(col(yCol)).agg(count(lit(1)).as("__ny"))
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val e = col("__nx").cast("double") * col("__ny").cast("double") /
+      col("__n").cast("double")
+    val folded = cells.join(mx, Seq(xCol)).join(my, Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .agg(
+        (sum((col("__nxy").cast("double") - e) *
+            (col("__nxy").cast("double") - e) / e - e) +
+          first(col("__n")).cast("double")).as("__chi2"),
+        first(col("__n")).as("n_rows"),
+        countDistinct(col(xCol)).as("r"),
+        countDistinct(col(yCol)).as("c"))
+    val minDim = (least(col("r"), col("c")) - 1).cast("double")
+    folded.select(col("n_rows"), col("r"), col("c"),
+      round(col("__chi2"), 6).as("chi2"),
+      when(minDim > 0.0,
+        round(sqrt(col("__chi2") /
+          (col("n_rows").cast("double") * minDim)), 6)).as("cramers_v"))
+  }
+
+  /** EXACT symmetric trimmed mean: drop the k = (n·bp) div 10⁴ lowest
+    * and highest values (basis-point trim fraction — integer target
+    * arithmetic, the [[exactPercentiles]] discipline) and average the
+    * middle n−2k. Ranks via [[withRangeRank]] (no single-partition
+    * sort, no sketch); tie ASSIGNMENT among equal values is arbitrary
+    * but the surviving multiset — and hence the mean — is
+    * deterministic. The robust-location summary to quote when
+    * [[bootstrapMeanCi]]'s plain mean is hostage to tail outliers.
+    */
+  def trimmedMean(df: DataFrame, valueCol: String, tieCol: String,
+                  trimBp: Int = 500): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000, "trim fraction in [0, 0.5) bp")
+    val base = df.select(col(valueCol).cast("double").as("__v"),
+        col(tieCol).as("__t"))
+      .filter(col("__v").isNotNull)
+    val ranked = withRangeRank(base, Seq(col("__v"), col("__t")), "__r")
+      .withColumn("__k", expr(s"(__n * $trimBp) div 10000"))
+    ranked.filter(col("__r") > col("__k") &&
+        col("__r") <= col("__n") - col("__k"))
+      .agg(first(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_kept"),
+        round(avg(col("__v")), 6).as("trimmed_mean"))
+  }
+
+  /** Deterministic two-sample randomization test: B hash-derived
+    * relabelings of the pooled rows (replica b assigns a row to arm A′
+    * iff its [0,1) md5-chunk uniform — the [[bootstrapMeanCi]] digest
+    * recipe, exact on any engine — falls below n_a/(n_a+n_b)), and the
+    * report is HOW MANY replicas produce |mean(A′) − mean(B′)| at least
+    * as large as the observed |mean_a − mean_b|. A rank among replicas,
+    * not a p-value — no libm tail functions, and the Bernoulli
+    * allocation (expected arm sizes, not exact — documented) keeps the
+    * whole thing one explode + one B-row aggregation: the shuffle
+    * carries B rows per map partition, never B× the data. Replica and
+    * observed diffs re-quantize at 6 dp BEFORE the ≥ comparison so an
+    * ulp of cross-engine drift cannot flip a count.
+    */
+  def permutationTest(df: DataFrame, keyCol: String, groupCol: String,
+                      valueCol: String, groupA: String, groupB: String,
+                      replicas: Int = 32): DataFrame = {
+    require(replicas >= 8 && replicas <= 4096 && replicas % 4 == 0,
+      "replicas: multiple of 4 in 8..4096")
+    val base = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        (col(groupCol) === groupA).as("__ya"),
+        col(valueCol).cast("double").as("__v"))
+    val obs = base.agg(
+      sum(when(col("__ya"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__ya"), 1L).otherwise(0L)).as("n_b"),
+      round(avg(when(col("__ya"), col("__v"))) -
+        avg(when(!col("__ya"), col("__v"))), 6).as("__dobs"))
+    val chunks = flatten(transform(
+      sequence(lit(0), lit(replicas / 4 - 1)), g => {
+        val h = md5(concat(col("__k"), lit(":"), g.cast("string")))
+        transform(sequence(lit(0), lit(3)), c =>
+          struct((g * 4 + c).cast("int").as("b"),
+            (conv(h.substr(c * lit(8) + lit(1), lit(8)), 16, 10)
+              .cast("double") / lit(4294967296.0)).as("u")))
+      }))
+    val pA = col("n_a").cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val perReplica = base
+      .select(col("__v"), explode(chunks).as("__e"))
+      .crossJoin(broadcast(obs))
+      .select(col("__v"), col("__e.b").as("__b"),
+        (col("__e.u") < pA).as("__toA"), col("__dobs"))
+      .groupBy(col("__b"))
+      .agg(first(col("__dobs")).as("__dobs"),
+        round(avg(when(col("__toA"), col("__v"))) -
+          avg(when(!col("__toA"), col("__v"))), 6).as("__db"))
+    perReplica
+      .agg(count(lit(1)).as("n_replicas"),
+        sum(when(col("__db").isNotNull &&
+            abs(col("__db")) >= abs(col("__dobs")), 1L).otherwise(0L))
+          .as("n_as_extreme"),
+        first(col("__dobs")).as("diff_obs"))
+      .crossJoin(broadcast(obs.select(col("n_a"), col("n_b"))))
+      .select(col("n_a"), col("n_b"), col("diff_obs"),
+        col("n_replicas"), col("n_as_extreme"))
+  }
+
+  /** Cumulative lift / gains curve over score-descending buckets — the
+    * targeting-model eval that [[aucRoc]] summarizes away: for each of
+    * `buckets` equal-population score bands, the positives captured so
+    * far and lift = (cum positive rate)/(base rate). Global ordering
+    * through [[withRangeRank]] on (score DESC, tie) with the EXACT
+    * integer band formula ((r−1)·buckets) div n + 1; the cumulative
+    * window runs over the `buckets`-row aggregate only (the
+    * bootstrapMeanCi B-row-frame discipline). Callers must pass a
+    * total tie-break so band POPULATION is engine-stable even when
+    * scores tie across a boundary (the capture counts then depend on
+    * tie order — same caveat as any top-k by a tied score).
+    */
+  def liftCurve(df: DataFrame, labelCol: Column, scoreCol: String,
+                tieCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, "buckets in 2..1000")
+    val base = df.select(col(scoreCol).cast("double").as("__s"),
+        col(tieCol).as("__t"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .filter(col("__s").isNotNull)
+    val ranked = withRangeRank(base,
+      Seq(col("__s").desc, col("__t")), "__r")
+    val perBucket = ranked
+      .withColumn("bucket", expr(s"((__r - 1) * $buckets) div __n + 1"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("positives"),
+        first(col("__n")).as("__nt"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perBucket.agg(sum(col("positives")).as("__pt"))
+    perBucket.crossJoin(broadcast(tot))
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cp", sum(col("positives")).over(w))
+      .select(col("bucket").cast("int").as("bucket"), col("n"),
+        col("positives"), col("__cp").as("cum_positives"),
+        when(col("__pt") > 0,
+          round(col("__cp").cast("double") / col("__pt").cast("double"), 6))
+          .as("capture_rate"),
+        when(col("__pt") > 0,
+          round((col("__cp").cast("double") / col("__cn").cast("double")) /
+            (col("__pt").cast("double") / col("__nt").cast("double")), 6))
+          .as("lift"))
+  }
 }

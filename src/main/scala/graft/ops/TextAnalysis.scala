@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -1197,6 +1198,53 @@ object TextAnalysis {
             col("__nu").cast("double") /
             (col("__nb").cast("double") * col("cu1").cast("double") *
               col("cu2").cast("double"))), 4).as("pmi"))
+  }
+
+  /** Pairwise top-V vocabulary Jaccard between sources — the set-based
+    * companion to [[sourceJsDivergence]]'s distributional distance:
+    * how much of two sources' CHARACTERISTIC vocabulary (per-source
+    * top-V words by count, ties broken by word) actually overlaps.
+    * Integer-exact end to end: |A∩B| from one word-keyed self-join of
+    * the groups×V top lists, |A∪B| = V_a + V_b − |A∩B| algebraically —
+    * no union materializes. The per-source top-V pick is a rank window
+    * partitioned by source (scope = that source's vocabulary; at
+    * extreme scale pre-thin with a global count floor first so the
+    * window never sees singleton words). The pair spine is
+    * groups²-bounded and disjoint pairs report 0, not absence.
+    */
+  def sourceVocabJaccard(docs: DataFrame, textCol: String,
+                         groupCol: String, v: Int): DataFrame = {
+    require(v >= 1 && v <= 100000, "v in 1..100000")
+    val tokens = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol), explode(words(col(textCol))).as("w"))
+    val counts = tokens.groupBy(col(groupCol), col("w"))
+      .agg(count(lit(1)).as("__c"))
+    val wnd = Window.partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col("w"))
+    val topv = counts.withColumn("__r", row_number().over(wnd))
+      .filter(col("__r") <= v)
+      .select(col(groupCol), col("w"))
+    val sizes = topv.groupBy(col(groupCol)).agg(count(lit(1)).as("__sz"))
+    val inter = topv.select(col(groupCol).as("source_a"), col("w"))
+      .join(topv.select(col(groupCol).as("source_b"), col("w")), Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("__i"))
+    val groups = sizes.select(col(groupCol))
+    val spine = groups.select(col(groupCol).as("source_a"))
+      .crossJoin(broadcast(groups.select(col(groupCol).as("source_b"))))
+      .filter(col("source_a") < col("source_b"))
+    spine
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(sizes.select(col(groupCol).as("source_a"),
+        col("__sz").as("v_a")), Seq("source_a"))
+      .join(sizes.select(col(groupCol).as("source_b"),
+        col("__sz").as("v_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        coalesce(col("__i"), lit(0L)).as("intersection"),
+        round(coalesce(col("__i"), lit(0L)).cast("double") /
+          (col("v_a") + col("v_b") - coalesce(col("__i"), lit(0L)))
+            .cast("double"), 6).as("jaccard"))
   }
 
   /** Lexical diversity per document: type–token ratio (distinct/total

@@ -285,6 +285,35 @@ object AnalyticsQueries {
       graft.ops.Graph.assortativity(eDir, "src", "dst")
     },
 
+    // L276: Cramér's V over the language × source contingency — is
+    // language mix a property of the source?
+    "ml_cramers_v" -> { (s, dir) =>
+      Stats.cramersV(Tables.documents(s, dir), "lang", "source")
+    },
+
+    // L277: exact 5%-trimmed mean of event values (rank-exact, no
+    // sketch) — the robust location summary.
+    "a30_trimmed_mean" -> { (s, dir) =>
+      Stats.trimmedMean(Tables.events(s, dir), "value", "event_id",
+        trimBp = 500)
+    },
+
+    // L278: deterministic randomization test between the A/B arms —
+    // 32 hash-relabeled replicas, report the extremeness RANK (no
+    // libm tails).
+    "ab_test_permutation" -> { (s, dir) =>
+      Stats.permutationTest(Tables.events(s, dir), "event_id",
+        "event_type", "value", groupA = "click", groupB = "view",
+        replicas = 32)
+    },
+
+    // L279: cumulative lift / gains deciles of the n_chars "model"
+    // against the src0 label — the aucRoc inputs, bucketized.
+    "ml_lift_curve" -> { (s, dir) =>
+      Stats.liftCurve(Tables.documents(s, dir),
+        col("source") === "src0", "n_chars", "doc_id", buckets = 10)
+    },
+
     // Bradley–Terry preference strengths (3 MM rounds) over per-user
     // "best vs worst event type" judgments — the RLHF preference-
     // aggregation primitive, with the PageRank unrolled-oracle
@@ -2101,6 +2130,103 @@ object AnalyticsQueries {
         |      nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 4)
         |  END AS assortativity
         |FROM m""".stripMargin,
+
+    // Zero cells folded algebraically, exactly as the chi2 oracle; V
+    // from the UNROUNDED chi2.
+    "ml_cramers_v" ->
+      """WITH base AS (SELECT lang AS x, source AS y FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT x, y, count(*) AS nxy FROM base GROUP BY 1, 2),
+        |mx AS (SELECT x, count(*) AS nx FROM base GROUP BY 1),
+        |my AS (SELECT y, count(*) AS ny FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |t AS (SELECT
+        |    sum((nxy - CAST(nx AS DOUBLE) * ny / n) *
+        |        (nxy - CAST(nx AS DOUBLE) * ny / n) /
+        |        (CAST(nx AS DOUBLE) * ny / n) -
+        |        CAST(nx AS DOUBLE) * ny / n) + CAST(max(n) AS DOUBLE)
+        |      AS chi2raw,
+        |    max(n) AS n_rows,
+        |    CAST(count(DISTINCT x) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT y) AS BIGINT) AS c
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y), tot)
+        |SELECT n_rows, r, c, round(chi2raw, 6) AS chi2,
+        |  CASE WHEN least(r, c) > 1 THEN
+        |    round(sqrt(chi2raw / (CAST(n_rows AS DOUBLE) *
+        |      CAST(least(r, c) - 1 AS DOUBLE))), 6) END AS cramers_v
+        |FROM t""".stripMargin,
+
+    "a30_trimmed_mean" ->
+      """WITH b AS (SELECT CAST(value AS DOUBLE) AS v, event_id AS t
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, t) AS rn,
+        |    count(*) OVER () AS n FROM b),
+        |f AS (SELECT v, n FROM r
+        |  WHERE rn > (n * 500) // 10000 AND rn <= n - (n * 500) // 10000)
+        |SELECT CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(avg(v), 6) AS trimmed_mean
+        |FROM f""".stripMargin,
+
+    // The bootstrap oracle's md5-chunk uniforms drive the relabeling;
+    // replica and observed diffs re-quantize at 6 dp before the
+    // comparison.
+    "ab_test_permutation" ->
+      """WITH b AS (SELECT CAST(event_id AS VARCHAR) AS k,
+        |    CAST(value AS DOUBLE) AS v, event_type = 'click' AS ya
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL),
+        |o AS (SELECT
+        |    CAST(sum(CASE WHEN ya THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN ya THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    round(avg(CASE WHEN ya THEN v END) -
+        |      avg(CASE WHEN NOT ya THEN v END), 6) AS dobs
+        |  FROM b),
+        |u AS (SELECT v, rb,
+        |    ('0x' || substr(md5(k || ':' || CAST(rb // 4 AS VARCHAR)),
+        |      CAST(1 + (rb % 4) * 8 AS BIGINT), 8))
+        |      ::BIGINT / 4294967296.0 AS uu
+        |  FROM (SELECT k, v, unnest(range(0, 32)) AS rb FROM b)),
+        |pr AS (SELECT rb,
+        |    round(avg(CASE WHEN uu <
+        |        (SELECT CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |         FROM o) THEN v END) -
+        |      avg(CASE WHEN uu >=
+        |        (SELECT CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |         FROM o) THEN v END), 6) AS db
+        |  FROM u GROUP BY 1)
+        |SELECT o.n_a, o.n_b, o.dobs AS diff_obs,
+        |  CAST(count(*) AS BIGINT) AS n_replicas,
+        |  CAST(sum(CASE WHEN db IS NOT NULL AND abs(db) >= abs(o.dobs)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme
+        |FROM pr, o GROUP BY 1, 2, 3""".stripMargin,
+
+    "ml_lift_curve" ->
+      """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS s, doc_id AS t,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT s, t, y,
+        |    row_number() OVER (ORDER BY s DESC, t) AS rn,
+        |    count(*) OVER () AS n FROM b),
+        |pb AS (SELECT ((rn - 1) * 10) // n + 1 AS bucket,
+        |    count(*) AS nn, sum(y) AS pos, max(n) AS nt
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT bucket, nn, pos, nt,
+        |    sum(nn) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    sum(pos) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    sum(pos) OVER () AS pt
+        |  FROM pb)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(nn AS BIGINT) AS n,
+        |  CAST(pos AS BIGINT) AS positives,
+        |  CAST(cp AS BIGINT) AS cum_positives,
+        |  CASE WHEN pt > 0
+        |    THEN round(CAST(cp AS DOUBLE) / pt, 6) END AS capture_rate,
+        |  CASE WHEN pt > 0 THEN
+        |    round((CAST(cp AS DOUBLE) / cn) / (CAST(pt AS DOUBLE) / nt), 6)
+        |  END AS lift
+        |FROM c""".stripMargin,
 
     // Unrolled MM rounds; denominators and the normalizing total fold
     // over value-sorted term lists (list_sort → list_sum ≡ Spark

@@ -216,6 +216,13 @@ object TextQueries {
       TextAnalysis.typeTokenRatio(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // L280: pairwise top-200 vocabulary Jaccard between sources — the
+    // set-overlap companion to text_source_js.
+    "text_source_vocab_jaccard" -> { (s, dir) =>
+      TextAnalysis.sourceVocabJaccard(Tables.documents(s, dir), "text",
+        "source", v = 200)
+    },
+
     // Corpus datacard: per-(source, lang) doc/char counts with ROLLUP
     // subtotals and a grand total — the one-query dataset report. Spark
     // plans the grouping sets through ONE Expand + hash aggregate (a
@@ -1319,6 +1326,31 @@ object TextQueries {
          |  CASE WHEN n_types > 0
          |    THEN round(CAST(hx AS DOUBLE) / n_types, 4) END AS hapax_share
          |FROM h""".stripMargin,
+
+    "text_source_vocab_jaccard" ->
+      """WITH tok AS (SELECT source, unnest(string_split(trim(text), ' '))
+        |    AS w FROM documents WHERE source IS NOT NULL),
+        |cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tv AS (SELECT source, w FROM (
+        |    SELECT source, w, row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, w) AS r FROM cnt) WHERE r <= 200),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vsz
+        |  FROM tv GROUP BY 1),
+        |it AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS i
+        |  FROM tv a JOIN tv b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT x.source AS source_a, y.source AS source_b
+        |  FROM sz x, sz y WHERE x.source < y.source)
+        |SELECT sp.source_a, sp.source_b, sa.vsz AS v_a, sb.vsz AS v_b,
+        |  coalesce(i, 0) AS intersection,
+        |  round(CAST(coalesce(i, 0) AS DOUBLE) /
+        |    CAST(sa.vsz + sb.vsz - coalesce(i, 0) AS DOUBLE), 6) AS jaccard
+        |FROM sp
+        |LEFT JOIN it ON sp.source_a = it.source_a
+        |  AND sp.source_b = it.source_b
+        |JOIN sz sa ON sp.source_a = sa.source
+        |JOIN sz sb ON sp.source_b = sb.source""".stripMargin,
 
     "corpus_datacard" ->
       """SELECT source, lang, count(*) AS n_docs,

@@ -144,6 +144,110 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(disj._2 == 0L && disj._3 == 0.0, disj.toString)
   }
 
+  // ---- Cramér's V ---------------------------------------------------------
+
+  test("cramersV: perfect 2×2 association → V = 1; zero-cell fold exact") {
+    val df = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val got = Stats.cramersV(df, "x", "y")
+      .select("n_rows", "r", "c", "chi2", "cramers_v")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got == ((4L, 2L, 2L, 4.0, 1.0)), got.toString)
+  }
+
+  test("cramersV: single-category column → null V (no association defined)") {
+    val df = Seq(("a", "z"), ("b", "z"), ("c", "z")).toDF("x", "y")
+    val r = Stats.cramersV(df, "x", "y").collect().head
+    assert(r.isNullAt(r.fieldIndex("cramers_v")), r.toString)
+  }
+
+  // ---- Trimmed mean -------------------------------------------------------
+
+  test("trimmedMean: 10% symmetric trim drops exactly k per side") {
+    val df = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    val got = Stats.trimmedMean(df, "v", "id", trimBp = 1000)
+      .as[(Long, Long, Double)].collect().head
+    // k = 10·1000 div 10⁴ = 1 → mean of 2..9 = 5.5.
+    assert(got == ((10L, 8L, 5.5)), got.toString)
+    // trimBp = 0 degenerates to the plain mean over everything.
+    val all = Stats.trimmedMean(df, "v", "id", trimBp = 0)
+      .as[(Long, Long, Double)].collect().head
+    assert(all == ((10L, 10L, 5.5)), all.toString)
+  }
+
+  // ---- Permutation test ---------------------------------------------------
+
+  test("permutationTest: observed diff exact; replica counts bounded and deterministic") {
+    val df = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) 10.0 + i else 1.0 + i)
+    }.toDF("id", "g", "v")
+    val run1 = Stats.permutationTest(df, "id", "g", "v", "a", "b",
+      replicas = 8).collect().head
+    val run2 = Stats.permutationTest(df, "id", "g", "v", "a", "b",
+      replicas = 8).collect().head
+    assert(run1 == run2, "hash-derived replicas must be deterministic")
+    assert(run1.getLong(run1.fieldIndex("n_a")) == 20L)
+    assert(run1.getLong(run1.fieldIndex("n_b")) == 20L)
+    assert(run1.getLong(run1.fieldIndex("n_replicas")) == 8L)
+    val extreme = run1.getLong(run1.fieldIndex("n_as_extreme"))
+    assert(extreme >= 0L && extreme <= 8L, run1.toString)
+    // mean_a − mean_b = (10+21.5...) hand check: a values 12,14,..,50
+    // mean 31; b values 2,4,...,40 mean 21 → diff 10.
+    assert(run1.getDouble(run1.fieldIndex("diff_obs")) == 10.0, run1.toString)
+  }
+
+  test("permutationTest: zero observed diff → every valid replica is as extreme") {
+    val df = (1 to 20).map(i => (i.toLong, if (i <= 10) "a" else "b",
+      (i % 10).toDouble)).toDF("id", "g", "v")
+    val r = Stats.permutationTest(df, "id", "g", "v", "a", "b", replicas = 8)
+      .collect().head
+    assert(r.getDouble(r.fieldIndex("diff_obs")) == 0.0)
+    // |db| ≥ 0 always holds, so only null-armed replicas can miss.
+    assert(r.getLong(r.fieldIndex("n_as_extreme")) ==
+      r.getLong(r.fieldIndex("n_replicas")), r.toString)
+  }
+
+  // ---- Lift curve ---------------------------------------------------------
+
+  test("liftCurve: positives concentrated at the top give monotone lift") {
+    // Scores 10..1, the two best are positive; 5 buckets of 2.
+    val df = (1 to 10).map(i => (i.toLong, (11 - i).toDouble, i <= 2))
+      .toDF("id", "score", "label")
+    val got = Stats.liftCurve(df, col("label"), "score", "id", buckets = 5)
+      .orderBy("bucket")
+      .select("bucket", "n", "positives", "cum_positives",
+        "capture_rate", "lift")
+      .as[(Int, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == 5)
+    assert(got(0) == ((1, 2L, 2L, 2L, 1.0, 5.0)), got(0).toString)
+    assert(got(1) == ((2, 2L, 0L, 2L, 1.0, 2.5)), got(1).toString)
+    assert(got(4) == ((5, 2L, 0L, 2L, 1.0, 1.0)), got(4).toString)
+  }
+
+  // ---- Source vocab Jaccard ------------------------------------------------
+
+  test("sourceVocabJaccard: overlap counted on per-source top-V sets; disjoint pairs 0") {
+    val docs = Seq((1L, "a b c", "s1"), (2L, "a b d", "s2"), (3L, "x", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceVocabJaccard(docs, "text", "source", v = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    assert(got(("s1", "s2")) == (("s1", "s2", 3L, 3L, 2L, 0.5)))
+    assert(got(("s1", "s3")) == (("s1", "s3", 3L, 1L, 0L, 0.0)))
+    assert(got(("s2", "s3")) == (("s2", "s3", 3L, 1L, 0L, 0.0)))
+  }
+
+  test("sourceVocabJaccard: V caps each side's vocabulary") {
+    // s1 has 4 words but V=2 keeps the 2 most frequent (count desc,
+    // word asc): "b"(2), then "a"(1) by the tie-break among {a,c,d}.
+    val docs = Seq((1L, "b b a c d", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceVocabJaccard(docs, "text", "source", v = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().head
+    assert(got == (("s1", "s2", 2L, 2L, 2L, 1.0)), got.toString)
+  }
+
   // ---- Whitening ----------------------------------------------------------
 
   test("whitenDiagonal: per-dim standardization; dead dims zero out") {
