@@ -230,10 +230,46 @@ object Bench {
     val allResults = results ++ replayTime.map(replayName -> _).toSeq
     val failed = allResults.collect { case (n, t) if t < 0 => n }
     val history = loadHistory(sfDir)
+    // HOST-STATE NORMALIZATION: keep-min baselines record the best host
+    // state ever seen, but this box is a shared-metal VM (nonzero
+    // /proc/stat steal; round-11 measured a session whose MEDIAN query
+    // ran 1.6× its baseline while isolated re-runs matched it). The
+    // sentinel queries ARE in the history file, so the ratio of this
+    // session's best basket to the baselines' basket measures exactly
+    // how much slower today's host is — budgets scale by that factor
+    // (clamped to [1, 2.5]: a fast host never tightens below the 2×
+    // contract, and a catastrophic host can't hide a genuine 5×
+    // regression). The mid-weight sentinel contributes too: cheap-basket
+    // job overhead and shuffle/agg throughput drift independently, and
+    // a query is only exonerated by the drift that its own cost class
+    // actually shows — we take the LARGER ratio, which still flags any
+    // query outgrowing both. The ratchet is untouched: keep-min can
+    // only improve, so a slow host never corrupts the baselines.
+    // MEDIAN basket, not min: under bursty steal the minimum is the one
+    // lucky window and understates what the flagged queries actually
+    // ran under; the median is the session's typical state.
+    def medianValid(xs: Seq[Double]): Double = {
+      val v = xs.filter(t => t > 0 && t < Double.MaxValue).sorted
+      if (v.isEmpty) -1.0 else v(v.size / 2)
+    }
+    val hostFactor: Double = {
+      val basketNames = Seq("a1_kpis", "a10_counts", "a5_column_bounds")
+      val histBasket = basketNames.flatMap(history.get)
+      val ratios = Seq(
+        if (histBasket.size == basketNames.size && histBasket.sum > 0)
+          medianValid(sentinelTimes.toSeq) / histBasket.sum
+        else -1.0,
+        history.get("text_tfidf_top_terms").filter(_ > 0)
+          .map(h => medianValid(sentinelMidTimes.toSeq) / h).getOrElse(-1.0)
+      ).filter(_ > 0)
+      if (ratios.isEmpty) 1.0
+      else math.min(2.5, math.max(1.0, ratios.max))
+    }
     def budget(q: String): Double =
       history.get(q).filter(_ > 0)
-        .map(t => math.max(math.max(2.0 * t, math.min(TrackedFloorSec, 2.5 * t)),
-          MicroFloorSec))
+        .map(t => hostFactor *
+          math.max(math.max(2.0 * t, math.min(TrackedFloorSec, 2.5 * t)),
+            MicroFloorSec))
         .getOrElse(FloorSec)
     val overBudget = allResults.collect { case (n, t) if t > budget(n) => n }
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -250,6 +286,7 @@ object Bench {
       s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},""" +
       s""""noise_suspect":$noiseSuspect,"sentinel_sec":$sentinelJson,""" +
       s""""sentinel_mid_sec":$sentinelMidJson,""" +
+      s""""host_factor":${f"$hostFactor%.3f"},""" +
       s""""stream_replay_events_per_sec":${f"$replayEps%.1f"},""" +
       s""""sf":"$sfDir"}""")
     // Persist this run's timings as the next run's budget baseline,

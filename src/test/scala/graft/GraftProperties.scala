@@ -472,4 +472,42 @@ object GraftProperties extends Properties("graft") {
         Prop(live == expect) :| s"live=$live expect=$expect"
       }
     }
+
+  property("spearman rho is invariant under strictly monotone transforms (L269)") =
+    forAll(Gen.listOfN(24, Gen.zip(Gen.choose(-50, 50), Gen.choose(-50, 50))),
+      Gen.choose(1, 9)) { (pts, a) =>
+      pts.size >= 3 ==> {
+        val df = pts.map { case (x, y) => (x.toDouble, y.toDouble) }
+          .toDF("x", "y")
+        // x → a·x + 1 preserves ranks (a > 0) → identical ρ, including
+        // the tie structure (equal xs stay equal).
+        val tf = pts.map { case (x, y) => (a.toDouble * x + 1.0, y.toDouble) }
+          .toDF("x", "y")
+        val r1 = graft.ops.Stats.spearmanCorr(df, "x", "y").collect().head
+        val r2 = graft.ops.Stats.spearmanCorr(tf, "x", "y").collect().head
+        val same =
+          if (r1.isNullAt(1)) r2.isNullAt(1)
+          else !r2.isNullAt(1) && r1.getDouble(1) == r2.getDouble(1)
+        Prop(same) :| s"rho(df)=$r1 rho(monotone df)=$r2"
+      }
+    }
+
+  property("truncated RBO is symmetric and bounded by the withheld-tail cap (L274)") =
+    forAll(Gen.choose(2, 12), Gen.choose(1L, 99L)) { (k, seed) =>
+      // Two deterministic permutations of 1..k as rank lists.
+      val ids = (1L to k.toLong).toSeq
+      val pa = ids.sortBy(i => (i * 2654435761L + seed) % 101)
+      val pb = ids.sortBy(i => (i * 40503L + seed * 7) % 103)
+      val a = pa.zipWithIndex.map { case (id, i) => (id, i + 1) }.toDF("id", "rank")
+      val b = pb.zipWithIndex.map { case (id, i) => (id, i + 1) }.toDF("id", "rank")
+      val ab = graft.ops.Similarity.rboOverlap(a, b, "id", p = 0.5, k = k)
+        .collect().head
+      val ba = graft.ops.Similarity.rboOverlap(b, a, "id", p = 0.5, k = k)
+        .collect().head
+      // Cap = (1−p)·Σ_{d≤k} p^{d−1} = 1 − p^k (identical-list score).
+      val cap = 1.0 - math.pow(0.5, k)
+      val rbo = ab.getDouble(2)
+      Prop(ab == ba && rbo >= 0.0 && rbo <= cap + 1e-9) :|
+        s"ab=$ab ba=$ba cap=$cap"
+    }
 }

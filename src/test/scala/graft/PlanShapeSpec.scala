@@ -822,4 +822,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnlj <= 1,
       s"only the 1-row support-threshold broadcast may nest-loop ($bnlj):\n${p.take(1200)}")
   }
+
+  test("round-11 rank stats: value-keyed rank maps, no cartesian") {
+    // The range-prefix pass runs EAGERLY inside withRangeCumSum (its
+    // localCheckpoint), so the returned plan shows only the re-attach:
+    // both rank maps must join back by VALUE equi-keys — never a
+    // cartesian — and the moment fold must combine map-side.
+    val sp = plan("ml_spearman_corr")
+    assert(!sp.contains("CartesianProduct"), sp.take(800))
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(sp).size >= 2, s"two value-keyed joins:\n${sp.take(1200)}")
+    assert(sp.contains("partial_sum"), "moment fold must be partial")
+    // Lift curve / trimmed mean: post-rank plans are filter+agg only.
+    val lc = plan("ml_lift_curve")
+    assert(!lc.contains("CartesianProduct"), lc.take(800))
+    val tm = plan("a30_trimmed_mean")
+    assert(!tm.contains("CartesianProduct") && tm.contains("HashAggregate"),
+      tm.take(800))
+  }
+
+  test("whitening is map-side after the dim-bounded collect: zero joins") {
+    val df = graft.ops.Similarity.whitenDiagonal(
+      graft.sources.Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"whitened transform must be a pure projection (stats are literals):\n${p.take(1200)}")
+    assert(!p.contains("Exchange"),
+      s"no shuffle may follow the stats collect:\n${p.take(1200)}")
+  }
+
+  test("permutation test: replica fan-out collapses map-side like bootstrap") {
+    val p = plan("ab_test_permutation")
+    // The only nest-loops are the 1-row observed-stats broadcasts.
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val gens = "Generate explode".r.findAllIn(p).size
+    assert(gens == 1, s"one replica explode expected ($gens):\n${p.take(1200)}")
+    // Partial aggregation must run before the B-key exchange so the
+    // shuffle carries replicas × map partitions rows, not B× the data.
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("RBO and vocab Jaccard: bounded spines broadcast, intersections equi-keyed") {
+    val rb = plan("retrieval_rbo")
+    assert(!rb.contains("CartesianProduct"), rb.take(800))
+    val vj = plan("text_source_vocab_jaccard")
+    assert(!vj.contains("CartesianProduct"), vj.take(800))
+    // Top-V self-intersection joins on the word key, never all-pairs.
+    assert(vj.contains("Exchange hashpartitioning") ||
+      vj.contains("BroadcastHashJoin"), vj.take(800))
+    // Assortativity: two degree joins, both equi-keyed.
+    val as = plan("graph_assortativity")
+    assert(!as.contains("CartesianProduct"), as.take(800))
+  }
 }
