@@ -210,6 +210,31 @@ object Funnel {
             col("__prev").cast("double"), 6)).as("step_conversion"))
   }
 
+  /** Conversion-latency summary over the windowed funnel: how long do
+    * converters take, end to end — count, mean, min/max and the EXACT
+    * nearest-rank median of `secs_to_convert` across converted users.
+    * The median rides [[graft.ops.Stats.withRangeRank]] (no
+    * single-partition sort, no sketch); the target rank (n+1) div 2 is
+    * integer arithmetic. An empty converted set yields one row of
+    * nulls, not zero rows (the min-over-empty-group trick).
+    */
+  def timeToConvertSummary(events: DataFrame, userCol: String,
+                           tsCol: String, typeCol: String,
+                           stages: Seq[String], windowSec: Long): DataFrame = {
+    val conv = windowedFunnel(events, userCol, tsCol, typeCol, stages,
+        windowSec)
+      .filter(col("converted"))
+      .select(col("secs_to_convert").as("__v"), col(userCol).as("__t"))
+    val med = Stats.withRangeRank(conv, Seq(col("__v"), col("__t")), "__r")
+      .filter(col("__r") === expr("(__n + 1) div 2"))
+      .agg(min(col("__v")).as("p50_secs"))
+    conv.agg(count(lit(1)).as("n_converted"),
+        round(avg(col("__v")), 6).as("mean_secs"),
+        min(col("__v")).as("min_secs"),
+        max(col("__v")).as("max_secs"))
+      .crossJoin(broadcast(med))
+  }
+
   /** Cohort LTV curve: cumulative revenue per signup-week cohort by
     * week offset — the "how much is a week-N user worth" table behind
     * every retention-economics dashboard. Exact integer cents end to

@@ -395,6 +395,34 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node: C(v) = triangles(v) /
+    * (deg(v) choose 2) — how close each node's neighborhood is to a
+    * clique (community cohesion; near-0 on bipartite projections,
+    * high inside tight co-purchase clusters). Triangle counts come
+    * from [[triangleCounts]]'s degree-oriented wedge closure
+    * (O(m^1.5) worst-case wedges, never all-pairs); degrees are one
+    * more aggregation; nodes with no triangles report 0, and
+    * degree-1 nodes report null C (undefined, not 0). All integers
+    * until the final ratio at 6 dp.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    val deg = e0.select(col("a").as("node"))
+      .unionAll(e0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e0, "a", "b")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+              .cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("clustering_coeff"))
+  }
+
   /** Time-respecting reachability (contact tracing): nodes reachable
     * from the seed set within `hops` edges whose times NEVER DECREASE
     * along the path — an edge at time t transmits only to contacts at

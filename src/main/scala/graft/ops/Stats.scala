@@ -1374,6 +1374,46 @@ object Stats {
         col("n_replicas"), col("n_as_extreme"))
   }
 
+  /** Krippendorff's alpha (nominal) — inter-annotator agreement that,
+    * unlike [[cohensKappa]], handles ANY number of raters per item and
+    * missing judgments: α = 1 − D_o/D_e with
+    * D_o = Σ_items (m_u² − Σ_c n_uc²)/(m_u − 1) (observed off-diagonal
+    * coincidences) and D_e = (n² − Σ_c n_c²)/(n − 1) from the pooled
+    * margins — the RLHF label-quality read-out when every prompt gets
+    * a variable number of ratings. Items with a single judgment drop
+    * (they pin no agreement). Everything is exact integer counts from
+    * two hash aggregations until the final rational folds; α rounds at
+    * 6 dp. Headroom: Σ n_c² needs n ≲ 3e9 in a Long — past that,
+    * downsample items (α is a ratio estimate; item sampling is
+    * unbiased).
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        catCol: String): DataFrame = {
+    val base = df.filter(col(itemCol).isNotNull && col(catCol).isNotNull)
+    val nuc = base.groupBy(col(itemCol), col(catCol))
+      .agg(count(lit(1)).as("__nuc"))
+    val perItem = nuc.groupBy(col(itemCol))
+      .agg(sum(col("__nuc")).as("__m"),
+        sum(col("__nuc") * col("__nuc")).as("__s2"))
+      .filter(col("__m") >= 2)
+    val doAgg = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("__m")).as("n_judgments"),
+      sum((col("__m") * col("__m") - col("__s2")).cast("double") /
+        (col("__m") - 1).cast("double")).as("__do"))
+    val kept = nuc.join(perItem.select(col(itemCol)), Seq(itemCol),
+      "left_semi")
+    val de = kept.groupBy(col(catCol)).agg(sum(col("__nuc")).as("__nc"))
+      .agg(sum(col("__nc")).as("__n"),
+        sum(col("__nc") * col("__nc")).as("__nc2"))
+    doAgg.crossJoin(broadcast(de))
+      .select(col("n_items"), col("n_judgments"),
+        when(col("__n") > 1 && col("__n") * col("__n") - col("__nc2") > 0,
+          round(lit(1.0) - col("__do") /
+            ((col("__n") * col("__n") - col("__nc2")).cast("double") /
+              (col("__n") - 1).cast("double")), 6)).as("alpha"))
+  }
+
   /** Cumulative lift / gains curve over score-descending buckets — the
     * targeting-model eval that [[aucRoc]] summarizes away: for each of
     * `buckets` equal-population score bands, the positives captured so

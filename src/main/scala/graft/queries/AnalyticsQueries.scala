@@ -314,6 +314,32 @@ object AnalyticsQueries {
         col("source") === "src0", "n_chars", "doc_id", buckets = 10)
     },
 
+    // L282: Krippendorff's α over per-user event-type "judgments" —
+    // variable raters per item, the multi-rater agreement companion to
+    // ml_cohens_kappa.
+    "ml_krippendorff_alpha" -> { (s, dir) =>
+      Stats.krippendorffAlpha(Tables.events(s, dir), "user_id",
+        "event_type")
+    },
+
+    // L283: local clustering coefficient on the co-purchase graph
+    // (same relative-support edge floor as the triangles gate).
+    "graph_clustering_coeff" -> { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val minpc = items.agg(greatest(lit(2L),
+        expr("(count(DISTINCT b) + 9999) div 10000")).as("minpc"))
+      val edges = items.join(
+          items.select(col("b"), col("i").as("j")), Seq("b"))
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("pc"))
+        .crossJoin(broadcast(minpc))
+        .filter(col("pc") >= col("minpc"))
+        .select(col("i").as("src"), col("j").as("dst"))
+      graft.ops.Graph.clusteringCoefficient(edges, "src", "dst")
+    },
+
     // Bradley–Terry preference strengths (3 MM rounds) over per-user
     // "best vs worst event type" judgments — the RLHF preference-
     // aggregation primitive, with the PageRank unrolled-oracle
@@ -2227,6 +2253,72 @@ object AnalyticsQueries {
         |    round((CAST(cp AS DOUBLE) / cn) / (CAST(pt AS DOUBLE) / nt), 6)
         |  END AS lift
         |FROM c""".stripMargin,
+
+    // Exact integer coincidence counts; rational folds only at the end.
+    "ml_krippendorff_alpha" ->
+      """WITH nuc AS (SELECT user_id AS item, event_type AS cat,
+        |    count(*) AS c
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(sum(c) AS BIGINT) AS m,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM nuc GROUP BY 1 HAVING sum(c) >= 2),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(m) AS BIGINT) AS n_judgments,
+        |    sum(CAST(m * m - s2 AS DOUBLE) / CAST(m - 1 AS DOUBLE)) AS dobs
+        |  FROM pi),
+        |mg AS (SELECT cat, CAST(sum(c) AS BIGINT) AS nc
+        |  FROM nuc JOIN pi USING (item) GROUP BY 1),
+        |de AS (SELECT CAST(sum(nc) AS BIGINT) AS n,
+        |    CAST(sum(nc * nc) AS BIGINT) AS nc2 FROM mg)
+        |SELECT n_items, n_judgments,
+        |  CASE WHEN n > 1 AND n * n - nc2 > 0 THEN
+        |    round(1.0 - dobs / (CAST(n * n - nc2 AS DOUBLE) /
+        |      CAST(n - 1 AS DOUBLE)), 6) END AS alpha
+        |FROM d, de""".stripMargin,
+
+    // The triangles oracle's oriented wedge closure plus the degree
+    // join and the C(v) ratio; triangle-less nodes report 0.
+    "graph_clustering_coeff" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |mp AS (SELECT greatest(2, (count(DISTINCT b) + 9999) // 10000)
+        |  AS minpc FROM items),
+        |e0 AS (SELECT x.i AS a, y.i AS b FROM items x
+        |  JOIN items y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minpc FROM mp)),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.degree < db.degree
+        |      OR (da.degree = db.degree AND e0.a < e0.b)
+        |      THEN e0.a ELSE e0.b END AS src,
+        |    CASE WHEN da.degree < db.degree
+        |      OR (da.degree = db.degree AND e0.a < e0.b)
+        |      THEN e0.b ELSE e0.a END AS dst,
+        |    CASE WHEN da.degree < db.degree
+        |      OR (da.degree = db.degree AND e0.a < e0.b)
+        |      THEN db.degree ELSE da.degree END AS dd
+        |  FROM e0 JOIN deg da ON e0.a = da.node
+        |    JOIN deg db ON e0.b = db.node),
+        |w AS (SELECT o1.src, o1.dst AS v, o2.dst AS w
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |  WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+        |t AS (SELECT w.src, w.v, w.w FROM w
+        |  WHERE EXISTS (SELECT 1 FROM o
+        |    WHERE o.src = w.v AND o.dst = w.w)),
+        |x AS (SELECT src AS node FROM t UNION ALL SELECT v FROM t
+        |  UNION ALL SELECT w FROM t),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM x GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        |  coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.degree >= 2 THEN
+        |    round(2.0 * coalesce(tc.n_triangles, 0) /
+        |      CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+        |  END AS clustering_coeff
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node""".stripMargin,
 
     // Unrolled MM rounds; denominators and the normalizing total fold
     // over value-sorted term lists (list_sort → list_sum ≡ Spark

@@ -214,6 +214,14 @@ object TimeSeriesQueries {
       graft.ops.Funnel.dropoffSummary(funnel, nStages = 3)
     },
 
+    // L281: conversion-latency summary — count/mean/min/max + exact
+    // nearest-rank median seconds-to-convert across converted users.
+    "funnel_time_to_convert" -> { (s, dir) =>
+      graft.ops.Funnel.timeToConvertSummary(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        windowSec = 86400L)
+    },
+
     // L245: cohort LTV curve — cumulative revenue per signup-week
     // cohort by week offset, exact cents, unrounded derived doubles.
     "a28_cohort_ltv" -> { (s, dir) =>
@@ -492,6 +500,36 @@ object TimeSeriesQueries {
         |  t2 IS NOT NULL AS converted,
         |  round(CAST(t2 - t0 AS DOUBLE) / 1e6, 6) AS secs_to_convert
         |FROM c2""".stripMargin,
+
+    // Same funnel chain CTEs; nearest-rank median over (v, user) order.
+    "funnel_time_to_convert" ->
+      """WITH su AS (SELECT user_id,
+        |    list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'view')) AS s0,
+        |    list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'click')) AS s1,
+        |    list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'purchase')) AS s2
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1),
+        |c0 AS (SELECT user_id, s0[1] AS t0, s1, s2 FROM su),
+        |c1 AS (SELECT user_id, t0,
+        |    list_filter(s1, t -> t > t0 AND t <= t0 + 86400000000)[1] AS t1,
+        |    s2 FROM c0),
+        |c2 AS (SELECT user_id, t0, t1,
+        |    list_filter(s2, t -> t > t1 AND t <= t0 + 86400000000)[1] AS t2
+        |  FROM c1),
+        |conv AS (SELECT user_id,
+        |    round(CAST(t2 - t0 AS DOUBLE) / 1e6, 6) AS v
+        |  FROM c2 WHERE t2 IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, user_id) AS rn,
+        |    count(*) OVER () AS n FROM conv)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(avg(v), 6) AS mean_secs, min(v) AS min_secs,
+        |  max(v) AS max_secs,
+        |  (SELECT min(v) FROM r WHERE rn = (n + 1) // 2) AS p50_secs
+        |FROM conv""".stripMargin,
 
     "funnel_dropoff" ->
       """WITH su AS (SELECT user_id,

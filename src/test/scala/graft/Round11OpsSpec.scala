@@ -248,6 +248,71 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got == (("s1", "s2", 2L, 2L, 2L, 1.0)), got.toString)
   }
 
+  // ---- Krippendorff's alpha -----------------------------------------------
+
+  test("krippendorffAlpha: perfect agreement 1, systematic disagreement −0.5") {
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "cat")
+    val p = graft.ops.Stats.krippendorffAlpha(perfect, "item", "cat")
+      .as[(Long, Long, Double)].collect().head
+    assert(p == ((2L, 4L, 1.0)), p.toString)
+    // Two items, each split a/b: D_o = 4, D_e = 8/3 → α = −0.5.
+    val split = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("item", "cat")
+    val s = graft.ops.Stats.krippendorffAlpha(split, "item", "cat")
+      .as[(Long, Long, Double)].collect().head
+    assert(s == ((2L, 4L, -0.5)), s.toString)
+  }
+
+  test("krippendorffAlpha: single-judgment items drop from counts AND margins") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"), (3L, "c"))
+      .toDF("item", "cat")
+    val r = graft.ops.Stats.krippendorffAlpha(df, "item", "cat")
+      .as[(Long, Long, Double)].collect().head
+    // Item 3 pins nothing: identical to the perfect-agreement case.
+    assert(r == ((2L, 4L, 1.0)), r.toString)
+  }
+
+  // ---- Funnel time-to-convert ----------------------------------------------
+
+  test("timeToConvertSummary: exact nearest-rank median over converters") {
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 100L, "purchase"),
+      (2L, 0L, "view"), (2L, 5L, "click"), (2L, 50L, "purchase"),
+      (3L, 0L, "view") // never converts
+    ).toDF("user_id", "secs", "event_type")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val got = graft.ops.Funnel.timeToConvertSummary(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), windowSec = 86400L)
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    // n=2; rank (2+1) div 2 = 1 → p50 is the LOWER middle (50 s).
+    assert(got == ((2L, 75.0, 50.0, 100.0, 50.0)), got.toString)
+  }
+
+  test("timeToConvertSummary: zero converters → one row of nulls, not zero rows") {
+    val ev = Seq((1L, 0L, "view")).toDF("user_id", "secs", "event_type")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val rows = graft.ops.Funnel.timeToConvertSummary(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), 86400L).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 0L &&
+      rows.head.isNullAt(4), rows.mkString)
+  }
+
+  // ---- Clustering coefficient ------------------------------------------------
+
+  test("clusteringCoefficient: triangle corners score by (deg choose 2); pendant null") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.clusteringCoefficient(edges, "src", "dst")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("a") == ((3L, 1L, Some(0.333333))), got("a").toString)
+    assert(got("b") == ((2L, 1L, Some(1.0))))
+    assert(got("c") == ((2L, 1L, Some(1.0))))
+    assert(got("d") == ((1L, 0L, None)), got("d").toString)
+  }
+
   // ---- Whitening ----------------------------------------------------------
 
   test("whitenDiagonal: per-dim standardization; dead dims zero out") {
