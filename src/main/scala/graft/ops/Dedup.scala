@@ -244,13 +244,38 @@ object Dedup {
     * join shuffles only prefix tokens; the verify join carries candidate
     * pairs × their shingles, the same shape as [[nearDuplicates]]'s
     * verify. No all-pairs stage anywhere.
+    *
+    * CAVEAT at low thresholds over DENSE key spaces: the prefix keeps
+    * sz − ⌈t·sz⌉ + 1 tokens, so at t = 0.3 ~70% of every set is prefix
+    * and a token shared by h sets still generates O(h²) candidates.
+    * Round-11 measurement: a 10×-denser grid corpus (same 408 cells,
+    * 10× users) put 11,060 users in the hottest cell — Σ df² ≈ 4.6e9
+    * candidates, a 100× blow-up for 10× rows. `maxDf` is the density
+    * valve: tokens with document frequency > maxDf are dropped from
+    * BOTH prefix and full sets before anything joins (the
+    * [[nearDuplicates]] hot-shingle cap, applied to the exact path).
+    * LOSSY for pairs whose similarity rests on hot tokens — a token in
+    * thousands of sets carries no similarity signal, which is exactly
+    * why dropping it is the production answer — and None (the default)
+    * keeps the op exact.
     */
   def jaccardPairsPrefix(shinglesIn: DataFrame, idCol: String,
-                         minJaccard: Double): DataFrame = {
+                         minJaccard: Double,
+                         maxDf: Option[Long] = None): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
-    val shingles = OpCaches.scoped(
+    val raw = OpCaches.scoped(
       shinglesIn.select(col(idCol), col("shingle")))
+    val shingles = maxDf match {
+      case None => raw
+      case Some(cap) =>
+        require(cap >= 2, "maxDf must be at least 2")
+        val hot = raw.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap)
+          .select(col("shingle"))
+        raw.join(hot, Seq("shingle"), "left_anti")
+    }
     val dfCounts = shingles.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col(idCol))

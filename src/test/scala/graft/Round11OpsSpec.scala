@@ -313,6 +313,26 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got("d") == ((1L, 0L, None)), got("d").toString)
   }
 
+  // ---- jaccardPairsPrefix density valve --------------------------------------
+
+  test("jaccardPairsPrefix maxDf: hot tokens drop from sets before any join") {
+    val sh = Seq(
+      (1L, "h"), (1L, "a"), (1L, "b"),
+      (2L, "h"), (2L, "a"), (2L, "b"),
+      (3L, "h"), (3L, "x"), (3L, "y")
+    ).toDF("doc_id", "shingle")
+    // Uncapped: (1,2) share {h,a,b} of union 3 → J=1.0, inter=3.
+    val exact = graft.ops.Dedup.jaccardPairsPrefix(sh, "doc_id", 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(exact == Set((1L, 2L, 3L, 1.0)), exact.toString)
+    // Capped at df ≤ 2: 'h' (df 3) drops from all sets → (1,2) still
+    // J=1.0 on the reduced sets {a,b}; (1,3)/(2,3) share nothing.
+    val capped = graft.ops.Dedup.jaccardPairsPrefix(sh, "doc_id", 0.5,
+        maxDf = Some(2L))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(capped == Set((1L, 2L, 2L, 1.0)), capped.toString)
+  }
+
   // ---- Whitening ----------------------------------------------------------
 
   test("whitenDiagonal: per-dim standardization; dead dims zero out") {

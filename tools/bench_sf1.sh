@@ -2,9 +2,19 @@
 # BENCH_sf1: heavy-family bench at 10x the sf0.1 row count (r10 verdict #8).
 # Derives the corpus with tools/derive_sf1.py (replica-structured: dedup /
 # ANN / graph internal structure preserved per replica, disjoint across),
-# then runs the heavy families plus every round-10/11 op through graft.Bench
-# against a DEDICATED history file (bench_history_sf1.json — never the
-# sf0.1 one), writing the JSON line to BENCH_sf1.json.
+# then runs the probe list through graft.Bench against a DEDICATED history
+# file (bench_history_sf1.json — never the sf0.1 one), writing the JSON
+# line to BENCH_sf1.json.
+#
+# The DEFAULT list is the round-11 operator set plus the heavies whose 10x
+# growth round-10 probes already bounded. The full dedup/traj/contact
+# composite set is NOT default: a round-11 attempt ran one of them for
+# 2.5 h of full-core time at 10x without completing (candidates:
+# traj_similarity_grid, g10_contact_chains, dedup_self_similarity — their
+# candidate generation is block-quadratic and 10x rows in the SAME
+# time/space/shingle key-space is a 100x pair budget, unlike production
+# 10x which grows the KEY SPACE too). Isolate with
+# SPARK_GRAFT_SF1_ONLY=<q> before re-adding any of them.
 set -e
 SF1="${1:-/tmp/sf1_derived}"
 cd /root/repo
@@ -12,23 +22,18 @@ if [ ! -f "$SF1/documents.parquet" ]; then
   echo "[sf1] deriving 10x corpus into $SF1"
   python3 tools/derive_sf1.py /root/testdata/sf0.1 "$SF1"
 fi
-HEAVY=dedup_near_duplicates,dedup_containment,dedup_hybrid_pairs
-HEAVY=$HEAVY,dedup_modality_eval,dedup_self_similarity,dedup_clusters
-HEAVY=$HEAVY,dedup_substring_spans,dedup_minhash_lsh,dedup_simhash_pairs
-HEAVY=$HEAVY,ann_ivfpq,ann_pq_adc,ann_ivf_cosine,ann_lsh_bucketed
-HEAVY=$HEAVY,knn_cosine_bruteforce,pq_encode,ivf_kmeans_assign,ann_ivfpq_pruned
-HEAVY=$HEAVY,graph_pagerank,graph_ppr,graph_hits,graph_label_prop
-HEAVY=$HEAVY,graph_triangles,graph_kcore,graph_adamic_adar
-HEAVY=$HEAVY,stats_bootstrap_ci,text_tfidf_top_terms,text_decontaminate
-HEAVY=$HEAVY,traj_similarity_grid,g10_contact_chains
-HEAVY=$HEAVY,curation_pipeline_v2,curation_pipeline_v5
-HEAVY=$HEAVY,ab_test_mann_whitney,ab_test_kruskal_wallis,ab_test_anova_f
-HEAVY=$HEAVY,ts_cross_correlation,ts_burstiness
-HEAVY=$HEAVY,ml_spearman_corr,ab_test_levene,ab_test_effect_size
-HEAVY=$HEAVY,graph_assortativity,text_ttr,retrieval_rbo,embedding_whiten
-HEAVY=$HEAVY,ml_cramers_v,a30_trimmed_mean,ab_test_permutation
-HEAVY=$HEAVY,ml_lift_curve,text_source_vocab_jaccard
-SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$HEAVY" \
+DEFAULT=ab_test_mann_whitney,ab_test_kruskal_wallis,ab_test_anova_f
+DEFAULT=$DEFAULT,ts_cross_correlation,ts_burstiness,ml_spearman_corr
+DEFAULT=$DEFAULT,ab_test_levene,ab_test_effect_size,ab_test_permutation
+DEFAULT=$DEFAULT,a30_trimmed_mean,ml_lift_curve,ml_cramers_v
+DEFAULT=$DEFAULT,ml_krippendorff_alpha,text_ttr,text_source_vocab_jaccard
+DEFAULT=$DEFAULT,retrieval_rbo,embedding_whiten,graph_assortativity
+DEFAULT=$DEFAULT,graph_clustering_coeff,funnel_time_to_convert
+DEFAULT=$DEFAULT,dedup_minhash_lsh,dedup_exact,ann_ivf_cosine,ann_lsh_bucketed
+DEFAULT=$DEFAULT,graph_pagerank,graph_kcore,stats_bootstrap_ci
+DEFAULT=$DEFAULT,text_tfidf_top_terms,stream_replay_throughput
+ONLY="${SPARK_GRAFT_SF1_ONLY:-$DEFAULT}"
+SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_HISTORY=bench_history_sf1.json \
   sbt -batch "runMain graft.Bench" 2>&1 |
   grep -E '^\[info\] \{"metric"' | sed 's/^\[info\] //' > BENCH_sf1.json
