@@ -99,8 +99,12 @@ object Bench {
     // would otherwise silently benchmark nothing and look green.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
-      System.err.println(s"[bench] WARNING: unknown query name '$n'")))
+    // The replay probe is a special branch below, not a SparkEntry query —
+    // its name is still a valid ONLY target, so exclude it from the
+    // unknown-name check (tools/bench_sf1.sh lists it).
+    only.foreach(_.diff(SparkEntry.queries.keySet + "stream_replay_throughput")
+      .foreach(n =>
+        System.err.println(s"[bench] WARNING: unknown query name '$n'")))
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
@@ -167,48 +171,58 @@ object Bench {
     // Streaming replay throughput (r10 verdict #6): the DSv2 replay
     // source — paged cursor, admission control — previously regressed
     // invisibly because only specs exercised it. A fixed 16-trigger
-    // replay of the events table, timed like any query, makes a cursor
-    // or planning regression show up in BENCH files. Prep (normalized
-    // parquet copy, span probe) is untimed; each timed run gets a fresh
-    // checkpoint so the source actually replays.
+    // replay of the events table makes a cursor or planning regression
+    // show up in BENCH files. Prep (normalized parquet copy, span probe)
+    // is untimed and happens once; each timed run gets a fresh checkpoint
+    // so the source actually replays. A def (not an inline block) so the
+    // end-of-session adjudication pass below can re-measure it.
     val replayName = "stream_replay_throughput"
-    var replayRows = 0L
-    val replayTime: Option[Double] =
-      if (!only.forall(_.contains(replayName))) None
-      else try {
-        import org.apache.spark.sql.{Dataset, Row}
+    var replayPrep: Option[(String, Double)] = None
+    var replayCkptN = 0
+    def replayOnce(): (Double, Long) = {
+      import org.apache.spark.sql.{Dataset, Row}
+      val (raw, advanceSec) = replayPrep.getOrElse {
         val work = java.nio.file.Files
           .createTempDirectory("graft_bench_replay").toString
         val ev = graft.sources.Tables.events(spark, sfDir)
-        val raw = s"$work/raw"
-        ev.write.mode("overwrite").parquet(raw)
+        val rawP = s"$work/raw"
+        ev.write.mode("overwrite").parquet(rawP)
         val span = ev.agg(org.apache.spark.sql.functions.min("ts"),
           org.apache.spark.sql.functions.max("ts")).head()
         val spanSec =
           (span.getTimestamp(1).getTime - span.getTimestamp(0).getTime) / 1000.0
-        val advanceSec = math.max(1.0, spanSec / 16.0)
-        def runOnce(tag: String): Double = {
-          release()
-          var rows = 0L
-          val stream = spark.readStream
-            .format(classOf[graft.streaming.ReplayStreamSource].getName)
-            .option("path", raw).option("tsCol", "ts")
-            .option("simAdvancePerTriggerSec", advanceSec.toString)
-            .option("cursorPageSize", "4096")
-            .load()
-          val q = stream.writeStream
-            .option("checkpointLocation", s"$work/ckpt_$tag")
-            .foreachBatch { (b: Dataset[Row], _: Long) =>
-              rows += b.count(); ()
-            }
-            .start()
-          val t0 = System.nanoTime()
-          try q.processAllAvailable() finally q.stop()
-          replayRows = rows
-          (System.nanoTime() - t0) / 1e9
+        val p = (rawP, math.max(1.0, spanSec / 16.0))
+        replayPrep = Some(p)
+        p
+      }
+      release()
+      replayCkptN += 1
+      var rows = 0L
+      val stream = spark.readStream
+        .format(classOf[graft.streaming.ReplayStreamSource].getName)
+        .option("path", raw).option("tsCol", "ts")
+        .option("simAdvancePerTriggerSec", advanceSec.toString)
+        .option("cursorPageSize", "4096")
+        .load()
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          raw.stripSuffix("/raw") + s"/ckpt_$replayCkptN")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          rows += b.count(); ()
         }
-        runOnce("warm") // untimed warm-up, matching the batch queries
-        Some(Seq(runOnce("t1"), runOnce("t2")).min)
+        .start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    var replayRows = 0L
+    val replayTime: Option[Double] =
+      if (!only.forall(_.contains(replayName))) None
+      else try {
+        replayOnce() // untimed warm-up, matching the batch queries
+        val runs = Seq(replayOnce(), replayOnce())
+        replayRows = runs.map(_._2).max
+        Some(runs.map(_._1).min)
       } catch { case _: Throwable => Some(-1.0) }
     sentinelTimes += timeSentinel() // end-of-session load check
     sentinelMidTimes += timeBasket(sentinelMidFns)
@@ -271,19 +285,82 @@ object Bench {
           math.max(math.max(2.0 * t, math.min(TrackedFloorSec, 2.5 * t)),
             MicroFloorSec))
         .getOrElse(FloorSec)
-    val overBudget = allResults.collect { case (n, t) if t > budget(n) => n }
+    // The replay row is budgeted on THROUGHPUT (events/s — scale-invariant),
+    // never on wall seconds: the harness drains a FIXED 16-trigger replay,
+    // so at small sf the wall measures 16 trigger overheads and at large sf
+    // it measures the source — a wall budget flagged the row in 3/3
+    // round-11 sessions with zero code change. History keeps the best
+    // events/s ever seen under "__replay_eps" (keep-max, bounded); this
+    // session flags only if its eps falls below half that, relaxed by the
+    // same host factor that scales the wall budgets.
+    val replayEps = replayTime.filter(t => t > 0 && replayRows > 0)
+      .map(t => replayRows / t).getOrElse(-1.0)
+    val replayEpsBudget: Option[Double] =
+      history.get("__replay_eps").filter(_ > 0).map(h => 0.5 * h / hostFactor)
+    val replayFlagged = replayTime.isDefined &&
+      (replayEps <= 0 || replayEpsBudget.exists(replayEps < _))
+    val overInitial = results.collect { case (n, t) if t > budget(n) => n } ++
+      (if (replayFlagged) Seq(replayName) else Nil)
+    // SECOND-CHANCE ADJUDICATION (round-11 verdict #1): this box shows
+    // bursty CPU steal — three round-11 sessions self-flagged noise with
+    // DISJOINT over-budget sets, and every hand-run isolated re-measure of
+    // a flagged query matched its baseline. Automate exactly that: each
+    // over-budget query is re-measured once more HERE, at the end of the
+    // session (isolated position, after the last timed query). A query that
+    // returns to ≤ budget is reported under "over_budget_retracted" — a
+    // burst window swallowed its best-of-3 — and its clean re-measured time
+    // participates in the ratchet; a query still over budget survives in
+    // "over_budget" carrying its failed re-measure in "re_measure" (the
+    // replay row's re_measure value is events/s, matching its budget).
+    val reMeasure: Map[String, Double] = overInitial.map { n =>
+      if (n == replayName) {
+        val (sec, rows) =
+          try replayOnce() catch { case _: Throwable => (-1.0, 0L) }
+        n -> (if (sec > 0 && rows > 0) rows / sec else -1.0)
+      } else {
+        val fn = SparkEntry.queries(n)
+        release()
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }
+        n -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      }
+    }.toMap
+    val retracted = overInitial.filter { n =>
+      val r = reMeasure.getOrElse(n, -1.0)
+      if (n == replayName) r > 0 && replayEpsBudget.forall(r >= _)
+      else r >= 0 && r <= budget(n)
+    }
+    val overBudget = overInitial.filterNot(retracted.contains)
+    // Ratchet input: a retracted query's best CLEAN measurement (the
+    // re-measure, or the original if it was somehow faster).
+    val adjudicated = allResults.map { case (n, t) =>
+      if (n != replayName && retracted.contains(n) &&
+          reMeasure.getOrElse(n, -1.0) >= 0)
+        n -> math.min(t, reMeasure(n))
+      else n -> t
+    }
+    val bestEps = math.max(replayEps,
+      if (overInitial.contains(replayName))
+        reMeasure.getOrElse(replayName, -1.0)
+      else -1.0)
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = allResults.map(_._2).filter(_ >= 0).sum
-    val replayEps = replayTime.filter(t => t > 0 && replayRows > 0)
-      .map(t => replayRows / t).getOrElse(-1.0)
     def basketJson(xs: Seq[Double]) = xs.filter(_ != Double.MaxValue)
       .map(t => f"$t%.4f").mkString("[", ",", "]")
     val sentinelJson = basketJson(sentinelTimes.toSeq)
     val sentinelMidJson = basketJson(sentinelMidTimes.toSeq)
+    val reMeasureJson = reMeasure.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":${f"$v%.4f"}" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},""" +
+      s""""over_budget_retracted":${arr(retracted)},""" +
+      s""""re_measure":$reMeasureJson,""" +
       s""""noise_suspect":$noiseSuspect,"sentinel_sec":$sentinelJson,""" +
       s""""sentinel_mid_sec":$sentinelMidJson,""" +
       s""""host_factor":${f"$hostFactor%.3f"},""" +
@@ -316,12 +393,20 @@ object Bench {
         // new query would be flagged on every run forever and never
         // ratified (round-9 lesson: three new graph/bootstrap queries).
         val merged = base ++
-          allResults.filter { case (n, t) =>
+          adjudicated.filter { case (n, t) =>
             t >= 0 && (!over.contains(n) || !base.contains(n)) }
             .map { case (n, t) =>
               n -> base.get(n).filter(_ > 0)
                 .fold(t)(prev => math.min(prev, math.max(t, prev / 2.0))) }
-            .toMap
+            .toMap ++
+          // Replay throughput baseline: keep-MAX (best events/s ever),
+          // bounded per run (never above 2× prev) so one fluke-fast
+          // measurement can't set an unreachable bar, mirroring the
+          // keep-min ratchet's prev/2 bound.
+          (if (bestEps > 0 && !overBudget.contains(replayName))
+            Map("__replay_eps" -> base.get("__replay_eps").filter(_ > 0)
+              .fold(bestEps)(p => math.max(p, math.min(bestEps, p * 2.0))))
+          else Map.empty[String, Double])
         val body = merged.toSeq.sortBy(_._1)
           .map { case (k, v) => s"\"$k\":$v" }
           .mkString(s"""{"__sf":"$sfDir",""", ",", "}")

@@ -1137,7 +1137,13 @@ object Similarity {
       .select(col("dim"), col("__v").cast("double").as("__v"))
       .groupBy(col("dim"))
       .agg(avg(col("__v")).as("__mu"), stddev_samp(col("__v")).as("__sd"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      // stddev_samp is NULL for a dimension with exactly one sample
+      // (single-vector corpus, or a ragged corpus where only one vector
+      // reaches the max length); map it to 0.0 so the s < deadEps
+      // dead-dimension branch below absorbs it instead of the driver
+      // throwing on getDouble.
+      .collect().map(r => (r.getInt(0), r.getDouble(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
       .sortBy(_._1)
     val mu = typedlit(stats.map(_._2).toSeq)
     val sd = typedlit(stats.map(_._3).toSeq)

@@ -245,6 +245,59 @@ object Stats {
           .as("psi_term"))
   }
 
+  /** Per-GROUP PSI in one pass each side (L284): for every group (source,
+    * shard, ingest batch) the PSI of its `valueCol` distribution between a
+    * reference and a current snapshot — [[psi]]'s fixed-width bins over
+    * the reference's GLOBAL range (one 1-row broadcast, so every group is
+    * binned identically and scores are comparable across groups) and the
+    * same 0.5-Laplace smoothing, but grouped: the shuffle carries
+    * (group × bin) partial counts, never rows, and the output is
+    * |groups|-bounded. This is the drift side of a per-source admission
+    * gate (see curation_pipeline_v6): a 100 TB curation run scores every
+    * source's drift in two corpus passes instead of |sources| [[psi]]
+    * calls. `psi` = Σ over bins of terms each pre-rounded at 6 dp — every
+    * term is a multiple of 1e-6, so the fold is exact in double and
+    * engine-order-independent.
+    */
+  def psiByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
+                 groupCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val v = col(valueCol).cast("double")
+    val edges = ref.filter(v.isNotNull)
+      .agg(min(v).as("__lo"), max(v).as("__hi"))
+    def binned(df: DataFrame) = df.filter(v.isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(col(groupCol),
+        least(lit(bins - 1), greatest(lit(0),
+          when(col("__hi") > col("__lo"),
+            floor((v - col("__lo")) / ((col("__hi") - col("__lo")) / bins)))
+            .otherwise(lit(0)))).cast("int").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("__n"))
+    val refB = binned(ref)
+    val curB = binned(cur)
+    // Dense (group × bin) grid so missing bins smooth to 0.5/(tot+0.5·bins)
+    // instead of dropping out: groups = union of both sides (a group
+    // present only in `cur` is maximal drift, not absence of evidence).
+    val groups = refB.select(col(groupCol))
+      .union(curB.select(col(groupCol))).distinct()
+    val grid = groups.crossJoin(
+      ref.sparkSession.range(bins).select(col("id").cast("int").as("bin")))
+    def shares(df: DataFrame, out: String) = {
+      val tot = df.groupBy(col(groupCol)).agg(sum(col("__n")).as("__t"))
+      grid.join(df, Seq(groupCol, "bin"), "left")
+        .join(tot, Seq(groupCol), "left")
+        .select(col(groupCol), col("bin"),
+          ((coalesce(col("__n"), lit(0L)) + lit(0.5)) /
+            (coalesce(col("__t"), lit(0L)) + lit(0.5 * bins))).as(out))
+    }
+    shares(refB, "__p").join(shares(curB, "__q"), Seq(groupCol, "bin"))
+      .select(col(groupCol), col("bin"),
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
+          .as("__term"))
+      .groupBy(col(groupCol))
+      .agg(round(sum(col("__term")), 6).as("psi"))
+  }
+
   /** Incremental aggregate maintenance: per-key mergeable state
     * (n, sum, sumsq, min, max). At 100 TB the point is to NEVER rescan
     * history — yesterday's state table plus today's delta merge into
@@ -366,13 +419,21 @@ object Stats {
     * a single-partition sort: the only per-entity exchanges are the
     * even range shuffle and the pid-keyed window shuffle, both
     * embarrassingly parallel at 10⁸–10⁹ entities.
+    *
+    * The ranged frame is a scoped CACHE, not a localCheckpoint: the
+    * counts collect materializes it in the same job, where an eager
+    * checkpoint costs one extra job per pass (~340 ms at local[32] on a
+    * 3 MB frame — round-11 CheckpointProbe), and chained callers
+    * ([[rfmQuintiles]]'s three passes) pay it thrice. Re-evaluation on
+    * cache eviction is safe: RangePartitioner samples with per-partition
+    * deterministic seeds, so pid assignment reproduces exactly.
     */
   private[graft] def withRangeRank(df: DataFrame, order: Seq[Column],
                                    rankName: String): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(nPart, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val parted = OpCaches.scoped(
+      df.repartitionByRange(nPart, order: _*)
+        .withColumn("__pid", spark_partition_id()))
     val cnts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets: Map[Int, Long] = {
@@ -402,10 +463,10 @@ object Stats {
                                      measure: Column,
                                      outCol: String): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(nPart, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__m", measure.cast("long"))
-      .localCheckpoint()
+    val parted = OpCaches.scoped(
+      df.repartitionByRange(nPart, order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__m", measure.cast("long")))
     val cnts = parted.groupBy(col("__pid"))
       .agg(sum(col("__m")).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -550,8 +611,10 @@ object Stats {
     */
   def gini(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100).cast("long")
-    val per = df.select(col(keyCol), cents.as("__c"))
-      .groupBy(col(keyCol)).agg(sum(col("__c")).as("__v"))
+    // Scoped cache: the overflow-guard collect and the rank pass would
+    // otherwise each aggregate the fact table from scratch.
+    val per = OpCaches.scoped(df.select(col(keyCol), cents.as("__c"))
+      .groupBy(col(keyCol)).agg(sum(col("__c")).as("__v")))
     val head = per.agg(count(lit(1)).as("n"),
       max(abs(col("__v"))).as("mx")).collect()(0)
     val (n, mx) =

@@ -345,6 +345,21 @@ object TextQueries {
           round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // The CAPPED exact-Jaccard path — the production density valve a
+    // 100 TB user would actually turn (round-11 sf1 probe: Σdf² ≈ 4.6e9
+    // candidates on a 10×-density corpus without it). maxDf = 2 is small
+    // enough to ENGAGE on this corpus (2,275 of 16,245 shingles at sf0.01
+    // have df > 2, and the result provably differs from the uncapped
+    // gate: 23 pairs vs 25); the DuckDB oracle applies the identical df
+    // cut, so parity covers the lossy path itself, not just the exact one.
+    "dedup_jaccard_prefix_capped" -> { (s, dir) =>
+      val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.jaccardPairsPrefix(sh, "doc_id", minJaccard = 0.5,
+          maxDf = Some(2L))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
     },
@@ -587,6 +602,26 @@ object TextQueries {
       Dedup.editDistancePairs(skewed, "name_id", "p_name",
         blockExpr = split_part(col("p_name"), lit(" "), lit(2)), maxDist = 3,
         maxBlockSize = Some(300L))
+    },
+
+    // The block cap ENGAGED: the part corpus holds only 64 distinct names
+    // (blocks ≤ 9 at sf0.01, ≤ 14 at sf0.1), so neither dedup_title_edit's
+    // default 1000 cap nor skew_stress's 300 ever drops a block on
+    // testdata — the capped code path ran but never engaged. Here a third
+    // of the names get a shared second token ("capblk", 20-21 names) and
+    // the cap is 10: the hot block is provably DROPPED (34 pairs vs 44
+    // uncapped at sf0.01) while every natural block survives, and the
+    // oracle encodes the same HAVING count(*) <= 10 rule.
+    "dedup_title_edit_capped" -> { (s, dir) =>
+      val names = Tables.part(s, dir).groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      val skewed = names.select(col("name_id"),
+        when(pmod(col("name_id"), lit(3)) === 0,
+          concat(lit("zz capblk "), col("p_name")))
+          .otherwise(col("p_name")).as("p_name"))
+      Dedup.editDistancePairs(skewed, "name_id", "p_name",
+        blockExpr = split_part(col("p_name"), lit(" "), lit(2)), maxDist = 3,
+        maxBlockSize = Some(10L))
     },
 
     // Feature-hashed bag-of-words embedding (hashing trick), sparse
@@ -1104,6 +1139,38 @@ object TextQueries {
           col("score"))
     },
 
+    // Curation v6 — per-SOURCE ADMISSION CONTROL before any document-level
+    // work (the round-11 stats composed into the curation surface): a
+    // source is admitted only if (a) the Wilson 95% LOWER bound of its
+    // long-doc share clears 0.25 (the dq_wilson_ci statistic — small noisy
+    // sources can't sneak in on a lucky point estimate) and (b) its
+    // n_chars distribution hasn't drifted vs the reference crawl snapshot
+    // (psiByGroup ≤ 1.0; doc_id%3 split stands in for yesterday-vs-today,
+    // as in a18). Admitted sources then flow through the rule gate and a
+    // deterministic 50% hash sample. Both admission frames are
+    // |sources|-bounded broadcasts; drift for ALL sources costs two corpus
+    // passes (psiByGroup), not |sources| psi calls. At sf0.01 both gates
+    // provably ENGAGE: wilson drops {src4,src8,src10,src19}, drift drops
+    // {src4,src5,src11,src14} — 13 of 20 sources survive.
+    "curation_pipeline_v6" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pass = TextAnalysis.ruleFlags(docs, "doc_id", "text")
+        .filter(col("pass_all") === 1).select(col("doc_id"))
+      val admQuality = graft.ops.DataQuality
+        .wilsonShare(docs, "source", col("n_chars") > 300)
+        .filter(col("wilson_lo") >= 0.25).select(col("source"))
+      val admDrift = graft.ops.Stats.psiByGroup(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          "n_chars", "source", bins = 10)
+        .filter(col("psi") <= 1.0).select(col("source"))
+      val surv = docs.join(pass, Seq("doc_id"))
+        .join(broadcast(admQuality), Seq("source"))
+        .join(broadcast(admDrift), Seq("source"))
+      graft.ops.Sampling.bernoulli(surv, "doc_id", 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
     // BM25 keyword retrieval: top-20 docs for a bounded query-term set —
     // map-side term filter, broadcast df stats, TakeOrdered top-k.
     "text_bm25_topk" -> { (s, dir) =>
@@ -1576,6 +1643,22 @@ object TextQueries {
          |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5""".stripMargin,
 
+    // The df-capped path: shingles in more than 2 docs are dropped from
+    // BOTH sets before anything joins (mirroring jaccardPairsPrefix's
+    // maxDf filter-first semantics — sizes and intersections are computed
+    // on the FILTERED sets).
+    "dedup_jaccard_prefix_capped" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |shc AS (SELECT doc_id, shingle FROM sh WHERE shingle IN
+         |  (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 2)),
+         |${interCte("shc")}
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5""".stripMargin,
+
     "sample_stratified_mix" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -1882,6 +1965,21 @@ object TextQueries {
         |p AS (SELECT name_id, p_name, split_part(p_name, ' ', 2) AS blk
         |  FROM sk),
         |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 300),
+        |pf AS (SELECT p.* FROM p JOIN ok USING (blk))
+        |SELECT a.name_id AS id_a, b.name_id AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM pf a JOIN pf b ON a.blk = b.blk AND a.name_id < b.name_id
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    "dedup_title_edit_capped" ->
+      """WITH names AS (SELECT p_name, min(p_partkey) AS name_id
+        |  FROM part GROUP BY 1),
+        |sk AS (SELECT name_id, CASE WHEN name_id % 3 = 0
+        |    THEN 'zz capblk ' || p_name ELSE p_name END AS p_name FROM names),
+        |p AS (SELECT name_id, p_name, split_part(p_name, ' ', 2) AS blk
+        |  FROM sk),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 10),
         |pf AS (SELECT p.* FROM p JOIN ok USING (blk))
         |SELECT a.name_id AS id_a, b.name_id AS id_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
@@ -2852,6 +2950,63 @@ object TextQueries {
          |surv AS (SELECT hh, min(doc_id) AS doc_id FROM scored GROUP BY 1)
          |SELECT s.doc_id, s.source, s.lang, s.pred, s.score
          |FROM scored s JOIN surv USING (hh, doc_id)""".stripMargin,
+
+    "curation_pipeline_v6" ->
+      s"""WITH $wordsCte,
+         |rm AS (SELECT d.doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |    / len(ws) AS awl,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
+         |    AS BIGINT) AS stop_hits,
+         |  CAST(len(d.text) - len(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g'))
+         |    AS DOUBLE) / greatest(len(d.text), 1) AS sym
+         |  FROM documents d JOIN words USING (doc_id)),
+         |pass AS (SELECT doc_id FROM rm
+         |  WHERE n_words >= 50 AND n_words <= 100000
+         |    AND awl >= 3.0 AND awl <= 10.0
+         |    AND stop_hits >= 2 AND sym <= 0.1),
+         |wa AS (SELECT source, count(*) AS n,
+         |    CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS successes
+         |  FROM documents GROUP BY 1),
+         |wc AS (SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    CAST(n AS DOUBLE) AS nd FROM wa),
+         |admq AS (SELECT source FROM wc WHERE
+         |  round((p + 3.8416 / (2.0 * nd)
+         |    - 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
+         |    / (1.0 + 3.8416 / nd), 6) >= 0.25),
+         |refd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 = 0),
+         |curd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 <> 0),
+         |e AS (SELECT min(n_chars::DOUBLE) AS lo, max(n_chars::DOUBLE) AS hi
+         |  FROM refd),
+         |rb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+         |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+         |  AS bin, count(*) AS n FROM refd, e GROUP BY 1,2),
+         |cb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+         |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+         |  AS bin, count(*) AS n FROM curd, e GROUP BY 1,2),
+         |g AS (SELECT source FROM rb UNION SELECT source FROM cb),
+         |grid AS (SELECT source, unnest(range(10))::INT AS bin FROM g),
+         |rt AS (SELECT source, sum(n) AS t FROM rb GROUP BY 1),
+         |ct AS (SELECT source, sum(n) AS t FROM cb GROUP BY 1),
+         |rs AS (SELECT grid.source, grid.bin,
+         |  (coalesce(rb.n,0)+0.5)/(coalesce(rt.t,0)+5.0) AS p
+         |  FROM grid LEFT JOIN rb USING (source,bin)
+         |  LEFT JOIN rt USING (source)),
+         |cs AS (SELECT grid.source, grid.bin,
+         |  (coalesce(cb.n,0)+0.5)/(coalesce(ct.t,0)+5.0) AS q
+         |  FROM grid LEFT JOIN cb USING (source,bin)
+         |  LEFT JOIN ct USING (source)),
+         |tm AS (SELECT rs.source, round((p - q) * ln(p / q), 6) AS term
+         |  FROM rs JOIN cs USING (source, bin)),
+         |admd AS (SELECT source FROM tm GROUP BY 1
+         |  HAVING round(sum(term), 6) <= 1.0)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN pass USING (doc_id)
+         |  JOIN admq USING (source) JOIN admd USING (source)
+         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0 < 0.5""".stripMargin,
 
     "sample_token_budget" ->
       """WITH u AS (SELECT doc_id, source, n_chars,

@@ -13,7 +13,12 @@ object EntrySmoke {
     val spark = GraftSession.local(math.min(
       Runtime.getRuntime.availableProcessors(), 8))
     try {
-      val n = SparkEntry.entry(spark).count()
+      // Honor the directory argument: precommit.sh passes sf0.001, and a
+      // smoke that silently ignored it (relying on SparkEntry.entry's
+      // hardcoded path) would keep "passing" if the script pointed at
+      // different data. Same flagship query as SparkEntry.entry.
+      val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+      val n = SparkEntry.queries("cohort_analysis_e2e")(spark, dir).count()
       require(n > 0, s"entry returned $n rows")
       // A handful of cheap registry invariants while we're here: every
       // oracle key must have a query, and names must be unique-by-merge.

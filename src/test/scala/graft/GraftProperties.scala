@@ -505,9 +505,13 @@ object GraftProperties extends Properties("graft") {
       val ba = graft.ops.Similarity.rboOverlap(b, a, "id", p = 0.5, k = k)
         .collect().head
       // Cap = (1−p)·Σ_{d≤k} p^{d−1} = 1 − p^k (identical-list score).
+      // The op ROUNDS its output to 4 dp, which can round UP past the
+      // exact cap (k = 5: identical prefixes score exactly 0.96875 →
+      // 0.9688) — allow the half-ULP of that rounding, not just float
+      // slack (round-12 flake: falsified on exactly this boundary).
       val cap = 1.0 - math.pow(0.5, k)
       val rbo = ab.getDouble(2)
-      Prop(ab == ba && rbo >= 0.0 && rbo <= cap + 1e-9) :|
+      Prop(ab == ba && rbo >= 0.0 && rbo <= cap + 5e-5 + 1e-9) :|
         s"ab=$ab ba=$ba cap=$cap"
     }
 }

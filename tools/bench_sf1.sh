@@ -32,6 +32,13 @@ DEFAULT=$DEFAULT,graph_clustering_coeff,funnel_time_to_convert
 DEFAULT=$DEFAULT,dedup_minhash_lsh,dedup_exact,ann_ivf_cosine,ann_lsh_bucketed
 DEFAULT=$DEFAULT,graph_pagerank,graph_kcore,stats_bootstrap_ci
 DEFAULT=$DEFAULT,text_tfidf_top_terms,stream_replay_throughput
+# Round-12 (r11 verdict #6): the linear-cost text family — the suite's
+# biggest absolute movers at 10x — now ratchet budgets in
+# bench_history_sf1.json like the sf0.1 rows do; plus the round-12 ops.
+DEFAULT=$DEFAULT,text_top_ngrams,text_decontaminate,text_pmi_collocations
+DEFAULT=$DEFAULT,text_unigram_logprob,text_hash_embedding
+DEFAULT=$DEFAULT,curation_pipeline_v6,dedup_jaccard_prefix_capped
+DEFAULT=$DEFAULT,dedup_title_edit_capped
 ONLY="${SPARK_GRAFT_SF1_ONLY:-$DEFAULT}"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_HISTORY=bench_history_sf1.json \
