@@ -886,6 +886,50 @@ object Stats {
               (col("__n0m") - col("__ngm")).cast("double")), 6)).as("ks"))
   }
 
+  /** Two-snapshot Kolmogorov–Smirnov drift PER GROUP (L287): for each
+    * group g, D_g = max over value points of |ECDF_ref,g − ECDF_cur,g| —
+    * [[ksDrift]]'s group-vs-rest screen re-aimed at temporal drift
+    * (yesterday's crawl vs today's, per source), the two-sample
+    * companion to [[psiByGroup]] that needs no binning. EXACT over
+    * integers: at each distinct value |cumR·n_cur − cumC·n_ref| is an
+    * integer; the single division happens once, at the max. The grid is
+    * the distinct (group, value) pairs present on EITHER side — never a
+    * global cross join — and the cumulative windows partition by group,
+    * so the only skew bound is one group's own distinct-value count.
+    * Headroom: cum·n products need n_ref,g·n_cur,g < 2⁶³ — bucket values
+    * first past ~10⁹ rows per group.
+    */
+  def ksByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
+                groupCol: String): DataFrame = {
+    def cells(df: DataFrame, out: String) =
+      df.select(col(groupCol).as("__g"),
+          col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull && col("__g").isNotNull)
+        .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as(out))
+    val grid = cells(ref, "__cr").join(cells(cur, "__cc"),
+        Seq("__g", "__v"), "full_outer")
+      .select(col("__g"), col("__v"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val wv = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__g"))
+    grid
+      .withColumn("__cumr", sum(col("__cr")).over(wv))
+      .withColumn("__cumc", sum(col("__cc")).over(wv))
+      .withColumn("__nr", sum(col("__cr")).over(tot))
+      .withColumn("__nc", sum(col("__cc")).over(tot))
+      .groupBy(col("__g"))
+      .agg(max(col("__nr")).as("__nrm"), max(col("__nc")).as("__ncm"),
+        max(abs(col("__cumr") * col("__nc") - col("__cumc") * col("__nr")))
+          .as("__num"))
+      .select(col("__g").as(groupCol),
+        col("__nrm").as("n_ref"), col("__ncm").as("n_cur"),
+        when(col("__nrm") > 0 && col("__ncm") > 0,
+          round(col("__num").cast("double") /
+            (col("__nrm") * col("__ncm")).cast("double"), 6)).as("ks"))
+  }
+
   /** Stationary distribution of the empirical event-type Markov chain
     * by fixed-count power iteration: πₖ₊₁(s) = Σ_t πₖ(t)·P(t,s) over
     * the row-normalized transition matrix (the |S|²-bounded aggregate

@@ -626,6 +626,18 @@ object AnalyticsQueries {
       Stats.ksDrift(Tables.documents(s, dir), "source", "n_chars")
     },
 
+    // L287: TWO-SNAPSHOT KS per source (ref = doc_id%3 crawl snapshot,
+    // cur = the rest — the a18 yesterday/today split) — ksDrift re-aimed
+    // at temporal drift, binning-free companion to psiByGroup; the grid
+    // is per-group distinct values, never a global cross join.
+    "dq_ks_by_source" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Stats.ksByGroup(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "n_chars", "source")
+    },
+
     // L231: rendezvous-hash shard assignment (8 shards) — map-side,
     // bit-stable across engines.
     "shard_rendezvous" -> { (s, dir) =>
@@ -1565,6 +1577,34 @@ object AnalyticsQueries {
         |        - (cumall - cumg) * ng)) AS DOUBLE)
         |      / (CAST(max(ng) AS DOUBLE) *
         |        CAST((SELECT n0 FROM t) - max(ng) AS DOUBLE)), 6)
+        |  END AS ks
+        |FROM cum GROUP BY g""".stripMargin,
+
+    "dq_ks_by_source" ->
+      """WITH r AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE doc_id % 3 = 0
+        |    AND n_chars IS NOT NULL AND source IS NOT NULL),
+        |c AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |    AND n_chars IS NOT NULL AND source IS NOT NULL),
+        |rc AS (SELECT g, v, count(*) AS cr FROM r GROUP BY 1, 2),
+        |cc AS (SELECT g, v, count(*) AS ccur FROM c GROUP BY 1, 2),
+        |grid AS (SELECT coalesce(rc.g, cc.g) AS g, coalesce(rc.v, cc.v) AS v,
+        |    coalesce(rc.cr, 0) AS cr, coalesce(cc.ccur, 0) AS ccur
+        |  FROM rc FULL OUTER JOIN cc ON rc.g = cc.g AND rc.v = cc.v),
+        |cum AS (SELECT g, v,
+        |    sum(cr) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr,
+        |    sum(ccur) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+        |    sum(cr) OVER (PARTITION BY g) AS nr,
+        |    sum(ccur) OVER (PARTITION BY g) AS nc
+        |  FROM grid)
+        |SELECT g AS source, CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  CASE WHEN max(nr) > 0 AND max(nc) > 0 THEN
+        |    round(CAST(max(abs(cumr * nc - cumc * nr)) AS DOUBLE)
+        |      / CAST(max(nr) * max(nc) AS DOUBLE), 6)
         |  END AS ks
         |FROM cum GROUP BY g""".stripMargin,
 

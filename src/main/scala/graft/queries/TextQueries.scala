@@ -1171,6 +1171,25 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("n_chars"))
     },
 
+    // The REPORT form of v6's admission control (L286): one row per
+    // source with the Wilson lower bound, the PSI drift score, and the
+    // admission verdict — what a 100 TB curation run logs per ingest
+    // batch before any document moves. |sources|-bounded output.
+    "corpus_admission_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val wil = graft.ops.DataQuality
+        .wilsonShare(docs, "source", col("n_chars") > 300)
+        .select(col("source"), col("n").as("n_docs"), col("wilson_lo"))
+      val drift = graft.ops.Stats.psiByGroup(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "n_chars", "source")
+      wil.join(drift, Seq("source"))
+        .select(col("source"), col("n_docs"), col("wilson_lo"), col("psi"),
+          (col("wilson_lo") >= 0.25 && col("psi") <= 1.0)
+            .cast("int").as("admitted"))
+    },
+
     // BM25 keyword retrieval: top-20 docs for a bounded query-term set —
     // map-side term filter, broadcast df stats, TakeOrdered top-k.
     "text_bm25_topk" -> { (s, dir) =>
@@ -3007,6 +3026,46 @@ object TextQueries {
          |  JOIN admq USING (source) JOIN admd USING (source)
          |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      / 4294967296.0 < 0.5""".stripMargin,
+
+    "corpus_admission_report" ->
+      """WITH wa AS (SELECT source, count(*) AS n,
+        |    CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS successes
+        |  FROM documents GROUP BY 1),
+        |wc AS (SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd FROM wa),
+        |wil AS (SELECT source, n AS n_docs,
+        |  round((p + 3.8416 / (2.0 * nd)
+        |    - 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
+        |    / (1.0 + 3.8416 / nd), 6) AS wilson_lo FROM wc),
+        |refd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |curd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 <> 0),
+        |e AS (SELECT min(n_chars::DOUBLE) AS lo, max(n_chars::DOUBLE) AS hi
+        |  FROM refd),
+        |rb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+        |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+        |  AS bin, count(*) AS n FROM refd, e GROUP BY 1,2),
+        |cb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+        |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+        |  AS bin, count(*) AS n FROM curd, e GROUP BY 1,2),
+        |g AS (SELECT source FROM rb UNION SELECT source FROM cb),
+        |grid AS (SELECT source, unnest(range(10))::INT AS bin FROM g),
+        |rt AS (SELECT source, sum(n) AS t FROM rb GROUP BY 1),
+        |ct AS (SELECT source, sum(n) AS t FROM cb GROUP BY 1),
+        |rs AS (SELECT grid.source, grid.bin,
+        |  (coalesce(rb.n,0)+0.5)/(coalesce(rt.t,0)+5.0) AS p
+        |  FROM grid LEFT JOIN rb USING (source,bin)
+        |  LEFT JOIN rt USING (source)),
+        |cs AS (SELECT grid.source, grid.bin,
+        |  (coalesce(cb.n,0)+0.5)/(coalesce(ct.t,0)+5.0) AS q
+        |  FROM grid LEFT JOIN cb USING (source,bin)
+        |  LEFT JOIN ct USING (source)),
+        |tm AS (SELECT rs.source, round((p - q) * ln(p / q), 6) AS term
+        |  FROM rs JOIN cs USING (source, bin)),
+        |dr AS (SELECT source, round(sum(term), 6) AS psi FROM tm GROUP BY 1)
+        |SELECT w.source, w.n_docs, w.wilson_lo, d.psi,
+        |  CAST(w.wilson_lo >= 0.25 AND d.psi <= 1.0 AS INTEGER) AS admitted
+        |FROM wil w JOIN dr d ON w.source = d.source""".stripMargin,
 
     "sample_token_budget" ->
       """WITH u AS (SELECT doc_id, source, n_chars,

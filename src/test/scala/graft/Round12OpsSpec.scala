@@ -38,6 +38,23 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 0.0, "b" -> 0.0), got.toString)
   }
 
+  test("ksByGroup: hand-computed two-snapshot KS per group") {
+    // Group a: ref {1,2} vs cur {2,3} → ECDF gap peaks at 1/2 (v=1 and
+    // v=2 both give |cumr·nc − cumc·nr| = 2 over nr·nc = 4). Group b is
+    // identical across snapshots → 0. Group c has no cur rows → null ks.
+    val ref = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 1.0))
+      .toDF("g", "v")
+    val cur = Seq(("a", 2.0), ("a", 3.0), ("b", 5.0)).toDF("g", "v")
+    val got = Stats.ksByGroup(ref, cur, "v", "g")
+      .orderBy("g").collect()
+    assert(got(0).getString(0) == "a" && got(0).getLong(1) == 2L &&
+      got(0).getLong(2) == 2L && got(0).getDouble(3) == 0.5, got(0).toString)
+    assert(got(1).getString(0) == "b" && got(1).getDouble(3) == 0.0,
+      got(1).toString)
+    assert(got(2).getString(0) == "c" && got(2).getLong(2) == 0L &&
+      got(2).isNullAt(3), got(2).toString)
+  }
+
   // ---- jaccardPairsPrefix density valve --------------------------------
 
   test("jaccardPairsPrefix maxDf: hot token dropped from sets AND sizes") {
