@@ -23,6 +23,38 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** LSH banding planner (L288): for every (bands b, rows-per-band r)
+    * split of `nPerms` minhash permutations, the candidate-collision
+    * probability P(t) = 1 − (1 − t^r)^b at each Jaccard threshold of
+    * interest, plus the S-curve midpoint t½ = (1/b)^(1/r) — the table a
+    * 100 TB dedup run consults to PICK the banding before burning a
+    * corpus pass (choose the split whose t½ brackets the target
+    * threshold; P(t) at the thresholds quantifies recall vs candidate
+    * volume). Pure column arithmetic over a divisors(n) × |thresholds|
+    * grid — d(128) = 8 rows per threshold; no data touched at all.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, nPerms: Int = 128,
+              thresholds: Seq[Double] = Seq(0.5, 0.7, 0.8, 0.9)): DataFrame = {
+    require(nPerms >= 1 && nPerms <= 4096, "nPerms in [1, 4096]")
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t < 1),
+      "thresholds in (0, 1)")
+    val splits = spark.range(1, nPerms + 1L)
+      .filter(lit(nPerms) % col("id") === 0)
+      .select(col("id").cast("int").as("bands"),
+        (lit(nPerms) / col("id")).cast("int").as("rows_per_band"))
+    val ts = spark.range(thresholds.size.toLong)
+      .select(element_at(typedlit(thresholds), col("id").cast("int") + 1)
+        .as("t"))
+    splits.crossJoin(broadcast(ts))
+      .select(col("bands"), col("rows_per_band"),
+        round(col("t"), 6).as("t"),
+        round(lit(1.0) -
+          pow(lit(1.0) - pow(col("t"), col("rows_per_band")), col("bands")), 6)
+          .as("p_candidate"),
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 6)
+          .as("t_mid"))
+  }
+
   /** Exact dedup on normalized content: one row per distinct text with the
     * canonical (minimum) id and the duplicate count.
     */

@@ -263,16 +263,22 @@ object Stats {
                  groupCol: String, bins: Int = 10): DataFrame = {
     require(bins > 0, "bins must be positive")
     val v = col(valueCol).cast("double")
-    val edges = ref.filter(v.isNotNull)
-      .agg(min(v).as("__lo"), max(v).as("__hi"))
-    def binned(df: DataFrame) = df.filter(v.isNotNull)
+    // Scoped caches on every corpus-derived frame: the binned counts feed
+    // the grid (via groups), the per-group totals, AND the share join —
+    // uncached, Spark duplicates each subtree and the CORPUS would be
+    // scanned ~4× per side (the round-12 plan guard caught exactly this).
+    // Cached, each side is scanned once for binning (+ once for the 1-row
+    // edge aggregate) and everything downstream is (groups × bins)-bounded.
+    val edges = OpCaches.scoped(ref.filter(v.isNotNull)
+      .agg(min(v).as("__lo"), max(v).as("__hi")))
+    def binned(df: DataFrame) = OpCaches.scoped(df.filter(v.isNotNull)
       .crossJoin(broadcast(edges))
       .select(col(groupCol),
         least(lit(bins - 1), greatest(lit(0),
           when(col("__hi") > col("__lo"),
             floor((v - col("__lo")) / ((col("__hi") - col("__lo")) / bins)))
             .otherwise(lit(0)))).cast("int").as("bin"))
-      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("__n")))
     val refB = binned(ref)
     val curB = binned(cur)
     // Dense (group × bin) grid so missing bins smooth to 0.5/(tot+0.5·bins)

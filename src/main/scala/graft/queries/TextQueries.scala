@@ -364,6 +364,14 @@ object TextQueries {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // LSH banding planner: the (bands, rows) decision table for 128
+    // permutations — collision probability at the thresholds of interest
+    // and each split's S-curve midpoint. Touches no data (a planner), so
+    // the gate pins the closed-form arithmetic across engines.
+    "dedup_lsh_plan" -> { (s, _) =>
+      Dedup.lshPlan(s, nPerms = 128, thresholds = Seq(0.5, 0.7, 0.8, 0.9))
+    },
+
     // Corpus frequency profile: top-20 word bigrams.
     "text_top_ngrams" -> { (s, dir) =>
       TextAnalysis.topNgrams(Tables.documents(s, dir), "text", n = 2, k = 20)
@@ -1639,6 +1647,17 @@ object TextQueries {
          |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE greatest(CAST(i.inter AS DOUBLE) / x.sz,
          |               CAST(i.inter AS DOUBLE) / y.sz) >= 0.8""".stripMargin,
+
+    "dedup_lsh_plan" ->
+      """WITH d AS (SELECT CAST(b AS INTEGER) AS bands,
+        |    CAST(128 / b AS INTEGER) AS rows_per_band
+        |  FROM (SELECT unnest(range(1, 129)) AS b) WHERE 128 % b = 0),
+        |t AS (SELECT unnest([0.5, 0.7, 0.8, 0.9]) AS t)
+        |SELECT bands, rows_per_band, round(t, 6) AS t,
+        |  round(1.0 - power(1.0 - power(t, rows_per_band), bands), 6)
+        |    AS p_candidate,
+        |  round(power(1.0 / bands, 1.0 / rows_per_band), 6) AS t_mid
+        |FROM d, t""".stripMargin,
 
     "dedup_jaccard_exact" ->
       s"""WITH $wordsCte,

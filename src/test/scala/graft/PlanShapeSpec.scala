@@ -874,4 +874,38 @@ class PlanShapeSpec extends AnyFunSuite {
     val as = plan("graph_assortativity")
     assert(!as.contains("CartesianProduct"), as.take(800))
   }
+  test("round-12 admission/drift ops: equi-keyed, bounded spines only") {
+    // dq_ks_by_source: full-outer equi-join + per-group windows — no
+    // cartesian and no nest-loop anywhere (nothing needs broadcasting
+    // beyond hash-join sides).
+    val ks = plan("dq_ks_by_source")
+    assert(!ks.contains("CartesianProduct"), ks.take(800))
+    assert(!ks.contains("BroadcastNestedLoopJoin"),
+      s"ksByGroup has no unkeyed join:\n${ks.take(1200)}")
+    // psiByGroup consumers: the only nest-loops allowed are the 1-row
+    // edge broadcasts (one per side) and the groups x bins grid spine —
+    // all structurally bounded AND each materialized ONCE behind an
+    // OpCaches scope (uncached, Spark duplicated the subtrees and the
+    // corpus was scanned ~4x per side — this guard's first run caught
+    // it). The plan DUMP inlines every cached build plan at each scan
+    // site, so the string count of nest-loops exceeds the runtime count;
+    // assert the caches are actually in the plan, and bound the dump
+    // count loosely as a drift tripwire.
+    for (q <- Seq("corpus_admission_report", "curation_pipeline_v6")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(800)}")
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: psiByGroup's bounded frames must be scope-cached:\n${p.take(1200)}")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= 12,
+        s"$q: only bounded cached spines may nest-loop ($bnlj):\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: admission frames must broadcast-hash-join back:\n${p.take(1200)}")
+    }
+    // The planner touches no data: its plan must contain no scan at all.
+    val lp = plan("dedup_lsh_plan")
+    assert(!lp.contains("FileScan") && !lp.contains("CartesianProduct"),
+      lp.take(800))
+  }
+
 }

@@ -97,6 +97,30 @@ class Round12OpsSpec extends AnyFunSuite {
       Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), uncapped.toString)
   }
 
+  // ---- LSH banding planner ---------------------------------------------
+
+  test("lshPlan: divisor grid, hand-computed collision probs, midpoints") {
+    val plan = Dedup.lshPlan(spark, nPerms = 128,
+      thresholds = Seq(0.5, 0.7, 0.8, 0.9))
+    val rows = plan.collect()
+    assert(rows.length == 8 * 4, s"d(128)=8 splits x 4 thresholds")
+    def at(b: Int, t: Double) = rows.find(r =>
+      r.getInt(0) == b && r.getDouble(2) == t).get
+    // (32 bands, 4 rows) at t=0.5: 1-(1-0.5^4)^32 = 0.873211; t1/2 = 0.420448.
+    val r32 = at(32, 0.5)
+    assert(r32.getInt(1) == 4 && r32.getDouble(3) == 0.873211 &&
+      r32.getDouble(4) == 0.420448, r32.toString)
+    // (8 bands, 16 rows) at t=0.8: 0.204202; t1/2 = 0.878126.
+    val r8 = at(8, 0.8)
+    assert(r8.getDouble(3) == 0.204202 && r8.getDouble(4) == 0.878126,
+      r8.toString)
+    // P(t) is monotone increasing in t for every split.
+    rows.groupBy(_.getInt(0)).values.foreach { g =>
+      val ps = g.sortBy(_.getDouble(2)).map(_.getDouble(3))
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, g.mkString)
+    }
+  }
+
   // ---- whitenDiagonal single-sample dims -------------------------------
 
   test("whitenDiagonal: single-vector corpus (null stddev) whitens to 0") {
