@@ -591,6 +591,23 @@ object SimilarityQueries {
         clusterCol = "label", k = 3, nprobe = 2, index = Some(idx))
     },
 
+    // Matryoshka truncation eval (L289): recall@3 of brute-force kNN over
+    // the FIRST 16 of 64 dims vs full-dim truth — how much neighborhood
+    // structure a prefix truncation keeps, i.e. the measured cost of the
+    // 4× storage/serve saving matryoshka-style embeddings offer. Pure
+    // composition: slice projection + bruteForceKnn + recallAtK.
+    "ann_recall_truncated" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(expr(QueryPred))
+      def trunc(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val truth = Similarity.bruteForceKnn(emb, queries, "vec_id",
+        "embedding", k = 3)
+      val ann = Similarity.bruteForceKnn(trunc(emb), trunc(queries),
+        "vec_id", "embedding", k = 3)
+      Similarity.recallAtK(ann, truth, k = 3)
+    },
+
     // Recall@3 of IVF (nprobe=2) vs brute-force ground truth — the recall
     // harness that was previously LSH-only.
     "ann_recall_ivf" -> { (s, dir) =>
@@ -1114,6 +1131,31 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, cand_id) AS rn FROM scored)
          |WHERE rn <= 3""".stripMargin,
+
+    "ann_recall_truncated" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    embedding[1:16] AS qt FROM embeddings WHERE $QueryPred),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv,
+         |    embedding[1:16] AS ct FROM embeddings),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) DESC,
+         |      cand_id) AS rn
+         |  FROM q, c WHERE query_id <> cand_id) WHERE rn <= 3),
+         |ann AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("qt", "ct")} /
+         |      (sqrt(${dotSql("qt", "qt")}) * sqrt(${dotSql("ct", "ct")})), 6) DESC,
+         |      cand_id) AS rn
+         |  FROM q, c WHERE query_id <> cand_id) WHERE rn <= 3),
+         |hits AS (SELECT t.query_id, count(*) AS hits FROM truth t
+         |  JOIN ann a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1),
+         |tk AS (SELECT query_id, count(*) AS truth_k FROM truth GROUP BY 1)
+         |SELECT tk.query_id, COALESCE(hits.hits, 0) AS hits, tk.truth_k,
+         |  round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / tk.truth_k, 6) AS recall
+         |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin,
 
     "ann_recall_ivf" ->
       s"""WITH ${ivfCtes(2)},
