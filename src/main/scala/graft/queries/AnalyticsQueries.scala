@@ -638,6 +638,17 @@ object AnalyticsQueries {
         "n_chars", "source")
     },
 
+    // L284 standalone: per-source PSI on the same snapshot split —
+    // isolates psiByGroup for drift detection independent of the
+    // admission composites that consume it.
+    "dq_psi_by_source" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Stats.psiByGroup(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "n_chars", "source")
+    },
+
     // L231: rendezvous-hash shard assignment (8 shards) — map-side,
     // bit-stable across engines.
     "shard_rendezvous" -> { (s, dir) =>
@@ -1607,6 +1618,33 @@ object AnalyticsQueries {
         |      / CAST(max(nr) * max(nc) AS DOUBLE), 6)
         |  END AS ks
         |FROM cum GROUP BY g""".stripMargin,
+
+    "dq_psi_by_source" ->
+      """WITH refd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |curd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 <> 0),
+        |e AS (SELECT min(n_chars::DOUBLE) AS lo, max(n_chars::DOUBLE) AS hi
+        |  FROM refd),
+        |rb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+        |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+        |  AS bin, count(*) AS n FROM refd, e GROUP BY 1,2),
+        |cb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+        |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+        |  AS bin, count(*) AS n FROM curd, e GROUP BY 1,2),
+        |g AS (SELECT source FROM rb UNION SELECT source FROM cb),
+        |grid AS (SELECT source, unnest(range(10))::INT AS bin FROM g),
+        |rt AS (SELECT source, sum(n) AS t FROM rb GROUP BY 1),
+        |ct AS (SELECT source, sum(n) AS t FROM cb GROUP BY 1),
+        |rs AS (SELECT grid.source, grid.bin,
+        |  (coalesce(rb.n,0)+0.5)/(coalesce(rt.t,0)+5.0) AS p
+        |  FROM grid LEFT JOIN rb USING (source,bin)
+        |  LEFT JOIN rt USING (source)),
+        |cs AS (SELECT grid.source, grid.bin,
+        |  (coalesce(cb.n,0)+0.5)/(coalesce(ct.t,0)+5.0) AS q
+        |  FROM grid LEFT JOIN cb USING (source,bin)
+        |  LEFT JOIN ct USING (source)),
+        |tm AS (SELECT rs.source, round((p - q) * ln(p / q), 6) AS term
+        |  FROM rs JOIN cs USING (source, bin))
+        |SELECT source, round(sum(term), 6) AS psi FROM tm GROUP BY 1""".stripMargin,
 
     "shard_rendezvous" ->
       """SELECT c_custkey,
