@@ -215,13 +215,18 @@ object Bench {
       try q.processAllAvailable() finally q.stop()
       ((System.nanoTime() - t0) / 1e9, rows)
     }
-    var replayRows = 0L
+    var replayEpsBest = -1.0
     val replayTime: Option[Double] =
       if (!only.forall(_.contains(replayName))) None
       else try {
         replayOnce() // untimed warm-up, matching the batch queries
         val runs = Seq(replayOnce(), replayOnce())
-        replayRows = runs.map(_._2).max
+        // Throughput is computed PER RUN and the best run kept: pairing
+        // one run's max rows with another run's min wall would overstate
+        // events/s if the runs drained different row counts (a partial
+        // cursor failure).
+        replayEpsBest = runs.collect { case (sec, rows) if sec > 0 && rows > 0 =>
+          rows / sec }.foldLeft(-1.0)(math.max)
         Some(runs.map(_._1).min)
       } catch { case _: Throwable => Some(-1.0) }
     sentinelTimes += timeSentinel() // end-of-session load check
@@ -293,8 +298,7 @@ object Bench {
     // events/s ever seen under "__replay_eps" (keep-max, bounded); this
     // session flags only if its eps falls below half that, relaxed by the
     // same host factor that scales the wall budgets.
-    val replayEps = replayTime.filter(t => t > 0 && replayRows > 0)
-      .map(t => replayRows / t).getOrElse(-1.0)
+    val replayEps = replayEpsBest
     val replayEpsBudget: Option[Double] =
       history.get("__replay_eps").filter(_ > 0).map(h => 0.5 * h / hostFactor)
     val replayFlagged = replayTime.isDefined &&
@@ -350,12 +354,17 @@ object Bench {
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = allResults.map(_._2).filter(_ >= 0).sum
+    // JSON numbers via Locale.ROOT: the default-locale f-interpolator
+    // emits a comma decimal separator under e.g. de_DE, producing
+    // invalid JSON.
+    def jnum(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     def basketJson(xs: Seq[Double]) = xs.filter(_ != Double.MaxValue)
-      .map(t => f"$t%.4f").mkString("[", ",", "]")
+      .map(t => jnum(t, 4)).mkString("[", ",", "]")
     val sentinelJson = basketJson(sentinelTimes.toSeq)
     val sentinelMidJson = basketJson(sentinelMidTimes.toSeq)
     val reMeasureJson = reMeasure.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"$k\":${f"$v%.4f"}" }
+      .map { case (k, v) => s"\"$k\":${jnum(v, 4)}" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},""" +
@@ -363,8 +372,8 @@ object Bench {
       s""""re_measure":$reMeasureJson,""" +
       s""""noise_suspect":$noiseSuspect,"sentinel_sec":$sentinelJson,""" +
       s""""sentinel_mid_sec":$sentinelMidJson,""" +
-      s""""host_factor":${f"$hostFactor%.3f"},""" +
-      s""""stream_replay_events_per_sec":${f"$replayEps%.1f"},""" +
+      s""""host_factor":${jnum(hostFactor, 3)},""" +
+      s""""stream_replay_events_per_sec":${jnum(replayEps, 1)},""" +
       s""""sf":"$sfDir"}""")
     // Persist this run's timings as the next run's budget baseline,
     // KEEP-MIN per query: a session on a slower host (round-8 lesson:
@@ -386,7 +395,11 @@ object Bench {
       if (!noiseSuspect) {
         val over = overBudget.toSet
         val reset = sys.env.get("SPARK_GRAFT_BENCH_RESET").contains("1")
-        val base = if (reset) Map.empty[String, Double] else history
+        // The replay row is budgeted solely on __replay_eps; a wall-seconds
+        // baseline for it would be dead history data, so it is dropped from
+        // the keep-min merge (and any stale entry from the base map).
+        val base =
+          (if (reset) Map.empty[String, Double] else history) - replayName
         // A FIRST measurement (no history entry) seeds the baseline even
         // when it trips the 4 s floor: the floor flag means "no baseline
         // to compare against", and without seeding, a legitimately-heavy
@@ -394,7 +407,7 @@ object Bench {
         // ratified (round-9 lesson: three new graph/bootstrap queries).
         val merged = base ++
           adjudicated.filter { case (n, t) =>
-            t >= 0 && (!over.contains(n) || !base.contains(n)) }
+            n != replayName && t >= 0 && (!over.contains(n) || !base.contains(n)) }
             .map { case (n, t) =>
               n -> base.get(n).filter(_ > 0)
                 .fold(t)(prev => math.min(prev, math.max(t, prev / 2.0))) }

@@ -426,20 +426,27 @@ object Stats {
     * even range shuffle and the pid-keyed window shuffle, both
     * embarrassingly parallel at 10⁸–10⁹ entities.
     *
-    * The ranged frame is a scoped CACHE, not a localCheckpoint: the
-    * counts collect materializes it in the same job, where an eager
-    * checkpoint costs one extra job per pass (~340 ms at local[32] on a
-    * 3 MB frame — round-11 CheckpointProbe), and chained callers
-    * ([[rfmQuintiles]]'s three passes) pay it thrice. Re-evaluation on
-    * cache eviction is safe: RangePartitioner samples with per-partition
-    * deterministic seeds, so pid assignment reproduces exactly.
+    * The ranged frame is a LAZY localCheckpoint (eager = false): the
+    * counts collect materializes it in the same job — so unlike the
+    * eager checkpoint (one extra job per pass, ~340 ms at local[32] on a
+    * 3 MB frame — round-11 CheckpointProbe) chained callers like
+    * [[rfmQuintiles]] pay nothing extra — and unlike a scoped cache the
+    * lineage is TRUNCATED: the collected per-pid offsets are only valid
+    * for the exact partitioning the collect observed, and a cache
+    * released before the returned plan executes would re-plan the range
+    * shuffle with a fresh RangePartitioner sample (its seed derives from
+    * the new RDD id), silently shifting rows across pids under the stale
+    * offset map. With the checkpoint there is no recompute path at all:
+    * lost blocks fail loudly instead of re-ranking wrongly (blocks are
+    * MEMORY_AND_DISK and freed by the ContextCleaner on GC).
     */
   private[graft] def withRangeRank(df: DataFrame, order: Seq[Column],
                                    rankName: String): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = OpCaches.scoped(
+    val parted =
       df.repartitionByRange(nPart, order: _*)
-        .withColumn("__pid", spark_partition_id()))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(false)
     val cnts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets: Map[Int, Long] = {
@@ -469,10 +476,14 @@ object Stats {
                                      measure: Column,
                                      outCol: String): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = OpCaches.scoped(
+    // Lazy localCheckpoint, not a scoped cache — same pid-stability
+    // contract as [[withRangeRank]] (offsets are only valid for the
+    // observed partitioning; a released cache could re-sample bounds).
+    val parted =
       df.repartitionByRange(nPart, order: _*)
         .withColumn("__pid", spark_partition_id())
-        .withColumn("__m", measure.cast("long")))
+        .withColumn("__m", measure.cast("long"))
+        .localCheckpoint(false)
     val cnts = parted.groupBy(col("__pid"))
       .agg(sum(col("__m")).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -28,7 +28,10 @@ grep -q "ENTRY_SMOKE_OK" /tmp/precommit_smoke.log || {
 # semantics regression can't ship between full-suite runs. Skip with
 # GRAFT_PRECOMMIT_NOSPEC=1 (doc-only commits) or when nothing matches.
 if [ "${GRAFT_PRECOMMIT_NOSPEC:-0}" != "1" ]; then
-  CHANGED=$(git diff --name-only HEAD -- 'src/main/scala' |
+  # Union in untracked files: a brand-new main-source class must also get
+  # its referencing specs run, not just modified tracked ones.
+  CHANGED=$({ git diff --name-only HEAD -- 'src/main/scala';
+      git ls-files --others --exclude-standard -- 'src/main/scala'; } |
     grep '\.scala$' | xargs -r -n1 basename | sed 's/\.scala$//' | sort -u)
   SPECS=""
   for c in $CHANGED; do
