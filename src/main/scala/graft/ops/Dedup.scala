@@ -55,6 +55,101 @@ object Dedup {
           .as("t_mid"))
   }
 
+  /** A concrete banding decision: `bands` × `rowsPerBand` = total
+    * permutations; `tMid` = (1/bands)^(1/rowsPerBand), the Jaccard level
+    * where the collision S-curve crosses ~0.5.
+    */
+  final case class LshBanding(bands: Int, rowsPerBand: Int, tMid: Double)
+
+  /** Consume [[lshPlan]]'s decision rule as a driver-side pick: among the
+    * divisor splits (b, r = nPerms/b), choose the one whose S-curve
+    * midpoint t½ = (1/b)^(1/r) lies closest to `threshold`; ties break
+    * toward MORE bands (recall over candidate volume at equal distance).
+    * Same closed form the `dedup_lsh_plan` gate pins relationally — this
+    * is the planner's output actually steering execution
+    * ([[nearDuplicatesPlanned]]), not an advisory table.
+    */
+  def bandsFor(nPerms: Int, threshold: Double): LshBanding = {
+    require(nPerms >= 1 && nPerms <= 4096, "nPerms in [1, 4096]")
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    (1 to nPerms).filter(nPerms % _ == 0)
+      .map { b =>
+        val r = nPerms / b
+        LshBanding(b, r, math.pow(1.0 / b, 1.0 / r))
+      }
+      .minBy(p => (math.abs(p.tMid - threshold), -p.bands))
+  }
+
+  /** k-permutation minhash signature banded per a PLANNED (bands, rows)
+    * split: permutation p maps shingle s to the first 8 hex chars of
+    * md5(p ":" s) — k independent 32-bit-range permutations — and a
+    * band's bucket key concatenates its rowsPerBand permutation minima
+    * in permutation order (an r-way AND: all r minima must agree for a
+    * bucket collision). Relational two-aggregation shape: the perm
+    * explode is collapsed map-side, so the shuffle carries doc × k
+    * minima, never shingles × k; oracle-portable because DuckDB's md5
+    * agrees byte-for-byte. The one-pass typed alternative for
+    * collect-heavy callers is [[minhashSignaturesOnePass]].
+    */
+  def minhashSignaturesPlanned(shingles: DataFrame, idCol: String,
+                               plan: LshBanding): DataFrame = {
+    val k = plan.bands * plan.rowsPerBand
+    shingles
+      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("perm"),
+        col("shingle"))
+      .groupBy(col(idCol), col("perm"))
+      .agg(min(substring(md5(concat(col("perm").cast("string"), lit(":"),
+        col("shingle"))), 1, 8)).as("mh"))
+      // floor(), not an int cast: the oracle side must band identically,
+      // and SQL engines disagree on double→int casts (DuckDB rounds,
+      // Spark truncates) — floor is unambiguous in both.
+      .groupBy(col(idCol),
+        floor(col("perm") / plan.rowsPerBand).cast("int").as("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
+          x => x.getField("mh")), "").as("minhash"))
+  }
+
+  /** [[nearDuplicates]] with the banding CHOSEN BY THE PLANNER instead of
+    * passed as a caller constant: (bands, rowsPerBand) = [[bandsFor]]
+    * (nPerms, minJaccard), k-permutation signatures from
+    * [[minhashSignaturesPlanned]], candidates from the banded bucket
+    * self-join, exact-Jaccard verification at the same threshold. The
+    * executed banding is emitted as literal `bands` / `rows_per_band`
+    * columns so a gate can prove the plan's pick flowed through to
+    * execution. Same scale guards as [[nearDuplicates]]: df-capped
+    * shingles (default 0.1), bucket-keyed equi-joins only, no all-pairs
+    * stage.
+    */
+  def nearDuplicatesPlanned(docs: DataFrame, idCol: String, textCol: String,
+                            minJaccard: Double, nPerms: Int = 16, n: Int = 3,
+                            maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    val plan = bandsFor(nPerms, minJaccard)
+    val raw = OpCaches.scoped(shingleSets(docs, idCol, textCol, n, None))
+    val sh = maxDocFrequency match {
+      case None        => raw
+      case Some(maxDf) => hotFiltered(raw, docs, idCol, maxDf)
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val candidates =
+      lshCandidates(minhashSignaturesPlanned(sh, idCol, plan), idCol)
+    val sa = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = candidates
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"),
+        lit(plan.bands).as("bands"), lit(plan.rowsPerBand).as("rows_per_band"))
+  }
+
   /** Exact dedup on normalized content: one row per distinct text with the
     * canonical (minimum) id and the duplicate count.
     */

@@ -47,6 +47,45 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
   }
 
+  /** Matryoshka TWO-STAGE serving (L290): candidate generation by exact
+    * cosine over the `prefixDims`-truncated vectors — prefixDims/d of the
+    * flops and, with the prefix stored as its own column at scale, of the
+    * scan bytes — then EXACT full-dimension re-rank of each query's top
+    * `candidates` prefix survivors. Recall@k is bounded below by the
+    * truncation-only recall at the same budget (re-ranking a superset of
+    * the truncated top-k with the true metric can only fix inversions,
+    * never introduce them past the candidate cut) and reaches 1.0 as
+    * `candidates` grows. The re-rank stage is (|queries| × candidates)
+    * pairs joined back to the corpus on cand_id — an equi-join, never a
+    * second cross join.
+    */
+  def truncatedRerankKnn(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         prefixDims: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, "candidate budget must cover k")
+    require(prefixDims >= 1, "prefixDims must be positive")
+    def trunc(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, prefixDims).as(vecCol))
+    val cand = bruteForceKnn(trunc(corpus), trunc(queries), idCol, vecCol,
+        k = candidates)
+      .select(col("query_id"), col("cand_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      normD(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+      normD(col(vecCol)).as("__cn"))
+    val scored = cand
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("cand_id"))
+      .withColumn("cosine",
+        round(dotD(col("__qv"), col("__cv")) /
+          nullif(col("__qn") * col("__cn"), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
+  }
+
   /** LSH-bucketed cosine top-k: candidates limited to the query's bucket.
     * `dims` = embedding length (hyperplane coefficients are plan-time
     * literals, see VectorFunctions.planeCoeffValue).

@@ -608,6 +608,22 @@ object SimilarityQueries {
       Similarity.recallAtK(ann, truth, k = 3)
     },
 
+    // Matryoshka TWO-STAGE serving (L290, round-12 verdict #5): 16-dim
+    // prefix candidate generation (budget 12 per query) + full-dim exact
+    // re-rank, evaluated as recall@3 vs full-dim truth. House shape:
+    // coarse prune + exact re-rank (ann_ivfpq_pruned's pattern applied to
+    // matryoshka truncation). Round13OpsSpec asserts this strictly beats
+    // truncation-only recall (L289) at the same candidate budget.
+    "ann_truncated_rerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(expr(QueryPred))
+      val truth = Similarity.bruteForceKnn(emb, queries, "vec_id",
+        "embedding", k = 3)
+      val ann = Similarity.truncatedRerankKnn(emb, queries, "vec_id",
+        "embedding", k = 3, prefixDims = 16, candidates = 12)
+      Similarity.recallAtK(ann, truth, k = 3)
+    },
+
     // Recall@3 of IVF (nprobe=2) vs brute-force ground truth — the recall
     // harness that was previously LSH-only.
     "ann_recall_ivf" -> { (s, dir) =>
@@ -1149,6 +1165,42 @@ object SimilarityQueries {
          |      (sqrt(${dotSql("qt", "qt")}) * sqrt(${dotSql("ct", "ct")})), 6) DESC,
          |      cand_id) AS rn
          |  FROM q, c WHERE query_id <> cand_id) WHERE rn <= 3),
+         |hits AS (SELECT t.query_id, count(*) AS hits FROM truth t
+         |  JOIN ann a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1),
+         |tk AS (SELECT query_id, count(*) AS truth_k FROM truth GROUP BY 1)
+         |SELECT tk.query_id, COALESCE(hits.hits, 0) AS hits, tk.truth_k,
+         |  round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / tk.truth_k, 6) AS recall
+         |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin,
+
+    // Two-stage: truncated top-12 candidates per query (rounded-cosine,
+    // cand_id tie-break -- the engine's ranking contract), full-dim exact
+    // re-rank to top-3, recall vs full-dim truth.
+    "ann_truncated_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    embedding[1:16] AS qt FROM embeddings WHERE $QueryPred),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv,
+         |    embedding[1:16] AS ct FROM embeddings),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("qv", "cv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) DESC,
+         |      cand_id) AS rn
+         |  FROM q, c WHERE query_id <> cand_id) WHERE rn <= 3),
+         |cand AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("qt", "ct")} /
+         |      (sqrt(${dotSql("qt", "qt")}) * sqrt(${dotSql("ct", "ct")})), 6) DESC,
+         |      cand_id) AS rn
+         |  FROM q, c WHERE query_id <> cand_id) WHERE rn <= 12),
+         |ann AS (SELECT query_id, cand_id FROM (
+         |  SELECT k.query_id, k.cand_id,
+         |    row_number() OVER (PARTITION BY k.query_id
+         |    ORDER BY round(${dotSql("q.qv", "c.cv")} /
+         |      (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("c.cv", "c.cv")})), 6) DESC,
+         |      k.cand_id) AS rn
+         |  FROM cand k JOIN q ON k.query_id = q.query_id
+         |  JOIN c ON k.cand_id = c.cand_id) WHERE rn <= 3),
          |hits AS (SELECT t.query_id, count(*) AS hits FROM truth t
          |  JOIN ann a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
          |  GROUP BY 1),

@@ -372,6 +372,22 @@ object TextQueries {
       Dedup.lshPlan(s, nPerms = 128, thresholds = Seq(0.5, 0.7, 0.8, 0.9))
     },
 
+    // L288 CONSUMED (round-12 verdict #1): MinHash-LSH whose banding is
+    // CHOSEN by the planner at the query's own threshold — bandsFor(16,
+    // 0.7) picks 4 bands × 4 rows (t½ = 0.7071) — and verified pairs are
+    // cut at the same threshold. The emitted bands/rows_per_band columns
+    // are the EXECUTED pick; the oracle re-derives (b, r) independently
+    // from the divisor grid (argmin |t½ − 0.7|, ties → more bands) and
+    // bands its own md5-permutation signatures with it, so a planner/
+    // execution divergence on either side hash-mismatches.
+    "dedup_lsh_planned" -> { (s, dir) =>
+      Dedup.nearDuplicatesPlanned(Tables.documents(s, dir), "doc_id", "text",
+          minJaccard = 0.7, nPerms = 16)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"), col("bands"),
+          col("rows_per_band"))
+    },
+
     // Corpus frequency profile: top-20 word bigrams.
     "text_top_ngrams" -> { (s, dir) =>
       TextAnalysis.topNgrams(Tables.documents(s, dir), "text", n = 2, k = 20)
@@ -1658,6 +1674,46 @@ object TextQueries {
         |    AS p_candidate,
         |  round(power(1.0 / bands, 1.0 / rows_per_band), 6) AS t_mid
         |FROM d, t""".stripMargin,
+
+    // The oracle PICKS ITS OWN banding from the same closed form the
+    // engine's bandsFor uses (divisor grid, argmin |t_mid − 0.7|, ties →
+    // more bands) and bands md5-permutation signatures with it: floor
+    // division for the band index (DuckDB CASTs round, Spark's truncate —
+    // floor agrees everywhere), string_agg in perm order mirroring the
+    // engine's sorted collect_list concat.
+    "dedup_lsh_planned" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |plan AS (SELECT CAST(b AS INTEGER) AS bands,
+         |    CAST(16 / b AS INTEGER) AS rpb
+         |  FROM (SELECT unnest(range(1, 17)) AS b) WHERE 16 % b = 0
+         |  ORDER BY abs(power(1.0 / b, CAST(b AS DOUBLE) / 16) - 0.7),
+         |    b DESC LIMIT 1),
+         |mh AS (SELECT doc_id, perm,
+         |    min(substr(md5(CAST(perm AS VARCHAR) || ':' || shingle), 1, 8))
+         |      AS mh
+         |  FROM shf, (SELECT unnest(range(16)) AS perm) perms GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |    CAST(floor(perm / (SELECT rpb FROM plan)) AS INTEGER) AS band,
+         |    string_agg(mh, '' ORDER BY perm) AS bucket
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN shf a ON a.doc_id = c.doc_a
+         |  JOIN shf b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6)
+         |    AS jaccard,
+         |  (SELECT bands FROM plan) AS bands,
+         |  (SELECT rpb FROM plan) AS rows_per_band
+         |FROM inter i
+         |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.7""".stripMargin,
 
     "dedup_jaccard_exact" ->
       s"""WITH $wordsCte,

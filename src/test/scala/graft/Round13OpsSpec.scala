@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity}
+
+/** Round-13 batch: the LSH banding planner CONSUMED by execution
+  * (bandsFor → minhashSignaturesPlanned → nearDuplicatesPlanned — the
+  * round-12 verdict's #1 item).
+  */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- bandsFor: the closed-form pick ----------------------------------
+
+  test("bandsFor picks the divisor split whose S-curve midpoint is closest") {
+    // 16 perms, t=0.7: midpoints are 1.0 (1x16), 0.9170 (2x8),
+    // 0.7071 (4x4), 0.3536 (8x2), 0.0625 (16x1) -> (4, 4).
+    val p = Dedup.bandsFor(16, 0.7)
+    assert(p.bands == 4 && p.rowsPerBand == 4, p.toString)
+    assert(math.abs(p.tMid - 0.70710678) < 1e-8, p.toString)
+    // High threshold favors few bands x many rows.
+    assert(Dedup.bandsFor(16, 0.95).bands == 2)
+    // Low threshold favors many bands x few rows.
+    assert(Dedup.bandsFor(16, 0.3).bands == 8)
+  }
+
+  test("bandsFor agrees with lshPlan's decision table (argmin over t_mid)") {
+    // The planner table and the driver-side pick must encode the SAME
+    // closed form: for each threshold, the argmin |t_mid - t| row of
+    // lshPlan (ties toward more bands) is exactly bandsFor's pick.
+    val thresholds = Seq(0.5, 0.7, 0.8, 0.9)
+    val table = Dedup.lshPlan(spark, nPerms = 128, thresholds = thresholds)
+      .collect()
+    for (t <- thresholds) {
+      val best = table.filter(_.getDouble(2) == t)
+        .minBy(r => (math.abs(r.getDouble(4) - t), -r.getInt(0)))
+      val pick = Dedup.bandsFor(128, t)
+      assert(pick.bands == best.getInt(0) &&
+        pick.rowsPerBand == best.getInt(1),
+        s"t=$t: table says (${best.getInt(0)}, ${best.getInt(1)}), " +
+          s"bandsFor says $pick")
+    }
+  }
+
+  // ---- planned signatures / planned near-duplicates ---------------------
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhashSignaturesPlanned emits exactly `bands` buckets per doc") {
+    val plan = Dedup.bandsFor(16, 0.7)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val sig = Dedup.minhashSignaturesPlanned(sh, "doc_id", plan)
+    val perDoc = sig.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L), perDoc)
+    // Bucket key = rowsPerBand concatenated 8-hex-char minima.
+    val lens = sig.select(length(col("minhash"))).as[Int].collect().toSet
+    assert(lens == Set(8 * plan.rowsPerBand), lens)
+    // Identical docs (1, 4) agree on every band's bucket.
+    val b1 = sig.filter(col("doc_id") === 1L)
+      .select("band", "minhash").as[(Int, String)].collect().toSet
+    val b4 = sig.filter(col("doc_id") === 4L)
+      .select("band", "minhash").as[(Int, String)].collect().toSet
+    assert(b1 == b4)
+  }
+
+  test("nearDuplicatesPlanned: executed banding IS the planner's pick") {
+    val got = Dedup.nearDuplicatesPlanned(docs, "doc_id", "text",
+      minJaccard = 0.5, nPerms = 16, maxDocFrequency = None)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    val plan = Dedup.bandsFor(16, 0.5)
+    assert(rows.forall(r => r.getAs[Int]("bands") == plan.bands &&
+      r.getAs[Int]("rows_per_band") == plan.rowsPerBand))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The identical pair collides in EVERY band (jaccard 1.0) and must
+    // survive; the distinct doc shares no shingle with anything.
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // Soundness: every emitted pair is a true >=t pair (LSH only ever
+    // restricts candidates; verification is exact).
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val exact = Dedup.jaccardPairs(sh, "doc_id", minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact), s"planned=$pairs exact=$exact")
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  // ---- matryoshka two-stage re-rank --------------------------------------
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(42)
+    (1L to 40L).map(i => (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("truncatedRerankKnn with a full candidate budget IS brute force") {
+    // candidates = |corpus| - 1 means the prefix stage prunes nothing, so
+    // the full-dim re-rank must reproduce exact kNN bit-for-bit.
+    val queries = vecs.filter(col("vec_id") <= 4L)
+    val exact = Similarity.bruteForceKnn(vecs, queries, "vec_id",
+        "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val rerank = Similarity.truncatedRerankKnn(vecs, queries, "vec_id",
+        "embedding", k = 3, prefixDims = 2, candidates = 39)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rerank == exact)
+  }
+
+  test("re-rank recall is >= truncation-only recall per query, same budget") {
+    // Within the candidate set, a truth member outranks every non-truth
+    // member under the TRUE metric, so the re-rank's top-k keeps every
+    // truth hit the candidate stage admitted — truncation-only top-k can
+    // only keep a subset of those. (>= holds per query by construction;
+    // on a 2-of-8-dim prefix over random vectors the improvement is
+    // strict in aggregate.)
+    val queries = vecs.filter(col("vec_id") <= 8L)
+    def trunc(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("vec_id"), slice(col("embedding"), 1, 2).as("embedding"))
+    val truth = Similarity.bruteForceKnn(vecs, queries, "vec_id",
+      "embedding", k = 3)
+    val truncOnly = Similarity.recallAtK(
+      Similarity.bruteForceKnn(trunc(vecs), trunc(queries), "vec_id",
+        "embedding", k = 3), truth, k = 3)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    val rerank = Similarity.recallAtK(
+      Similarity.truncatedRerankKnn(vecs, queries, "vec_id", "embedding",
+        k = 3, prefixDims = 2, candidates = 3), truth, k = 3)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    // Same budget (candidates = k = 3): identical candidate set, so the
+    // re-rank can only reorder WITHIN it — recall is equal per query.
+    assert(rerank == truncOnly, s"rerank=$rerank trunc=$truncOnly")
+    // A 4x budget dominates truncation-only everywhere and strictly in sum.
+    val rerank12 = Similarity.recallAtK(
+      Similarity.truncatedRerankKnn(vecs, queries, "vec_id", "embedding",
+        k = 3, prefixDims = 2, candidates = 12), truth, k = 3)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(rerank12.forall { case (q, r) => r >= truncOnly(q) }, rerank12)
+    assert(rerank12.values.sum > truncOnly.values.sum,
+      s"rerank12=$rerank12 trunc=$truncOnly")
+  }
+}
