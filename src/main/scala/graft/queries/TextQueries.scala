@@ -1214,6 +1214,59 @@ object TextQueries {
             .cast("int").as("admitted"))
     },
 
+    // Curation v7 (round-12 verdict #7): the drift arm of the admission
+    // gate swapped from binned PSI to the binning-free two-snapshot KS
+    // statistic — admission = Wilson(quality share) ≥ 0.25 ∧ KS ≤ 0.35.
+    // Both arms provably ENGAGE at sf0.01 and cut differently from v6:
+    // wilson drops {src4,src8,src10,src19}, KS drops {src5,src8,src9,
+    // src11,src14} — 12 of 20 sources survive (PSI's cut was a different
+    // set). Same scale shape as v6: both admission frames are
+    // |sources|-bounded broadcasts; ksByGroup's grid is per-group
+    // distinct values, never a global cross join.
+    "curation_pipeline_v7" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pass = TextAnalysis.ruleFlags(docs, "doc_id", "text")
+        .filter(col("pass_all") === 1).select(col("doc_id"))
+      val admQuality = graft.ops.DataQuality
+        .wilsonShare(docs, "source", col("n_chars") > 300)
+        .filter(col("wilson_lo") >= 0.25).select(col("source"))
+      val admDrift = graft.ops.Stats.ksByGroup(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          "n_chars", "source")
+        .filter(col("ks") <= 0.35).select(col("source"))
+      val surv = docs.join(pass, Seq("doc_id"))
+        .join(broadcast(admQuality), Seq("source"))
+        .join(broadcast(admDrift), Seq("source"))
+      graft.ops.Sampling.bernoulli(surv, "doc_id", 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
+    // The v7 report: BOTH drift statistics per source (binned PSI and
+    // binning-free KS) next to the Wilson bound, with the v7 verdict —
+    // what the ingest log shows when the two statistics disagree (KS
+    // catches shape drift PSI's bins smooth over; PSI catches tail mass
+    // KS's sup-norm underweights). Two extra corpus scans over caching
+    // the full frames — the cheaper trade at corpus scale; every output
+    // is |sources|-bounded.
+    "corpus_admission_report_v7" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ref = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val cur = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val wil = graft.ops.DataQuality
+        .wilsonShare(docs, "source", col("n_chars") > 300)
+        .select(col("source"), col("n").as("n_docs"), col("wilson_lo"))
+      val psi = graft.ops.Stats.psiByGroup(ref, cur, "n_chars", "source")
+        .select(col("source"), col("psi"))
+      val ks = graft.ops.Stats.ksByGroup(ref, cur, "n_chars", "source")
+        .select(col("source"), col("ks"))
+      wil.join(psi, Seq("source")).join(ks, Seq("source"))
+        .select(col("source"), col("n_docs"), col("wilson_lo"), col("psi"),
+          col("ks"),
+          (col("wilson_lo") >= 0.25 && col("ks") <= 0.35)
+            .cast("int").as("admitted"))
+    },
+
     // BM25 keyword retrieval: top-20 docs for a bounded query-term set —
     // map-side term filter, broadcast df stats, TakeOrdered top-k.
     "text_bm25_topk" -> { (s, dir) =>
@@ -2727,6 +2780,137 @@ object TextQueries {
     // list_sum ≡ Spark array_sort → aggregate): order-identical sums.
     // All inputs to the float math are exact integer counts, so every
     // intermediate is bit-identical across engines.
+    // v7: same rule gate and hash sample as v6, drift arm = KS <= 0.35
+    // (binning-free), quality arm unchanged.
+    "curation_pipeline_v7" ->
+      s"""WITH $wordsCte,
+         |rm AS (SELECT d.doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |    / len(ws) AS awl,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
+         |    AS BIGINT) AS stop_hits,
+         |  CAST(len(d.text) - len(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g'))
+         |    AS DOUBLE) / greatest(len(d.text), 1) AS sym
+         |  FROM documents d JOIN words USING (doc_id)),
+         |pass AS (SELECT doc_id FROM rm
+         |  WHERE n_words >= 50 AND n_words <= 100000
+         |    AND awl >= 3.0 AND awl <= 10.0
+         |    AND stop_hits >= 2 AND sym <= 0.1),
+         |wa AS (SELECT source, count(*) AS n,
+         |    CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS successes
+         |  FROM documents GROUP BY 1),
+         |wc AS (SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    CAST(n AS DOUBLE) AS nd FROM wa),
+         |wil AS (SELECT source, n AS n_docs,
+         |  round((p + 3.8416 / (2.0 * nd)
+         |    - 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
+         |    / (1.0 + 3.8416 / nd), 6) AS wilson_lo FROM wc),
+         |admq AS (SELECT source FROM wil WHERE wilson_lo >= 0.25),
+         |ksr AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+         |  FROM documents WHERE doc_id % 3 = 0
+         |    AND n_chars IS NOT NULL AND source IS NOT NULL),
+         |ksc AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+         |  FROM documents WHERE doc_id % 3 <> 0
+         |    AND n_chars IS NOT NULL AND source IS NOT NULL),
+         |ksrc AS (SELECT g, v, count(*) AS cr FROM ksr GROUP BY 1, 2),
+         |kscc AS (SELECT g, v, count(*) AS ccur FROM ksc GROUP BY 1, 2),
+         |ksgrid AS (SELECT coalesce(ksrc.g, kscc.g) AS g,
+         |    coalesce(ksrc.v, kscc.v) AS v,
+         |    coalesce(ksrc.cr, 0) AS cr, coalesce(kscc.ccur, 0) AS ccur
+         |  FROM ksrc FULL OUTER JOIN kscc
+         |    ON ksrc.g = kscc.g AND ksrc.v = kscc.v),
+         |kscum AS (SELECT g, v,
+         |    sum(cr) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr,
+         |    sum(ccur) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+         |    sum(cr) OVER (PARTITION BY g) AS nr,
+         |    sum(ccur) OVER (PARTITION BY g) AS nc
+         |  FROM ksgrid),
+         |ksstat AS (SELECT g AS source,
+         |    CASE WHEN max(nr) > 0 AND max(nc) > 0 THEN
+         |      round(CAST(max(abs(cumr * nc - cumc * nr)) AS DOUBLE)
+         |        / CAST(max(nr) * max(nc) AS DOUBLE), 6)
+         |    END AS ks
+         |  FROM kscum GROUP BY g),
+         |admd AS (SELECT source FROM ksstat WHERE ks <= 0.35)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN pass USING (doc_id)
+         |  JOIN admq USING (source) JOIN admd USING (source)
+         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0 < 0.5""".stripMargin,
+
+    // v7 report: Wilson bound, BOTH drift statistics, v7 verdict.
+    "corpus_admission_report_v7" ->
+      s"""WITH wa AS (SELECT source, count(*) AS n,
+         |    CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS successes
+         |  FROM documents GROUP BY 1),
+         |wc AS (SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    CAST(n AS DOUBLE) AS nd FROM wa),
+         |wil AS (SELECT source, n AS n_docs,
+         |  round((p + 3.8416 / (2.0 * nd)
+         |    - 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
+         |    / (1.0 + 3.8416 / nd), 6) AS wilson_lo FROM wc),
+         |refd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 = 0),
+         |curd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 <> 0),
+         |e AS (SELECT min(n_chars::DOUBLE) AS lo, max(n_chars::DOUBLE) AS hi
+         |  FROM refd),
+         |rb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+         |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+         |  AS bin, count(*) AS n FROM refd, e GROUP BY 1,2),
+         |cb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+         |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+         |  AS bin, count(*) AS n FROM curd, e GROUP BY 1,2),
+         |g AS (SELECT source FROM rb UNION SELECT source FROM cb),
+         |grid AS (SELECT source, unnest(range(10))::INT AS bin FROM g),
+         |rt AS (SELECT source, sum(n) AS t FROM rb GROUP BY 1),
+         |ct AS (SELECT source, sum(n) AS t FROM cb GROUP BY 1),
+         |rs AS (SELECT grid.source, grid.bin,
+         |  (coalesce(rb.n,0)+0.5)/(coalesce(rt.t,0)+5.0) AS p
+         |  FROM grid LEFT JOIN rb USING (source,bin)
+         |  LEFT JOIN rt USING (source)),
+         |cs AS (SELECT grid.source, grid.bin,
+         |  (coalesce(cb.n,0)+0.5)/(coalesce(ct.t,0)+5.0) AS q
+         |  FROM grid LEFT JOIN cb USING (source,bin)
+         |  LEFT JOIN ct USING (source)),
+         |tm AS (SELECT rs.source, round((p - q) * ln(p / q), 6) AS term
+         |  FROM rs JOIN cs USING (source, bin)),
+         |dr AS (SELECT source, round(sum(term), 6) AS psi FROM tm GROUP BY 1),
+         |ksr AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+         |  FROM documents WHERE doc_id % 3 = 0
+         |    AND n_chars IS NOT NULL AND source IS NOT NULL),
+         |ksc AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+         |  FROM documents WHERE doc_id % 3 <> 0
+         |    AND n_chars IS NOT NULL AND source IS NOT NULL),
+         |ksrc AS (SELECT g, v, count(*) AS cr FROM ksr GROUP BY 1, 2),
+         |kscc AS (SELECT g, v, count(*) AS ccur FROM ksc GROUP BY 1, 2),
+         |ksgrid AS (SELECT coalesce(ksrc.g, kscc.g) AS g,
+         |    coalesce(ksrc.v, kscc.v) AS v,
+         |    coalesce(ksrc.cr, 0) AS cr, coalesce(kscc.ccur, 0) AS ccur
+         |  FROM ksrc FULL OUTER JOIN kscc
+         |    ON ksrc.g = kscc.g AND ksrc.v = kscc.v),
+         |kscum AS (SELECT g, v,
+         |    sum(cr) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr,
+         |    sum(ccur) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+         |    sum(cr) OVER (PARTITION BY g) AS nr,
+         |    sum(ccur) OVER (PARTITION BY g) AS nc
+         |  FROM ksgrid),
+         |ksstat AS (SELECT g AS source,
+         |    CASE WHEN max(nr) > 0 AND max(nc) > 0 THEN
+         |      round(CAST(max(abs(cumr * nc - cumc * nr)) AS DOUBLE)
+         |        / CAST(max(nr) * max(nc) AS DOUBLE), 6)
+         |    END AS ks
+         |  FROM kscum GROUP BY g)
+         |SELECT w.source, w.n_docs, w.wilson_lo, d.psi, k.ks,
+         |  CAST(w.wilson_lo >= 0.25 AND k.ks <= 0.35 AS INTEGER) AS admitted
+         |FROM wil w JOIN dr d ON w.source = d.source
+         |JOIN ksstat k ON w.source = k.source""".stripMargin,
+
     "text_bm25_topk" ->
       s"""WITH $wordsCte,
          |stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,

@@ -943,4 +943,93 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batchResult, s"ooo diverged: $got vs $batchResult")
     } finally q.stop()
   }
+
+  test("per-batch source admission (Wilson ∧ PSI vs static reference) before the novelty gate equals the per-split batch recompute") {
+    // The streaming form of curation v6's admission control (L292): every
+    // micro-batch scores each SOURCE against the static reference snapshot
+    // — Wilson 95% lower bound of the quality share AND PSI drift of
+    // n_chars — and drops non-admitted sources wholesale BEFORE the
+    // accumulated-store novelty gate. Admission is per batch: a source
+    // rejected in one batch (drifted values / collapsed quality) is
+    // re-admitted the moment a later batch looks healthy again.
+    val reference = (1 to 12).flatMap { i =>
+      Seq(("a", 40L + i * 5), ("b", 40L + i * 5), ("c", 40L + i * 5))
+    }.toDF("source", "n_chars")
+    def doc(src: String, id: String, nc: Long, tag: String) =
+      (src, id, nc, s"document $tag from source $src")
+    // Healthy batches SPREAD their n_chars across the reference range
+    // (45 + 7i lands one doc in most bins) — an 8-doc batch concentrated
+    // in 2-3 bins reads as drift under the Laplace-smoothed PSI, which is
+    // correct behavior but not what these sources should exhibit.
+    // Batch 1: a healthy; b DRIFTED (n_chars ~8x the reference range, all
+    // mass in the top bin -> PSI ≈ 1.2 > 1.0 rejects); c low-quality
+    // (share 3/8, wilson_lo ≈ 0.137 < 0.5 rejects).
+    val batch1 = (1 to 8).map(i => doc("a", s"a1$i", 46L + i * 7, s"a1$i")) ++
+      (1 to 8).map(i => doc("b", s"b1$i", 800L + i, s"b1$i")) ++
+      (1 to 8).map(i => doc("c", s"c1$i",
+        if (i <= 3) 53L + i * 15 else 20L + i, s"c1$i"))
+    // Batch 2: b recovered (spread back across the range) -> re-admitted;
+    // c all-quality -> re-admitted; b21 re-ingests a11's exact text ->
+    // admission passes it, the novelty gate must drop it.
+    val batch2 =
+      Seq(("b", "b21", 52L, "document a11 from source a")) ++
+        (2 to 8).map(i => doc("b", s"b2$i", 45L + i * 7, s"b2$i")) ++
+        (1 to 8).map(i => doc("c", s"c2$i", 45L + i * 7, s"c2$i"))
+    val splits = Seq(batch1, batch2)
+
+    def admitBatch(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamAdmission.admit(df, reference, "source",
+        "n_chars", col("n_chars") > 50, minWilsonLo = 0.5, maxPsi = 1.0)
+
+    val input = MemoryStream[(String, String, Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, String, Long, String)]],
+      spark)
+    val stream = input.toDF().toDF("source", "doc_id", "n_chars", "text")
+    var curated = Vector.empty[String]
+    var storeHashes = Vector.empty[String]
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          val store = storeHashes.toDF("content_hash")
+          val novel = graft.streaming.StreamDedup.novelAgainstStore(
+            graft.streaming.StreamDedup.withContentHash(admitBatch(b), "text"),
+            store, Seq("content_hash")).cache()
+          curated = curated ++ novel.select("doc_id").as[String].collect()
+          storeHashes =
+            storeHashes ++ novel.select("content_hash").as[String].collect()
+          novel.unpersist()
+          graft.ops.OpCaches.releaseAll()
+        }
+        ()
+      }
+      .start()
+    try {
+      splits.foreach { s => input.addData(s); q.processAllAvailable() }
+    } finally q.stop()
+
+    // Batch reference: the SAME admission + novelty functions applied to
+    // each ordered split with an accumulating hash store.
+    var expect = Vector.empty[String]
+    var expectHashes = Set.empty[String]
+    splits.foreach { s =>
+      val adm = graft.streaming.StreamDedup.withContentHash(
+          admitBatch(s.toDF("source", "doc_id", "n_chars", "text")), "text")
+        .select("doc_id", "content_hash").as[(String, String)].collect()
+      val novel = adm.filterNot(r => expectHashes.contains(r._2))
+      expect = expect ++ novel.map(_._1)
+      expectHashes = expectHashes ++ novel.map(_._2)
+      graft.ops.OpCaches.releaseAll()
+    }
+    assert(curated.sorted == expect.sorted,
+      s"stream=${curated.sorted} batch=${expect.sorted}")
+    // Engagement: batch 1 admits ONLY source a (b drifted, c low-quality);
+    // batch 2 re-admits b and c, minus the novelty-dropped re-ingest b21.
+    val got = curated.toSet
+    assert((1 to 8).forall(i => got.contains(s"a1$i")), got)
+    assert(!got.exists(_.startsWith("b1")), s"drifted b admitted: $got")
+    assert(!got.exists(_.startsWith("c1")), s"low-quality c admitted: $got")
+    assert((2 to 8).forall(i => got.contains(s"b2$i")), got)
+    assert(!got.contains("b21"), s"re-ingest must be novelty-dropped: $got")
+    assert((1 to 8).forall(i => got.contains(s"c2$i")), got)
+  }
 }

@@ -39,6 +39,13 @@ DEFAULT=$DEFAULT,text_top_ngrams,text_decontaminate,text_pmi_collocations
 DEFAULT=$DEFAULT,text_unigram_logprob,text_hash_embedding
 DEFAULT=$DEFAULT,curation_pipeline_v6,dedup_jaccard_prefix_capped
 DEFAULT=$DEFAULT,dedup_title_edit_capped
+# Round-13 (r12 verdict #3): the full graph family — the suite's top
+# absolute costs, edges-linear by construction (fixed-iteration equi-join
+# + dst aggregation) — now ratchets sf1 budgets too; plus the round-13
+# planner-consumed LSH, the two-stage matryoshka serve, and the KS-gated
+# admission composite.
+DEFAULT=$DEFAULT,graph_ppr,graph_hits,graph_pagerank_dangling
+DEFAULT=$DEFAULT,dedup_lsh_planned,ann_truncated_rerank,curation_pipeline_v7
 ONLY="${SPARK_GRAFT_SF1_ONLY:-$DEFAULT}"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_HISTORY=bench_history_sf1.json \
