@@ -69,6 +69,16 @@ object Similarity {
     val cand = bruteForceKnn(trunc(corpus), trunc(queries), idCol, vecCol,
         k = candidates)
       .select(col("query_id"), col("cand_id"))
+    rerankFullDim(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Full-dimension exact re-rank of `(query_id, cand_id)` candidate
+    * pairs to top-k — the shared closing stage of every two-stage serve:
+    * queries broadcast, candidates equi-join the corpus on cand_id.
+    */
+  private def rerankFullDim(cand: DataFrame, corpus: DataFrame,
+                            queries: DataFrame, idCol: String,
+                            vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       normD(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
@@ -84,6 +94,50 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
+  }
+
+  /** The full production serve stack (L295): IVF coarse pruning (nprobe
+    * clusters per query — partition/bucket-prunable corpus read) →
+    * prefix-truncated scoring WITHIN the probed clusters (prefixDims/d of
+    * the flops/bytes; top `candidates` per query) → full-dimension exact
+    * re-rank to top-k. Composes the engine's three independent ANN cost
+    * levers; each lever's recall cost is measured by its own gate
+    * (ann_recall_ivf, ann_recall_truncated, ann_truncated_rerank). The
+    * cluster probe uses the FULL query vector against the full-dim
+    * centroids (matching ivfKnn); only candidate scoring is truncated. A
+    * candidate belongs to exactly one cluster, so multi-probe cannot
+    * duplicate pairs.
+    */
+  def ivfTruncatedRerankKnn(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            clusterCol: String, k: Int, nprobe: Int,
+                            prefixDims: Int, candidates: Int,
+                            index: Option[IvfIndex] = None): DataFrame = {
+    require(candidates >= k, "candidate budget must cover k")
+    val idx = index.getOrElse(ivfFit(corpus, clusterCol, vecCol))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qfull"),
+        slice(col(vecCol), 1, prefixDims).as("__qv"))
+      .withColumn("__qn", normD(col("__qv")))
+      .withColumn("cluster",
+        explode(probeClusters(col("__qfull"), normD(col("__qfull")), idx,
+          nprobe)))
+      .drop("__qfull")
+    val c = corpus.select(col(idCol).as("cand_id"),
+        col(clusterCol).as("cluster"),
+        slice(col(vecCol), 1, prefixDims).as("__cv"))
+      .withColumn("__cn", normD(col("__cv")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("cand_id"))
+    val cand = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("pcos",
+        round(dotD(col("__qv"), col("__cv")) /
+          nullif(col("__qn") * col("__cn"), lit(0.0)), 6))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= candidates)
+      .select(col("query_id"), col("cand_id"))
+    rerankFullDim(cand, corpus, queries, idCol, vecCol, k)
   }
 
   /** LSH-bucketed cosine top-k: candidates limited to the query's bucket.

@@ -624,6 +624,23 @@ object SimilarityQueries {
       Similarity.recallAtK(ann, truth, k = 3)
     },
 
+    // The FULL production serve stack (L295): IVF coarse pruning
+    // (nprobe=2, full-dim probe) → 16-dim prefix scoring within probed
+    // clusters (budget 12) → full-dim exact re-rank → recall@3 vs
+    // unpruned full-dim truth. All three ANN cost levers composed; each
+    // lever's isolated recall cost has its own gate.
+    "ann_ivf_truncated_rerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(expr(QueryPred))
+      val truth = Similarity.bruteForceKnn(emb, queries, "vec_id",
+        "embedding", k = 3)
+      val idx = Similarity.ivfFit(emb, "label", "embedding")
+      val ann = Similarity.ivfTruncatedRerankKnn(emb, queries, "vec_id",
+        "embedding", clusterCol = "label", k = 3, nprobe = 2,
+        prefixDims = 16, candidates = 12, index = Some(idx))
+      Similarity.recallAtK(ann, truth, k = 3)
+    },
+
     // Recall@3 of IVF (nprobe=2) vs brute-force ground truth — the recall
     // harness that was previously LSH-only.
     "ann_recall_ivf" -> { (s, dir) =>
@@ -1201,6 +1218,56 @@ object SimilarityQueries {
          |      k.cand_id) AS rn
          |  FROM cand k JOIN q ON k.query_id = q.query_id
          |  JOIN c ON k.cand_id = c.cand_id) WHERE rn <= 3),
+         |hits AS (SELECT t.query_id, count(*) AS hits FROM truth t
+         |  JOIN ann a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1),
+         |tk AS (SELECT query_id, count(*) AS truth_k FROM truth GROUP BY 1)
+         |SELECT tk.query_id, COALESCE(hits.hits, 0) AS hits, tk.truth_k,
+         |  round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / tk.truth_k, 6) AS recall
+         |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin,
+
+    // IVF probe (full-dim, nprobe=2) -> prefix scoring within probed
+    // clusters (top-12) -> full-dim re-rank (top-3) -> recall vs truth.
+    "ann_ivf_truncated_rerank" ->
+      s"""WITH comp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS v FROM embeddings),
+         |cent AS (SELECT label, list(cr ORDER BY pos) AS centroid
+         |  FROM (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+         |        FROM comp GROUP BY 1, 2)
+         |  GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    embedding[1:16] AS qt FROM embeddings WHERE $QueryPred),
+         |qa AS (SELECT query_id, qt, label,
+         |  round(${dotSql("qv", "centroid")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("centroid", "centroid")})), 6) AS ccos
+         |  FROM q, cent),
+         |assigned AS (SELECT query_id, qt, label AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ccos DESC, label) AS rn FROM qa) WHERE rn <= 2),
+         |ce AS (SELECT vec_id AS cand_id, label, embedding AS cv,
+         |    embedding[1:16] AS ct FROM embeddings),
+         |pscored AS (SELECT query_id, cand_id,
+         |  round(${dotSql("qt", "ct")} /
+         |    (sqrt(${dotSql("qt", "qt")}) * sqrt(${dotSql("ct", "ct")})), 6) AS pcos
+         |  FROM assigned JOIN ce
+         |    ON ce.label = assigned.cluster AND ce.cand_id <> assigned.query_id),
+         |cand AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY pcos DESC, cand_id) AS rn FROM pscored) WHERE rn <= 12),
+         |ann AS (SELECT query_id, cand_id FROM (
+         |  SELECT k.query_id, k.cand_id,
+         |    row_number() OVER (PARTITION BY k.query_id
+         |    ORDER BY round(${dotSql("q.qv", "ce.cv")} /
+         |      (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("ce.cv", "ce.cv")})), 6) DESC,
+         |      k.cand_id) AS rn
+         |  FROM cand k JOIN q ON k.query_id = q.query_id
+         |  JOIN ce ON k.cand_id = ce.cand_id) WHERE rn <= 3),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, ce.cand_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(${dotSql("q.qv", "ce.cv")} /
+         |      (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("ce.cv", "ce.cv")})), 6) DESC,
+         |      ce.cand_id) AS rn
+         |  FROM q, ce WHERE q.query_id <> ce.cand_id) WHERE rn <= 3),
          |hits AS (SELECT t.query_id, count(*) AS hits FROM truth t
          |  JOIN ann a ON t.query_id = a.query_id AND t.cand_id = a.cand_id
          |  GROUP BY 1),

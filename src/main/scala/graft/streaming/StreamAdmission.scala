@@ -57,4 +57,34 @@ object StreamAdmission {
       .filter(col("admitted")).select(col(groupCol))
     batch.join(broadcast(ok), Seq(groupCol), "left_semi")
   }
+
+  /** [[admissionReport]] with the drift arm swapped to the binning-free
+    * two-snapshot KS statistic (curation v7's streaming form): per
+    * source, D = sup |ECDF_ref − ECDF_batch| over `valueCol`. No binning
+    * sensitivity, exact integer ECDF arithmetic; the per-group grid is
+    * the distinct (source, value) pairs of the reference plus the batch
+    * — bounded by the reference's distinct values per source, never a
+    * global cross join.
+    */
+  def admissionReportKs(batch: DataFrame, reference: DataFrame,
+                        groupCol: String, valueCol: String, quality: Column,
+                        minWilsonLo: Double, maxKs: Double): DataFrame = {
+    val wil = DataQuality.wilsonShare(batch, groupCol, quality)
+      .select(col(groupCol), col("n"), col("wilson_lo"))
+    val drift = Stats.ksByGroup(reference, batch, valueCol, groupCol)
+    wil.join(drift.select(col(groupCol), col("ks")), Seq(groupCol))
+      .select(col(groupCol), col("n"), col("wilson_lo"), col("ks"),
+        (col("wilson_lo") >= minWilsonLo && col("ks") <= maxKs)
+          .as("admitted"))
+  }
+
+  /** [[admit]] under the KS drift arm. */
+  def admitKs(batch: DataFrame, reference: DataFrame, groupCol: String,
+              valueCol: String, quality: Column, minWilsonLo: Double,
+              maxKs: Double): DataFrame = {
+    val ok = admissionReportKs(batch, reference, groupCol, valueCol,
+        quality, minWilsonLo, maxKs)
+      .filter(col("admitted")).select(col(groupCol))
+    batch.join(broadcast(ok), Seq(groupCol), "left_semi")
+  }
 }

@@ -1031,5 +1031,27 @@ class StreamingSpec extends AnyFunSuite {
     assert((2 to 8).forall(i => got.contains(s"b2$i")), got)
     assert(!got.contains("b21"), s"re-ingest must be novelty-dropped: $got")
     assert((1 to 8).forall(i => got.contains(s"c2$i")), got)
+
+    // KS drift arm (curation v7's streaming form) on the same splits:
+    // the drifted batch-1 b (all values above the reference range) is
+    // maximal drift D = 1.0; the recovered batch-2 b interleaves the
+    // reference grid (D ≈ 0.1) and re-admits. Same verdicts as PSI here;
+    // the statistics differ (binning-free sup-norm vs binned divergence).
+    val rep1 = graft.streaming.StreamAdmission.admissionReportKs(
+        batch1.toDF("source", "doc_id", "n_chars", "text"), reference,
+        "source", "n_chars", col("n_chars") > 50,
+        minWilsonLo = 0.5, maxKs = 0.4)
+      .select("source", "ks", "admitted")
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep1("b")._1 == 1.0 && !rep1("b")._2, rep1.toString)
+    assert(rep1("a")._2 && !rep1("c")._2, rep1.toString)
+    val adm2 = graft.streaming.StreamAdmission.admitKs(
+        batch2.toDF("source", "doc_id", "n_chars", "text"), reference,
+        "source", "n_chars", col("n_chars") > 50,
+        minWilsonLo = 0.5, maxKs = 0.4)
+      .select("doc_id").as[String].collect().toSet
+    assert(adm2 == batch2.map(_._2).toSet, s"batch-2 all re-admitted: $adm2")
+    graft.ops.OpCaches.releaseAll()
   }
 }
