@@ -130,9 +130,19 @@ object Dedup {
       case None        => raw
       case Some(maxDf) => hotFiltered(raw, docs, idCol, maxDf)
     }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val candidates =
       lshCandidates(minhashSignaturesPlanned(sh, idCol, plan), idCol)
+    verifiedPlannedPairs(candidates, sh, idCol, minJaccard, plan)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs, stamped with the
+    * planner's executed banding — the shared closing stage of both
+    * planned LSH paths.
+    */
+  private def verifiedPlannedPairs(candidates: DataFrame, sh: DataFrame,
+                                   idCol: String, minJaccard: Double,
+                                   plan: LshBanding): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val sa = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val sb = sh.select(col(idCol).as("doc_b"), col("shingle"))
     val inter = candidates
@@ -148,6 +158,40 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"),
         lit(plan.bands).as("bands"), lit(plan.rowsPerBand).as("rows_per_band"))
+  }
+
+  /** [[nearDuplicatesPlanned]] on the ONE-PASS signature path — the
+    * production shape at corpus scale: [[minhashSignaturesOnePass]]
+    * computes all k Kirsch–Mitzenmacher permutations in a single partial
+    * aggregation (shuffle carries k longs per doc, no perm explode), and
+    * the planner's (bands, rows) split slices the signature array into
+    * band buckets (the bucket key is the r-long slice itself — arrays are
+    * join keys). Not oracle-portable (the wrapping 64-bit h1 + i·h2
+    * arithmetic has no safe SQL form), so the relational
+    * [[nearDuplicatesPlanned]] carries the DuckDB gate and the spec ties
+    * the two paths on planted duplicates; candidates differ hash-by-hash
+    * but both verify with exact Jaccard, so emitted pairs are always true
+    * ≥-threshold pairs.
+    */
+  def nearDuplicatesPlannedOnePass(docs: DataFrame, idCol: String,
+                                   textCol: String, minJaccard: Double,
+                                   nPerms: Int = 64, n: Int = 3,
+                                   maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+    val plan = bandsFor(nPerms, minJaccard)
+    val raw = OpCaches.scoped(shingleSets(docs, idCol, textCol, n, None))
+    val sh = maxDocFrequency match {
+      case None        => raw
+      case Some(maxDf) => hotFiltered(raw, docs, idCol, maxDf)
+    }
+    val banded = minhashSignaturesOnePass(sh, idCol, nPerms)
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(plan.bands - 1))).as("band"),
+        col("signature"))
+      .select(col(idCol), col("band"),
+        slice(col("signature"), col("band") * plan.rowsPerBand + 1,
+          lit(plan.rowsPerBand)).as("minhash"))
+    verifiedPlannedPairs(lshCandidates(banded, idCol), sh, idCol,
+      minJaccard, plan)
   }
 
   /** Exact dedup on normalized content: one row per distinct text with the

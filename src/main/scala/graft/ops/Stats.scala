@@ -947,6 +947,53 @@ object Stats {
             (col("__nrm") * col("__ncm")).cast("double"), 6)).as("ks"))
   }
 
+  /** Two-snapshot Jensen–Shannon drift PER GROUP over a CATEGORICAL
+    * column (L296) — the categorical member of the per-group drift
+    * family: [[psiByGroup]] covers binned numerics, [[ksByGroup]]
+    * continuous numerics, this one category mixes (language shares,
+    * script mixes, format tags — "did src7's language mix shift since
+    * yesterday's crawl"). JS = ½·KL(p‖m) + ½·KL(q‖m) with m the
+    * midpoint: symmetric, bounded by ln 2 (so one threshold works for
+    * every source), and needs no smoothing — a category absent on one
+    * side contributes only through the present side (0·ln 0 ≡ 0),
+    * unlike the unbounded KL. Shuffle = (group × category) count
+    * partials per side (map-side combined); the grid is the per-group
+    * union of observed categories, never a global cross join; per-group
+    * sums fold over SORTED terms so the result is order-independent and
+    * engine-portable.
+    */
+  def jsByGroup(ref: DataFrame, cur: DataFrame, catCol: String,
+                groupCol: String): DataFrame = {
+    def cells(df: DataFrame, out: String) =
+      df.select(col(groupCol).as("__g"), col(catCol).cast("string").as("__c"))
+        .filter(col("__g").isNotNull && col("__c").isNotNull)
+        .groupBy(col("__g"), col("__c")).agg(count(lit(1)).as(out))
+    val grid = cells(ref, "__cr").join(cells(cur, "__cc"),
+        Seq("__g", "__c"), "full_outer")
+      .select(col("__g"), col("__c"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val tot = Window.partitionBy(col("__g"))
+    grid
+      .withColumn("__nr", sum(col("__cr")).over(tot))
+      .withColumn("__nc", sum(col("__cc")).over(tot))
+      .withColumn("__p", when(col("__nr") > 0,
+        col("__cr").cast("double") / col("__nr")).otherwise(lit(0.0)))
+      .withColumn("__q", when(col("__nc") > 0,
+        col("__cc").cast("double") / col("__nc")).otherwise(lit(0.0)))
+      .withColumn("__m", (col("__p") + col("__q")) / 2.0)
+      .withColumn("__term",
+        coalesce(when(col("__p") > 0,
+          lit(0.5) * col("__p") * log(col("__p") / col("__m"))), lit(0.0)) +
+        coalesce(when(col("__q") > 0,
+          lit(0.5) * col("__q") * log(col("__q") / col("__m"))), lit(0.0)))
+      .groupBy(col("__g"))
+      .agg(max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"),
+        round(aggregate(array_sort(collect_list(col("__term"))),
+          lit(0.0), (acc, x) => acc + x), 6).as("js"))
+      .select(col("__g").as(groupCol), col("n_ref"), col("n_cur"), col("js"))
+  }
+
   /** Stationary distribution of the empirical event-type Markov chain
     * by fixed-count power iteration: πₖ₊₁(s) = Σ_t πₖ(t)·P(t,s) over
     * the row-normalized transition matrix (the |S|²-bounded aggregate

@@ -638,6 +638,18 @@ object AnalyticsQueries {
         "n_chars", "source")
     },
 
+    // L296: per-source CATEGORICAL drift — Jensen–Shannon divergence of
+    // each source's language mix between the two snapshot halves, the
+    // category-column member of the drift family (PSI = binned numeric,
+    // KS = continuous numeric, JS = categorical). Bounded by ln 2.
+    "dq_js_by_source" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Stats.jsByGroup(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "lang", "source")
+    },
+
     // L284 standalone: per-source PSI on the same snapshot split —
     // isolates psiByGroup for drift detection independent of the
     // admission composites that consume it.
@@ -1618,6 +1630,37 @@ object AnalyticsQueries {
         |      / CAST(max(nr) * max(nc) AS DOUBLE), 6)
         |  END AS ks
         |FROM cum GROUP BY g""".stripMargin,
+
+    "dq_js_by_source" ->
+      """WITH r AS (SELECT source AS g, CAST(lang AS VARCHAR) AS c
+        |  FROM documents WHERE doc_id % 3 = 0
+        |    AND lang IS NOT NULL AND source IS NOT NULL),
+        |cu AS (SELECT source AS g, CAST(lang AS VARCHAR) AS c
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |    AND lang IS NOT NULL AND source IS NOT NULL),
+        |rc AS (SELECT g, c, count(*) AS cr FROM r GROUP BY 1, 2),
+        |cc AS (SELECT g, c, count(*) AS ccur FROM cu GROUP BY 1, 2),
+        |grid AS (SELECT coalesce(rc.g, cc.g) AS g, coalesce(rc.c, cc.c) AS c,
+        |    coalesce(rc.cr, 0) AS cr, coalesce(cc.ccur, 0) AS ccur
+        |  FROM rc FULL OUTER JOIN cc ON rc.g = cc.g AND rc.c = cc.c),
+        |t AS (SELECT g, c, cr, ccur,
+        |    sum(cr) OVER (PARTITION BY g) AS nr,
+        |    sum(ccur) OVER (PARTITION BY g) AS nc
+        |  FROM grid),
+        |terms AS (SELECT g, nr, nc,
+        |    CASE WHEN nr > 0 THEN CAST(cr AS DOUBLE) / nr ELSE 0.0 END AS p,
+        |    CASE WHEN nc > 0 THEN CAST(ccur AS DOUBLE) / nc ELSE 0.0 END AS q
+        |  FROM t),
+        |tv AS (SELECT g, nr, nc,
+        |    coalesce(CASE WHEN p > 0
+        |      THEN 0.5 * p * ln(p / ((p + q) / 2.0)) END, 0.0) +
+        |    coalesce(CASE WHEN q > 0
+        |      THEN 0.5 * q * ln(q / ((p + q) / 2.0)) END, 0.0) AS term
+        |  FROM terms)
+        |SELECT g AS source, CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(list_sum(list_sort(list(term))), 6) AS js
+        |FROM tv GROUP BY g""".stripMargin,
 
     "dq_psi_by_source" ->
       """WITH refd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 = 0),

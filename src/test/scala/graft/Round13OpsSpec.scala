@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Similarity, Stats}
 
 /** Round-13 batch: the LSH banding planner CONSUMED by execution
   * (bandsFor → minhashSignaturesPlanned → nearDuplicatesPlanned — the
@@ -146,5 +146,53 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rerank12.forall { case (q, r) => r >= truncOnly(q) }, rerank12)
     assert(rerank12.values.sum > truncOnly.values.sum,
       s"rerank12=$rerank12 trunc=$truncOnly")
+  }
+
+  // ---- one-pass planned LSH ----------------------------------------------
+
+  test("nearDuplicatesPlannedOnePass: planner banding, sound pairs, planted dups") {
+    val got = Dedup.nearDuplicatesPlannedOnePass(docs, "doc_id", "text",
+      minJaccard = 0.5, nPerms = 64, maxDocFrequency = None)
+    val rows = got.collect()
+    val plan = Dedup.bandsFor(64, 0.5)
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("bands") == plan.bands &&
+      r.getAs[Int]("rows_per_band") == plan.rowsPerBand))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical pair collides in every band
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val exact = Dedup.jaccardPairs(sh, "doc_id", minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact), s"onepass=$pairs exact=$exact")
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  // ---- jsByGroup (categorical drift) --------------------------------------
+
+  test("jsByGroup: hand-computed per-group JS, bounded by ln 2") {
+    // Group a: ref (x,x,y) vs cur (x,y,y) -> JS = (2/3)ln(4/3) +
+    // (1/3)ln(2/3) = 0.056633. Group b identical -> 0. Group c disjoint
+    // categories -> the ln 2 maximum.
+    val ref = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "u"), ("b", "v"),
+      ("c", "z")).toDF("g", "cat")
+    val cur = Seq(("a", "x"), ("a", "y"), ("a", "y"), ("b", "u"), ("b", "v"),
+      ("c", "w")).toDF("g", "cat")
+    val got = Stats.jsByGroup(ref, cur, "cat", "g")
+      .select("g", "js").as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 0.056633, "b" -> 0.0, "c" -> 0.693147),
+      got.toString)
+  }
+
+  test("jsByGroup: group present on one side only is maximal drift, not absent") {
+    val ref = Seq(("a", "x")).toDF("g", "cat")
+    val cur = Seq(("a", "x"), ("new", "x")).toDF("g", "cat")
+    val got = Stats.jsByGroup(ref, cur, "cat", "g")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((1L, 1L, 0.0)), got.toString)
+    // 'new' has no reference mass: p = 0 everywhere, q = 1 on x ->
+    // JS = 0.5 ln 2 = 0.346574.
+    assert(got("new") == ((0L, 1L, 0.346574)), got.toString)
   }
 }
