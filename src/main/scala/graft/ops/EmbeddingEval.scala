@@ -291,4 +291,41 @@ object EmbeddingEval {
         round(col("__q.__cum").cast("double") / col("n").cast("double"), 6)
           .as("coverage"))
   }
+
+  /** Two-snapshot EMBEDDING-SPACE drift per group (L298) — the vector
+    * member of the drift family (PSI/KS cover numeric columns, JS
+    * categorical ones; an encoder regression or upstream content shift
+    * moves the VECTORS while every scalar column looks stable). Per
+    * group: `centroid_cosine` = cosine between the snapshots' mean
+    * vectors (direction drift; 1.0 = stable) and `norm_ratio` = ratio
+    * of mean L2 norms (scale drift; 1.0 = stable) — the two failure
+    * axes of an embedding pipeline, both broken by re-normalization
+    * bugs, dtype truncation, or a silently swapped model. Cost: one
+    * component-mean aggregation (explode → two hash-aggs, map-side
+    * combined) plus one norm aggregation per side — everything after is
+    * (groups × dims)-bounded. Centroid components and mean norms round
+    * to 6 decimals before the cosine/ratio so the numbers are
+    * bit-portable across engines.
+    */
+  def embeddingDriftByGroup(ref: DataFrame, cur: DataFrame, vecCol: String,
+                            groupCol: String): DataFrame = {
+    def side(df: DataFrame, pre: String) = {
+      val cent = Similarity.centroids(df, groupCol, vecCol)
+        .select(col(groupCol), col("centroid").as(s"__${pre}c"))
+      val agg = df.filter(col(vecCol).isNotNull)
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as(s"n_$pre"),
+          round(avg(normD(col(vecCol))), 6).as(s"__${pre}norm"))
+      cent.join(agg, Seq(groupCol))
+    }
+    side(ref, "ref").join(side(cur, "cur"), Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        round(dotD(col("__refc"), col("__curc")) /
+          nullif(normD(col("__refc")) * normD(col("__curc")), lit(0.0)), 6)
+          .as("centroid_cosine"),
+        round(col("__curnorm") / nullif(col("__refnorm"), lit(0.0)), 6)
+          .as("norm_ratio"))
+  }
 }

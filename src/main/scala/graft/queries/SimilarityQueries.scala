@@ -699,6 +699,19 @@ object SimilarityQueries {
       Similarity.recallAtK(ann, truth, k = 3)
     },
 
+    // L298: two-snapshot EMBEDDING-SPACE drift per label — the vector
+    // member of the drift family: centroid cosine (direction) and mean-
+    // norm ratio (scale) between the vec_id%3 snapshot halves. Catches
+    // the encoder-regression / dtype-truncation class of failure that
+    // leaves every scalar column stable.
+    "dq_embedding_drift" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      EmbeddingEval.embeddingDriftByGroup(
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+        "embedding", "label")
+    },
+
     // Leave-one-out 5-NN majority-vote accuracy per label on a bounded
     // evaluation sample — "do these embeddings separate these labels" as
     // a measured number before any model training. Queries broadcast
@@ -1354,6 +1367,36 @@ object SimilarityQueries {
          |SELECT tk.query_id, COALESCE(hits.hits, 0) AS hits, tk.truth_k,
          |  round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / tk.truth_k, 6) AS recall
          |FROM tk LEFT JOIN hits ON tk.query_id = hits.query_id""".stripMargin,
+
+    // Centroids component-averaged and rounded to 6 dp per side (the
+    // ivf oracle idiom), cosine over the rounded centroids, mean-norm
+    // ratio over 6-dp-rounded means -- bit-portable given the rounding.
+    "dq_embedding_drift" ->
+      s"""WITH r AS (SELECT label, embedding FROM embeddings WHERE vec_id % 3 = 0),
+         |c AS (SELECT label, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+         |rcomp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS v FROM r),
+         |rcent AS (SELECT label, list(cr ORDER BY pos) AS rcen FROM (
+         |  SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+         |  FROM rcomp GROUP BY 1, 2) GROUP BY label),
+         |ccomp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS v FROM c),
+         |ccent AS (SELECT label, list(cr ORDER BY pos) AS ccen FROM (
+         |  SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+         |  FROM ccomp GROUP BY 1, 2) GROUP BY label),
+         |rn AS (SELECT label, count(*) AS n_ref,
+         |    round(avg(sqrt(${dotSql("embedding", "embedding")})), 6) AS rnorm
+         |  FROM r GROUP BY 1),
+         |cn AS (SELECT label, count(*) AS n_cur,
+         |    round(avg(sqrt(${dotSql("embedding", "embedding")})), 6) AS cnorm
+         |  FROM c GROUP BY 1)
+         |SELECT rcent.label, rn.n_ref, cn.n_cur,
+         |  round(${dotSql("rcen", "ccen")} /
+         |    nullif(sqrt(${dotSql("rcen", "rcen")}) *
+         |           sqrt(${dotSql("ccen", "ccen")}), 0), 6) AS centroid_cosine,
+         |  round(cnorm / nullif(rnorm, 0), 6) AS norm_ratio
+         |FROM rcent JOIN ccent USING (label)
+         |JOIN rn USING (label) JOIN cn USING (label)""".stripMargin,
 
     "knn_label_accuracy" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS tl

@@ -195,4 +195,34 @@ class Round13OpsSpec extends AnyFunSuite {
     // JS = 0.5 ln 2 = 0.346574.
     assert(got("new") == ((0L, 1L, 0.346574)), got.toString)
   }
+
+  // ---- embeddingDriftByGroup ----------------------------------------------
+
+  test("embeddingDriftByGroup separates direction drift from scale drift") {
+    val ref = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)),
+      ("b", Seq(0.0f, 2.0f)), ("b", Seq(0.0f, 2.0f)),
+      ("c", Seq(3.0f, 4.0f))).toDF("g", "vec")
+    val cur = Seq(
+      ("a", Seq(2.0f, 0.0f)), ("a", Seq(2.0f, 0.0f)), // scale x2, same dir
+      ("b", Seq(2.0f, 0.0f)), ("b", Seq(2.0f, 0.0f)), // orthogonal rotation
+      ("c", Seq(-3.0f, -4.0f))).toDF("g", "vec")      // exact flip
+    val got = graft.ops.EmbeddingEval
+      .embeddingDriftByGroup(ref, cur, "vec", "g")
+      .select("g", "n_ref", "n_cur", "centroid_cosine", "norm_ratio")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((2L, 2L, 1.0, 2.0)), got.toString)   // pure scale
+    assert(got("b") == ((2L, 2L, 0.0, 1.0)), got.toString)   // pure direction
+    assert(got("c") == ((1L, 1L, -1.0, 1.0)), got.toString)  // flip
+  }
+
+  test("embeddingDriftByGroup: identical snapshots are the (1, 1) fixpoint") {
+    val df = vecs.withColumn("g", (col("vec_id") % 3).cast("string"))
+    val got = graft.ops.EmbeddingEval
+      .embeddingDriftByGroup(df, df, "embedding", "g")
+      .select("centroid_cosine", "norm_ratio")
+      .as[(Double, Double)].collect().toSet
+    assert(got == Set((1.0, 1.0)), got.toString)
+  }
 }
