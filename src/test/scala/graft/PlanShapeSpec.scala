@@ -908,4 +908,30 @@ class PlanShapeSpec extends AnyFunSuite {
       lp.take(800))
   }
 
+  test("round-13 planned-LSH / admission / drift ops: equi-keyed candidate generation") {
+    // Planned LSH: every join is keyed — (band, bucket) candidates,
+    // shingle-keyed verification, id-keyed sizes. No all-pairs stage.
+    val lp = plan("dedup_lsh_planned")
+    assert(!lp.contains("CartesianProduct"), lp.take(800))
+    assert(!lp.contains("BroadcastNestedLoopJoin"), lp.take(1200))
+    // v7: KS admission is windows + equi-joins; the only broadcasts are
+    // the |sources|-bounded admission frames joining back.
+    val v7 = plan("curation_pipeline_v7")
+    assert(!v7.contains("CartesianProduct"), v7.take(800))
+    assert(!v7.contains("BroadcastNestedLoopJoin"), v7.take(1200))
+    assert(v7.contains("BroadcastHashJoin"), v7.take(1200))
+    // JS drift: one full-outer equi-join + per-group windows, like KS.
+    val js = plan("dq_js_by_source")
+    assert(!js.contains("CartesianProduct"), js.take(800))
+    assert(!js.contains("BroadcastNestedLoopJoin"), js.take(1200))
+    // Embedding drift: two aggregations per side, one label equi-join.
+    val ed = plan("dq_embedding_drift")
+    assert(!ed.contains("CartesianProduct"), ed.take(800))
+    assert(!ed.contains("BroadcastNestedLoopJoin"), ed.take(1200))
+    // Serve stack: the probed-cluster candidate join and the re-rank are
+    // both keyed; the deliberate cross join lives ONLY in the brute-force
+    // truth side of the recall harness, never in the serving path.
+    val sv = plan("ann_ivf_truncated_rerank")
+    assert(!sv.contains("CartesianProduct"), sv.take(800))
+  }
 }
