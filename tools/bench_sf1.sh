@@ -46,6 +46,9 @@ DEFAULT=$DEFAULT,dedup_title_edit_capped
 # admission composite.
 DEFAULT=$DEFAULT,graph_ppr,graph_hits,graph_pagerank_dangling
 DEFAULT=$DEFAULT,dedup_lsh_planned,ann_truncated_rerank,curation_pipeline_v7
+# Round-13 late additions (first sf1 measurement seeds on the next run —
+# the two-pass protocol: expect first-run floor flags only if >4 s).
+DEFAULT=$DEFAULT,dq_js_by_source,dq_embedding_drift,ann_ivf_truncated_rerank
 ONLY="${SPARK_GRAFT_SF1_ONLY:-$DEFAULT}"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_HISTORY=bench_history_sf1.json \
