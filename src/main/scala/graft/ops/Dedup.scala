@@ -194,6 +194,30 @@ object Dedup {
       minJaccard, plan)
   }
 
+  /** Leakage-safe train/eval split (L299): near-duplicate CLUSTERS are
+    * assigned to splits wholesale, so a near-dup of a training document
+    * can never land in the eval split — the eval-contamination failure a
+    * doc-level random split produces with near-certainty once the corpus
+    * carries duplicate clusters. Cluster ids come from [[clusters]] over
+    * the supplied pair graph (docs without a near-dup are their own
+    * cluster); the verdict is the deterministic md5 hash of the CLUSTER
+    * id against `evalFraction` ([[Sampling.keyUniform]]), so re-runs,
+    * backfills, and engines agree row-for-row. Cost beyond the pair
+    * mining the caller already did: one components pass over the
+    * dup-bounded pair graph + a left join back to the corpus.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       evalFraction: Double): DataFrame = {
+    require(evalFraction > 0 && evalFraction < 1, "evalFraction in (0, 1)")
+    docs.select(col(idCol))
+      .join(clusters(pairs).select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(Sampling.keyUniform(col("cluster_id")) < evalFraction,
+          lit("eval")).otherwise(lit("train")))
+  }
+
   /** Exact dedup on normalized content: one row per distinct text with the
     * canonical (minimum) id and the duplicate count.
     */

@@ -432,6 +432,16 @@ object TextQueries {
       Dedup.clusters(pairs)
     },
 
+    // L299: leakage-safe eval split — near-dup clusters assigned to
+    // train/eval WHOLESALE via the hash of the cluster id, so no eval
+    // document has a near-dup in train. Same pair graph as
+    // dedup_clusters; singletons are their own cluster.
+    "sample_leakage_safe_split" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+      Dedup.leakageSafeSplit(docs, pairs, "doc_id", evalFraction = 0.2)
+    },
+
     // Soft dedup: keep every document but weight it 1/|near-dup cluster| —
     // the down-weight-instead-of-drop mixture practice. No forced broadcast:
     // at web scale 20–50% of documents sit in near-dup clusters, so the
@@ -1860,6 +1870,35 @@ object TextQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+
+    // Same recursive-CC chain as dedup_clusters, then: singletons become
+    // their own cluster and the split is the md5 hash of the CLUSTER id
+    // (mirroring Sampling.keyUniform) against 0.2.
+    "sample_leakage_safe_split" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |$shinglesCte,
+         |$cappedCte,
+         |${sigCte("shf")},
+         |$candCte,
+         |${interCte("shf")},
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |allc AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+         |       / 4294967296.0 < 0.2 THEN 'eval' ELSE 'train' END AS split
+         |FROM allc""".stripMargin,
 
     "sample_soft_dedup" ->
       s"""WITH RECURSIVE $wordsCte,

@@ -225,4 +225,41 @@ class Round13OpsSpec extends AnyFunSuite {
       .as[(Double, Double)].collect().toSet
     assert(got == Set((1.0, 1.0)), got.toString)
   }
+
+  // ---- leakage-safe split -------------------------------------------------
+
+  test("leakageSafeSplit: no near-dup cluster ever crosses the split boundary") {
+    // 30 docs in 10 near-dup clusters of 3 (ids i, i+100, i+200 share a
+    // planted pair chain) — a doc-LEVEL hash split provably tears some
+    // cluster across train/eval; the cluster-level split never does.
+    val docs = (1L to 10L).flatMap(i => Seq(i, i + 100, i + 200))
+      .toDF("doc_id")
+    val pairs = (1L to 10L).flatMap(i =>
+      Seq((i, i + 100), (i + 100, i + 200))).toDF("doc_a", "doc_b")
+    val got = Dedup.leakageSafeSplit(docs, pairs, "doc_id",
+        evalFraction = 0.4)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 30)
+    // Every member adopted the cluster minimum, and split is constant
+    // per cluster.
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.keySet == (1L to 10L).toSet, byCluster.keySet)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_._1).toSet == Set(cid, cid + 100, cid + 200))
+      assert(rows.map(_._3).toSet.size == 1,
+        s"cluster $cid torn across splits: $rows")
+    }
+    // Both splits are populated (0.4 over 10 cluster hashes).
+    assert(got.map(_._3).toSet == Set("train", "eval"))
+    // The doc-level hash split WOULD leak: some cluster gets both labels.
+    val docSplit = docs.select(col("doc_id"),
+        when(graft.ops.Sampling.keyUniform(col("doc_id")) < 0.4, lit("eval"))
+          .otherwise(lit("train")).as("split"))
+      .as[(Long, String)].collect().toMap
+    val leaked = got.groupBy(_._2).values
+      .exists(rows => rows.map(r => docSplit(r._1)).toSet.size == 2)
+    assert(leaked, "fixture must demonstrate the doc-level leak")
+    graft.ops.OpCaches.releaseAll()
+  }
 }
