@@ -1053,5 +1053,56 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[String].collect().toSet
     assert(adm2 == batch2.map(_._2).toSet, s"batch-2 all re-admitted: $adm2")
     graft.ops.OpCaches.releaseAll()
+
+    // Full ordered-splits parity for the KS arm, mirroring the PSI loop:
+    // stream foreachBatch (admitKs -> novelty -> accumulate store) must
+    // equal the per-split batch recompute, and the one batch-2 re-ingest
+    // must pass admission yet drop at the novelty gate.
+    def admitKsBatch(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamAdmission.admitKs(df, reference, "source",
+        "n_chars", col("n_chars") > 50, minWilsonLo = 0.5, maxKs = 0.4)
+    val input2 = MemoryStream[(String, String, Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, String, Long, String)]],
+      spark)
+    val stream2 = input2.toDF().toDF("source", "doc_id", "n_chars", "text")
+    var curated2 = Vector.empty[String]
+    var store2 = Vector.empty[String]
+    val q2 = stream2.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          val novel = graft.streaming.StreamDedup.novelAgainstStore(
+            graft.streaming.StreamDedup.withContentHash(admitKsBatch(b), "text"),
+            store2.toDF("content_hash"), Seq("content_hash")).cache()
+          curated2 = curated2 ++ novel.select("doc_id").as[String].collect()
+          store2 = store2 ++ novel.select("content_hash").as[String].collect()
+          novel.unpersist()
+          graft.ops.OpCaches.releaseAll()
+        }
+        ()
+      }
+      .start()
+    try {
+      splits.foreach { s => input2.addData(s); q2.processAllAvailable() }
+    } finally q2.stop()
+    var expect2 = Vector.empty[String]
+    var expectH2 = Set.empty[String]
+    splits.foreach { s =>
+      val adm = graft.streaming.StreamDedup.withContentHash(
+          admitKsBatch(s.toDF("source", "doc_id", "n_chars", "text")), "text")
+        .select("doc_id", "content_hash").as[(String, String)].collect()
+      val novel = adm.filterNot(r => expectH2.contains(r._2))
+      expect2 = expect2 ++ novel.map(_._1)
+      expectH2 = expectH2 ++ novel.map(_._2)
+      graft.ops.OpCaches.releaseAll()
+    }
+    assert(curated2.sorted == expect2.sorted,
+      s"KS stream=${curated2.sorted} batch=${expect2.sorted}")
+    val gotKs = curated2.toSet
+    assert((1 to 8).forall(i => gotKs.contains(s"a1$i")), gotKs)
+    assert(!gotKs.exists(_.startsWith("b1")) && !gotKs.exists(_.startsWith("c1")),
+      gotKs)
+    assert(!gotKs.contains("b21"), s"KS arm: re-ingest must novelty-drop: $gotKs")
+    assert((2 to 8).forall(i => gotKs.contains(s"b2$i")) &&
+      (1 to 8).forall(i => gotKs.contains(s"c2$i")), gotKs)
   }
 }
