@@ -293,4 +293,44 @@ object DataQuality {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__delta")).as("char_delta"))
   }
+
+  /** UNIFIED DRIFT DATACARD (L300): per group, all four drift statistics
+    * of the family from the same two snapshots — `psi` (binned numeric,
+    * [[Stats.psiByGroup]]), `ks` (binning-free numeric,
+    * [[Stats.ksByGroup]]), `js` (categorical, [[Stats.jsByGroup]]) and
+    * `centroid_cosine`/`norm_ratio` (vector,
+    * [[EmbeddingEval.embeddingDriftByGroup]]) — the report a 100 TB
+    * operator actually reads after an ingest: one row per source, every
+    * modality of "did this source change since yesterday" side by side.
+    *
+    * Scale shape: BOTH snapshots are scope-cached here and every
+    * component op reads the cached scan, so the corpus is scanned once
+    * per side (plus psiByGroup's 1-row edge aggregate) rather than once
+    * per statistic; everything downstream of the component aggregations
+    * is |groups|-, (groups × bins)-, (groups × categories)- or
+    * (groups × dims)-bounded, and the final assembly joins four
+    * |groups|-bounded frames full-outer (a group present in only one
+    * component frame — e.g. all-null numerics but a live category mix —
+    * still reports). `n_ref`/`n_cur` are the non-null `valueCol` row
+    * counts from the KS pass.
+    */
+  def driftDatacard(ref: DataFrame, cur: DataFrame, groupCol: String,
+                    valueCol: String, catCol: String, vecCol: String,
+                    bins: Int = 10): DataFrame = {
+    val r = OpCaches.scoped(ref)
+    val c = OpCaches.scoped(cur)
+    Stats.ksByGroup(r, c, valueCol, groupCol)
+      .join(Stats.psiByGroup(r, c, valueCol, groupCol, bins),
+        Seq(groupCol), "full_outer")
+      .join(Stats.jsByGroup(r, c, catCol, groupCol)
+        .select(col(groupCol), col("js")), Seq(groupCol), "full_outer")
+      .join(EmbeddingEval.embeddingDriftByGroup(r, c, vecCol, groupCol)
+        .select(col(groupCol), col("centroid_cosine"), col("norm_ratio")),
+        Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("psi"), col("ks"), col("js"),
+        col("centroid_cosine"), col("norm_ratio"))
+  }
 }

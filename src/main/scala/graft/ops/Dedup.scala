@@ -67,7 +67,7 @@ object Dedup {
     * toward MORE bands (recall over candidate volume at equal distance).
     * Same closed form the `dedup_lsh_plan` gate pins relationally — this
     * is the planner's output actually steering execution
-    * ([[nearDuplicatesPlanned]]), not an advisory table.
+    * ([[nearDuplicates]]), not an advisory table.
     */
   def bandsFor(nPerms: Int, threshold: Double): LshBanding = {
     require(nPerms >= 1 && nPerms <= 4096, "nPerms in [1, 4096]")
@@ -81,25 +81,38 @@ object Dedup {
   }
 
   /** k-permutation minhash signature banded per a PLANNED (bands, rows)
-    * split: permutation p maps shingle s to the first 8 hex chars of
-    * md5(p ":" s) — k independent 32-bit-range permutations — and a
-    * band's bucket key concatenates its rowsPerBand permutation minima
-    * in permutation order (an r-way AND: all r minima must agree for a
-    * bucket collision). Relational two-aggregation shape: the perm
-    * explode is collapsed map-side, so the shuffle carries doc × k
-    * minima, never shingles × k; oracle-portable because DuckDB's md5
-    * agrees byte-for-byte. The one-pass typed alternative for
-    * collect-heavy callers is [[minhashSignaturesOnePass]].
+    * split. Permutations come in CHUNKS OF FOUR per md5: permutation p
+    * maps shingle s to hex chars [8·(p mod 4), 8·(p mod 4)+8) of
+    * md5((p div 4) ":" s) — one 128-bit md5 yields four independent
+    * 32-bit-range permutations, so k permutations cost ⌈k/4⌉ md5
+    * computations per shingle instead of k (the round-13 path hashed per
+    * permutation; its 16 md5 calls per (perm, shingle) were the whole
+    * sf1 cost of the relational path). A band's bucket key concatenates
+    * its rowsPerBand permutation minima in permutation order (an r-way
+    * AND: all r minima must agree for a bucket collision). Relational
+    * two-aggregation shape: the perm explode is collapsed map-side, so
+    * the shuffle carries doc × k minima, never shingles × k;
+    * oracle-portable because DuckDB's md5/substr agree byte-for-byte.
+    * The one-pass typed alternative for collect-heavy callers is
+    * [[minhashSignaturesOnePass]].
     */
   def minhashSignaturesPlanned(shingles: DataFrame, idCol: String,
                                plan: LshBanding): DataFrame = {
     val k = plan.bands * plan.rowsPerBand
+    val nGroups = (k + 3) / 4
     shingles
-      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("perm"),
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(nGroups - 1))).as("__grp"),
         col("shingle"))
+      .withColumn("__md5",
+        md5(concat(col("__grp").cast("string"), lit(":"), col("shingle"))))
+      .select(col(idCol), col("__grp"), col("__md5"),
+        explode(sequence(lit(0), lit(3))).as("__chunk"))
+      .select(col(idCol), (col("__grp") * 4 + col("__chunk")).as("perm"),
+        expr("substring(__md5, 1 + 8*__chunk, 8)").as("__h"))
+      .filter(col("perm") < k)
       .groupBy(col(idCol), col("perm"))
-      .agg(min(substring(md5(concat(col("perm").cast("string"), lit(":"),
-        col("shingle"))), 1, 8)).as("mh"))
+      .agg(min(col("__h")).as("mh"))
       // floor(), not an int cast: the oracle side must band identically,
       // and SQL engines disagree on double→int casts (DuckDB rounds,
       // Spark truncates) — floor is unambiguous in both.
@@ -108,31 +121,6 @@ object Dedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
           x => x.getField("mh")), "").as("minhash"))
-  }
-
-  /** [[nearDuplicates]] with the banding CHOSEN BY THE PLANNER instead of
-    * passed as a caller constant: (bands, rowsPerBand) = [[bandsFor]]
-    * (nPerms, minJaccard), k-permutation signatures from
-    * [[minhashSignaturesPlanned]], candidates from the banded bucket
-    * self-join, exact-Jaccard verification at the same threshold. The
-    * executed banding is emitted as literal `bands` / `rows_per_band`
-    * columns so a gate can prove the plan's pick flowed through to
-    * execution. Same scale guards as [[nearDuplicates]]: df-capped
-    * shingles (default 0.1), bucket-keyed equi-joins only, no all-pairs
-    * stage.
-    */
-  def nearDuplicatesPlanned(docs: DataFrame, idCol: String, textCol: String,
-                            minJaccard: Double, nPerms: Int = 16, n: Int = 3,
-                            maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
-    val plan = bandsFor(nPerms, minJaccard)
-    val raw = OpCaches.scoped(shingleSets(docs, idCol, textCol, n, None))
-    val sh = maxDocFrequency match {
-      case None        => raw
-      case Some(maxDf) => hotFiltered(raw, docs, idCol, maxDf)
-    }
-    val candidates =
-      lshCandidates(minhashSignaturesPlanned(sh, idCol, plan), idCol)
-    verifiedPlannedPairs(candidates, sh, idCol, minJaccard, plan)
   }
 
   /** Exact-Jaccard verification of candidate pairs, stamped with the
@@ -160,7 +148,7 @@ object Dedup {
         lit(plan.bands).as("bands"), lit(plan.rowsPerBand).as("rows_per_band"))
   }
 
-  /** [[nearDuplicatesPlanned]] on the ONE-PASS signature path — the
+  /** [[nearDuplicates]] on the ONE-PASS signature path — the
     * production shape at corpus scale: [[minhashSignaturesOnePass]]
     * computes all k Kirsch–Mitzenmacher permutations in a single partial
     * aggregation (shuffle carries k longs per doc, no perm explode), and
@@ -168,7 +156,7 @@ object Dedup {
     * band buckets (the bucket key is the r-long slice itself — arrays are
     * join keys). Not oracle-portable (the wrapping 64-bit h1 + i·h2
     * arithmetic has no safe SQL form), so the relational
-    * [[nearDuplicatesPlanned]] carries the DuckDB gate and the spec ties
+    * [[nearDuplicates]] carries the DuckDB gate and the spec ties
     * the two paths on planted duplicates; candidates differ hash-by-hash
     * but both verify with exact Jaccard, so emitted pairs are always true
     * ≥-threshold pairs.
@@ -505,7 +493,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
-  /** The scale path: LSH candidates verified by exact Jaccard ≥ threshold.
+  /** The scale path and DEFAULT dedup front-door: LSH candidates verified
+    * by exact Jaccard ≥ threshold, with the banding CHOSEN BY THE PLANNER
+    * — (bands, rowsPerBand) = [[bandsFor]](nPerms, minJaccard), so the
+    * candidate S-curve is centered on the query's own threshold instead
+    * of a caller constant. The executed banding is emitted as literal
+    * `bands` / `rows_per_band` columns so a gate can prove the planner's
+    * pick flowed through to execution. (Round-13 shape measured 458
+    * candidates → 25 pairs at t=0.8 on the 600-doc corpus with the old
+    * fixed 4×1 banding vs 25 → 25 planner-banded: r=1 bands collide
+    * nearly every mildly-similar pair, and the junk candidates were the
+    * verify join's whole cost.)
+    *
+    * `bands = Some(b)` is the explicit override (b ≤ 4 single-md5
+    * chunk signatures, r = 1 — the recall-maximal, candidate-heavy
+    * legacy shape; useful when the caller wants near-exhaustive
+    * candidates at low thresholds and accepts the verify cost).
     *
     * Jaccard is computed ONLY for candidate pairs (candidates → doc_a's
     * shingles → equi-join doc_b's shingles) — never over the O(N²) pair
@@ -518,8 +521,10 @@ object Dedup {
     * verification joins — the classic hot-key blowup at corpus scale.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     minJaccard: Double = 0.8, bands: Int = 4, n: Int = 3,
-                     maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+                     minJaccard: Double = 0.8, bands: Option[Int] = None,
+                     n: Int = 3,
+                     maxDocFrequency: Option[Double] = Some(0.1),
+                     nPerms: Int = 16): DataFrame = {
     // ONE scoped cache of the raw exploded shingles; the hot-shingle
     // anti-join re-derives from it per consumer (its broadcast exchange is
     // reused within an action), instead of double-caching a second filtered
@@ -529,24 +534,15 @@ object Dedup {
       case None        => raw
       case Some(maxDf) => hotFiltered(raw, docs, idCol, maxDf)
     }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val candidates = lshCandidates(minhashSignatures(sh, idCol, bands), idCol)
-
-    val sa = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val sb = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = candidates
-      .join(sa, Seq("doc_a"))
-      .join(sb, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+    val (plan, sig) = bands match {
+      case None =>
+        val p = bandsFor(nPerms, minJaccard)
+        (p, minhashSignaturesPlanned(sh, idCol, p))
+      case Some(b) =>
+        (LshBanding(b, 1, 1.0 / b), minhashSignatures(sh, idCol, b))
+    }
+    verifiedPlannedPairs(lshCandidates(sig, idCol), sh, idCol, minJaccard,
+      plan)
   }
 
   /** Asymmetric containment pairs: containment(A in B) = |A∩B| / |A| over

@@ -23,12 +23,42 @@ import org.apache.spark.sql.DataFrame
 object OpCaches {
   private val frames = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  private val checkpointRdds = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.rdd.RDD[_],
+      java.lang.Boolean]())
 
   /** Cache `df` and register it for a later [[releaseAll]]. */
   private[graft] def scoped(df: DataFrame): DataFrame = {
     df.cache()
     frames.add(df)
     df
+  }
+
+  /** Lazy `localCheckpoint` with its blocks registered for [[releaseAll]].
+    *
+    * The rank/prefix-sum ops ([[Stats.withRangeRank]]) checkpoint a
+    * range-partitioned frame so the collected per-partition offsets can
+    * never observe a different partitioning than the returned plan — a
+    * released CACHE would silently re-sample range bounds; the checkpoint
+    * has no recompute path at all. The flip side: `Dataset.unpersist`
+    * cannot free a checkpoint's MEMORY_AND_DISK blocks (they belong to the
+    * underlying RDD, released only by driver GC), so a long bench/verify
+    * session calling rank-family ops hundreds of times would accumulate
+    * them. Registering the RDD here lets [[releaseAll]] drop the blocks
+    * explicitly.
+    *
+    * STRONGER contract than [[scoped]]: release only AFTER the dependent
+    * plan has fully executed. The lineage is truncated, so a consumer that
+    * runs after release fails loudly ("checkpoint block not found") instead
+    * of recomputing — by design (recompute would re-rank wrongly), but it
+    * means harnesses must materialize before releasing, which Bench and
+    * Verify already do (releaseAll between queries).
+    */
+  private[graft] def scopedCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(false)
+    org.apache.spark.sql.graft.CatalystBridge.checkpointedRdd(cp)
+      .foreach(checkpointRdds.add)
+    cp
   }
 
   /** Unpersist every op-internal cache registered since the last release.
@@ -51,8 +81,14 @@ object OpCaches {
       catch { case _: Throwable => () }
       it.remove()
     }
+    val cit = checkpointRdds.iterator()
+    while (cit.hasNext) {
+      try cit.next().unpersist(blocking)
+      catch { case _: Throwable => () }
+      cit.remove()
+    }
   }
 
   /** Number of currently-registered cached frames (for tests/monitoring). */
-  def registered: Int = frames.size()
+  def registered: Int = frames.size() + checkpointRdds.size()
 }

@@ -437,16 +437,18 @@ object Stats {
     * shuffle with a fresh RangePartitioner sample (its seed derives from
     * the new RDD id), silently shifting rows across pids under the stale
     * offset map. With the checkpoint there is no recompute path at all:
-    * lost blocks fail loudly instead of re-ranking wrongly (blocks are
-    * MEMORY_AND_DISK and freed by the ContextCleaner on GC).
+    * lost blocks fail loudly instead of re-ranking wrongly. The blocks
+    * are MEMORY_AND_DISK and registered via [[OpCaches.scopedCheckpoint]]
+    * so a long session's `releaseAll` frees them between queries instead
+    * of waiting on driver GC (rfmQuintiles checkpoints three frames per
+    * call; a 300-query bench session would otherwise carry them all).
     */
   private[graft] def withRangeRank(df: DataFrame, order: Seq[Column],
                                    rankName: String): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted =
+    val parted = OpCaches.scopedCheckpoint(
       df.repartitionByRange(nPart, order: _*)
-        .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(false)
+        .withColumn("__pid", spark_partition_id()))
     val cnts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets: Map[Int, Long] = {
@@ -478,12 +480,12 @@ object Stats {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     // Lazy localCheckpoint, not a scoped cache — same pid-stability
     // contract as [[withRangeRank]] (offsets are only valid for the
-    // observed partitioning; a released cache could re-sample bounds).
-    val parted =
+    // observed partitioning; a released cache could re-sample bounds);
+    // scopedCheckpoint so releaseAll frees the blocks between queries.
+    val parted = OpCaches.scopedCheckpoint(
       df.repartitionByRange(nPart, order: _*)
         .withColumn("__pid", spark_partition_id())
-        .withColumn("__m", measure.cast("long"))
-        .localCheckpoint(false)
+        .withColumn("__m", measure.cast("long")))
     val cnts = parted.groupBy(col("__pid"))
       .agg(sum(col("__m")).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

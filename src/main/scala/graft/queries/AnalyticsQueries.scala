@@ -661,6 +661,21 @@ object AnalyticsQueries {
         "n_chars", "source")
     },
 
+    // L300: UNIFIED DRIFT DATACARD — one row per source carrying the
+    // whole drift family (psi binned / ks continuous / js categorical /
+    // centroid-cosine + norm-ratio vector) from the same snapshot split,
+    // over documents joined 1:1 to their embeddings. Both snapshots are
+    // scope-cached inside the op so the four statistics share the scans.
+    "dq_drift_datacard" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val j = Tables.documents(s, dir).join(emb, Seq("doc_id"))
+      DataQuality.driftDatacard(
+        j.filter(pmod(col("doc_id"), lit(3)) === 0),
+        j.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "source", "n_chars", "lang", "embedding")
+    },
+
     // L231: rendezvous-hash shard assignment (8 shards) — map-side,
     // bit-stable across engines.
     "shard_rendezvous" -> { (s, dir) =>
@@ -1688,6 +1703,124 @@ object AnalyticsQueries {
         |tm AS (SELECT rs.source, round((p - q) * ln(p / q), 6) AS term
         |  FROM rs JOIN cs USING (source, bin))
         |SELECT source, round(sum(term), 6) AS psi FROM tm GROUP BY 1""".stripMargin,
+
+    // Unified datacard: the four component chains (dq_ks_by_source /
+    // dq_psi_by_source / dq_js_by_source / dq_embedding_drift idioms),
+    // prefixed k/p/j/e, over the SAME documents⋈embeddings split, joined
+    // full-outer on source.
+    "dq_drift_datacard" ->
+      s"""WITH j AS (SELECT d.doc_id, d.source, d.lang, d.n_chars, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |refd AS (SELECT * FROM j WHERE doc_id % 3 = 0),
+         |curd AS (SELECT * FROM j WHERE doc_id % 3 <> 0),
+         |kr AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v FROM refd
+         |  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         |kc AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v FROM curd
+         |  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         |krc AS (SELECT g, v, count(*) AS cr FROM kr GROUP BY 1, 2),
+         |kcc AS (SELECT g, v, count(*) AS ccur FROM kc GROUP BY 1, 2),
+         |kgrid AS (SELECT coalesce(krc.g, kcc.g) AS g,
+         |    coalesce(krc.v, kcc.v) AS v,
+         |    coalesce(krc.cr, 0) AS cr, coalesce(kcc.ccur, 0) AS ccur
+         |  FROM krc FULL OUTER JOIN kcc ON krc.g = kcc.g AND krc.v = kcc.v),
+         |kcum AS (SELECT g, v,
+         |    sum(cr) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr,
+         |    sum(ccur) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+         |    sum(cr) OVER (PARTITION BY g) AS nr,
+         |    sum(ccur) OVER (PARTITION BY g) AS nc
+         |  FROM kgrid),
+         |kout AS (SELECT g AS source, CAST(max(nr) AS BIGINT) AS n_ref,
+         |  CAST(max(nc) AS BIGINT) AS n_cur,
+         |  CASE WHEN max(nr) > 0 AND max(nc) > 0 THEN
+         |    round(CAST(max(abs(cumr * nc - cumc * nr)) AS DOUBLE)
+         |      / CAST(max(nr) * max(nc) AS DOUBLE), 6)
+         |  END AS ks
+         |  FROM kcum GROUP BY g),
+         |pe AS (SELECT min(n_chars::DOUBLE) AS lo, max(n_chars::DOUBLE) AS hi
+         |  FROM refd),
+         |prb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+         |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+         |  AS bin, count(*) AS n FROM refd, pe GROUP BY 1,2),
+         |pcb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
+         |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
+         |  AS bin, count(*) AS n FROM curd, pe GROUP BY 1,2),
+         |pg AS (SELECT source FROM prb UNION SELECT source FROM pcb),
+         |pgrid AS (SELECT source, unnest(range(10))::INT AS bin FROM pg),
+         |prt AS (SELECT source, sum(n) AS t FROM prb GROUP BY 1),
+         |pct AS (SELECT source, sum(n) AS t FROM pcb GROUP BY 1),
+         |prs AS (SELECT pgrid.source, pgrid.bin,
+         |  (coalesce(prb.n,0)+0.5)/(coalesce(prt.t,0)+5.0) AS p
+         |  FROM pgrid LEFT JOIN prb USING (source,bin)
+         |  LEFT JOIN prt USING (source)),
+         |pcs AS (SELECT pgrid.source, pgrid.bin,
+         |  (coalesce(pcb.n,0)+0.5)/(coalesce(pct.t,0)+5.0) AS q
+         |  FROM pgrid LEFT JOIN pcb USING (source,bin)
+         |  LEFT JOIN pct USING (source)),
+         |ptm AS (SELECT prs.source, round((p - q) * ln(p / q), 6) AS term
+         |  FROM prs JOIN pcs USING (source, bin)),
+         |pout AS (SELECT source, round(sum(term), 6) AS psi
+         |  FROM ptm GROUP BY 1),
+         |jr AS (SELECT source AS g, CAST(lang AS VARCHAR) AS c FROM refd
+         |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+         |jc AS (SELECT source AS g, CAST(lang AS VARCHAR) AS c FROM curd
+         |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+         |jrc AS (SELECT g, c, count(*) AS cr FROM jr GROUP BY 1, 2),
+         |jcc AS (SELECT g, c, count(*) AS ccur FROM jc GROUP BY 1, 2),
+         |jgrid AS (SELECT coalesce(jrc.g, jcc.g) AS g,
+         |    coalesce(jrc.c, jcc.c) AS c,
+         |    coalesce(jrc.cr, 0) AS cr, coalesce(jcc.ccur, 0) AS ccur
+         |  FROM jrc FULL OUTER JOIN jcc ON jrc.g = jcc.g AND jrc.c = jcc.c),
+         |jt AS (SELECT g, c, cr, ccur,
+         |    sum(cr) OVER (PARTITION BY g) AS nr,
+         |    sum(ccur) OVER (PARTITION BY g) AS nc
+         |  FROM jgrid),
+         |jterms AS (SELECT g, nr, nc,
+         |    CASE WHEN nr > 0 THEN CAST(cr AS DOUBLE) / nr ELSE 0.0 END AS p,
+         |    CASE WHEN nc > 0 THEN CAST(ccur AS DOUBLE) / nc ELSE 0.0 END AS q
+         |  FROM jt),
+         |jtv AS (SELECT g,
+         |    coalesce(CASE WHEN p > 0
+         |      THEN 0.5 * p * ln(p / ((p + q) / 2.0)) END, 0.0) +
+         |    coalesce(CASE WHEN q > 0
+         |      THEN 0.5 * q * ln(q / ((p + q) / 2.0)) END, 0.0) AS term
+         |  FROM jterms),
+         |jout AS (SELECT g AS source,
+         |  round(list_sum(list_sort(list(term))), 6) AS js
+         |  FROM jtv GROUP BY g),
+         |ercomp AS (SELECT source, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS v FROM refd),
+         |ercent AS (SELECT source, list(cr ORDER BY pos) AS rcen FROM (
+         |  SELECT source, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+         |  FROM ercomp GROUP BY 1, 2) GROUP BY source),
+         |eccomp AS (SELECT source, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS v FROM curd),
+         |eccent AS (SELECT source, list(cr ORDER BY pos) AS ccen FROM (
+         |  SELECT source, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cr
+         |  FROM eccomp GROUP BY 1, 2) GROUP BY source),
+         |ern AS (SELECT source,
+         |    round(avg(sqrt(${SimilarityQueries.dotSql("embedding", "embedding")})), 6) AS rnorm
+         |  FROM refd WHERE embedding IS NOT NULL GROUP BY 1),
+         |ecn AS (SELECT source,
+         |    round(avg(sqrt(${SimilarityQueries.dotSql("embedding", "embedding")})), 6) AS cnorm
+         |  FROM curd WHERE embedding IS NOT NULL GROUP BY 1),
+         |eside_r AS (SELECT source, rnorm, rcen
+         |  FROM ercent JOIN ern USING (source)),
+         |eside_c AS (SELECT source, cnorm, ccen
+         |  FROM eccent JOIN ecn USING (source)),
+         |eout AS (SELECT source,
+         |  round(${SimilarityQueries.dotSql("rcen", "ccen")} /
+         |    nullif(sqrt(${SimilarityQueries.dotSql("rcen", "rcen")}) * sqrt(${SimilarityQueries.dotSql("ccen", "ccen")}), 0), 6) AS centroid_cosine,
+         |  round(cnorm / nullif(rnorm, 0), 6) AS norm_ratio
+         |  FROM eside_r FULL OUTER JOIN eside_c USING (source))
+         |SELECT source, coalesce(n_ref, 0) AS n_ref,
+         |  coalesce(n_cur, 0) AS n_cur,
+         |  psi, ks, js, centroid_cosine, norm_ratio
+         |FROM kout
+         |FULL OUTER JOIN pout USING (source)
+         |FULL OUTER JOIN jout USING (source)
+         |FULL OUTER JOIN eout USING (source)""".stripMargin,
 
     "shard_rendezvous" ->
       """SELECT c_custkey,

@@ -38,7 +38,7 @@ object SimilarityQueries {
     String, (Similarity.IvfIndex, Similarity.PqIndex, String)]()
 
   // DuckDB: sequential-fold dot product of two list columns in double.
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
 
   // Shared IVF oracle CTE chain: centroids → query assignment to the
@@ -991,8 +991,7 @@ object SimilarityQueries {
       s"""WITH ${TextQueries.wordsCte},
          |${TextQueries.shinglesCte},
          |${TextQueries.cappedCte},
-         |${TextQueries.sigCte("shf")},
-         |${TextQueries.candCte},
+         |${TextQueries.plannedCandCtes("shf", 0.8)},
          |${TextQueries.interCte("shf")},
          |lex AS (SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -1389,14 +1388,17 @@ object SimilarityQueries {
          |  FROM r GROUP BY 1),
          |cn AS (SELECT label, count(*) AS n_cur,
          |    round(avg(sqrt(${dotSql("embedding", "embedding")})), 6) AS cnorm
-         |  FROM c GROUP BY 1)
-         |SELECT rcent.label, rn.n_ref, cn.n_cur,
+         |  FROM c GROUP BY 1),
+         |side_r AS (SELECT label, n_ref, rnorm, rcen
+         |  FROM rcent JOIN rn USING (label)),
+         |side_c AS (SELECT label, n_cur, cnorm, ccen
+         |  FROM ccent JOIN cn USING (label))
+         |SELECT label, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
          |  round(${dotSql("rcen", "ccen")} /
          |    nullif(sqrt(${dotSql("rcen", "rcen")}) *
          |           sqrt(${dotSql("ccen", "ccen")}), 0), 6) AS centroid_cosine,
          |  round(cnorm / nullif(rnorm, 0), 6) AS norm_ratio
-         |FROM rcent JOIN ccent USING (label)
-         |JOIN rn USING (label) JOIN cn USING (label)""".stripMargin,
+         |FROM side_r FULL OUTER JOIN side_c USING (label)""".stripMargin,
 
     "knn_label_accuracy" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS tl

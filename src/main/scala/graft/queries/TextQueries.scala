@@ -47,6 +47,9 @@ object TextQueries {
     s"""docs_skewed AS (SELECT doc_id,
        |  CASE WHEN doc_id % 5 = 0 THEN '$HotText' ELSE text END AS text
        |  FROM documents)""".stripMargin
+  // LEGACY fixed-banding signature (single md5, 4 chunk permutations,
+  // r = 1): kept ONLY for the dedup_minhash_lsh gate, which pins the
+  // explicit-override path (nearDuplicates(bands = Some(b))).
   private[queries] def sigCte(src: String) =
     s"""sig AS (SELECT doc_id, b, min(substr(md5(shingle), 1 + 8*b, 8)) AS minhash
        |  FROM $src, (SELECT unnest(range(4)) AS b) bands GROUP BY doc_id, b)""".stripMargin
@@ -54,6 +57,35 @@ object TextQueries {
     """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sig a JOIN sig b ON a.b = b.b AND a.minhash = b.minhash
       |    AND a.doc_id < b.doc_id)""".stripMargin
+  // Planner-banded LSH candidates — the DEFAULT nearDuplicates path since
+  // round 14 (round-13 verdict #2). The `plan` CTE re-derives bandsFor's
+  // pick INDEPENDENTLY from the divisor grid (argmin |t½ − t|, t½ =
+  // (1/b)^(b/nPerms), ties → more bands); permutation p's hash is hex
+  // chunk (p mod 4) of md5((p div 4) ':' shingle) — four 32-bit
+  // permutations per md5, mirroring minhashSignaturesPlanned — and a
+  // band's bucket concatenates its rowsPerBand minima in perm order.
+  // floor(), not a cast, for the band index (DuckDB CASTs round, Spark's
+  // truncate — floor agrees everywhere).
+  private[queries] def plannedCandCtes(src: String, t: Double,
+                                       nPerms: Int = 16): String =
+    s"""plan AS (SELECT CAST(b AS INTEGER) AS bands,
+       |    CAST($nPerms / b AS INTEGER) AS rpb
+       |  FROM (SELECT unnest(range(1, ${nPerms + 1})) AS b)
+       |  WHERE $nPerms % b = 0
+       |  ORDER BY abs(power(1.0 / b, CAST(b AS DOUBLE) / $nPerms) - $t),
+       |    b DESC LIMIT 1),
+       |mh AS (SELECT doc_id, perm,
+       |    min(substr(md5(CAST(perm // 4 AS VARCHAR) || ':' || shingle),
+       |      CAST(1 + 8 * (perm % 4) AS INTEGER), 8)) AS mh
+       |  FROM $src, (SELECT unnest(range($nPerms)) AS perm) perms
+       |  GROUP BY 1, 2),
+       |sig AS (SELECT doc_id,
+       |    CAST(floor(perm / (SELECT rpb FROM plan)) AS INTEGER) AS band,
+       |    string_agg(mh, '' ORDER BY perm) AS bucket
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id)""".stripMargin
   private[queries] def interCte(src: String) =
     s"""sz AS (SELECT doc_id, count(*) AS sz FROM $src GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -296,7 +328,8 @@ object TextQueries {
     "dedup_near_duplicates" -> { (s, dir) =>
       Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.8)
         .select(col("doc_a"), col("doc_b"), col("inter"),
-          round(col("jaccard"), 6).as("jaccard"))
+          round(col("jaccard"), 6).as("jaccard"), col("bands"),
+          col("rows_per_band"))
     },
 
     // Skewed derived corpus for the stress gates (see skewedDocsCte).
@@ -309,7 +342,8 @@ object TextQueries {
           .otherwise(col("text")).as("text"))
       Dedup.nearDuplicates(skewed, "doc_id", "text", minJaccard = 0.8)
         .select(col("doc_a"), col("doc_b"), col("inter"),
-          round(col("jaccard"), 6).as("jaccard"))
+          round(col("jaccard"), 6).as("jaccard"), col("bands"),
+          col("rows_per_band"))
     },
 
     "skew_stress_containment" -> { (s, dir) =>
@@ -379,10 +413,29 @@ object TextQueries {
     // are the EXECUTED pick; the oracle re-derives (b, r) independently
     // from the divisor grid (argmin |t½ − 0.7|, ties → more bands) and
     // bands its own md5-permutation signatures with it, so a planner/
-    // execution divergence on either side hash-mismatches.
+    // execution divergence on either side hash-mismatches. Since round
+    // 14 the planner IS nearDuplicates' default path (round-13 verdict
+    // #2) — this gate pins it at a threshold the other dedup gates
+    // don't use.
     "dedup_lsh_planned" -> { (s, dir) =>
-      Dedup.nearDuplicatesPlanned(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
           minJaccard = 0.7, nPerms = 16)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"), col("bands"),
+          col("rows_per_band"))
+    },
+
+    // L297 bench row (round-13 verdict #3): the PRODUCTION one-pass
+    // Kirsch–Mitzenmacher path at the same (t, nPerms) as
+    // dedup_lsh_planned, so the production path's cost is MEASURED
+    // against the relational path's, not inferred. No DuckDB oracle (the
+    // wrapping 64-bit h1 + i·h2 arithmetic has no safe SQL form) — the
+    // driver records a rows-only check; Round13OpsSpec ties the two
+    // paths on planted duplicates, and every emitted pair is
+    // exact-Jaccard verified regardless of the hash family.
+    "dedup_lsh_planned_onepass" -> { (s, dir) =>
+      Dedup.nearDuplicatesPlannedOnePass(Tables.documents(s, dir), "doc_id",
+          "text", minJaccard = 0.7, nPerms = 16)
         .select(col("doc_a"), col("doc_b"), col("inter"),
           round(col("jaccard"), 6).as("jaccard"), col("bands"),
           col("rows_per_band"))
@@ -856,8 +909,12 @@ object TextQueries {
       // bench measured the funnel at >4 s vs 1.8 s for exactly this).
       val sh = OpCaches.scoped(
         Dedup.shingleSets(docs, "doc_id", "text", 3, Some(0.1)))
-      val cand = OpCaches.scoped(
-        Dedup.lshCandidates(Dedup.minhashSignatures(sh, "doc_id"), "doc_id"))
+      // Planner-chosen banding at this funnel's own threshold — the same
+      // default path nearDuplicates runs, so n_candidates reports what the
+      // production pipeline actually generated.
+      val cand = OpCaches.scoped(Dedup.lshCandidates(
+        Dedup.minhashSignaturesPlanned(sh, "doc_id", Dedup.bandsFor(16, 0.8)),
+        "doc_id"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
@@ -1658,11 +1715,12 @@ object TextQueries {
       s"""WITH $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")}
          |SELECT i.doc_a, i.doc_b, i.inter,
-         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
+         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard,
+         |  (SELECT bands FROM plan) AS bands,
+         |  (SELECT rpb FROM plan) AS rows_per_band
          |FROM inter i
          |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
@@ -1672,8 +1730,7 @@ object TextQueries {
       s"""WITH $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.5)},
          |${interCte("shf")},
          |pairs AS (SELECT i.doc_a, i.doc_b,
          |    round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS j
@@ -1700,11 +1757,12 @@ object TextQueries {
          |${wordsCteFor("docs_skewed")},
          |$shinglesCte,
          |${cappedCteFor("docs_skewed")},
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")}
          |SELECT i.doc_a, i.doc_b, i.inter,
-         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard
+         |  round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 6) AS jaccard,
+         |  (SELECT bands FROM plan) AS bands,
+         |  (SELECT rpb FROM plan) AS rows_per_band
          |FROM inter i
          |JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
@@ -1740,30 +1798,14 @@ object TextQueries {
 
     // The oracle PICKS ITS OWN banding from the same closed form the
     // engine's bandsFor uses (divisor grid, argmin |t_mid − 0.7|, ties →
-    // more bands) and bands md5-permutation signatures with it: floor
-    // division for the band index (DuckDB CASTs round, Spark's truncate —
-    // floor agrees everywhere), string_agg in perm order mirroring the
-    // engine's sorted collect_list concat.
+    // more bands) and bands chunked md5-permutation signatures with it —
+    // the shared plannedCandCtes block (the same independent re-derivation
+    // every planner-banded dedup gate now carries).
     "dedup_lsh_planned" ->
       s"""WITH $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |plan AS (SELECT CAST(b AS INTEGER) AS bands,
-         |    CAST(16 / b AS INTEGER) AS rpb
-         |  FROM (SELECT unnest(range(1, 17)) AS b) WHERE 16 % b = 0
-         |  ORDER BY abs(power(1.0 / b, CAST(b AS DOUBLE) / 16) - 0.7),
-         |    b DESC LIMIT 1),
-         |mh AS (SELECT doc_id, perm,
-         |    min(substr(md5(CAST(perm AS VARCHAR) || ':' || shingle), 1, 8))
-         |      AS mh
-         |  FROM shf, (SELECT unnest(range(16)) AS perm) perms GROUP BY 1, 2),
-         |sig AS (SELECT doc_id,
-         |    CAST(floor(perm / (SELECT rpb FROM plan)) AS INTEGER) AS band,
-         |    string_agg(mh, '' ORDER BY perm) AS bucket
-         |  FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
-         |    AND a.doc_id < b.doc_id),
+         |${plannedCandCtes("shf", 0.7)},
          |sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
          |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cand c JOIN shf a ON a.doc_id = c.doc_a
@@ -1855,8 +1897,7 @@ object TextQueries {
       s"""WITH RECURSIVE $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")},
          |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -1878,8 +1919,7 @@ object TextQueries {
       s"""WITH RECURSIVE $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")},
          |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -1904,8 +1944,7 @@ object TextQueries {
       s"""WITH RECURSIVE $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")},
          |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -1931,8 +1970,7 @@ object TextQueries {
       s"""WITH $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")},
          |victims AS (SELECT DISTINCT i.doc_b AS doc_id FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -1970,8 +2008,7 @@ object TextQueries {
       s"""WITH $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")},
          |victims AS (SELECT DISTINCT i.doc_b AS doc_id FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -1999,8 +2036,7 @@ object TextQueries {
       s"""WITH RECURSIVE $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")},
          |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -2349,8 +2385,7 @@ object TextQueries {
       s"""WITH RECURSIVE $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")},
          |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -2746,8 +2781,7 @@ object TextQueries {
       s"""WITH RECURSIVE $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")},
          |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -3025,8 +3059,7 @@ object TextQueries {
       s"""WITH $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.8)},
          |${interCte("shf")},
          |victims AS (SELECT DISTINCT i.doc_b AS doc_id FROM inter i
          |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -3130,8 +3163,7 @@ object TextQueries {
       s"""WITH $wordsCte,
          |$shinglesCte,
          |$cappedCte,
-         |${sigCte("shf")},
-         |$candCte,
+         |${plannedCandCtes("shf", 0.5)},
          |tsz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
          |ti AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -65,6 +65,14 @@ object StreamAdmission {
     * the distinct (source, value) pairs of the reference plus the batch
     * — bounded by the reference's distinct values per source, never a
     * global cross join.
+    *
+    * A source with NO reference evidence (ksByGroup's n_ref = 0 case,
+    * where the statistic is undefined) reads as MAXIMAL drift: `ks`
+    * coalesces to 1.0 and `admitted` is an explicit `false`, never a
+    * tri-state NULL — matching the PSI arm, where absence shows up as
+    * high PSI against the dense grid. `admit` filtered NULLs out anyway;
+    * this makes the REPORT say the same thing to a consumer reading the
+    * boolean.
     */
   def admissionReportKs(batch: DataFrame, reference: DataFrame,
                         groupCol: String, valueCol: String, quality: Column,
@@ -72,10 +80,11 @@ object StreamAdmission {
     val wil = DataQuality.wilsonShare(batch, groupCol, quality)
       .select(col(groupCol), col("n"), col("wilson_lo"))
     val drift = Stats.ksByGroup(reference, batch, valueCol, groupCol)
-    wil.join(drift.select(col(groupCol), col("ks")), Seq(groupCol))
+    wil.join(drift.select(col(groupCol),
+        coalesce(col("ks"), lit(1.0)).as("ks")), Seq(groupCol))
       .select(col(groupCol), col("n"), col("wilson_lo"), col("ks"),
-        (col("wilson_lo") >= minWilsonLo && col("ks") <= maxKs)
-          .as("admitted"))
+        coalesce(col("wilson_lo") >= minWilsonLo && col("ks") <= maxKs,
+          lit(false)).as("admitted"))
   }
 
   /** [[admit]] under the KS drift arm. */
@@ -84,6 +93,88 @@ object StreamAdmission {
               maxKs: Double): DataFrame = {
     val ok = admissionReportKs(batch, reference, groupCol, valueCol,
         quality, minWilsonLo, maxKs)
+      .filter(col("admitted")).select(col(groupCol))
+    batch.join(broadcast(ok), Seq(groupCol), "left_semi")
+  }
+
+  /** [[admissionReport]] with the drift arm swapped to CATEGORICAL
+    * Jensen–Shannon divergence ([[Stats.jsByGroup]]'s two-snapshot form):
+    * per source, JS of the `catCol` category mix (language shares, script
+    * mixes, format tags) between the reference snapshot and the batch —
+    * the drift a crawler regression shows when every NUMERIC column
+    * still looks stable. Bounded by ln 2, so one `maxJs` threshold works
+    * for every source; the per-source grid is the union of observed
+    * categories, |sources × categories|-bounded.
+    *
+    * A source with NO reference evidence reads as MAXIMAL drift: `js`
+    * is forced to ln 2 (jsByGroup's raw value against an empty side is
+    * ½·ln 2 — a one-sided renormalization artifact, not evidence) and
+    * `admitted` is an explicit false, matching the KS arm's coalesce.
+    */
+  def admissionReportJs(batch: DataFrame, reference: DataFrame,
+                        groupCol: String, catCol: String, quality: Column,
+                        minWilsonLo: Double, maxJs: Double): DataFrame = {
+    val wil = DataQuality.wilsonShare(batch, groupCol, quality)
+      .select(col(groupCol), col("n"), col("wilson_lo"))
+    val drift = Stats.jsByGroup(reference, batch, catCol, groupCol)
+    wil.join(drift.select(col(groupCol),
+        when(col("n_ref") > 0 && col("n_cur") > 0, col("js"))
+          .otherwise(lit(math.log(2.0))).as("js")), Seq(groupCol))
+      .select(col(groupCol), col("n"), col("wilson_lo"), col("js"),
+        coalesce(col("wilson_lo") >= minWilsonLo && col("js") <= maxJs,
+          lit(false)).as("admitted"))
+  }
+
+  /** [[admit]] under the JS categorical drift arm. */
+  def admitJs(batch: DataFrame, reference: DataFrame, groupCol: String,
+              catCol: String, quality: Column, minWilsonLo: Double,
+              maxJs: Double): DataFrame = {
+    val ok = admissionReportJs(batch, reference, groupCol, catCol,
+        quality, minWilsonLo, maxJs)
+      .filter(col("admitted")).select(col(groupCol))
+    batch.join(broadcast(ok), Seq(groupCol), "left_semi")
+  }
+
+  /** [[admissionReport]] with the drift arm swapped to EMBEDDING-SPACE
+    * drift ([[graft.ops.EmbeddingEval.embeddingDriftByGroup]]): per
+    * source, the cosine between the batch's and the reference's centroid
+    * vectors plus the mean-norm ratio — the arm that catches an encoder
+    * regression or silently swapped model while every scalar column
+    * reads stable. Admission requires `centroid_cosine ≥ minCentroidCos`
+    * and `|norm_ratio − 1| ≤ maxNormDelta`. State stays (sources ×
+    * dims)-bounded: two component-mean aggregations per side, nothing
+    * per-document survives the micro-batch.
+    *
+    * A source with no reference evidence has NULL drift metrics —
+    * `admitted` coalesces to an explicit false (no free pass), matching
+    * the other arms.
+    */
+  def admissionReportEmbedding(batch: DataFrame, reference: DataFrame,
+                               groupCol: String, vecCol: String,
+                               quality: Column, minWilsonLo: Double,
+                               minCentroidCos: Double,
+                               maxNormDelta: Double): DataFrame = {
+    val wil = DataQuality.wilsonShare(batch, groupCol, quality)
+      .select(col(groupCol), col("n"), col("wilson_lo"))
+    val drift = graft.ops.EmbeddingEval.embeddingDriftByGroup(
+      reference, batch, vecCol, groupCol)
+    wil.join(drift.select(col(groupCol), col("centroid_cosine"),
+        col("norm_ratio")), Seq(groupCol))
+      .select(col(groupCol), col("n"), col("wilson_lo"),
+        col("centroid_cosine"), col("norm_ratio"),
+        coalesce(col("wilson_lo") >= minWilsonLo &&
+          col("centroid_cosine") >= minCentroidCos &&
+          abs(col("norm_ratio") - 1.0) <= maxNormDelta,
+          lit(false)).as("admitted"))
+  }
+
+  /** [[admit]] under the embedding drift arm. */
+  def admitEmbedding(batch: DataFrame, reference: DataFrame,
+                     groupCol: String, vecCol: String, quality: Column,
+                     minWilsonLo: Double, minCentroidCos: Double,
+                     maxNormDelta: Double): DataFrame = {
+    val ok = admissionReportEmbedding(batch, reference, groupCol, vecCol,
+        quality, minWilsonLo, minCentroidCos, maxNormDelta)
       .filter(col("admitted")).select(col(groupCol))
     batch.join(broadcast(ok), Seq(groupCol), "left_semi")
   }

@@ -65,10 +65,24 @@ object StreamDedup {
     * so a capped run can admit an edge a batch backfill would cap away
     * (or vice versa) near the threshold — exact parity needs
     * `maxDocFrequency = None` (the spec's setting) or a stable hot set.
+    *
+    * Candidate-recall caveat: cross-batch edges are EXACT
+    * (incrementalPairs' shingle equi-join) while within-batch and
+    * batch-backfill edges are planner-banded LSH, whose collision
+    * S-curve crosses ~0.5 AT the threshold itself — so a true pair
+    * sitting just above `minJaccard` can be found by the incremental
+    * path and missed by a backfill (streaming edges are always a
+    * SUPERSET; more perms sharpen the curve around t, they do not move
+    * it). Exact parity therefore holds when the corpus's true pairs sit
+    * well above the threshold — the spec fixtures mine at t far enough
+    * below their pair similarities that candidate recall saturates.
+    * `nPerms` is the sharpness/cost lever, passed through to
+    * [[graft.ops.Dedup.nearDuplicates]].
     */
   def softDedupIngest(store: DataFrame, batch: DataFrame, idCol: String,
                       textCol: String, minJaccard: Double, n: Int = 3,
-                      maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+                      maxDocFrequency: Option[Double] = Some(0.1),
+                      nPerms: Int = 16): DataFrame = {
     import graft.ops.Dedup
     val newDocs = batch.select(col(idCol), col(textCol))
     val crossEdges = Dedup.incrementalPairs(
@@ -78,7 +92,7 @@ object StreamDedup {
         Seq("corpus_id"))
       .select(col("new_id").as("doc_a"), col("cluster_id").as("doc_b"))
     val withinEdges = Dedup.nearDuplicates(newDocs, idCol, textCol, minJaccard,
-        n = n, maxDocFrequency = maxDocFrequency)
+        n = n, maxDocFrequency = maxDocFrequency, nPerms = nPerms)
       .select(col("doc_a"), col("doc_b"))
     val comp = Dedup.clusters(crossEdges.unionByName(withinEdges))
     val newAssigned = newDocs
@@ -106,7 +120,8 @@ object StreamDedup {
                                  batch: DataFrame, idCol: String,
                                  textCol: String, minJaccard: Double,
                                  n: Int = 3,
-                                 maxDocFrequency: Option[Double] = Some(0.1)): DataFrame = {
+                                 maxDocFrequency: Option[Double] = Some(0.1),
+                                 nPerms: Int = 16): DataFrame = {
     import graft.ops.Dedup
     val newDocs = batch.select(col(idCol), col(textCol))
     val crossEdges = Dedup.incrementalPairsPreShingled(
@@ -115,7 +130,7 @@ object StreamDedup {
         Seq("corpus_id"))
       .select(col("new_id").as("doc_a"), col("cluster_id").as("doc_b"))
     val withinEdges = Dedup.nearDuplicates(newDocs, idCol, textCol, minJaccard,
-        n = n, maxDocFrequency = maxDocFrequency)
+        n = n, maxDocFrequency = maxDocFrequency, nPerms = nPerms)
       .select(col("doc_a"), col("doc_b"))
     val comp = Dedup.clusters(crossEdges.unionByName(withinEdges))
     val newAssigned = newDocs

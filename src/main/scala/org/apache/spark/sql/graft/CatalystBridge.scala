@@ -24,4 +24,17 @@ object CatalystBridge {
         Option(w.streamingQuery.lastExecution).map(_.executedPlan.toString)
       case _ => None
     }
+
+  /** The materialized RDD behind a `localCheckpoint`ed Dataset (None for
+    * any other plan shape). `Dataset.unpersist` only touches the
+    * CacheManager entry; the checkpoint's MEMORY_AND_DISK blocks belong to
+    * this underlying RDD (`LogicalRDD` is `private[sql]`), so releasing
+    * them early — instead of waiting for driver GC + ContextCleaner —
+    * needs this handle.
+    */
+  def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

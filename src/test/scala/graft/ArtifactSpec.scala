@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Multimodal, OpCaches, Similarity}
@@ -355,5 +356,28 @@ class ArtifactSpec extends AnyFunSuite {
     while (spark.sparkContext.getPersistentRDDs.size > before &&
            System.nanoTime() < deadline) Thread.sleep(100)
     assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
+  test("releaseAll frees rank-op localCheckpoint blocks (not just caches)") {
+    // The rank/prefix-sum family checkpoints its range-partitioned frame
+    // (lineage truncation — a released cache would silently re-sample
+    // range bounds). Dataset.unpersist can't free those MEMORY_AND_DISK
+    // blocks; OpCaches.scopedCheckpoint registers the underlying RDD so a
+    // long bench/verify session releases them between queries instead of
+    // waiting on driver GC (round-13 ADVICE).
+    OpCaches.releaseAll(blocking = true)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = (1 to 500).map(i => (i.toLong, (i * 37 % 101).toDouble))
+      .toDF("id", "v")
+    val ranked = graft.ops.Stats.withRangeRank(df,
+      Seq(col("v"), col("id")), "rank")
+    assert(ranked.count() == 500)
+    assert(OpCaches.registered > 0, "checkpoint must register for release")
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the checkpointed RDD must hold blocks while registered")
+    OpCaches.releaseAll(blocking = true)
+    assert(OpCaches.registered == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "releaseAll must drop the checkpoint blocks")
   }
 }

@@ -276,13 +276,15 @@ object GraftProperties extends Properties("graft") {
         batches.foreach { b =>
           store = graft.streaming.StreamDedup.softDedupIngest(
             store, b.toDF("doc_id", "text"), "doc_id", "text",
-            minJaccard = mj, maxDocFrequency = None).localCheckpoint()
+            minJaccard = mj, maxDocFrequency = None,
+            nPerms = 64).localCheckpoint()
         }
         val stream = graft.streaming.StreamDedup.softWeights(store, "doc_id")
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         val corpus = docs.toDF("doc_id", "text")
         val cl = graft.ops.Dedup.clusters(graft.ops.Dedup.nearDuplicates(
-          corpus, "doc_id", "text", minJaccard = mj, maxDocFrequency = None))
+          corpus, "doc_id", "text", minJaccard = mj, maxDocFrequency = None,
+          nPerms = 64))
         val sizes = cl.groupBy(col("cluster_id"))
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("sz"))

@@ -934,4 +934,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val sv = plan("ann_ivf_truncated_rerank")
     assert(!sv.contains("CartesianProduct"), sv.take(800))
   }
+
+  test("round-14 unified drift datacard: shared cached scans, bounded spines") {
+    // driftDatacard (L300) composes all four drift statistics from TWO
+    // scope-cached snapshot frames — the components must read the cached
+    // scans (no per-statistic corpus re-scan) and the only nest-loops
+    // allowed are psiByGroup's structurally bounded spines (1-row edge
+    // broadcast per side + groups x bins grid), same budget as the
+    // admission composites. Final assembly is equi-keyed on the group.
+    val dc = plan("dq_drift_datacard")
+    assert(!dc.contains("CartesianProduct"), dc.take(800))
+    assert(dc.contains("InMemoryTableScan"),
+      s"datacard snapshots must be scope-cached:\n${dc.take(1200)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(dc).size
+    assert(bnlj <= 12,
+      s"datacard: only psiByGroup's bounded spines may nest-loop ($bnlj)")
+  }
 }

@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{Dedup, Similarity, Stats}
 
 /** Round-13 batch: the LSH banding planner CONSUMED by execution
-  * (bandsFor → minhashSignaturesPlanned → nearDuplicatesPlanned — the
-  * round-12 verdict's #1 item).
+  * (bandsFor → minhashSignaturesPlanned → nearDuplicates, the round-12
+  * verdict's #1 item; since round 14 the planner IS nearDuplicates'
+  * default banding path).
   */
 class Round13OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -72,8 +73,8 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(b1 == b4)
   }
 
-  test("nearDuplicatesPlanned: executed banding IS the planner's pick") {
-    val got = Dedup.nearDuplicatesPlanned(docs, "doc_id", "text",
+  test("nearDuplicates default path: executed banding IS the planner's pick") {
+    val got = Dedup.nearDuplicates(docs, "doc_id", "text",
       minJaccard = 0.5, nPerms = 16, maxDocFrequency = None)
     val rows = got.collect()
     assert(rows.nonEmpty)

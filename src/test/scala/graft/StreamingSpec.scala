@@ -543,7 +543,7 @@ class StreamingSpec extends AnyFunSuite {
           val store = spark.read.parquet(storePath)
           val updated = graft.streaming.StreamDedup.softDedupIngest(
             store, b.select(col("doc_id"), col("text")), "doc_id", "text",
-            minJaccard = 0.4, maxDocFrequency = None)
+            minJaccard = 0.2, maxDocFrequency = None)
           val next = s"$base/store_v$id"
           updated.write.parquet(next)
           storePath = next
@@ -557,7 +557,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val corpus = spark.read.parquet(rawDir).select(col("doc_id"), col("text"))
     val cl = graft.ops.Dedup.clusters(graft.ops.Dedup.nearDuplicates(
-      corpus, "doc_id", "text", minJaccard = 0.4, maxDocFrequency = None))
+      corpus, "doc_id", "text", minJaccard = 0.2, maxDocFrequency = None))
     val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
     val batchW = corpus.select(col("doc_id"))
       .join(cl, Seq("doc_id"), "left")
@@ -588,18 +588,24 @@ class StreamingSpec extends AnyFunSuite {
     val b1 = Seq((1L, g1), (2L, g2), (3L, g3))
     val b2 = Seq((4L, g1), (5L, g2), (6L, g3), (10L, t("lonely unique text nothing matches")))
     // 8 bridges P and Q: the full concatenation shares all 5 of each
-    // side's shingles (J = 5/12 ≈ 0.417 against both) — above the 0.4
-    // threshold, and the md5-deterministic banding collides it with both
-    // sides (verified: the test is rerun-stable because minhash here is
-    // a pure md5 function of the shingle text, no RNG).
+    // side's shingles (J = 5/12 ≈ 0.417 against both). The parity
+    // fixtures mine at t = 0.2, well BELOW the bridge's similarity: the
+    // planner centers its collision S-curve at the threshold (~50%
+    // candidate recall exactly at t, by design), so a parity spec must
+    // keep its true pairs far above the midpoint — at t = 0.2 bandsFor
+    // picks 16 bands × 1 row and the bridge collides with ≥ 99.98%
+    // probability (verified against the actual md5 values; rerun-stable
+    // because minhash is a pure function of shingle text). Cross-group
+    // vocabulary is disjoint, so lowering t adds no spurious pairs.
     val bridge = g2 + " " + g3
     val b3 = Seq((7L, g1), (8L, bridge), (9L, t("another singleton document entirely")))
     val all = b1 ++ b2 ++ b3
     def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
-    // minJaccard 0.4 so the bridge (≈half its shingles with each side)
-    // links both clusters; df-cap off for exact batch/stream parity (the
-    // cap sees the corpus-at-ingest, not the final corpus).
-    val mj = 0.4
+    // minJaccard 0.2 so the bridge (≈half its shingles with each side)
+    // links both clusters with saturated candidate recall (see above);
+    // df-cap off for exact batch/stream parity (the cap sees the
+    // corpus-at-ingest, not the final corpus).
+    val mj = 0.2
     var store = df(Seq.empty).withColumn("cluster_id", col("doc_id"))
       .select(col("doc_id"), col("cluster_id"), col("text"))
     Seq(b1, b2, b3).foreach { b =>
@@ -1104,5 +1110,210 @@ class StreamingSpec extends AnyFunSuite {
     assert(!gotKs.contains("b21"), s"KS arm: re-ingest must novelty-drop: $gotKs")
     assert((2 to 8).forall(i => gotKs.contains(s"b2$i")) &&
       (1 to 8).forall(i => gotKs.contains(s"c2$i")), gotKs)
+  }
+
+  test("streaming admission JS arm: categorical drift rejects, parity with ordered splits") {
+    // The categorical member of the admission family (round-13 verdict
+    // #4): a source whose LANGUAGE MIX flips reads as drift even though
+    // every numeric column is stable — exactly what the PSI/KS arms
+    // cannot see. Reference mixes are en/de/fr at (.5, .25, .25) per
+    // source.
+    val reference = Seq("a", "b", "c").flatMap { src =>
+      (1 to 6).map(i => (src, s"r$src$i", "en")) ++
+        (1 to 3).map(i => (src, s"rd$src$i", "de")) ++
+        (1 to 3).map(i => (src, s"rf$src$i", "fr"))
+    }.toDF("source", "doc_id", "lang")
+    def doc(src: String, id: String, lang: String, nc: Long) =
+      (src, id, lang, nc, s"document $id from source $src")
+    // Batch 1: a healthy (same mix, all-quality); b lang mix FLIPPED to a
+    // category the reference never saw (JS = ln 2 > 0.2 rejects); c same
+    // mix but low quality (3/8 -> wilson_lo ~ 0.137 < 0.5 rejects).
+    val batch1 =
+      (1 to 4).map(i => doc("a", s"a1$i", "en", 60L)) ++
+        (5 to 6).map(i => doc("a", s"a1$i", "de", 60L)) ++
+        (7 to 8).map(i => doc("a", s"a1$i", "fr", 60L)) ++
+        (1 to 8).map(i => doc("b", s"b1$i", "zz", 60L)) ++
+        (1 to 8).map(i => doc("c", s"c1$i",
+          if (i <= 4) "en" else if (i <= 6) "de" else "fr",
+          if (i <= 3) 60L else 20L))
+    // Batch 2: b recovers its mix; c recovers quality; d is BATCH-ONLY
+    // (no reference evidence): js forced to ln 2, admitted explicit false.
+    val batch2 =
+      (1 to 4).map(i => doc("b", s"b2$i", "en", 60L)) ++
+        (5 to 6).map(i => doc("b", s"b2$i", "de", 60L)) ++
+        (7 to 8).map(i => doc("b", s"b2$i", "fr", 60L)) ++
+        (1 to 4).map(i => doc("c", s"c2$i", "en", 60L)) ++
+        (5 to 6).map(i => doc("c", s"c2$i", "de", 60L)) ++
+        (7 to 8).map(i => doc("c", s"c2$i", "fr", 60L)) ++
+        (1 to 4).map(i => doc("d", s"d2$i", "en", 60L))
+    val splits = Seq(batch1, batch2)
+
+    val rep1 = graft.streaming.StreamAdmission.admissionReportJs(
+        batch1.toDF("source", "doc_id", "lang", "n_chars", "text"),
+        reference, "source", "lang", col("n_chars") > 50,
+        minWilsonLo = 0.5, maxJs = 0.2)
+      .select("source", "js", "admitted")
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(rep1("b")._1 - math.log(2.0)) < 1e-6 && !rep1("b")._2,
+      rep1.toString)
+    assert(rep1("a")._2, rep1.toString)
+    assert(rep1("a")._1 == 0.0, s"identical mix must read js=0: $rep1")
+    assert(!rep1("c")._2, rep1.toString)
+    val rep2 = graft.streaming.StreamAdmission.admissionReportJs(
+        batch2.toDF("source", "doc_id", "lang", "n_chars", "text"),
+        reference, "source", "lang", col("n_chars") > 50,
+        minWilsonLo = 0.5, maxJs = 0.2)
+      .select("source", "js", "admitted")
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // No reference evidence is NEVER a free pass: explicit false, js = ln 2.
+    assert(!rep2("d")._2 && math.abs(rep2("d")._1 - math.log(2.0)) < 1e-6,
+      rep2.toString)
+    assert(rep2("b")._2 && rep2("c")._2, rep2.toString)
+
+    // Full ordered-splits parity, mirroring the KS arm's loop: stream
+    // foreachBatch (admitJs -> novelty -> accumulate store) must equal
+    // the per-split batch recompute.
+    def admitJsBatch(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamAdmission.admitJs(df, reference, "source",
+        "lang", col("n_chars") > 50, minWilsonLo = 0.5, maxJs = 0.2)
+    val input = MemoryStream[(String, String, String, Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, String, String, Long, String)]],
+      spark)
+    val stream = input.toDF().toDF("source", "doc_id", "lang", "n_chars", "text")
+    var curated = Vector.empty[String]
+    var store = Vector.empty[String]
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          val novel = graft.streaming.StreamDedup.novelAgainstStore(
+            graft.streaming.StreamDedup.withContentHash(admitJsBatch(b), "text"),
+            store.toDF("content_hash"), Seq("content_hash")).cache()
+          curated = curated ++ novel.select("doc_id").as[String].collect()
+          store = store ++ novel.select("content_hash").as[String].collect()
+          novel.unpersist()
+          graft.ops.OpCaches.releaseAll()
+        }
+        ()
+      }
+      .start()
+    try {
+      splits.foreach { s => input.addData(s); q.processAllAvailable() }
+    } finally q.stop()
+    var expect = Vector.empty[String]
+    var expectH = Set.empty[String]
+    splits.foreach { s =>
+      val adm = graft.streaming.StreamDedup.withContentHash(
+          admitJsBatch(s.toDF("source", "doc_id", "lang", "n_chars", "text")),
+          "text")
+        .select("doc_id", "content_hash").as[(String, String)].collect()
+      val novel = adm.filterNot(r => expectH.contains(r._2))
+      expect = expect ++ novel.map(_._1)
+      expectH = expectH ++ novel.map(_._2)
+      graft.ops.OpCaches.releaseAll()
+    }
+    assert(curated.sorted == expect.sorted,
+      s"JS stream=${curated.sorted} batch=${expect.sorted}")
+    val got = curated.toSet
+    assert((1 to 8).forall(i => got.contains(s"a1$i")), got)
+    assert(!got.exists(_.startsWith("b1")), s"flipped-mix b admitted: $got")
+    assert(!got.exists(_.startsWith("c1")), s"low-quality c admitted: $got")
+    assert((1 to 8).forall(i => got.contains(s"b2$i")), got)
+    assert(!got.exists(_.startsWith("d2")), s"reference-less d admitted: $got")
+  }
+
+  test("streaming admission EMBEDDING arm: centroid/norm drift rejects, ordered-splits parity") {
+    // The vector member of the admission family: an encoder regression
+    // moves the batch's centroid (direction) or its norms (scale) while
+    // every scalar column stays stable. Reference: source a near e1,
+    // source b near e2, unit norms.
+    def vec(main: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(4)(d => (if (d == main) 1.0 else 0.0) + (if (d == 3) eps else 0.0))
+    val reference = ((1 to 6).map(i => ("a", s"ra$i", vec(0, 0.01 * i))) ++
+      (1 to 6).map(i => ("b", s"rb$i", vec(1, 0.01 * i))))
+      .toDF("source", "doc_id", "emb")
+    def doc(src: String, id: String, v: Seq[Double], nc: Long) =
+      (src, id, v, nc, s"document $id from source $src")
+    // Batch 1: a aligned (cos ~ 1) all-quality; b ROTATED onto e3
+    // (centroid cosine ~ 0 < 0.8 rejects).
+    val batch1 = (1 to 6).map(i => doc("a", s"a1$i", vec(0, 0.01 * i), 60L)) ++
+      (1 to 6).map(i => doc("b", s"b1$i", vec(2, 0.01 * i), 60L))
+    // Batch 2: b re-aligned but NORMS 3x (norm_ratio ~ 3 rejects); a
+    // stays healthy.
+    val batch2 = (1 to 6).map(i => doc("a", s"a2$i", vec(0, 0.01 * i), 60L)) ++
+      (1 to 6).map(i => doc("b", s"b2$i", vec(1, 0.01 * i).map(_ * 3.0), 60L))
+    // Batch 3: b fully recovered.
+    val batch3 = (1 to 6).map(i => doc("b", s"b3$i", vec(1, 0.01 * i), 60L))
+    val splits = Seq(batch1, batch2, batch3)
+
+    val rep1 = graft.streaming.StreamAdmission.admissionReportEmbedding(
+        batch1.toDF("source", "doc_id", "emb", "n_chars", "text"),
+        reference, "source", "emb", col("n_chars") > 50,
+        minWilsonLo = 0.5, minCentroidCos = 0.8, maxNormDelta = 0.2)
+      .select("source", "centroid_cosine", "norm_ratio", "admitted")
+      .as[(String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rep1("a")._3 && rep1("a")._1 > 0.99, rep1.toString)
+    assert(!rep1("b")._3 && rep1("b")._1 < 0.2,
+      s"rotated centroid must reject: $rep1")
+    val rep2 = graft.streaming.StreamAdmission.admissionReportEmbedding(
+        batch2.toDF("source", "doc_id", "emb", "n_chars", "text"),
+        reference, "source", "emb", col("n_chars") > 50,
+        minWilsonLo = 0.5, minCentroidCos = 0.8, maxNormDelta = 0.2)
+      .select("source", "centroid_cosine", "norm_ratio", "admitted")
+      .as[(String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!rep2("b")._3 && math.abs(rep2("b")._2 - 3.0) < 0.05,
+      s"norm drift must reject even with cosine ~1: $rep2")
+    assert(rep2("b")._1 > 0.99, rep2.toString)
+
+    // Ordered-splits parity (same loop shape as the KS/JS arms).
+    def admitEmbBatch(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamAdmission.admitEmbedding(df, reference,
+        "source", "emb", col("n_chars") > 50, minWilsonLo = 0.5,
+        minCentroidCos = 0.8, maxNormDelta = 0.2)
+    val input = MemoryStream[(String, String, Seq[Double], Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, String, Seq[Double], Long, String)]],
+      spark)
+    val stream = input.toDF().toDF("source", "doc_id", "emb", "n_chars", "text")
+    var curated = Vector.empty[String]
+    var store = Vector.empty[String]
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          val novel = graft.streaming.StreamDedup.novelAgainstStore(
+            graft.streaming.StreamDedup.withContentHash(admitEmbBatch(b), "text"),
+            store.toDF("content_hash"), Seq("content_hash")).cache()
+          curated = curated ++ novel.select("doc_id").as[String].collect()
+          store = store ++ novel.select("content_hash").as[String].collect()
+          novel.unpersist()
+          graft.ops.OpCaches.releaseAll()
+        }
+        ()
+      }
+      .start()
+    try {
+      splits.foreach { s => input.addData(s); q.processAllAvailable() }
+    } finally q.stop()
+    var expect = Vector.empty[String]
+    var expectH = Set.empty[String]
+    splits.foreach { s =>
+      val adm = graft.streaming.StreamDedup.withContentHash(
+          admitEmbBatch(s.toDF("source", "doc_id", "emb", "n_chars", "text")),
+          "text")
+        .select("doc_id", "content_hash").as[(String, String)].collect()
+      val novel = adm.filterNot(r => expectH.contains(r._2))
+      expect = expect ++ novel.map(_._1)
+      expectH = expectH ++ novel.map(_._2)
+      graft.ops.OpCaches.releaseAll()
+    }
+    assert(curated.sorted == expect.sorted,
+      s"EMB stream=${curated.sorted} batch=${expect.sorted}")
+    val got = curated.toSet
+    assert((1 to 6).forall(i => got.contains(s"a1$i")), got)
+    assert(!got.exists(_.startsWith("b1")), s"rotated b admitted: $got")
+    assert(!got.exists(_.startsWith("b2")), s"norm-drifted b admitted: $got")
+    assert((1 to 6).forall(i => got.contains(s"b3$i")), got)
   }
 }
