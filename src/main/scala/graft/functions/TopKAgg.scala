@@ -83,3 +83,81 @@ case class TopKAgg(k: Int)
   override def outputEncoder: Encoder[Array[(Long, Double)]] =
     ExpressionEncoder[Array[(Long, Double)]]()
 }
+
+/** Candidate-budget top-k WITH RE-RANK PAYLOAD — the streaming face of
+  * the matryoshka serve stack's closing stages (L295): the buffer keeps
+  * the top `candidates` rows by PREFIX cosine (the candidate-generation
+  * metric; ties → lowest id, matching [[TopKAgg]] and the batch window
+  * gates), each carrying its FULL-dimension cosine as payload, and
+  * `finish` re-ranks the surviving candidates by the full metric and
+  * emits top `k` (id, full_cosine) pairs.
+  *
+  * Semantics match `Similarity.ivfTruncatedRerankKnn` exactly: candidate
+  * cut by (pcos desc, id asc), final order by (fcos desc, id asc).
+  * Because the candidate buffer accumulates across micro-batches, a
+  * query whose probed clusters straddle triggers refines toward the same
+  * answer a batch run over the union produces. State per query key is
+  * `candidates` (id, pcos, fcos) triples — bounded by the candidate
+  * budget, never the scored set.
+  */
+case class TopKRerankAgg(k: Int, candidates: Int)
+    extends Aggregator[(Long, Double, Double),
+      (Array[Long], Array[Double], Array[Double]), Array[(Long, Double)]] {
+  require(k > 0, s"k must be positive, got $k")
+  require(candidates >= k, s"candidate budget must cover k: $candidates < $k")
+
+  override def zero: (Array[Long], Array[Double], Array[Double]) =
+    (Array.fill(candidates)(Long.MaxValue),
+      Array.fill(candidates)(Double.NegativeInfinity),
+      Array.fill(candidates)(Double.NegativeInfinity))
+
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  @inline private def insert(buf: (Array[Long], Array[Double], Array[Double]),
+                             id: Long, pcos: Double, fcos: Double): Unit = {
+    val (ids, pscores, fscores) = buf
+    var worst = 0
+    var j = 1
+    while (j < candidates) {
+      if (beats(pscores(worst), ids(worst), pscores(j), ids(j))) worst = j
+      j += 1
+    }
+    if (beats(pcos, id, pscores(worst), ids(worst))) {
+      ids(worst) = id
+      pscores(worst) = pcos
+      fscores(worst) = fcos
+    }
+  }
+
+  override def reduce(buf: (Array[Long], Array[Double], Array[Double]),
+                      row: (Long, Double, Double)): (Array[Long], Array[Double], Array[Double]) = {
+    insert(buf, row._1, row._2, row._3)
+    buf
+  }
+
+  override def merge(a: (Array[Long], Array[Double], Array[Double]),
+                     b: (Array[Long], Array[Double], Array[Double])): (Array[Long], Array[Double], Array[Double]) = {
+    var j = 0
+    while (j < candidates) {
+      if (b._2(j) != Double.NegativeInfinity || b._1(j) != Long.MaxValue)
+        insert(a, b._1(j), b._2(j), b._3(j))
+      j += 1
+    }
+    a
+  }
+
+  override def finish(buf: (Array[Long], Array[Double], Array[Double])): Array[(Long, Double)] = {
+    val filled = buf._1.indices
+      .filterNot(j => buf._2(j) == Double.NegativeInfinity && buf._1(j) == Long.MaxValue)
+      .map(j => (buf._1(j), buf._3(j)))
+    filled.sortWith { case ((i1, s1), (i2, s2)) => beats(s1, i1, s2, i2) }
+      .take(k).toArray
+  }
+
+  override def bufferEncoder: Encoder[(Array[Long], Array[Double], Array[Double])] =
+    Encoders.tuple(ExpressionEncoder[Array[Long]](),
+      ExpressionEncoder[Array[Double]](), ExpressionEncoder[Array[Double]]())
+  override def outputEncoder: Encoder[Array[(Long, Double)]] =
+    ExpressionEncoder[Array[(Long, Double)]]()
+}

@@ -1334,6 +1334,57 @@ object TextQueries {
             .cast("int").as("admitted"))
     },
 
+    // Curation v8 (round-13 verdict #6): the leakage-safe split COMPOSED
+    // into the funnel — rules → near-dup pair mining (planner-banded
+    // default path) → deterministic 70% sample → pair graph RESTRICTED
+    // to the funnel's survivors (reuse, no re-mining) →
+    // Dedup.leakageSafeSplit → per-doc audit. The `cross_split_dups`
+    // column counts each doc's near-dup partners landing in the OTHER
+    // split — 0 for every row BY CONSTRUCTION (clusters are assigned
+    // wholesale via the hash of the cluster id), and the oracle
+    // re-derives the count independently, so a regression that split a
+    // cluster across train/eval would hash-mismatch, not just fail an
+    // assertion. `weight` is the surviving-cluster soft-dedup weight
+    // (1/|cluster among survivors|). Scale: one pair-mining pass over
+    // the ruled corpus, one components pass over the dup-bounded
+    // surviving pair graph, |pairs|-bounded audit joins.
+    "curation_pipeline_v8" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pass = TextAnalysis.ruleFlags(docs, "doc_id", "text")
+        .filter(col("pass_all") === 1).select(col("doc_id"))
+      val ruled = docs.join(pass, Seq("doc_id"))
+      val pairs = Dedup.nearDuplicates(ruled, "doc_id", "text",
+          minJaccard = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val sampled = OpCaches.scoped(
+        graft.ops.Sampling.bernoulli(ruled, "doc_id", 0.7)
+          .select(col("doc_id"), col("source")))
+      val survPairs = OpCaches.scoped(pairs
+        .join(sampled.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+        .join(sampled.select(col("doc_id").as("doc_b")), Seq("doc_b")))
+      val split = OpCaches.scoped(
+        Dedup.leakageSafeSplit(sampled, survPairs, "doc_id",
+          evalFraction = 0.2))
+      val csz = split.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__csz"))
+      val sides = survPairs
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+        .unionByName(survPairs
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
+      val leak = sides
+        .join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
+        .join(split.select(col("doc_id").as("other"),
+          col("split").as("__osplit")), Seq("other"))
+        .filter(col("split") =!= col("__osplit"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("cross_split_dups"))
+      split.join(sampled, Seq("doc_id"))
+        .join(csz, Seq("cluster_id"))
+        .join(leak, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("cluster_id"),
+          round(lit(1.0) / col("__csz"), 6).as("weight"), col("split"),
+          coalesce(col("cross_split_dups"), lit(0L)).as("cross_split_dups"))
+    },
+
     // BM25 keyword retrieval: top-20 docs for a bounded query-term set —
     // map-side term filter, broadcast df stats, TakeOrdered top-k.
     "text_bm25_topk" -> { (s, dir) =>
@@ -2914,6 +2965,74 @@ object TextQueries {
          |  JOIN admq USING (source) JOIN admd USING (source)
          |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      / 4294967296.0 < 0.5""".stripMargin,
+
+    // v8: rules → planner-banded pair mining on the ruled corpus →
+    // deterministic 70% sample → pair graph restricted to survivors →
+    // cluster-wholesale split (md5 of the CLUSTER id vs 0.2) → per-doc
+    // cross-split audit, re-derived end to end.
+    "curation_pipeline_v8" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |rm AS (SELECT d.doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |    / len(ws) AS awl,
+         |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
+         |    AS BIGINT) AS stop_hits,
+         |  CAST(len(d.text) - len(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g'))
+         |    AS DOUBLE) / greatest(len(d.text), 1) AS sym
+         |  FROM documents d JOIN words USING (doc_id)),
+         |pass AS (SELECT doc_id FROM rm
+         |  WHERE n_words >= 50 AND n_words <= 100000
+         |    AND awl >= 3.0 AND awl <= 10.0
+         |    AND stop_hits >= 2 AND sym <= 0.1),
+         |rw AS (SELECT words.doc_id, ws FROM words JOIN pass USING (doc_id)),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(range(greatest(len(ws)-2, 0)),
+         |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+         |  FROM rw),
+         |shf AS (SELECT doc_id, shingle FROM sh
+         |  WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle
+         |    HAVING count(*) > 0.1 * (SELECT count(*) FROM pass))),
+         |${plannedCandCtes("shf", 0.8)},
+         |${interCte("shf")},
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.8),
+         |sampled AS (SELECT d.doc_id, d.source
+         |  FROM documents d JOIN pass USING (doc_id)
+         |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        / 4294967296.0 < 0.7),
+         |sp AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |  JOIN sampled a ON a.doc_id = p.doc_a
+         |  JOIN sampled b ON b.doc_id = p.doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sp
+         |  UNION SELECT doc_b, doc_a FROM sp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |allc AS (SELECT s.doc_id, s.source,
+         |    coalesce(cl.cluster_id, s.doc_id) AS cluster_id
+         |  FROM sampled s LEFT JOIN cl USING (doc_id)),
+         |spl AS (SELECT *, CASE WHEN
+         |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0 < 0.2 THEN 'eval' ELSE 'train' END AS split
+         |  FROM allc),
+         |csz AS (SELECT cluster_id, count(*) AS csz FROM spl GROUP BY 1),
+         |sides AS (SELECT doc_a AS doc_id, doc_b AS other FROM sp
+         |  UNION ALL SELECT doc_b, doc_a FROM sp),
+         |leak AS (SELECT s.doc_id, count(*) AS cross_split_dups FROM sides s
+         |  JOIN spl me ON me.doc_id = s.doc_id
+         |  JOIN spl o ON o.doc_id = s.other
+         |  WHERE me.split <> o.split GROUP BY 1)
+         |SELECT spl.doc_id, spl.source, spl.cluster_id,
+         |  round(1.0 / csz.csz, 6) AS weight, spl.split,
+         |  coalesce(leak.cross_split_dups, 0) AS cross_split_dups
+         |FROM spl JOIN csz USING (cluster_id)
+         |LEFT JOIN leak USING (doc_id)""".stripMargin,
 
     // v7 report: Wilson bound, BOTH drift statistics, v7 verdict.
     "corpus_admission_report_v7" ->

@@ -74,4 +74,58 @@ object StreamAnnServe {
       .select(col("query_id"), col("__e._1").as("cand_id"),
         col("__e._2").as("cosine"), (col("__pos") + 1).cast("int").as("rn"))
   }
+
+  /** The FULL serve stack in streaming form (L295 / round-13 verdict #7):
+    * IVF coarse routing (map-side probe, stream-static cluster equi-join)
+    * → prefix-truncated CANDIDATE ranking → full-dimension re-rank to
+    * top-k — matching the gated batch
+    * [[Similarity.ivfTruncatedRerankKnn]] answer exactly (same rounding,
+    * same (pcos desc, id) candidate cut, same (fcos desc, id) final
+    * order).
+    *
+    * Single stateful operator: [[graft.functions.TopKRerankAgg]] keeps
+    * the top `candidates` (id, prefix_cos, full_cos) triples per query —
+    * state is the CANDIDATE BUDGET, never the scored set — and its
+    * finish re-ranks survivors by the full metric. Chaining a second
+    * aggregation or a post-aggregation store join (the literal batch
+    * shape) is a multi-stateful-operator pattern streaming restricts;
+    * instead the full-dim cosine rides along as payload, computed during
+    * the candidate scan — in streaming the probed store slice is being
+    * read per micro-batch anyway, so the batch stack's deferred-flops
+    * argument (don't full-score a corpus you'll mostly discard) doesn't
+    * apply to the slice.
+    */
+  def serveTruncatedRerank(queries: DataFrame, store: DataFrame,
+                           index: IvfIndex, idCol: String, vecCol: String,
+                           clusterCol: String, k: Int, nprobe: Int,
+                           prefixDims: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, "candidate budget must cover k")
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qf"),
+        slice(col(vecCol), 1, prefixDims).as("__qp"))
+      .withColumn("__qfn", normD(col("__qf")))
+      .withColumn("__qpn", normD(col("__qp")))
+      .withColumn("cluster",
+        explode(Similarity.probeClusters(col("__qf"), col("__qfn"),
+          index, nprobe)))
+    val c = store
+      .select(col(idCol).as("cand_id"), col(vecCol).as("__cf"),
+        slice(col(vecCol), 1, prefixDims).as("__cp"),
+        col(clusterCol).as("cluster"))
+      .withColumn("__cfn", normD(col("__cf")))
+      .withColumn("__cpn", normD(col("__cp")))
+    val topr = udaf(graft.functions.TopKRerankAgg(k, candidates))
+    q.join(c, Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dotD(col("__qp"), col("__cp")) /
+          nullif(col("__qpn") * col("__cpn"), lit(0.0)), 6).as("pcos"),
+        round(dotD(col("__qf"), col("__cf")) /
+          nullif(col("__qfn") * col("__cfn"), lit(0.0)), 6).as("fcos"))
+      .groupBy(col("query_id"))
+      .agg(topr(col("cand_id"), col("pcos"), col("fcos")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e._1").as("cand_id"),
+        col("__e._2").as("cosine"), (col("__pos") + 1).cast("int").as("rn"))
+  }
 }

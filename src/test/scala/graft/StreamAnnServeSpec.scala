@@ -62,6 +62,65 @@ class StreamAnnServeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed truncated+re-rank stack equals batch ivfTruncatedRerankKnn across splits") {
+    // The full three-lever serve stack (L295) in streaming form: 4-dim
+    // vectors whose PREFIX (first 2 dims) ranking provably differs from
+    // the full ranking — the tail dims vary independently — so the
+    // re-rank stage has real work, and a candidate budget (5) below the
+    // probed cluster's size (8) so the truncated cut engages too.
+    val st4 = ((1L to 8L).map(i => Vec(i,
+      Array(1.0f, (i * 0.01).toFloat,
+        ((i * 7) % 5 * 0.1).toFloat, ((i * 3) % 4 * 0.1).toFloat), 0L)) ++
+      (9L to 16L).map(i => Vec(i,
+        Array((i * 0.01).toFloat, 1.0f,
+          ((i * 5) % 3 * 0.1).toFloat, ((i * 2) % 5 * 0.1).toFloat), 1L)))
+      .toDF("vec_id", "embedding", "label")
+    val idx = Similarity.ivfFit(st4, "label", "embedding")
+    val qrows = Seq(
+      Vec(101L, Array(1.0f, 0.05f, 0.2f, 0.1f), 0L),
+      Vec(102L, Array(0.02f, 1.0f, 0.1f, 0.3f), 0L),
+      Vec(103L, Array(1.0f, 0.11f, 0.0f, 0.2f), 0L))
+    val expected = Similarity.ivfTruncatedRerankKnn(st4,
+        qrows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", k = 3, nprobe = 1,
+        prefixDims = 2, candidates = 5, index = Some(idx))
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    val input = MemoryStream[Vec](implicitly[org.apache.spark.sql.Encoder[Vec]], spark)
+    val served = graft.streaming.StreamAnnServe.serveTruncatedRerank(
+      input.toDF(), st4, idx, "vec_id", "embedding", "label",
+      k = 3, nprobe = 1, prefixDims = 2, candidates = 5)
+    val q = served.writeStream.outputMode("complete")
+      .format("memory").queryName("ann_serve_rerank").start()
+    try {
+      input.addData(qrows.take(1))
+      q.processAllAvailable()
+      input.addData(qrows.drop(1))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_rerank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == expected, s"stream/batch stack divergence:\n$got\nvs\n$expected")
+    } finally q.stop()
+    // The re-rank provably engages: the final (query, cand, rank) set is
+    // NOT what prefix-only scoring produces — the tail dims invert at
+    // least one candidate pair on this fixture.
+    val prefixRank = Similarity.bruteForceKnn(
+        st4.select(col("vec_id"),
+          org.apache.spark.sql.functions.slice(col("embedding"), 1, 2)
+            .as("embedding")),
+        qrows.toDF("vec_id", "embedding", "label")
+          .select(col("vec_id"),
+            org.apache.spark.sql.functions.slice(col("embedding"), 1, 2)
+              .as("embedding")),
+        "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("cand_id"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSet
+    val reranked = expected.map(r => (r._1, r._2, r._4))
+    assert(reranked != prefixRank,
+      s"fixture must make the full-dim re-rank change the answer: $reranked")
+  }
+
   test("scoredCandidates only touches the probed cluster's store slice") {
     val st = store
     val idx = Similarity.ivfFit(st, "label", "embedding")

@@ -49,6 +49,11 @@ DEFAULT=$DEFAULT,dedup_lsh_planned,ann_truncated_rerank,curation_pipeline_v7
 # Round-13 late additions (first sf1 measurement seeds on the next run —
 # the two-pass protocol: expect first-run floor flags only if >4 s).
 DEFAULT=$DEFAULT,dq_js_by_source,dq_embedding_drift,ann_ivf_truncated_rerank
+# Round-14 (r13 verdict #3/#5/#6): the one-pass production LSH path
+# measured against the relational dedup_lsh_planned at the same
+# (t, nPerms); the unified drift datacard; the leakage-safe curation v8.
+DEFAULT=$DEFAULT,dedup_lsh_planned_onepass,dq_drift_datacard
+DEFAULT=$DEFAULT,curation_pipeline_v8
 ONLY="${SPARK_GRAFT_SF1_ONLY:-$DEFAULT}"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_HISTORY=bench_history_sf1.json \
