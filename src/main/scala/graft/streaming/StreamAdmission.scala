@@ -178,4 +178,62 @@ object StreamAdmission {
       .filter(col("admitted")).select(col(groupCol))
     batch.join(broadcast(ok), Seq(groupCol), "left_semi")
   }
+
+  /** The FOUR-ARM admission datacard per micro-batch — the streaming
+    * face of [[DataQuality.driftDatacard]] (L300): per source, the batch
+    * row count and Wilson quality bound next to ALL FOUR drift
+    * statistics against the reference snapshot (PSI binned numeric, KS
+    * continuous numeric, JS categorical, centroid-cosine + norm-ratio
+    * vector) and one composite verdict. This is the per-ingest log line
+    * a 100 TB pipeline keeps: when arms disagree (a stable value
+    * distribution with a flipped language mix; a stable scalar profile
+    * with a rotated embedding centroid), the datacard shows WHICH
+    * modality moved, where a single-arm gate only says "rejected".
+    *
+    * Absence-of-reference-evidence semantics match the single arms:
+    * PSI reads high off the dense grid, KS coalesces to 1.0, JS to ln 2,
+    * the vector metrics stay NULL — and the verdict is an explicit
+    * false, never NULL. State is |sources|-bounded; the reference is a
+    * static frame (stream-static semantics); call
+    * `OpCaches.releaseAll()` per batch as with the other arms
+    * (driftDatacard scope-caches both snapshots).
+    */
+  def admissionDatacard(batch: DataFrame, reference: DataFrame,
+                        groupCol: String, valueCol: String, catCol: String,
+                        vecCol: String, quality: Column,
+                        minWilsonLo: Double, maxPsi: Double, maxKs: Double,
+                        maxJs: Double, minCentroidCos: Double,
+                        maxNormDelta: Double, bins: Int = 10): DataFrame = {
+    val wil = DataQuality.wilsonShare(batch, groupCol, quality)
+      .select(col(groupCol), col("n"), col("wilson_lo"))
+    val card = graft.ops.DataQuality.driftDatacard(
+      reference, batch, groupCol, valueCol, catCol, vecCol, bins)
+    wil.join(card.select(col(groupCol), col("n_ref"), col("psi"),
+        coalesce(col("ks"), lit(1.0)).as("ks"),
+        when(col("n_ref") > 0, col("js"))
+          .otherwise(lit(math.log(2.0))).as("js"),
+        col("centroid_cosine"), col("norm_ratio")), Seq(groupCol))
+      .select(col(groupCol), col("n"), col("wilson_lo"), col("psi"),
+        col("ks"), col("js"), col("centroid_cosine"), col("norm_ratio"),
+        coalesce(col("wilson_lo") >= minWilsonLo &&
+          col("psi") <= maxPsi && col("ks") <= maxKs &&
+          col("js") <= maxJs &&
+          col("centroid_cosine") >= minCentroidCos &&
+          abs(col("norm_ratio") - 1.0) <= maxNormDelta,
+          lit(false)).as("admitted"))
+  }
+
+  /** [[admit]] under the full four-arm datacard verdict. */
+  def admitDatacard(batch: DataFrame, reference: DataFrame,
+                    groupCol: String, valueCol: String, catCol: String,
+                    vecCol: String, quality: Column, minWilsonLo: Double,
+                    maxPsi: Double, maxKs: Double, maxJs: Double,
+                    minCentroidCos: Double, maxNormDelta: Double,
+                    bins: Int = 10): DataFrame = {
+    val ok = admissionDatacard(batch, reference, groupCol, valueCol,
+        catCol, vecCol, quality, minWilsonLo, maxPsi, maxKs, maxJs,
+        minCentroidCos, maxNormDelta, bins)
+      .filter(col("admitted")).select(col(groupCol))
+    batch.join(broadcast(ok), Seq(groupCol), "left_semi")
+  }
 }

@@ -1316,4 +1316,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_.startsWith("b2")), s"norm-drifted b admitted: $got")
     assert((1 to 6).forall(i => got.contains(s"b3$i")), got)
   }
+
+  test("streaming admission DATACARD: four arms in one report, each tripping its own source") {
+    // The per-ingest log line (streaming face of dq_drift_datacard):
+    // five sources, each failing exactly one arm — the datacard must
+    // show WHICH modality moved, and the composite verdict must reject
+    // each for its own reason while admitting the healthy source.
+    def vec(main: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(4)(d => (if (d == main) 1.0 else 0.0) + (if (d == 3) eps else 0.0))
+    val srcs = Seq("ok", "numdrift", "catdrift", "vecdrift", "lowq")
+    val reference = srcs.flatMap { src =>
+      (1 to 12).map { i =>
+        val lang = if (i <= 6) "en" else if (i <= 9) "de" else "fr"
+        (src, s"r$src$i", 40L + i * 5, lang, vec(0, 0.01 * i))
+      }
+    }.toDF("source", "doc_id", "n_chars", "lang", "emb")
+    // Healthy batches SPREAD n_chars across the reference range (45+7i —
+    // the r13 admission-fixture discipline: a batch concentrated on one
+    // value reads as KS drift against a spread reference, correctly).
+    def healthyRow(src: String, i: Int) = {
+      val lang = if (i <= 4) "en" else if (i <= 6) "de" else "fr"
+      (src, s"b$src$i", 45L + i * 7, lang, vec(0, 0.01 * i))
+    }
+    val batch = (
+      (1 to 8).map(i => healthyRow("ok", i)) ++
+        // numeric drift: n_chars ~10x the reference range, mix/vectors fine
+        (1 to 8).map { i =>
+          val h = healthyRow("numdrift", i); (h._1, h._2, 900L + i, h._4, h._5)
+        } ++
+        // categorical drift: lang flipped to an unseen category
+        (1 to 8).map { i =>
+          val h = healthyRow("catdrift", i); (h._1, h._2, h._3, "zz", h._5)
+        } ++
+        // vector drift: centroid rotated onto another axis
+        (1 to 8).map { i =>
+          val h = healthyRow("vecdrift", i); (h._1, h._2, h._3, h._4, vec(2, 0.01 * i))
+        } ++
+        // low quality: 3 of 8 pass the quality predicate
+        (1 to 8).map { i =>
+          val h = healthyRow("lowq", i)
+          (h._1, h._2, if (i <= 3) h._3 else 20L + i, h._4, h._5)
+        }
+      ).toDF("source", "doc_id", "n_chars", "lang", "emb")
+
+    val rep = graft.streaming.StreamAdmission.admissionDatacard(
+        batch, reference, "source", "n_chars", "lang", "emb",
+        col("n_chars") > 50, minWilsonLo = 0.5, maxPsi = 1.0, maxKs = 0.4,
+        maxJs = 0.2, minCentroidCos = 0.8, maxNormDelta = 0.2)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    graft.ops.OpCaches.releaseAll()
+    assert(rep("ok").getAs[Boolean]("admitted"), rep("ok").toString)
+    assert(!rep("numdrift").getAs[Boolean]("admitted"))
+    assert(rep("numdrift").getAs[Double]("ks") > 0.4,
+      s"numeric arm must trip: ${rep("numdrift")}")
+    assert(rep("numdrift").getAs[Double]("js") <= 0.2,
+      s"categorical arm must NOT trip on numeric drift: ${rep("numdrift")}")
+    assert(!rep("catdrift").getAs[Boolean]("admitted"))
+    assert(rep("catdrift").getAs[Double]("js") > 0.2 &&
+      rep("catdrift").getAs[Double]("ks") <= 0.4,
+      s"only the categorical arm moves: ${rep("catdrift")}")
+    assert(!rep("vecdrift").getAs[Boolean]("admitted"))
+    assert(rep("vecdrift").getAs[Double]("centroid_cosine") < 0.2 &&
+      rep("vecdrift").getAs[Double]("js") <= 0.2 &&
+      rep("vecdrift").getAs[Double]("ks") <= 0.4,
+      s"only the vector arm moves: ${rep("vecdrift")}")
+    assert(!rep("lowq").getAs[Boolean]("admitted"))
+    assert(rep("lowq").getAs[Double]("wilson_lo") < 0.5, rep("lowq").toString)
+
+    // admitDatacard keeps exactly the healthy source's documents.
+    val adm = graft.streaming.StreamAdmission.admitDatacard(
+        batch, reference, "source", "n_chars", "lang", "emb",
+        col("n_chars") > 50, minWilsonLo = 0.5, maxPsi = 1.0, maxKs = 0.4,
+        maxJs = 0.2, minCentroidCos = 0.8, maxNormDelta = 0.2)
+      .select("source").distinct().as[String].collect().toSet
+    graft.ops.OpCaches.releaseAll()
+    assert(adm == Set("ok"), s"only the healthy source survives: $adm")
+  }
 }
