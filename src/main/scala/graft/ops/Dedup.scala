@@ -97,8 +97,17 @@ object Dedup {
     * [[minhashSignaturesOnePass]].
     */
   def minhashSignaturesPlanned(shingles: DataFrame, idCol: String,
-                               plan: LshBanding): DataFrame = {
-    val k = plan.bands * plan.rowsPerBand
+                               plan: LshBanding): DataFrame =
+    bandBuckets(permMinima(shingles, idCol,
+      plan.bands * plan.rowsPerBand), idCol, plan)
+
+  /** Per-permutation minhash minima — (idCol, perm, mh), k rows per doc:
+    * the chunked scheme's first aggregation, exposed because this IS the
+    * signature-store row format an incremental pipeline accumulates
+    * ([[minhashStore]] / [[incrementalPairsSignatureStore]]).
+    */
+  private[graft] def permMinima(shingles: DataFrame, idCol: String,
+                                k: Int): DataFrame = {
     val nGroups = (k + 3) / 4
     shingles
       .select(col(idCol),
@@ -113,14 +122,88 @@ object Dedup {
       .filter(col("perm") < k)
       .groupBy(col(idCol), col("perm"))
       .agg(min(col("__h")).as("mh"))
-      // floor(), not an int cast: the oracle side must band identically,
-      // and SQL engines disagree on double→int casts (DuckDB rounds,
-      // Spark truncates) — floor is unambiguous in both.
+  }
+
+  /** Band-bucket keys from per-perm minima — the planned scheme's second
+    * aggregation. floor(), not an int cast: the oracle side must band
+    * identically, and SQL engines disagree on double→int casts (DuckDB
+    * rounds, Spark truncates) — floor is unambiguous in both.
+    */
+  private def bandBuckets(minima: DataFrame, idCol: String,
+                          plan: LshBanding): DataFrame =
+    minima
       .groupBy(col(idCol),
         floor(col("perm") / plan.rowsPerBand).cast("int").as("band"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
           x => x.getField("mh")), "").as("minhash"))
+
+  /** Build the SIGNATURE STORE for a document frame: (idCol, perm, mh),
+    * `nPerms` rows per document — what a continuously-ingesting dedup
+    * pipeline appends per batch instead of (or alongside) a shingle
+    * store. k × 8-char strings per doc ≈ 200 bytes regardless of
+    * document size, so the store a year of ingest accumulates is
+    * signature-sized, not corpus-sized — the piece that makes
+    * [[incrementalPairsSignatureStore]] the 100 TB incremental shape.
+    *
+    * CONSISTENCY contract: the probe recomputes batch signatures with
+    * the same (nPerms, n, maxDocFrequency) — signatures from differently
+    * capped shingle sets would disagree on minima and bias the estimate
+    * low. Default cap is None for exactly that reason; if you cap,
+    * cap both sides identically.
+    */
+  def minhashStore(docs: DataFrame, idCol: String, textCol: String,
+                   nPerms: Int = 16, n: Int = 3,
+                   maxDocFrequency: Option[Double] = None): DataFrame =
+    permMinima(shingleSets(docs, idCol, textCol, n, maxDocFrequency),
+      idCol, nPerms)
+
+  /** Incremental near-dup probe against a SIGNATURE store (L307): the
+    * batch's banded buckets equi-join the store's banded buckets for
+    * candidates (planner-chosen banding at the estimate threshold), and
+    * similarity is ESTIMATED from per-permutation agreement over the
+    * full k permutations — Ĵ = n_match/k, the unbiased minhash
+    * estimator — cut at the integer rank ⌈t·k⌉. No shingle store, no
+    * document bodies: the join carries signatures only (k 8-char
+    * strings per doc), which is what makes this the incremental shape
+    * when history is petabytes — [[incrementalPairs]] (exact, shingle
+    * store) remains the high-precision tier for candidate confirmation.
+    * Estimator resolution is 1/k; at k = 16 the cut t = 0.5 admits
+    * pairs with ≥ 8 agreeing permutations (σ ≈ 0.125 at J = 0.5 — use
+    * more perms when the threshold must be sharp).
+    */
+  def incrementalPairsSignatureStore(newDocs: DataFrame, store: DataFrame,
+                                     idCol: String, textCol: String,
+                                     minJaccardEst: Double,
+                                     nPerms: Int = 16, n: Int = 3,
+                                     maxDocFrequency: Option[Double] = None): DataFrame = {
+    val plan = bandsFor(nPerms, minJaccardEst)
+    val k = plan.bands * plan.rowsPerBand
+    val minCut = math.ceil(minJaccardEst * k).toInt
+    val newSig = OpCaches.scoped(
+      minhashStore(newDocs, idCol, textCol, nPerms, n, maxDocFrequency))
+    val corpSig = OpCaches.scoped(store.select(col(idCol), col("perm"),
+      col("mh")))
+    val cand = bandBuckets(newSig, idCol, plan)
+      .select(col(idCol).as("new_id"), col("band"), col("minhash"))
+      .join(bandBuckets(corpSig, idCol, plan)
+        .select(col(idCol).as("corpus_id"), col("band"), col("minhash")),
+        Seq("band", "minhash"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(newSig.select(col(idCol).as("new_id"), col("perm"),
+        col("mh").as("__mn")), Seq("new_id"))
+      .join(corpSig.select(col(idCol).as("corpus_id"), col("perm"),
+        col("mh").as("__mc")), Seq("corpus_id", "perm"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(sum(when(col("__mn") === col("__mc"), 1L).otherwise(0L))
+        .as("n_match"))
+      .filter(col("n_match") >= minCut)
+      .select(col("new_id"), col("corpus_id"), col("n_match"),
+        round(col("n_match").cast("double") / k, 6).as("jaccard_est"),
+        lit(plan.bands).as("bands"), lit(plan.rowsPerBand).as("rows_per_band"))
   }
 
   /** Exact-Jaccard verification of candidate pairs, stamped with the

@@ -279,15 +279,24 @@ object Stats {
             floor((v - col("__lo")) / ((col("__hi") - col("__lo")) / bins)))
             .otherwise(lit(0)))).cast("int").as("bin"))
       .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("__n")))
-    val refB = binned(ref)
-    val curB = binned(cur)
-    // Dense (group × bin) grid so missing bins smooth to 0.5/(tot+0.5·bins)
-    // instead of dropping out: groups = union of both sides (a group
-    // present only in `cur` is maximal drift, not absence of evidence).
+    psiFromBinnedByGroup(binned(ref), binned(cur), groupCol, bins,
+      ref.sparkSession)
+  }
+
+  /** Shared smoothed-PSI tail over per-(group, bin) COUNT frames — the
+    * downstream of [[psiByGroup]] (fixed-width bins) and
+    * [[psiByGroupQuantile]] (reference-quantile bins): dense
+    * (group × bin) grid so missing bins smooth to 0.5/(tot+0.5·bins)
+    * instead of dropping out; groups = union of both sides (a group
+    * present only in `cur` is maximal drift, not absence of evidence).
+    */
+  private def psiFromBinnedByGroup(refB: DataFrame, curB: DataFrame,
+                                   groupCol: String, bins: Int,
+                                   spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val groups = refB.select(col(groupCol))
       .union(curB.select(col(groupCol))).distinct()
     val grid = groups.crossJoin(
-      ref.sparkSession.range(bins).select(col("id").cast("int").as("bin")))
+      spark.range(bins).select(col("id").cast("int").as("bin")))
     def shares(df: DataFrame, out: String) = {
       val tot = df.groupBy(col(groupCol)).agg(sum(col("__n")).as("__t"))
       grid.join(df, Seq(groupCol, "bin"), "left")
@@ -302,6 +311,54 @@ object Stats {
           .as("__term"))
       .groupBy(col(groupCol))
       .agg(round(sum(col("__term")), 6).as("psi"))
+  }
+
+  /** [[psiByGroup]] with EQUAL-MASS bins from the reference's exact
+    * GLOBAL quantiles (L308) instead of fixed-width range bins — the
+    * robust production binning: on a heavy-tailed column (bytes,
+    * latencies, token counts) fixed-width bins put ~all mass in bin 0
+    * and PSI goes numb to everything but the tail, while
+    * reference-quantile bins hold ~n/bins rows each by construction, so
+    * every part of the distribution carries equal statistical weight.
+    *
+    * Edges are EXACT order statistics — edge_b = the value at sorted
+    * position ⌈n·b/bins⌉ of the reference — computed with the
+    * range-partitioned rank recipe ([[withRangeRank]]: no
+    * single-partition sort), then collected as a (bins−1)-bounded
+    * driver literal and applied map-side on both snapshots:
+    * bin(v) = #edges strictly below v. Identical 0.5-Laplace smoothing
+    * and dense grid as [[psiByGroup]]; scores remain cross-group
+    * comparable because every group is binned on the same global edges.
+    */
+  def psiByGroupQuantile(ref: DataFrame, cur: DataFrame, valueCol: String,
+                         groupCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2, 1000]")
+    val v = col(valueCol).cast("double")
+    val ranked = withRangeRank(
+      ref.filter(v.isNotNull && col(groupCol).isNotNull)
+        .select(v.as("__v")),
+      Seq(col("__v")), "__r")
+    // Edge ranks ⌈n·b/bins⌉, b = 1..bins−1, matched as a column predicate
+    // so ranking + edge extraction is one pass (no separate count()).
+    // MULTISET of edge values (one row per distinct matched rank; equal
+    // quantile VALUES stay duplicated so bin(v) jumps past them exactly
+    // as the oracle's edge-row count does).
+    val edges: Seq[Double] = ranked
+      .filter(array_contains(
+        transform(sequence(lit(1), lit(bins - 1)),
+          b => ceil(col("__n").cast("double") * b / bins).cast("long")),
+        col("__r").cast("long")))
+      .select(col("__v"))
+      .collect().map(_.getDouble(0)).toSeq.sorted
+    def binned(df: DataFrame) = OpCaches.scoped(
+      df.filter(v.isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol),
+          edges.foldLeft(lit(0)) { (acc, e) =>
+            acc + when(v > lit(e), 1).otherwise(0)
+          }.cast("int").as("bin"))
+        .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("__n")))
+    psiFromBinnedByGroup(binned(ref), binned(cur), groupCol, bins,
+      ref.sparkSession)
   }
 
   /** Incremental aggregate maintenance: per-key mergeable state

@@ -661,6 +661,18 @@ object AnalyticsQueries {
         "n_chars", "source")
     },
 
+    // L308: per-source PSI on EQUAL-MASS reference-quantile bins — the
+    // heavy-tail-robust binning (fixed-width bins put ~all mass of a
+    // skewed column in bin 0); exact order-statistic edges via the
+    // range-partitioned rank recipe, applied map-side to both snapshots.
+    "dq_psi_by_source_quantile" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Stats.psiByGroupQuantile(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "n_chars", "source")
+    },
+
     // L300: UNIFIED DRIFT DATACARD — one row per source carrying the
     // whole drift family (psi binned / ks continuous / js categorical /
     // centroid-cosine + norm-ratio vector) from the same snapshot split,
@@ -1688,6 +1700,45 @@ object AnalyticsQueries {
         |cb AS (SELECT source, CAST(least(9, greatest(0, CASE WHEN hi > lo
         |    THEN floor((n_chars::DOUBLE - lo)/((hi-lo)/10)) ELSE 0 END)) AS INT)
         |  AS bin, count(*) AS n FROM curd, e GROUP BY 1,2),
+        |g AS (SELECT source FROM rb UNION SELECT source FROM cb),
+        |grid AS (SELECT source, unnest(range(10))::INT AS bin FROM g),
+        |rt AS (SELECT source, sum(n) AS t FROM rb GROUP BY 1),
+        |ct AS (SELECT source, sum(n) AS t FROM cb GROUP BY 1),
+        |rs AS (SELECT grid.source, grid.bin,
+        |  (coalesce(rb.n,0)+0.5)/(coalesce(rt.t,0)+5.0) AS p
+        |  FROM grid LEFT JOIN rb USING (source,bin)
+        |  LEFT JOIN rt USING (source)),
+        |cs AS (SELECT grid.source, grid.bin,
+        |  (coalesce(cb.n,0)+0.5)/(coalesce(ct.t,0)+5.0) AS q
+        |  FROM grid LEFT JOIN cb USING (source,bin)
+        |  LEFT JOIN ct USING (source)),
+        |tm AS (SELECT rs.source, round((p - q) * ln(p / q), 6) AS term
+        |  FROM rs JOIN cs USING (source, bin))
+        |SELECT source, round(sum(term), 6) AS psi FROM tm GROUP BY 1""".stripMargin,
+
+    // Quantile-binned PSI: exact order-statistic edges from the reference
+    // (rank = ceil(n*b/10)), bin = count of edge rows strictly below v,
+    // same 0.5-Laplace smoothing and dense grid as dq_psi_by_source.
+    "dq_psi_by_source_quantile" ->
+      """WITH refd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |curd AS (SELECT source, n_chars FROM documents WHERE doc_id % 3 <> 0),
+        |qrv AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM refd
+        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |qcnt AS (SELECT count(*) AS n FROM qrv),
+        |qrk AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM qrv),
+        |qer AS (SELECT DISTINCT CAST(ceil(CAST(n * b AS DOUBLE) / 10) AS BIGINT) AS r
+        |  FROM (SELECT unnest(range(1, 10)) AS b), qcnt),
+        |edges AS (SELECT v AS e FROM qrk JOIN qer USING (r)),
+        |rvals AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM refd
+        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |cvals AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM curd
+        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |rb AS (SELECT source,
+        |    CAST((SELECT count(*) FROM edges WHERE edges.e < t.v) AS INT) AS bin,
+        |    count(*) AS n FROM rvals t GROUP BY 1, 2),
+        |cb AS (SELECT source,
+        |    CAST((SELECT count(*) FROM edges WHERE edges.e < t.v) AS INT) AS bin,
+        |    count(*) AS n FROM cvals t GROUP BY 1, 2),
         |g AS (SELECT source FROM rb UNION SELECT source FROM cb),
         |grid AS (SELECT source, unnest(range(10))::INT AS bin FROM g),
         |rt AS (SELECT source, sum(n) AS t FROM rb GROUP BY 1),

@@ -1483,6 +1483,20 @@ object TextQueries {
         "doc_id", "text", minJaccard = 0.5)
     },
 
+    // L307: incremental near-dup probe against a SIGNATURE store — the
+    // 100 TB incremental shape when history is petabytes: the store
+    // holds (doc_id, perm, mh) rows (~200 bytes/doc regardless of doc
+    // size), candidates come from planner-banded bucket equi-joins, and
+    // similarity is the unbiased minhash ESTIMATE n_match/k cut at the
+    // integer rank ⌈t·k⌉. No document bodies or shingles cross the join.
+    "dedup_incremental_lsh" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.minhashStore(docs.filter(col("doc_id") < 450),
+        "doc_id", "text")
+      Dedup.incrementalPairsSignatureStore(docs.filter(col("doc_id") >= 450),
+        store, "doc_id", "text", minJaccardEst = 0.5)
+    },
+
     // Token-budget mixture sampling: per-source char budgets consumed in
     // deterministic hash order (recipes in tokens, not doc counts).
     "sample_token_budget" -> { (s, dir) =>
@@ -3361,6 +3375,50 @@ object TextQueries {
          |FROM i JOIN szs x ON i.new_id = x.doc_id
          |  JOIN szs y ON i.corpus_id = y.doc_id
          |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5""".stripMargin,
+
+    // Signature-store incremental probe: per-perm chunked-md5 minima for
+    // both halves, planner-banded (t=0.5 -> 8 bands x 2 rows) bucket
+    // candidates, per-perm agreement count cut at >= 8 of 16.
+    "dedup_incremental_lsh" ->
+      s"""WITH $wordsCte,
+         |$shinglesCte,
+         |nsh AS (SELECT * FROM sh WHERE doc_id >= 450),
+         |csh AS (SELECT * FROM sh WHERE doc_id < 450),
+         |plan AS (SELECT CAST(b AS INTEGER) AS bands,
+         |    CAST(16 / b AS INTEGER) AS rpb
+         |  FROM (SELECT unnest(range(1, 17)) AS b) WHERE 16 % b = 0
+         |  ORDER BY abs(power(1.0 / b, CAST(b AS DOUBLE) / 16) - 0.5),
+         |    b DESC LIMIT 1),
+         |nmh AS (SELECT doc_id, perm,
+         |    min(substr(md5(CAST(perm // 4 AS VARCHAR) || ':' || shingle),
+         |      CAST(1 + 8 * (perm % 4) AS INTEGER), 8)) AS mh
+         |  FROM nsh, (SELECT unnest(range(16)) AS perm) p GROUP BY 1, 2),
+         |cmh AS (SELECT doc_id, perm,
+         |    min(substr(md5(CAST(perm // 4 AS VARCHAR) || ':' || shingle),
+         |      CAST(1 + 8 * (perm % 4) AS INTEGER), 8)) AS mh
+         |  FROM csh, (SELECT unnest(range(16)) AS perm) p GROUP BY 1, 2),
+         |nsig AS (SELECT doc_id,
+         |    CAST(floor(perm / (SELECT rpb FROM plan)) AS INTEGER) AS band,
+         |    string_agg(mh, '' ORDER BY perm) AS bucket
+         |  FROM nmh GROUP BY 1, 2),
+         |csig AS (SELECT doc_id,
+         |    CAST(floor(perm / (SELECT rpb FROM plan)) AS INTEGER) AS band,
+         |    string_agg(mh, '' ORDER BY perm) AS bucket
+         |  FROM cmh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM nsig n JOIN csig c ON n.band = c.band AND n.bucket = c.bucket
+         |    AND n.doc_id <> c.doc_id),
+         |agree AS (SELECT cand.new_id, cand.corpus_id,
+         |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match
+         |  FROM cand JOIN nmh a ON a.doc_id = cand.new_id
+         |  JOIN cmh b ON b.doc_id = cand.corpus_id AND b.perm = a.perm
+         |  GROUP BY 1, 2)
+         |SELECT new_id, corpus_id, n_match,
+         |  round(CAST(n_match AS DOUBLE) / 16, 6) AS jaccard_est,
+         |  (SELECT bands FROM plan) AS bands,
+         |  (SELECT rpb FROM plan) AS rows_per_band
+         |FROM agree WHERE n_match >= 8""".stripMargin,
 
     // Cumulative weight in deterministic hash order; the cum column only
     // gates the WHERE, so its engine-side type never reaches the compare.

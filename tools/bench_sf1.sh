@@ -54,6 +54,7 @@ DEFAULT=$DEFAULT,dq_js_by_source,dq_embedding_drift,ann_ivf_truncated_rerank
 # (t, nPerms); the unified drift datacard; the leakage-safe curation v8.
 DEFAULT=$DEFAULT,dedup_lsh_planned_onepass,dq_drift_datacard
 DEFAULT=$DEFAULT,curation_pipeline_v8
+DEFAULT=$DEFAULT,dedup_incremental_lsh,dq_psi_by_source_quantile
 ONLY="${SPARK_GRAFT_SF1_ONLY:-$DEFAULT}"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_HISTORY=bench_history_sf1.json \
