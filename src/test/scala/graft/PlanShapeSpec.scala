@@ -935,6 +935,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!sv.contains("CartesianProduct"), sv.take(800))
   }
 
+  test("round-14 dedup/psi ops: equi-keyed candidates, no cartesian anywhere") {
+    // Signature-store probe: banded-bucket equi-join candidates + a
+    // (corpus_id, perm)-keyed agreement join — nothing nest-loops.
+    val il = plan("dedup_incremental_lsh")
+    assert(!il.contains("CartesianProduct"), il.take(800))
+    assert(!il.contains("BroadcastNestedLoopJoin"), il.take(1200))
+    // Quantile PSI: binning is MAP-SIDE against the collected edge
+    // literals — the only joins are the dense-grid spine and the share
+    // join, the same budget as the fixed-width psi family.
+    val pq = plan("dq_psi_by_source_quantile")
+    assert(!pq.contains("CartesianProduct"), pq.take(800))
+    // Curation v8: pair mining, sample restriction, split, and audit are
+    // all equi-keyed; admission frames broadcast back.
+    val v8 = plan("curation_pipeline_v8")
+    assert(!v8.contains("CartesianProduct"), v8.take(800))
+    assert(!v8.contains("BroadcastNestedLoopJoin"), v8.take(1200))
+  }
+
   test("round-14 unified drift datacard: shared cached scans, bounded spines") {
     // driftDatacard (L300) composes all four drift statistics from TWO
     // scope-cached snapshot frames — the components must read the cached
