@@ -117,8 +117,24 @@ case class TopKRerankAgg(k: Int, candidates: Int)
   @inline private def insert(buf: (Array[Long], Array[Double], Array[Double]),
                              id: Long, pcos: Double, fcos: Double): Unit = {
     val (ids, pscores, fscores) = buf
+    // Dedupe by candidate id FIRST: the same (query, cand) row replayed
+    // across micro-batches (or straddling merged partial buffers) must
+    // refresh its existing slot, never occupy a second one — duplicate
+    // ids in the buffer would emit twice in the final top-k and displace
+    // genuine candidates, diverging from the batch ivfTruncatedRerankKnn
+    // this aggregator mirrors. (id = Long.MaxValue is the empty-slot
+    // sentinel with -inf score; a real row with that id and a real score
+    // would beat every sentinel, so the scan below treats it correctly.)
+    var j = 0
+    while (j < candidates) {
+      if (ids(j) == id && pscores(j) != Double.NegativeInfinity) {
+        if (pcos > pscores(j)) { pscores(j) = pcos; fscores(j) = fcos }
+        return
+      }
+      j += 1
+    }
     var worst = 0
-    var j = 1
+    j = 1
     while (j < candidates) {
       if (beats(pscores(worst), ids(worst), pscores(j), ids(j))) worst = j
       j += 1

@@ -323,14 +323,24 @@ object DataQuality {
       .join(Stats.psiByGroup(r, c, valueCol, groupCol, bins),
         Seq(groupCol), "full_outer")
       .join(Stats.jsByGroup(r, c, catCol, groupCol)
-        .select(col(groupCol), col("js")), Seq(groupCol), "full_outer")
+        // Carry the JS arm's OWN evidence counts (non-null categorical
+        // rows) — n_ref/n_cur above count non-null NUMERIC rows, and a
+        // consumer gating js on the KS counts would clobber a live
+        // categorical signal whenever the numeric column is all-null
+        // (round-14 advice #2).
+        .select(col(groupCol), col("n_ref").as("js_n_ref"),
+          col("n_cur").as("js_n_cur"), col("js")),
+        Seq(groupCol), "full_outer")
       .join(EmbeddingEval.embeddingDriftByGroup(r, c, vecCol, groupCol)
         .select(col(groupCol), col("centroid_cosine"), col("norm_ratio")),
         Seq(groupCol), "full_outer")
       .select(col(groupCol),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-        col("psi"), col("ks"), col("js"),
+        col("psi"), col("ks"),
+        coalesce(col("js_n_ref"), lit(0L)).as("js_n_ref"),
+        coalesce(col("js_n_cur"), lit(0L)).as("js_n_cur"),
+        col("js"),
         col("centroid_cosine"), col("norm_ratio"))
   }
 }

@@ -184,6 +184,23 @@ object Dedup {
       minhashStore(newDocs, idCol, textCol, nPerms, n, maxDocFrequency))
     val corpSig = OpCaches.scoped(store.select(col(idCol), col("perm"),
       col("mh")))
+    // Enforce the (nPerms) consistency contract instead of documenting it:
+    // a store built with fewer perms than the probe would silently bias
+    // jaccard_est LOW (the agreement join inner-joins on perm, so n_match
+    // divides by the probe's k while only the store's perms can match) and
+    // degrade banding recall. Sample ONE stored doc and verify its perm set
+    // spans exactly [0, nPerms) — two tiny jobs against the scoped cache
+    // the probe materializes anyway.
+    store.select(col(idCol)).limit(1).collect().headOption.foreach { row =>
+      val chk = corpSig.filter(col(idCol) === lit(row.get(0)))
+        .agg(max(col("perm")).cast("long").as("__mx"),
+          countDistinct(col("perm")).as("__cnt")).head()
+      val (mx, cnt) = (chk.getLong(0), chk.getLong(1))
+      require(mx + 1 == nPerms && cnt == nPerms,
+        s"signature store/probe permutation mismatch: sampled stored doc " +
+          s"carries $cnt perms (max index $mx) but the probe expects " +
+          s"nPerms=$nPerms — rebuild the store or probe with matching perms")
+    }
     val cand = bandBuckets(newSig, idCol, plan)
       .select(col(idCol).as("new_id"), col("band"), col("minhash"))
       .join(bandBuckets(corpSig, idCol, plan)
@@ -587,6 +604,17 @@ object Dedup {
     * fixed 4×1 banding vs 25 → 25 planner-banded: r=1 bands collide
     * nearly every mildly-similar pair, and the junk candidates were the
     * verify join's whole cost.)
+    *
+    * RECALL TRADEOFF of the planner default (know this before relying on
+    * pairs NEAR the threshold): [[bandsFor]] centers the collision
+    * S-curve AT `minJaccard`, so a true pair sitting just above the
+    * threshold has only ~50% candidate recall BY DESIGN — e.g. at
+    * t = 0.8 the (4, 4) split collides ~88% of J = 0.8 pairs where the
+    * legacy r = 1 banding collided ~99.8%. More `nPerms` SHARPENS the
+    * curve around t (fewer misses just above, fewer junk candidates just
+    * below); it does not move it. Callers needing near-exhaustive recall
+    * close to the threshold should either raise `nPerms` (64+) or mine at
+    * a LOWER threshold and post-filter on the emitted exact `jaccard`.
     *
     * `bands = Some(b)` is the explicit override (b ≤ 4 single-md5
     * chunk signatures, r = 1 — the recall-maximal, candidate-heavy

@@ -62,8 +62,15 @@ object OpCaches {
   }
 
   /** Unpersist every op-internal cache registered since the last release.
-    * Safe to call at any time: frames still referenced by un-executed plans
-    * simply recompute (correctness is unaffected, only reuse).
+    *
+    * Contract: call only AFTER the dependent plans have fully executed.
+    * For plain [[scoped]] caches an early release is merely a reuse loss
+    * (un-executed plans recompute), but [[scopedCheckpoint]] frames have
+    * NO recompute path — a rank-family plan (`Stats.withRangeRank` /
+    * `withRangeCumSum` / `rfmQuintiles`) held across a release and
+    * executed afterwards fails loudly ("checkpoint block not found")
+    * rather than silently re-ranking. Bench and Verify satisfy this by
+    * materializing each query before the between-queries release.
     *
     * `blocking = true` waits until the blocks are actually dropped. The
     * bench harness needs this: with async removal, a long session's next

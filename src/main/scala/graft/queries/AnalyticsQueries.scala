@@ -1840,6 +1840,8 @@ object AnalyticsQueries {
          |jout AS (SELECT g AS source,
          |  round(list_sum(list_sort(list(term))), 6) AS js
          |  FROM jtv GROUP BY g),
+         |jcnt AS (SELECT g AS source, CAST(max(nr) AS BIGINT) AS js_n_ref,
+         |  CAST(max(nc) AS BIGINT) AS js_n_cur FROM jt GROUP BY g),
          |ercomp AS (SELECT source, generate_subscripts(embedding, 1) AS pos,
          |    unnest(embedding) AS v FROM refd),
          |ercent AS (SELECT source, list(cr ORDER BY pos) AS rcen FROM (
@@ -1867,10 +1869,14 @@ object AnalyticsQueries {
          |  FROM eside_r FULL OUTER JOIN eside_c USING (source))
          |SELECT source, coalesce(n_ref, 0) AS n_ref,
          |  coalesce(n_cur, 0) AS n_cur,
-         |  psi, ks, js, centroid_cosine, norm_ratio
+         |  psi, ks,
+         |  coalesce(js_n_ref, 0) AS js_n_ref,
+         |  coalesce(js_n_cur, 0) AS js_n_cur,
+         |  js, centroid_cosine, norm_ratio
          |FROM kout
          |FULL OUTER JOIN pout USING (source)
          |FULL OUTER JOIN jout USING (source)
+         |FULL OUTER JOIN jcnt USING (source)
          |FULL OUTER JOIN eout USING (source)""".stripMargin,
 
     "shard_rendezvous" ->

@@ -190,10 +190,12 @@ object StreamAdmission {
     * with a rotated embedding centroid), the datacard shows WHICH
     * modality moved, where a single-arm gate only says "rejected".
     *
-    * Absence-of-reference-evidence semantics match the single arms:
-    * PSI reads high off the dense grid, KS coalesces to 1.0, JS to ln 2,
-    * the vector metrics stay NULL — and the verdict is an explicit
-    * false, never NULL. State is |sources|-bounded; the reference is a
+    * Absence-of-reference-evidence semantics match the single arms, and
+    * each arm is gated on its OWN modality's evidence: PSI reads high off
+    * the dense grid, KS (numeric evidence) coalesces to 1.0, JS
+    * (categorical evidence — jsByGroup's own counts, not the KS pass's)
+    * to ln 2, the vector metrics stay NULL — and the verdict is an
+    * explicit false, never NULL. State is |sources|-bounded; the reference is a
     * static frame (stream-static semantics); call
     * `OpCaches.releaseAll()` per batch as with the other arms
     * (driftDatacard scope-caches both snapshots).
@@ -208,9 +210,15 @@ object StreamAdmission {
       .select(col(groupCol), col("n"), col("wilson_lo"))
     val card = graft.ops.DataQuality.driftDatacard(
       reference, batch, groupCol, valueCol, catCol, vecCol, bins)
-    wil.join(card.select(col(groupCol), col("n_ref"), col("psi"),
+    wil.join(card.select(col(groupCol), col("psi"),
         coalesce(col("ks"), lit(1.0)).as("ks"),
-        when(col("n_ref") > 0, col("js"))
+        // Gate JS on the JS arm's OWN categorical evidence counts, not
+        // the KS pass's numeric counts: a source with all-null numerics
+        // but live categorical columns on both sides keeps its real js
+        // (and its ks correctly coalesces to 1.0) — the datacard's whole
+        // point is showing WHICH modality moved (round-14 advice #2;
+        // matches admissionReportJs' absence semantics exactly).
+        when(col("js_n_ref") > 0 && col("js_n_cur") > 0, col("js"))
           .otherwise(lit(math.log(2.0))).as("js"),
         col("centroid_cosine"), col("norm_ratio")), Seq(groupCol))
       .select(col(groupCol), col("n"), col("wilson_lo"), col("psi"),

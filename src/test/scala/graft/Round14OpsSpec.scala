@@ -77,6 +77,30 @@ class Round14OpsSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("signature-store probe REJECTS a store built with mismatched perms") {
+    // Round-14 advice #5: the (nPerms) consistency contract is enforced,
+    // not just documented — a store built with fewer perms than the probe
+    // would silently bias jaccard_est low (n_match divides by the probe's
+    // k while only the store's perms can match).
+    val history = Seq((1L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val batch = Seq((2L, "one two three four five six seven nine"))
+      .toDF("doc_id", "text")
+    val store8 = Dedup.minhashStore(history, "doc_id", "text", nPerms = 8)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalPairsSignatureStore(batch, store8, "doc_id", "text",
+        minJaccardEst = 0.5, nPerms = 16).collect()
+    }
+    assert(ex.getMessage.contains("permutation mismatch"), ex.getMessage)
+    OpCaches.releaseAll()
+    // The matched build still works.
+    val ok = Dedup.incrementalPairsSignatureStore(batch,
+      Dedup.minhashStore(history, "doc_id", "text", nPerms = 16),
+      "doc_id", "text", minJaccardEst = 0.3, nPerms = 16).collect()
+    assert(ok.nonEmpty)
+    OpCaches.releaseAll()
+  }
+
   // ---- quantile-binned PSI ------------------------------------------------
 
   test("psiByGroupQuantile: identical snapshots read ~0; a bulk shift is seen") {

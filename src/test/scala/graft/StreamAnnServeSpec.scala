@@ -121,6 +121,54 @@ class StreamAnnServeSpec extends AnyFunSuite {
       s"fixture must make the full-dim re-rank change the answer: $reranked")
   }
 
+  test("replayed query rows refresh buffer slots instead of duplicating candidates") {
+    // Round-14 advice #4 regression: the same (query, candidate) rows
+    // arriving again in a later micro-batch (an at-least-once replay)
+    // must REFRESH their existing buffer slots, never occupy second ones
+    // — duplicate ids would emit twice in the final top-k and displace
+    // genuine candidates, diverging from the batch ivfTruncatedRerankKnn
+    // the stream claims to match exactly. Candidate budget (5) below the
+    // probed cluster size (8) so displacement would be observable.
+    val st4 = ((1L to 8L).map(i => Vec(i,
+      Array(1.0f, (i * 0.01).toFloat,
+        ((i * 7) % 5 * 0.1).toFloat, ((i * 3) % 4 * 0.1).toFloat), 0L)) ++
+      (9L to 16L).map(i => Vec(i,
+        Array((i * 0.01).toFloat, 1.0f,
+          ((i * 5) % 3 * 0.1).toFloat, ((i * 2) % 5 * 0.1).toFloat), 1L)))
+      .toDF("vec_id", "embedding", "label")
+    val idx = Similarity.ivfFit(st4, "label", "embedding")
+    val qrows = Seq(
+      Vec(101L, Array(1.0f, 0.05f, 0.2f, 0.1f), 0L),
+      Vec(102L, Array(0.02f, 1.0f, 0.1f, 0.3f), 0L))
+    val expected = Similarity.ivfTruncatedRerankKnn(st4,
+        qrows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", k = 3, nprobe = 1,
+        prefixDims = 2, candidates = 5, index = Some(idx))
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rn"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    val input = MemoryStream[Vec](implicitly[org.apache.spark.sql.Encoder[Vec]], spark)
+    val served = graft.streaming.StreamAnnServe.serveTruncatedRerank(
+      input.toDF(), st4, idx, "vec_id", "embedding", "label",
+      k = 3, nprobe = 1, prefixDims = 2, candidates = 5)
+    val q = served.writeStream.outputMode("complete")
+      .format("memory").queryName("ann_serve_replay").start()
+    try {
+      input.addData(qrows)
+      q.processAllAvailable()
+      input.addData(qrows) // full replay of both queries
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_replay")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      // No duplicate cand_id within a query's top-k...
+      val dups = got.groupBy(r => (r._1, r._2)).filter(_._2.size > 1)
+      assert(dups.isEmpty, s"replay duplicated candidates: $dups")
+      // ...and the refreshed state still equals the batch answer.
+      assert(got.toSet == expected,
+        s"replayed stream diverged from batch:\n${got.toSet}\nvs\n$expected")
+    } finally q.stop()
+  }
+
   test("scoredCandidates only touches the probed cluster's store slice") {
     val st = store
     val idx = Similarity.ivfFit(st, "label", "embedding")

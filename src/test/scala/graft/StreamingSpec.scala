@@ -1365,6 +1365,10 @@ class StreamingSpec extends AnyFunSuite {
         maxJs = 0.2, minCentroidCos = 0.8, maxNormDelta = 0.2)
       .collect().map(r => r.getAs[String]("source") -> r).toMap
     graft.ops.OpCaches.releaseAll()
+    // State claim: the datacard is |sources|-bounded — one row per batch
+    // source, nothing per-document survives (the bench row asserts the
+    // same bound per micro-batch under volume).
+    assert(rep.size == srcs.size, s"datacard must be |sources|-bounded: $rep")
     assert(rep("ok").getAs[Boolean]("admitted"), rep("ok").toString)
     assert(!rep("numdrift").getAs[Boolean]("admitted"))
     assert(rep("numdrift").getAs[Double]("ks") > 0.4,
@@ -1391,5 +1395,31 @@ class StreamingSpec extends AnyFunSuite {
       .select("source").distinct().as[String].collect().toSet
     graft.ops.OpCaches.releaseAll()
     assert(adm == Set("ok"), s"only the healthy source survives: $adm")
+  }
+
+  test("datacard JS arm gates on its OWN categorical evidence, not the KS counts") {
+    // Round-14 advice #2 regression: a source whose NUMERIC column is
+    // all-null on both sides but whose categorical column is live must
+    // report its REAL js (here 0.0 — identical language mixes), while ks
+    // correctly coalesces to 1.0 for want of numeric evidence. The old
+    // gating clobbered js to ln 2 off the KS pass's n_ref, misreporting
+    // which modality drifted.
+    def rows(pfx: String) = (1 to 12).map(i =>
+      ("s", s"$pfx$i", Option.empty[Long], if (i <= 6) "en" else "de",
+        Seq(1.0, 0.0)))
+    val reference = rows("r").toDF("source", "doc_id", "n_chars", "lang", "emb")
+    val batch = rows("b").toDF("source", "doc_id", "n_chars", "lang", "emb")
+    val rep = graft.streaming.StreamAdmission.admissionDatacard(
+        batch, reference, "source", "n_chars", "lang", "emb",
+        quality = lit(true), minWilsonLo = 0.0, maxPsi = 10.0, maxKs = 2.0,
+        maxJs = 0.2, minCentroidCos = 0.5, maxNormDelta = 0.5)
+      .collect()
+    graft.ops.OpCaches.releaseAll()
+    assert(rep.length == 1)
+    val r = rep.head
+    assert(r.getAs[Double]("js") == 0.0,
+      s"identical category mixes must read js=0, not ln 2: $r")
+    assert(r.getAs[Double]("ks") == 1.0,
+      s"no numeric evidence must read maximal ks: $r")
   }
 }
