@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, round}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model._
@@ -169,6 +170,90 @@ class GoldenSpec extends AnyFunSuite {
       (r.getLong(0), toks.length.toLong, toks.take(32).mkString(" "))
     }.sortBy(_._1).toSeq
     assert(got == expected, "expression diverged from the naive reimplementation")
+  }
+
+  test("dedup_lsh_planned_onepass matches its committed golden file and a naive KM reimplementation") {
+    // The gate for the one-pass production LSH path is a GOLDEN-FILE
+    // oracle (the wrapping 64-bit Kirsch–Mitzenmacher arithmetic has no
+    // safe SQL form): this spec is the non-circular pin behind it — the
+    // live engine output must equal the committed parquet, AND the pair
+    // set must equal an INDEPENDENT driver-side reimplementation of the
+    // whole path (shingles → hot-filter → KM signatures → planner-banded
+    // buckets → exact-Jaccard verify), written against immutable Scala
+    // collections rather than the engine's relational plan.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("inter"),
+        r.getAs[Double]("jaccard"), r.getAs[Int]("bands"),
+        r.getAs[Int]("rows_per_band"))
+    val got = graft.ops.Dedup.nearDuplicatesPlannedOnePass(docs, "doc_id",
+        "text", minJaccard = 0.7, nPerms = 16)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"), col("bands"),
+        col("rows_per_band"))
+      .collect().map(key).sortBy(p => (p._1, p._2)).toSeq
+    graft.ops.OpCaches.releaseAll()
+    val golden = spark.read
+      .parquet("tools/golden/dedup_lsh_planned_onepass_sf0_001.parquet")
+      .collect().map(key).sortBy(p => (p._1, p._2)).toSeq
+    assert(got == golden,
+      "engine output diverged from tools/golden — regenerate ONLY for a deliberate semantic change")
+
+    // Independent reimplementation. Tokenize/shingle/hot-filter:
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.split(" ", -1)
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty
+    }
+    val rawSets = texts.map { case (id, t) => id -> shingles(t) }
+    val hot = rawSets.values.toSeq.flatten.groupBy(identity)
+      .collect { case (s, occ) if occ.size > 0.1 * rawSets.size => s }.toSet
+    val sets = rawSets.map { case (id, s) => id -> (s -- hot) }
+      .filter(_._2.nonEmpty)
+    // KM signature: md5(shingle) → (h1, h2); slot i keeps min(h1 + i·h2).
+    def sig(s: Set[String]): Array[Long] = {
+      val buf = Array.fill(16)(Long.MaxValue)
+      s.foreach { sh =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(sh.getBytes("UTF-8"))
+        val bb = java.nio.ByteBuffer.wrap(d)
+        val h1 = bb.getLong; val h2 = bb.getLong
+        var i = 0
+        while (i < 16) {
+          val h = h1 + i * h2
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
+      }
+      buf
+    }
+    // Planner: among divisor splits of 16, the S-curve midpoint
+    // (1/b)^(1/r) closest to 0.7, ties toward more bands → (4, 4).
+    val (bands, rpb) = (1 to 16).filter(16 % _ == 0)
+      .map(b => (b, 16 / b))
+      .minBy { case (b, r) => (math.abs(math.pow(1.0 / b, 1.0 / r) - 0.7), -b) }
+    assert((bands, rpb) == (4, 4), s"planner grid check: ($bands, $rpb)")
+    val sigs = sets.map { case (id, s) => id -> sig(s) }
+    val ids = sigs.keys.toSeq.sorted
+    // Filter on the UNROUNDED jaccard (like the engine), round only for
+    // the output comparison.
+    val expected = (for {
+      ai <- ids.indices.iterator
+      bi <- (ai + 1 until ids.size).iterator
+      a = ids(ai); b = ids(bi)
+      sa = sigs(a); sb = sigs(b)
+      if (0 until bands).exists(bd =>
+        (0 until rpb).forall(i => sa(bd * rpb + i) == sb(bd * rpb + i)))
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.7
+    } yield (a, b, inter.toLong,
+      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      bands, rpb)).toSeq.sortBy(p => (p._1, p._2))
+    assert(got == expected,
+      s"engine diverged from the naive KM reimplementation:\n$got\nvs\n$expected")
   }
 
   test("query history round-trips specs through the catalog (§1.1)") {
