@@ -102,7 +102,8 @@ object Bench {
     // The replay probe is a special branch below, not a SparkEntry query —
     // its name is still a valid ONLY target, so exclude it from the
     // unknown-name check (tools/bench_sf1.sh lists it).
-    only.foreach(_.diff(SparkEntry.queries.keySet + "stream_replay_throughput")
+    only.foreach(_.diff(SparkEntry.queries.keySet +
+        "stream_replay_throughput" + "stream_admission_throughput")
       .foreach(n =>
         System.err.println(s"[bench] WARNING: unknown query name '$n'")))
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -179,22 +180,23 @@ object Bench {
     val replayName = "stream_replay_throughput"
     var replayPrep: Option[(String, Double)] = None
     var replayCkptN = 0
+    def prepRaw(): (String, Double) = replayPrep.getOrElse {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_bench_replay").toString
+      val ev = graft.sources.Tables.events(spark, sfDir)
+      val rawP = s"$work/raw"
+      ev.write.mode("overwrite").parquet(rawP)
+      val span = ev.agg(org.apache.spark.sql.functions.min("ts"),
+        org.apache.spark.sql.functions.max("ts")).head()
+      val spanSec =
+        (span.getTimestamp(1).getTime - span.getTimestamp(0).getTime) / 1000.0
+      val p = (rawP, math.max(1.0, spanSec / 16.0))
+      replayPrep = Some(p)
+      p
+    }
     def replayOnce(): (Double, Long) = {
       import org.apache.spark.sql.{Dataset, Row}
-      val (raw, advanceSec) = replayPrep.getOrElse {
-        val work = java.nio.file.Files
-          .createTempDirectory("graft_bench_replay").toString
-        val ev = graft.sources.Tables.events(spark, sfDir)
-        val rawP = s"$work/raw"
-        ev.write.mode("overwrite").parquet(rawP)
-        val span = ev.agg(org.apache.spark.sql.functions.min("ts"),
-          org.apache.spark.sql.functions.max("ts")).head()
-        val spanSec =
-          (span.getTimestamp(1).getTime - span.getTimestamp(0).getTime) / 1000.0
-        val p = (rawP, math.max(1.0, spanSec / 16.0))
-        replayPrep = Some(p)
-        p
-      }
+      val (raw, advanceSec) = prepRaw()
       release()
       replayCkptN += 1
       var rows = 0L
@@ -229,6 +231,78 @@ object Bench {
           rows / sec }.foldLeft(-1.0)(math.max)
         Some(runs.map(_._1).min)
       } catch { case _: Throwable => Some(-1.0) }
+    // Streaming FOUR-ARM ADMISSION throughput (r14 verdict #5): the
+    // admissionDatacard evaluated per micro-batch over the same
+    // 16-trigger replay of the events table, against a static reference
+    // derived once from the full table — the per-ingest log line's cost
+    // MEASURED under volume, with the |sources|-bounded state claim
+    // asserted per batch (the report may never exceed the source
+    // count). Columns are derived map-side from events fields (8 hash
+    // sources, value numeric, event_type categorical, a deterministic
+    // 4-dim vector), so the row times the datacard, not a join.
+    val admissionName = "stream_admission_throughput"
+    var admissionCkptN = 0
+    def admissionOnce(): (Double, Long) = {
+      import org.apache.spark.sql.{DataFrame, Dataset, Row}
+      import org.apache.spark.sql.functions._
+      val (raw, advanceSec) = prepRaw()
+      def derive(df: DataFrame): DataFrame = df.select(
+        concat(lit("s"), pmod(col("user_id"), lit(8))).as("source"),
+        col("value"), col("event_type"),
+        array(col("value"),
+          pmod(col("event_id"), lit(7)).cast("double"),
+          pmod(col("event_id"), lit(11)).cast("double"),
+          lit(1.0)).as("vec"))
+      val reference = derive(spark.read.parquet(raw))
+      release()
+      admissionCkptN += 1
+      var rows = 0L
+      var maxReportRows = 0L
+      val stream = spark.readStream
+        .format(classOf[graft.streaming.ReplayStreamSource].getName)
+        .option("path", raw).option("tsCol", "ts")
+        .option("simAdvancePerTriggerSec", advanceSec.toString)
+        .option("cursorPageSize", "4096")
+        .load()
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          raw.stripSuffix("/raw") + s"/adm_ckpt_$admissionCkptN")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          val rep = graft.streaming.StreamAdmission.admissionDatacard(
+            derive(b), reference, "source", "value", "event_type", "vec",
+            col("value") > 5.0, minWilsonLo = 0.2, maxPsi = 1.0,
+            maxKs = 0.5, maxJs = 0.4, minCentroidCos = 0.8,
+            maxNormDelta = 0.3)
+          maxReportRows = math.max(maxReportRows, rep.count())
+          rows += b.count()
+          // The REFERENCE is pinned across batches (driftDatacard
+          // scope-caches the same frame object, so batch 2+ reads the
+          // cached snapshot — the production pattern for a stream-static
+          // reference); the per-batch cur caches are released once after
+          // the stream stops. Releasing per batch would re-scan the
+          // reference 16 times and time the cache churn, not the op.
+          ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally {
+        q.stop()
+        graft.ops.OpCaches.releaseAll()
+      }
+      require(maxReportRows <= 8,
+        s"admission datacard must stay |sources|-bounded, got $maxReportRows")
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    var admissionEpsBest = -1.0
+    val admissionTime: Option[Double] =
+      if (!only.forall(_.contains(admissionName))) None
+      else try {
+        admissionOnce() // untimed warm-up
+        val runs = Seq(admissionOnce(), admissionOnce())
+        admissionEpsBest = runs.collect { case (sec, rows) if sec > 0 && rows > 0 =>
+          rows / sec }.foldLeft(-1.0)(math.max)
+        Some(runs.map(_._1).min)
+      } catch { case _: Throwable => Some(-1.0) }
     sentinelTimes += timeSentinel() // end-of-session load check
     sentinelMidTimes += timeBasket(sentinelMidFns)
     // Noise signature = SUSTAINED drift: two consecutive baskets >1.5× the
@@ -246,7 +320,8 @@ object Bench {
     }
     val noiseSuspect =
       sustainedDrift(sentinelTimes.toSeq) || sustainedDrift(sentinelMidTimes.toSeq)
-    val allResults = results ++ replayTime.map(replayName -> _).toSeq
+    val allResults = results ++ replayTime.map(replayName -> _).toSeq ++
+      admissionTime.map(admissionName -> _).toSeq
     val failed = allResults.collect { case (n, t) if t < 0 => n }
     val history = loadHistory(sfDir)
     // HOST-STATE NORMALIZATION: keep-min baselines record the best host
@@ -303,8 +378,16 @@ object Bench {
       history.get("__replay_eps").filter(_ > 0).map(h => 0.5 * h / hostFactor)
     val replayFlagged = replayTime.isDefined &&
       (replayEps <= 0 || replayEpsBudget.exists(replayEps < _))
+    // The admission row mirrors the replay row's throughput budget under
+    // its own keep-max key.
+    val admissionEps = admissionEpsBest
+    val admissionEpsBudget: Option[Double] =
+      history.get("__admission_eps").filter(_ > 0).map(h => 0.5 * h / hostFactor)
+    val admissionFlagged = admissionTime.isDefined &&
+      (admissionEps <= 0 || admissionEpsBudget.exists(admissionEps < _))
     val overInitial = results.collect { case (n, t) if t > budget(n) => n } ++
-      (if (replayFlagged) Seq(replayName) else Nil)
+      (if (replayFlagged) Seq(replayName) else Nil) ++
+      (if (admissionFlagged) Seq(admissionName) else Nil)
     // SECOND-CHANCE ADJUDICATION (round-11 verdict #1): this box shows
     // bursty CPU steal — three round-11 sessions self-flagged noise with
     // DISJOINT over-budget sets, and every hand-run isolated re-measure of
@@ -321,6 +404,10 @@ object Bench {
         val (sec, rows) =
           try replayOnce() catch { case _: Throwable => (-1.0, 0L) }
         n -> (if (sec > 0 && rows > 0) rows / sec else -1.0)
+      } else if (n == admissionName) {
+        val (sec, rows) =
+          try admissionOnce() catch { case _: Throwable => (-1.0, 0L) }
+        n -> (if (sec > 0 && rows > 0) rows / sec else -1.0)
       } else {
         val fn = SparkEntry.queries(n)
         release()
@@ -335,13 +422,14 @@ object Bench {
     val retracted = overInitial.filter { n =>
       val r = reMeasure.getOrElse(n, -1.0)
       if (n == replayName) r > 0 && replayEpsBudget.forall(r >= _)
+      else if (n == admissionName) r > 0 && admissionEpsBudget.forall(r >= _)
       else r >= 0 && r <= budget(n)
     }
     val overBudget = overInitial.filterNot(retracted.contains)
     // Ratchet input: a retracted query's best CLEAN measurement (the
     // re-measure, or the original if it was somehow faster).
     val adjudicated = allResults.map { case (n, t) =>
-      if (n != replayName && retracted.contains(n) &&
+      if (n != replayName && n != admissionName && retracted.contains(n) &&
           reMeasure.getOrElse(n, -1.0) >= 0)
         n -> math.min(t, reMeasure(n))
       else n -> t
@@ -349,6 +437,10 @@ object Bench {
     val bestEps = math.max(replayEps,
       if (overInitial.contains(replayName))
         reMeasure.getOrElse(replayName, -1.0)
+      else -1.0)
+    val bestAdmissionEps = math.max(admissionEps,
+      if (overInitial.contains(admissionName))
+        reMeasure.getOrElse(admissionName, -1.0)
       else -1.0)
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -374,6 +466,7 @@ object Bench {
       s""""sentinel_mid_sec":$sentinelMidJson,""" +
       s""""host_factor":${jnum(hostFactor, 3)},""" +
       s""""stream_replay_events_per_sec":${jnum(replayEps, 1)},""" +
+      s""""stream_admission_events_per_sec":${jnum(admissionEps, 1)},""" +
       s""""sf":"$sfDir"}""")
     // Persist this run's timings as the next run's budget baseline,
     // KEEP-MIN per query: a session on a slower host (round-8 lesson:
@@ -399,7 +492,8 @@ object Bench {
         // baseline for it would be dead history data, so it is dropped from
         // the keep-min merge (and any stale entry from the base map).
         val base =
-          (if (reset) Map.empty[String, Double] else history) - replayName
+          (if (reset) Map.empty[String, Double] else history) -
+            replayName - admissionName
         // A FIRST measurement (no history entry) seeds the baseline even
         // when it trips the 4 s floor: the floor flag means "no baseline
         // to compare against", and without seeding, a legitimately-heavy
@@ -407,7 +501,8 @@ object Bench {
         // ratified (round-9 lesson: three new graph/bootstrap queries).
         val merged = base ++
           adjudicated.filter { case (n, t) =>
-            n != replayName && t >= 0 && (!over.contains(n) || !base.contains(n)) }
+            n != replayName && n != admissionName && t >= 0 &&
+              (!over.contains(n) || !base.contains(n)) }
             .map { case (n, t) =>
               n -> base.get(n).filter(_ > 0)
                 .fold(t)(prev => math.min(prev, math.max(t, prev / 2.0))) }
@@ -419,6 +514,11 @@ object Bench {
           (if (bestEps > 0 && !overBudget.contains(replayName))
             Map("__replay_eps" -> base.get("__replay_eps").filter(_ > 0)
               .fold(bestEps)(p => math.max(p, math.min(bestEps, p * 2.0))))
+          else Map.empty[String, Double]) ++
+          (if (bestAdmissionEps > 0 && !overBudget.contains(admissionName))
+            Map("__admission_eps" -> base.get("__admission_eps").filter(_ > 0)
+              .fold(bestAdmissionEps)(p =>
+                math.max(p, math.min(bestAdmissionEps, p * 2.0))))
           else Map.empty[String, Double])
         val body = merged.toSeq.sortBy(_._1)
           .map { case (k, v) => s"\"$k\":$v" }

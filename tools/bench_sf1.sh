@@ -55,6 +55,18 @@ DEFAULT=$DEFAULT,dq_js_by_source,dq_embedding_drift,ann_ivf_truncated_rerank
 DEFAULT=$DEFAULT,dedup_lsh_planned_onepass,dq_drift_datacard
 DEFAULT=$DEFAULT,curation_pipeline_v8
 DEFAULT=$DEFAULT,dedup_incremental_lsh,dq_psi_by_source_quantile
+# Round-15 (r14 verdict #4/#7): the remaining serve-stack rows next to
+# their relational/unpruned pairs (ann_ivfpq_pruned vs ann_ivfpq;
+# dedup_lsh_planned is already listed), the engaged-cap skew_stress rows
+# (their caps' cost claim measured at 10x, not argued), and the composed
+# incremental-corpus session.
+DEFAULT=$DEFAULT,ann_ivfpq,ann_ivfpq_pruned,skew_stress_near_dups
+DEFAULT=$DEFAULT,skew_stress_containment,skew_stress_salted_join
+DEFAULT=$DEFAULT,skew_stress_title_edit,skew_stress_semantic_hash
+DEFAULT=$DEFAULT,skew_stress_colocation,e2e_incremental_session
+# Round-15 (r14 verdict #5): the four-arm admission datacard driven over
+# the replay source — |sources|-bounded state asserted per batch.
+DEFAULT=$DEFAULT,stream_admission_throughput
 ONLY="${SPARK_GRAFT_SF1_ONLY:-$DEFAULT}"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_HISTORY=bench_history_sf1.json \
