@@ -554,10 +554,15 @@ object TextQueries {
       val newSnap = docs.filter(col("doc_id") % 7 =!= 2)
         .withColumn("text", when(col("doc_id") % 11 === 3,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
-      val fresh = newSnap.join(
+      // The BATCH-sized frame is scope-cached (four consumers: the probe
+      // shingles, the Wilson arm, the PSI current side, and the final
+      // select); the corpus-sized oldSnap deliberately is NOT — at 100 TB
+      // the history side must never be pinned, which is the whole point
+      // of the signature store.
+      val fresh = graft.ops.OpCaches.scoped(newSnap.join(
         graft.ops.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
           .filter(col("status").isin("added", "changed"))
-          .select(col("doc_id"), col("status")), Seq("doc_id"))
+          .select(col("doc_id"), col("status")), Seq("doc_id")))
       val store = Dedup.minhashStore(oldSnap, "doc_id", "text")
       val dups = Dedup.incrementalPairsSignatureStore(fresh, store,
           "doc_id", "text", minJaccardEst = 0.5)

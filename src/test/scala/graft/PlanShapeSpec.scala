@@ -968,4 +968,61 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnlj <= 12,
       s"datacard: only psiByGroup's bounded spines may nest-loop ($bnlj)")
   }
+
+  test("round-15 composite guards: soft-dedup, admission curations, e2e session stay scan-bounded") {
+    // Round-14 verdict #3: these pipelines compose 4-6 operator stages —
+    // a stage silently re-scanning the corpus (or losing its scoped
+    // cache) must fail HERE, not as a bench-floor regression two rounds
+    // later. Ceilings are the measured round-15 shapes with no slack:
+    // raising one requires a deliberate decision in this file.
+    def counts(p: String): (Int, Int, Int, Int) = (
+      "CartesianProduct".r.findAllIn(p).size,
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size,
+      "FileScan".r.findAllIn(p).size,
+      "InMemoryTableScan".r.findAllIn(p).size)
+
+    // sample_soft_dedup's cluster map is computed EAGERLY (bounded
+    // union-find fast path), so its returned plan must be one docs scan
+    // joined to driver-built cluster frames — nothing quadratic.
+    val (sdCart, _, sdScans, _) = counts(plan("sample_soft_dedup"))
+    assert(sdCart == 0 && sdScans <= 1,
+      s"soft-dedup returned plan: cart=$sdCart scans=$sdScans (expect <=1)")
+    // ...and the mining plan it runs eagerly (nearDuplicates at its own
+    // threshold) keeps the ONE scoped shingle cache feeding signatures,
+    // sizes, and both verify sides: cache reads present, scans bounded.
+    val nd = graft.ops.Dedup.nearDuplicates(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text",
+        minJaccard = 0.8)
+      .queryExecution.executedPlan.toString
+    graft.ops.OpCaches.releaseAll()
+    val (ndCart, ndBnlj, ndScans, ndImr) = counts(nd)
+    assert(ndCart == 0 && ndBnlj == 0,
+      s"near-dup mining must stay equi-keyed: cart=$ndCart bnlj=$ndBnlj")
+    assert(ndImr >= 1, "shingle cache must feed the mining plan")
+    assert(ndScans <= 14,
+      s"near-dup mining re-scans the corpus: scans=$ndScans (measured 14 in-suite)")
+
+    // Admission curations: v6 (Wilson + binned-PSI arms; psiByGroup's
+    // bounded spines are the only nest-loops) and v7 (KS arm — fully
+    // equi-keyed).
+    val (v6Cart, v6Bnlj, v6Scans, _) = counts(plan("curation_pipeline_v6"))
+    assert(v6Cart == 0, "v6 cartesian")
+    assert(v6Bnlj <= 10 && v6Scans <= 19,
+      s"v6 grew: bnlj=$v6Bnlj (measured 10) scans=$v6Scans (measured 19)")
+    val (v7Cart, v7Bnlj, v7Scans, _) = counts(plan("curation_pipeline_v7"))
+    assert(v7Cart == 0 && v7Bnlj == 0,
+      s"v7 must stay equi-keyed: cart=$v7Cart bnlj=$v7Bnlj")
+    assert(v7Scans <= 5, s"v7 grew: scans=$v7Scans (measured 5)")
+
+    // The composed incremental session: the batch-sized fresh frame is
+    // scope-cached (cache reads present); corpus-side passes stay at the
+    // measured composition (diff + store build + psi reference), never a
+    // per-stage re-read explosion.
+    val (eCart, eBnlj, eScans, eImr) = counts(plan("e2e_incremental_session"))
+    assert(eCart == 0, "e2e cartesian")
+    assert(eBnlj <= 10, s"e2e: only psi spines may nest-loop ($eBnlj)")
+    assert(eImr >= 1, "e2e: the fresh batch must be scope-cached")
+    assert(eScans <= 40, s"e2e grew: scans=$eScans (measured 40)")
+    graft.ops.OpCaches.releaseAll()
+  }
 }
