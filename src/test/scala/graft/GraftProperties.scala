@@ -516,4 +516,43 @@ object GraftProperties extends Properties("graft") {
       Prop(ab == ba && rbo >= 0.0 && rbo <= cap + 5e-5 + 1e-9) :|
         s"ab=$ab ba=$ba cap=$cap"
     }
+
+  property("TopKRerankAgg: arbitrary insert/merge/replay never dups ids, matches reference sort (L295)") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.choose(1L, 20L), Gen.choose(0, 100),
+        Gen.choose(0, 100))),
+      Gen.choose(1, 4), Gen.choose(0, 3)) { (rowsRaw, k, splitSeed) =>
+      // Candidate rows may REPEAT ids (at-least-once replay); the last
+      // word on an id's score is the max pcos seen (insert refreshes on
+      // strictly-better). Scores are quantized ints/100 so reference
+      // arithmetic is exact.
+      val rows = rowsRaw.map { case (id, p, f) =>
+        (id, p / 100.0, f / 100.0) }
+      val candidates = k + 2
+      val agg = graft.functions.TopKRerankAgg(k, candidates)
+      // Split the stream into two partial buffers and merge — the
+      // distributed shape (and the replay shape when both halves carry
+      // the same id).
+      val (r1, r2) = rows.splitAt(
+        if (rows.isEmpty) 0 else splitSeed % (rows.size + 1))
+      def reduceAll(rs: Seq[(Long, Double, Double)]) =
+        rs.foldLeft(agg.zero) { (b, r) => agg.reduce(b, r) }
+      val merged = agg.merge(reduceAll(r1), reduceAll(r2))
+      val got = agg.finish(merged).toSeq
+      // Reference: per id keep the entry with max (pcos, then the f that
+      // arrived with it — the agg keeps the f paired with the winning p;
+      // for equal p it keeps the FIRST seen, so dedupe stably), cut to
+      // the top `candidates` by (pcos desc, id asc), then re-rank by
+      // (fcos desc, id asc) and take k.
+      val byId = rows.zipWithIndex.groupBy(_._1._1).map { case (id, g) =>
+        val best = g.minBy { case ((_, p, _), idx) => (-p, idx) }._1
+        (id, best._2, best._3)
+      }.toSeq
+      val pool = byId.sortBy { case (id, p, _) => (-p, id) }.take(candidates)
+      val expected = pool.map { case (id, _, f) => (id, f) }
+        .sortBy { case (id, f) => (-f, id) }.take(k)
+      val noDups = got.map(_._1).distinct.size == got.size
+      (Prop(noDups) :| s"dup ids in $got") &&
+        (Prop(got == expected) :| s"got=$got expected=$expected rows=$rows")
+    }
 }
