@@ -150,7 +150,9 @@ object Dedup {
     * the same (nPerms, n, maxDocFrequency) — signatures from differently
     * capped shingle sets would disagree on minima and bias the estimate
     * low. Default cap is None for exactly that reason; if you cap,
-    * cap both sides identically.
+    * cap both sides identically. The nPerms leg is ENFORCED:
+    * [[incrementalPairsSignatureStore]] samples one stored doc and
+    * throws if its perm set doesn't span exactly [0, nPerms).
     */
   def minhashStore(docs: DataFrame, idCol: String, textCol: String,
                    nPerms: Int = 16, n: Int = 3,
