@@ -33,10 +33,8 @@ object Bench {
   // pause doubles them routinely) from false-tripping. A query WITHOUT
   // history (first round it exists) keeps the looser 4 s floor: there is
   // no baseline to regress from, and first measurements carry codegen/JIT
-  // noise.
-  private val FloorSec = 4.0
-  private val TrackedFloorSec = 2.0
-  private val MicroFloorSec = 0.25
+  // noise. Constants and all budget/host-factor arithmetic live in
+  // [[BenchAdjudication]] (pure, spec-pinned).
 
   /** {"query":seconds,...} from the previous run AT THE SAME SCALE FACTOR
     * (empty otherwise — budgets derived from a different sf would flag or
@@ -146,6 +144,11 @@ object Bench {
     val sentinel0 = timeSentinel()
     val sentinelTimes = scala.collection.mutable.ArrayBuffer(sentinel0)
     val sentinelMidTimes = scala.collection.mutable.ArrayBuffer(timeBasket(sentinelMidFns))
+    // Query-index position of each basket reading (0 = pre-session; the
+    // end-of-session reading appends ordered.size below) — the local
+    // host-factor adjudication brackets each query between the two
+    // readings surrounding its run position.
+    val sentinelPositions = scala.collection.mutable.ArrayBuffer(0)
     // Best of 3 timed runs per query (local timing noise is substantial —
     // a single whole-session GC pause has been observed to triple a
     // sub-2 s query across two consecutive runs, which would false-flag
@@ -160,6 +163,7 @@ object Bench {
       if (idx > 0 && idx % 20 == 0) {
         sentinelTimes += timeSentinel()
         sentinelMidTimes += timeBasket(sentinelMidFns)
+        sentinelPositions += idx
       }
       release()
       val times = (1 to 3).map { _ =>
@@ -305,6 +309,7 @@ object Bench {
       } catch { case _: Throwable => Some(-1.0) }
     sentinelTimes += timeSentinel() // end-of-session load check
     sentinelMidTimes += timeBasket(sentinelMidFns)
+    sentinelPositions += ordered.size
     // Noise signature = SUSTAINED drift: two consecutive baskets >1.5× the
     // session's best basket (vs the best, not the first — a loaded start
     // would make everything after it look fine). A single elevated reading
@@ -328,43 +333,49 @@ object Bench {
     // state ever seen, but this box is a shared-metal VM (nonzero
     // /proc/stat steal; round-11 measured a session whose MEDIAN query
     // ran 1.6× its baseline while isolated re-runs matched it). The
-    // sentinel queries ARE in the history file, so the ratio of this
-    // session's best basket to the baselines' basket measures exactly
-    // how much slower today's host is — budgets scale by that factor
-    // (clamped to [1, 2.5]: a fast host never tightens below the 2×
-    // contract, and a catastrophic host can't hide a genuine 5×
-    // regression). The mid-weight sentinel contributes too: cheap-basket
-    // job overhead and shuffle/agg throughput drift independently, and
-    // a query is only exonerated by the drift that its own cost class
-    // actually shows — we take the LARGER ratio, which still flags any
-    // query outgrowing both. The ratchet is untouched: keep-min can
-    // only improve, so a slow host never corrupts the baselines.
-    // MEDIAN basket, not min: under bursty steal the minimum is the one
-    // lucky window and understates what the flagged queries actually
-    // ran under; the median is the session's typical state.
-    def medianValid(xs: Seq[Double]): Double = {
-      val v = xs.filter(t => t > 0 && t < Double.MaxValue).sorted
-      if (v.isEmpty) -1.0 else v(v.size / 2)
-    }
-    val hostFactor: Double = {
+    // sentinel queries ARE in the history file, so each basket reading's
+    // ratio to the baselines' basket measures how much slower the host
+    // was AT THAT POINT of the session — and since the baskets re-time
+    // every 20 queries, each query adjudicates against the host factor
+    // LOCAL to its run position (the two bracketing readings), not the
+    // session median (r15 verdict #2: under bursty steal the median
+    // normalizes sustained load but still lets a burst-window query
+    // flag-then-retract; the local factor ends that churn, and a
+    // genuine regression still flags because code slowdowns don't move
+    // the sentinels). Both cost classes contribute — a query is only
+    // exonerated by drift its own class shows; the larger ratio still
+    // flags anything outgrowing both. Factors clamp to [1, 2.5] and the
+    // keep-min ratchet is untouched, so a slow host never corrupts the
+    // baselines. All arithmetic in [[BenchAdjudication]] (spec-pinned).
+    val checkpoints = BenchAdjudication.Checkpoints(
+      sentinelPositions.toVector, sentinelTimes.toVector,
+      sentinelMidTimes.toVector)
+    val histCheap: Double = {
       val basketNames = Seq("a1_kpis", "a10_counts", "a5_column_bounds")
       val histBasket = basketNames.flatMap(history.get)
-      val ratios = Seq(
-        if (histBasket.size == basketNames.size && histBasket.sum > 0)
-          medianValid(sentinelTimes.toSeq) / histBasket.sum
-        else -1.0,
-        history.get("text_tfidf_top_terms").filter(_ > 0)
-          .map(h => medianValid(sentinelMidTimes.toSeq) / h).getOrElse(-1.0)
-      ).filter(_ > 0)
-      if (ratios.isEmpty) 1.0
-      else math.min(2.5, math.max(1.0, ratios.max))
+      if (histBasket.size == basketNames.size && histBasket.sum > 0)
+        histBasket.sum
+      else -1.0
     }
+    val histMid: Double =
+      history.get("text_tfidf_top_terms").filter(_ > 0).getOrElse(-1.0)
+    // Session-typical factor: reported, and the normalizer for the
+    // session-spanning throughput rows below.
+    val hostFactor: Double =
+      BenchAdjudication.sessionFactor(checkpoints, histCheap, histMid)
+    val queryIndex: Map[String, Int] =
+      ordered.map(_._1).zipWithIndex.toMap
     def budget(q: String): Double =
-      history.get(q).filter(_ > 0)
-        .map(t => hostFactor *
-          math.max(math.max(2.0 * t, math.min(TrackedFloorSec, 2.5 * t)),
-            MicroFloorSec))
-        .getOrElse(FloorSec)
+      BenchAdjudication.budget(history, q,
+        queryIndex.get(q)
+          .map(i => BenchAdjudication.localFactor(checkpoints, i, histCheap,
+            histMid))
+          .getOrElse(hostFactor))
+    // Re-measures run after the last timed query → they adjudicate at
+    // the END-of-session factor, not their original position's.
+    def reMeasureBudget(q: String): Double =
+      BenchAdjudication.budget(history, q,
+        BenchAdjudication.endFactor(checkpoints, histCheap, histMid))
     // The replay row is budgeted on THROUGHPUT (events/s — scale-invariant),
     // never on wall seconds: the harness drains a FIXED 16-trigger replay,
     // so at small sf the wall measures 16 trigger overheads and at large sf
@@ -423,7 +434,7 @@ object Bench {
       val r = reMeasure.getOrElse(n, -1.0)
       if (n == replayName) r > 0 && replayEpsBudget.forall(r >= _)
       else if (n == admissionName) r > 0 && admissionEpsBudget.forall(r >= _)
-      else r >= 0 && r <= budget(n)
+      else r >= 0 && r <= reMeasureBudget(n)
     }
     val overBudget = overInitial.filterNot(retracted.contains)
     // Ratchet input: a retracted query's best CLEAN measurement (the

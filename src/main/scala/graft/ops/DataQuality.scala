@@ -311,8 +311,12 @@ object DataQuality {
     * (groups × dims)-bounded, and the final assembly joins four
     * |groups|-bounded frames full-outer (a group present in only one
     * component frame — e.g. all-null numerics but a live category mix —
-    * still reports). `n_ref`/`n_cur` are the non-null `valueCol` row
-    * counts from the KS pass.
+    * still reports). Output columns: `groupCol`, `n_ref`/`n_cur`
+    * (non-null `valueCol` row counts from the KS pass), `psi`, `ks`,
+    * `js_n_ref`/`js_n_cur` (non-null `catCol` row counts from the JS
+    * pass — the JS arm's OWN evidence, so a consumer gating `js` never
+    * clobbers a live categorical signal when the numeric column is
+    * all-null), `js`, `centroid_cosine`, `norm_ratio`.
     */
   def driftDatacard(ref: DataFrame, cur: DataFrame, groupCol: String,
                     valueCol: String, catCol: String, vecCol: String,

@@ -151,8 +151,9 @@ object Dedup {
     * capped shingle sets would disagree on minima and bias the estimate
     * low. Default cap is None for exactly that reason; if you cap,
     * cap both sides identically. The nPerms leg is ENFORCED:
-    * [[incrementalPairsSignatureStore]] samples one stored doc and
-    * throws if its perm set doesn't span exactly [0, nPerms).
+    * [[incrementalPairsSignatureStore]] aggregates the FULL store and
+    * throws unless perm indices span exactly [0, nPerms) with
+    * rows = docs × nPerms (so mixed-nPerms concatenations fail too).
     */
   def minhashStore(docs: DataFrame, idCol: String, textCol: String,
                    nPerms: Int = 16, n: Int = 3,
@@ -173,6 +174,12 @@ object Dedup {
     * Estimator resolution is 1/k; at k = 16 the cut t = 0.5 admits
     * pairs with ≥ 8 agreeing permutations (σ ≈ 0.125 at J = 0.5 — use
     * more perms when the threshold must be sharp).
+    *
+    * NOT LAZY: the (nPerms) store-contract check below runs one Spark
+    * job at CALL time, which also materializes the store-signature
+    * scoped cache (the probe's joins then reuse it, so the store is not
+    * re-scanned). Callers composing plans to execute later should
+    * expect that job here, not at first action.
     */
   def incrementalPairsSignatureStore(newDocs: DataFrame, store: DataFrame,
                                      idCol: String, textCol: String,
@@ -190,18 +197,30 @@ object Dedup {
     // a store built with fewer perms than the probe would silently bias
     // jaccard_est LOW (the agreement join inner-joins on perm, so n_match
     // divides by the probe's k while only the store's perms can match) and
-    // degrade banding recall. Sample ONE stored doc and verify its perm set
-    // spans exactly [0, nPerms) — two tiny jobs against the scoped cache
-    // the probe materializes anyway.
-    store.select(col(idCol)).limit(1).collect().headOption.foreach { row =>
-      val chk = corpSig.filter(col(idCol) === lit(row.get(0)))
-        .agg(max(col("perm")).cast("long").as("__mx"),
-          countDistinct(col("perm")).as("__cnt")).head()
-      val (mx, cnt) = (chk.getLong(0), chk.getLong(1))
-      require(mx + 1 == nPerms && cnt == nPerms,
-        s"signature store/probe permutation mismatch: sampled stored doc " +
-          s"carries $cnt perms (max index $mx) but the probe expects " +
-          s"nPerms=$nPerms — rebuild the store or probe with matching perms")
+    // degrade banding recall. The check covers the FULL store (r15
+    // advice — sampling one doc let a store CONCATENATED from
+    // mixed-nPerms builds pass while still biasing the mismatched docs):
+    // one global aggregate over the scoped-cached signatures (map-side
+    // partial combine, no per-doc shuffle) asserting perm indices span
+    // exactly [0, nPerms) and rows = docs × nPerms — a doc carrying
+    // fewer perms, extra perms, or duplicated (id, perm) rows (which
+    // would double-count n_match) all break the product.
+    val chk = corpSig.agg(
+      min(col("perm")).cast("long").as("__mn"),
+      max(col("perm")).cast("long").as("__mx"),
+      countDistinct(col("perm")).as("__np"),
+      count(lit(1)).as("__rows"),
+      countDistinct(col(idCol)).as("__docs")).head()
+    if (chk.getLong(3) > 0) {
+      val (mn, mx, np, rows, docs) = (chk.getLong(0), chk.getLong(1),
+        chk.getLong(2), chk.getLong(3), chk.getLong(4))
+      require(mn == 0L && mx == nPerms - 1L && np == nPerms &&
+          rows == docs * nPerms,
+        s"signature store/probe permutation mismatch: store spans perms " +
+          s"[$mn, $mx] ($np distinct) with $rows rows over $docs docs, " +
+          s"but the probe expects every doc to carry exactly " +
+          s"nPerms=$nPerms perms spanning [0, $nPerms) — rebuild the " +
+          s"store or probe with matching perms")
     }
     val cand = bandBuckets(newSig, idCol, plan)
       .select(col(idCol).as("new_id"), col("band"), col("minhash"))

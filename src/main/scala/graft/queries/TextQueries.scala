@@ -2039,13 +2039,25 @@ object TextQueries {
     // independent naive reimplementation of the full path (shingles →
     // hot-filter → KM signatures → planned banding → exact-Jaccard
     // verify) must produce the identical pair set.
-    "dedup_lsh_planned_onepass" -> Seq(
+    "dedup_lsh_planned_onepass" -> (Seq(
       153156L -> "sf0_001", 149174L -> "sf0_01", 1485576L -> "sf0_1")
       .map { case (totalLen, tag) =>
         s"""SELECT g.doc_a, g.doc_b, g.inter, g.jaccard, g.bands, g.rows_per_band
            |FROM read_parquet('/root/repo/tools/golden/dedup_lsh_planned_onepass_$tag.parquet') g
            |WHERE (SELECT sum(length(text)) FROM documents) = $totalLen""".stripMargin
-      }.mkString("\nUNION ALL\n"),
+      }.mkString("\nUNION ALL\n") +
+      // POISON arm (r15 advice): at a corpus whose total text length
+      // matches NO committed golden, every arm above is empty and an
+      // empty engine output would pass vacuously — emit a sentinel row
+      // instead, so an unknown sf hash-mismatches loudly and forces a
+      // golden regeneration rather than a silent green.
+      """
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS doc_a, CAST(-1 AS BIGINT) AS doc_b,
+        |  CAST(-1 AS BIGINT) AS inter, CAST(-1.0 AS DOUBLE) AS jaccard,
+        |  CAST(-1 AS INTEGER) AS bands, CAST(-1 AS INTEGER) AS rows_per_band
+        |WHERE (SELECT sum(length(text)) FROM documents)
+        |  NOT IN (153156, 149174, 1485576)""".stripMargin),
 
     "dedup_jaccard_exact" ->
       s"""WITH $wordsCte,

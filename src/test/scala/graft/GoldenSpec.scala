@@ -172,16 +172,21 @@ class GoldenSpec extends AnyFunSuite {
     assert(got == expected, "expression diverged from the naive reimplementation")
   }
 
-  test("dedup_lsh_planned_onepass matches its committed golden file and a naive KM reimplementation") {
-    // The gate for the one-pass production LSH path is a GOLDEN-FILE
-    // oracle (the wrapping 64-bit Kirsch–Mitzenmacher arithmetic has no
-    // safe SQL form): this spec is the non-circular pin behind it — the
-    // live engine output must equal the committed parquet, AND the pair
-    // set must equal an INDEPENDENT driver-side reimplementation of the
-    // whole path (shingles → hot-filter → KM signatures → planner-banded
-    // buckets → exact-Jaccard verify), written against immutable Scala
-    // collections rather than the engine's relational plan.
-    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+  // The gate for the one-pass production LSH path is a GOLDEN-FILE
+  // oracle (the wrapping 64-bit Kirsch–Mitzenmacher arithmetic has no
+  // safe SQL form): this pin is the non-circular check behind it — the
+  // live engine output must equal the committed parquet, AND the pair
+  // set must equal an INDEPENDENT driver-side reimplementation of the
+  // whole path (shingles → hot-filter → KM signatures → planner-banded
+  // buckets → exact-Jaccard verify), written against immutable Scala
+  // collections rather than the engine's relational plan. Run at BOTH
+  // sf0.001 and sf0.01 (r15 advice: the sf0.01/sf0.1 goldens were
+  // seeded from engine output, so without an independent pin at a
+  // driver sf, a scale-dependent bug — e.g. in the hot-filter
+  // threshold, which only engages on larger corpora — would be baked
+  // into them unseen; sf0.01 is 500 docs, comfortably collect-sized).
+  private def onePassPin(sfDir: String, goldenTag: String): Unit = {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("inter"),
         r.getAs[Double]("jaccard"), r.getAs[Int]("bands"),
@@ -194,7 +199,7 @@ class GoldenSpec extends AnyFunSuite {
       .collect().map(key).sortBy(p => (p._1, p._2)).toSeq
     graft.ops.OpCaches.releaseAll()
     val golden = spark.read
-      .parquet("tools/golden/dedup_lsh_planned_onepass_sf0_001.parquet")
+      .parquet(s"tools/golden/dedup_lsh_planned_onepass_$goldenTag.parquet")
       .collect().map(key).sortBy(p => (p._1, p._2)).toSeq
     assert(got == golden,
       "engine output diverged from tools/golden — regenerate ONLY for a deliberate semantic change")
@@ -254,6 +259,19 @@ class GoldenSpec extends AnyFunSuite {
       bands, rpb)).toSeq.sortBy(p => (p._1, p._2))
     assert(got == expected,
       s"engine diverged from the naive KM reimplementation:\n$got\nvs\n$expected")
+    // Non-vacuity: the committed golden must carry pairs — an empty
+    // golden would make the Verify gate's discriminator arm pass on any
+    // empty engine output (the oracle's poison arm covers UNKNOWN sfs;
+    // this covers a hollowed-out golden at a known one).
+    assert(golden.nonEmpty, s"golden $goldenTag must be non-empty")
+  }
+
+  test("dedup_lsh_planned_onepass matches its committed golden file and a naive KM reimplementation") {
+    onePassPin("/root/testdata/sf0.001", "sf0_001")
+  }
+
+  test("dedup_lsh_planned_onepass sf0.01 golden is pinned by the naive KM reimplementation (hot-filter-engaging corpus)") {
+    onePassPin("/root/testdata/sf0.01", "sf0_01")
   }
 
   test("query history round-trips specs through the catalog (§1.1)") {

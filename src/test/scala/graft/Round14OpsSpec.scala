@@ -93,6 +93,21 @@ class Round14OpsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("permutation mismatch"), ex.getMessage)
     OpCaches.releaseAll()
+    // MIXED store (r15 advice): a store concatenated from an 8-perm and
+    // a 16-perm build — any single sampled doc from the 16-perm half
+    // would look healthy, but the full-store rows = docs × nPerms check
+    // must still reject (the 8-perm docs would bias jaccard_est low).
+    val mixed = store8.unionByName(
+      Dedup.minhashStore(
+        Seq((9L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+          .toDF("doc_id", "text"), "doc_id", "text", nPerms = 16))
+    val exMixed = intercept[IllegalArgumentException] {
+      Dedup.incrementalPairsSignatureStore(batch, mixed, "doc_id", "text",
+        minJaccardEst = 0.5, nPerms = 16).collect()
+    }
+    assert(exMixed.getMessage.contains("permutation mismatch"),
+      exMixed.getMessage)
+    OpCaches.releaseAll()
     // The matched build still works.
     val ok = Dedup.incrementalPairsSignatureStore(batch,
       Dedup.minhashStore(history, "doc_id", "text", nPerms = 16),

@@ -67,6 +67,11 @@ DEFAULT=$DEFAULT,skew_stress_colocation,e2e_incremental_session
 # Round-15 (r14 verdict #5): the four-arm admission datacard driven over
 # the replay source — |sources|-bounded state asserted per batch.
 DEFAULT=$DEFAULT,stream_admission_throughput
+# Round-16 (r15 verdict #3): the serve-only IVF-PQ row at 10x — ann_ivfpq
+# times fit+serve and its sf1 reading is build-dominated at local
+# partition counts (SCALE.md), so the partition-pruning lever needs the
+# probe-only number next to the build-inclusive pair.
+DEFAULT=$DEFAULT,ann_ivfpq_probe_only
 ONLY="${SPARK_GRAFT_SF1_ONLY:-$DEFAULT}"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_HISTORY=bench_history_sf1.json \
