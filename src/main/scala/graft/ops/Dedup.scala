@@ -281,6 +281,15 @@ object Dedup {
     * the two paths on planted duplicates; candidates differ hash-by-hash
     * but both verify with exact Jaccard, so emitted pairs are always true
     * ≥-threshold pairs.
+    *
+    * WHEN TO PICK THIS PATH (measured, SCALE.md round 16): on a roomy
+    * host the relational [[nearDuplicatesPlanned]] is ~2× faster (the
+    * chunked-md5 pipeline wins when compute is the bill), but under
+    * memory pressure the ranking INVERTS — in a 4 GiB / 0.2-fraction
+    * stress session at sf1 this path finishes with ZERO spill while the
+    * relational path spills 2.2 GB and takes 2.2× longer. When executor
+    * memory per task is the binding constraint (the 1000-executor
+    * regime), the k-longs-per-doc shuffle is the right shape.
     */
   def nearDuplicatesPlannedOnePass(docs: DataFrame, idCol: String,
                                    textCol: String, minJaccard: Double,
