@@ -108,18 +108,23 @@ object Dedup {
     */
   private[graft] def permMinima(shingles: DataFrame, idCol: String,
                                 k: Int): DataFrame = {
-    val nGroups = (k + 3) / 4
+    // Round 16: the k permutation hashes of one shingle come from ONE
+    // codegen'd kernel call ([[graft.functions.HashExpressions
+    // .Md5PermHexes]]: ⌈k/4⌉ raw digests, hex emitted only for the 8-char
+    // chunk strings) instead of the historical explode(groups) → md5 hex
+    // → explode(chunks) → substring chain — bit-identical element values
+    // in (4·grp + chunk) order, so posexplode's pos IS the permutation
+    // index (differential property in HashExpressionsSpec). One explode
+    // instead of two and no 32-char hex round-trip; the map-side partial
+    // min aggregation below is unchanged.
     shingles
       .select(col(idCol),
-        explode(sequence(lit(0), lit(nGroups - 1))).as("__grp"),
-        col("shingle"))
-      .withColumn("__md5",
-        md5(concat(col("__grp").cast("string"), lit(":"), col("shingle"))))
-      .select(col(idCol), col("__grp"), col("__md5"),
-        explode(sequence(lit(0), lit(3))).as("__chunk"))
-      .select(col(idCol), (col("__grp") * 4 + col("__chunk")).as("perm"),
-        expr("substring(__md5, 1 + 8*__chunk, 8)").as("__h"))
-      .filter(col("perm") < k)
+        posexplode(org.apache.spark.sql.graft.CatalystBridge.column(
+          graft.functions.HashExpressions.Md5PermHexes(
+            org.apache.spark.sql.graft.CatalystBridge.expression(
+              col("shingle")),
+            org.apache.spark.sql.graft.CatalystBridge.expression(lit(k)))))
+          .as(Seq("perm", "__h")))
       .groupBy(col(idCol), col("perm"))
       .agg(min(col("__h")).as("mh"))
   }

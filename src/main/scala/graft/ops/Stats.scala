@@ -1111,27 +1111,29 @@ object Stats {
       0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
       0.9994058151824183)
     // One md5 digest carries 128 bits = FOUR independent 32-bit
-    // uniforms, so replica 4g+c reads chunk c of digest g. The digests
-    // are computed INSIDE the per-row transform — B/4 hashes per row —
-    // and only the prebuilt (b, u) chunks explode; hashing after the
-    // explode would still run per replica row (measured: no savings).
+    // uniforms, so replica 4g+c reads chunk c of digest g. Since round
+    // 16 the whole per-row uniform array comes from ONE codegen'd kernel
+    // call ([[graft.functions.HashExpressions.Md5ChunkUniforms]]) —
+    // bit-identical to the historical nested-transform
+    // `conv(substr(md5(concat(k,':',g)),8c+1,8),16,10)/2³²` formulation
+    // (differential property in HashExpressionsSpec pins it), but with
+    // no hex-string round-trip, no per-chunk substr/conv, and no
+    // interpreted HOF lambda dispatch; element order (4g+c) means
+    // posexplode's pos IS the replica index b. Measured at sf0.1:
+    // stats_bootstrap_ci 7.0 s → (see OPTIMIZATION_r16.md).
     require(replicas % 4 == 0, "replicas must be a multiple of 4")
-    val chunks = flatten(transform(
-      sequence(lit(0), lit(replicas / 4 - 1)), g => {
-        val h = md5(concat(col("__k"), lit(":"), g.cast("string")))
-        transform(sequence(lit(0), lit(3)), c =>
-          struct((g * 4 + c).cast("int").as("b"),
-            (conv(h.substr(c * lit(8) + lit(1), lit(8)), 16, 10)
-              .cast("double") / lit(4294967296.0)).as("u")))
-      }))
+    val chunks = org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.functions.HashExpressions.Md5ChunkUniforms(
+        org.apache.spark.sql.graft.CatalystBridge.expression(col("__k")),
+        org.apache.spark.sql.graft.CatalystBridge.expression(
+          lit(replicas / 4))))
     // Nest REVERSED so the outermost branch is the smallest threshold:
     // m = CASE WHEN u < c₀ THEN 0 WHEN u < c₁ THEN 1 … ELSE 6.
     val m = cdf.zipWithIndex.reverse.foldLeft(lit(6): Column) {
       case (acc, (t, i)) => when(col("__u") < t, lit(i)).otherwise(acc)
     }
     val perReplica = base
-      .select(col("__v"), explode(chunks).as("__e"))
-      .select(col("__v"), col("__e.b").as("__b"), col("__e.u").as("__u"))
+      .select(col("__v"), posexplode(chunks).as(Seq("__b", "__u")))
       .withColumn("__m", m.cast("double"))
       .groupBy(col("__b"))
       .agg(round(sum(col("__m") * col("__v")) /
@@ -1574,21 +1576,23 @@ object Stats {
       sum(when(!col("__ya"), 1L).otherwise(0L)).as("n_b"),
       round(avg(when(col("__ya"), col("__v"))) -
         avg(when(!col("__ya"), col("__v"))), 6).as("__dobs"))
-    val chunks = flatten(transform(
-      sequence(lit(0), lit(replicas / 4 - 1)), g => {
-        val h = md5(concat(col("__k"), lit(":"), g.cast("string")))
-        transform(sequence(lit(0), lit(3)), c =>
-          struct((g * 4 + c).cast("int").as("b"),
-            (conv(h.substr(c * lit(8) + lit(1), lit(8)), 16, 10)
-              .cast("double") / lit(4294967296.0)).as("u")))
-      }))
+    // Same codegen'd uniform kernel as [[bootstrapMeanCi]] (round 16):
+    // one call yields the replica uniforms in (4g+c) order, so
+    // posexplode's pos is the replica index — bit-identical to the
+    // historical nested-transform conv(substr(md5(...))) formulation
+    // (differential property in HashExpressionsSpec).
+    val chunks = org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.functions.HashExpressions.Md5ChunkUniforms(
+        org.apache.spark.sql.graft.CatalystBridge.expression(col("__k")),
+        org.apache.spark.sql.graft.CatalystBridge.expression(
+          lit(replicas / 4))))
     val pA = col("n_a").cast("double") /
       (col("n_a") + col("n_b")).cast("double")
     val perReplica = base
-      .select(col("__v"), explode(chunks).as("__e"))
+      .select(col("__v"), posexplode(chunks).as(Seq("__b", "__u")))
       .crossJoin(broadcast(obs))
-      .select(col("__v"), col("__e.b").as("__b"),
-        (col("__e.u") < pA).as("__toA"), col("__dobs"))
+      .select(col("__v"), col("__b"),
+        (col("__u") < pA).as("__toA"), col("__dobs"))
       .groupBy(col("__b"))
       .agg(first(col("__dobs")).as("__dobs"),
         round(avg(when(col("__toA"), col("__v"))) -
