@@ -34,6 +34,14 @@ object HashExpressions {
 
   private val Two32 = 4294967296.0 // 2^32
 
+  /** Column form of [[Md5HexLong]]:
+    * ≡ `conv(substring(md5(s), start, len), 16, 10).cast("long")`.
+    */
+  def md5HexLong(s: org.apache.spark.sql.Column, start: Int,
+                 len: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(Md5HexLong(
+      org.apache.spark.sql.graft.CatalystBridge.expression(s), start, len))
+
   private def digestInto(md: java.security.MessageDigest,
                          prefix: Array[Byte], sep: Byte,
                          suffix: Array[Byte]): Array[Byte] = {

@@ -26,13 +26,16 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** First 24 bits of md5 as a BIGINT — the portable word hash. */
-  def wordCode24(w: Column): Column =
-    conv(substring(md5(w), 1, 6), 16, 10).cast("long")
+  /** First 24 bits of md5 as a BIGINT — the portable word hash.
+    * Round 16: computed by the native [[HashExpressions.Md5HexLong]]
+    * kernel — bit-identical to `conv(substring(md5(w), 1, 6), 16, 10)`
+    * (differential property in HashExpressionsSpec), no hex-string
+    * round-trip.
+    */
+  def wordCode24(w: Column): Column = HashExpressions.md5HexLong(w, 1, 6)
 
-  /** First 16 bits of md5 — per-token hash for simhash. */
-  def wordCode16(w: Column): Column =
-    conv(substring(md5(w), 1, 4), 16, 10).cast("long")
+  /** First 16 bits of md5 — per-token hash for simhash (same kernel). */
+  def wordCode16(w: Column): Column = HashExpressions.md5HexLong(w, 1, 4)
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 

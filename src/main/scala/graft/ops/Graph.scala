@@ -54,9 +54,13 @@ object Graph {
     // union so the caller's derivation runs once, not once per side.
     val eIn = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
+    // r16 opt: the symmetrized union stays UNCHECKPOINTED — it is a
+    // narrow double read of the checkpointed eIn, and every consumer
+    // (outDeg, nodes, the outdeg-attach join) re-derives it for pennies,
+    // where the old second checkpoint paid a full edge-sized
+    // materialization job up front. Values unchanged.
     val e0 = if (!symmetrize) eIn else
       eIn.unionByName(eIn.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
     val nodes = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint()

@@ -30,12 +30,12 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
                     seqTokens: Int, nShards: Int): DataFrame = {
     require(seqTokens > 0 && nShards > 0, "seqTokens and nShards must be positive")
-    val shard = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long"), lit(nShards.toLong)).cast("int")
+    val shard = pmod(graft.functions.HashExpressions.md5HexLong(
+      col(idCol).cast("string"), 1, 8), lit(nShards.toLong)).cast("int")
     // Order within a shard by the SAME hash (stable, engine-portable),
     // id tie-break for exact determinism.
-    val orderKey = conv(substring(md5(col(idCol).cast("string")), 9, 8), 16, 10)
-      .cast("long")
+    val orderKey = graft.functions.HashExpressions.md5HexLong(
+      col(idCol).cast("string"), 9, 8)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__ord"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -62,10 +62,10 @@ object Packing {
     */
   def shardManifest(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val shard = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long"), lit(nShards.toLong)).cast("int")
-    val orderKey = conv(substring(md5(col(idCol).cast("string")), 9, 8), 16, 10)
-      .cast("long")
+    val shard = pmod(graft.functions.HashExpressions.md5HexLong(
+      col(idCol).cast("string"), 1, 8), lit(nShards.toLong)).cast("int")
+    val orderKey = graft.functions.HashExpressions.md5HexLong(
+      col(idCol).cast("string"), 9, 8)
     val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
     docs.select(col(idCol), shard.as("shard"), orderKey.as("__ord"))
       .withColumn("pos", row_number().over(w).cast("long") - 1)
@@ -133,9 +133,9 @@ object Packing {
     // floor+cast is exact far beyond any real token count).
     val nBlocks = floor((nTok + lit(blockLen - 1)) / lit(blockLen)).cast("int")
     def maskedAt(b: Column): Column =
-      conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
-        b.cast("string"))), 1, 8), 16, 10).cast("double") /
-        lit(4294967296.0) < lit(maskProb)
+      graft.functions.HashExpressions.md5HexLong(
+        concat(col(idCol).cast("string"), lit(":"), b.cast("string")), 1, 8)
+        .cast("double") / lit(4294967296.0) < lit(maskProb)
     def sentinelNo(b: Column): Column =
       when(b > 0,
         size(filter(sequence(lit(0), b - 1), bb => maskedAt(bb))))

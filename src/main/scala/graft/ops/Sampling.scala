@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform hash of a key column into [0, 1): first 8 md5 hex chars / 2^32. */
+  /** Uniform hash of a key column into [0, 1): first 8 md5 hex chars / 2^32.
+    * Round 16: native kernel ([[graft.functions.HashExpressions]]) —
+    * bit-identical to the conv(substring(md5)) chain it replaces.
+    */
   def keyUniform(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") /
-      lit(4294967296.0)
+    graft.functions.HashExpressions.md5HexLong(key.cast("string"), 1, 8)
+      .cast("double") / lit(4294967296.0)
 
   /** Deterministic Bernoulli sample: keep rows whose key-hash < fraction. */
   def bernoulli(df: DataFrame, keyCol: String, fraction: Double): DataFrame =

@@ -391,8 +391,8 @@ object Similarity {
                           k: Int): Seq[Seq[Double]] =
     corpus.select(
         transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"),
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast("long").as("__h"), col(idCol).as("__id"))
+        graft.functions.HashExpressions.md5HexLong(
+          col(idCol).cast("string"), 1, 8).as("__h"), col(idCol).as("__id"))
       .orderBy(col("__h"), col("__id")).limit(k)
       .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
 

@@ -705,7 +705,7 @@ object TextAnalysis {
     withBounds.select(col(idCol), posexplode(chunks))
       .select(col(idCol), col("pos").as("chunk_idx"),
         size(split(col("col"), " ")).cast("long").as("n_tokens"),
-        conv(substring(md5(col("col")), 1, 12), 16, 10).cast("long")
+        graft.functions.HashExpressions.md5HexLong(col("col"), 1, 12)
           .as("chunk_hash"))
   }
 
@@ -901,7 +901,7 @@ object TextAnalysis {
     tok.select(col(idCol),
         pmod(wordCode24(col("w")), lit(dim.toLong)).as("bucket"),
         (lit(1L) - lit(2L) * pmod(
-          conv(substring(md5(col("w")), 7, 1), 16, 10).cast("long"),
+          graft.functions.HashExpressions.md5HexLong(col("w"), 7, 1),
           lit(2L))).as("s"))
       .groupBy(col(idCol), col("bucket")).agg(sum(col("s")).as("weight"))
       .filter(col("weight") =!= 0)

@@ -277,11 +277,16 @@ object AnalyticsQueries {
     // L272: degree assortativity of the customer–supplier trade graph
     // (bipartite → expect ρ < 0: hubs attach to leaves).
     "graph_assortativity" -> { (s, dir) =>
+      // r16 opt (guide §2.3 — narrower types through the shuffle): the
+      // edge set is distinct'd on the INT key pair and only surviving
+      // edges concat to node labels; the labeling is injective, so the
+      // edge set is identical while the distinct shuffles int pairs
+      // instead of ~12-char strings.
       val eDir = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       graft.ops.Graph.assortativity(eDir, "src", "dst")
     },
 
@@ -471,11 +476,16 @@ object AnalyticsQueries {
     // trade graph (orders ⋈ lineitem), 3 power iterations (the gate pins
     // the recurrence; production picks iterations by tolerance).
     "graph_pagerank" -> { (s, dir) =>
+      // r16 opt (guide §2.3 — narrower types through the shuffle): the
+      // edge set is distinct'd on the INT key pair and only surviving
+      // edges concat to node labels; the labeling is injective, so the
+      // edge set is identical while the distinct shuffles int pairs
+      // instead of ~12-char strings.
       val eDir = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       graft.ops.Graph.pagerank(eDir, "src", "dst", iterations = 3,
         symmetrize = true)
     },
@@ -485,11 +495,16 @@ object AnalyticsQueries {
     // (isolates), so this gate exercises the dangling-mass
     // redistribution path end to end (Σrank stays 1; see GraphSpec).
     "graph_pagerank_dangling" -> { (s, dir) =>
+      // r16 opt (guide §2.3 — narrower types through the shuffle): the
+      // edge set is distinct'd on the INT key pair and only surviving
+      // edges concat to node labels; the labeling is injective, so the
+      // edge set is identical while the distinct shuffles int pairs
+      // instead of ~12-char strings.
       val eDir = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       graft.ops.Graph.pagerank(eDir, "src", "dst", iterations = 3,
         handleDangling = true)
     },
@@ -497,13 +512,23 @@ object AnalyticsQueries {
     // L223: personalized PageRank from the nation-1 customer seed set
     // over the symmetrized trade graph — sparse frontier, 3 rounds.
     "graph_ppr" -> { (s, dir) =>
+      // r16 opt (guide §2.3 — narrower types through the shuffle): the
+      // edge set is distinct'd on the INT key pair and only surviving
+      // edges concat to node labels; the labeling is injective, so the
+      // edge set is identical while the distinct shuffles int pairs
+      // instead of ~12-char strings.
       val eDir = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
-      val e = eDir.unionByName(
-        eDir.select(col("dst").as("src"), col("src").as("dst")))
+      // r16 opt: materialize the DIRECTED edge set once before the
+      // symmetrizing union — uncheckpointed, the join+distinct derivation
+      // executes twice (once per union branch) inside the op's own edge
+      // materialization. Same rows, one derivation.
+      val eDirC = eDir.localCheckpoint()
+      val e = eDirC.unionByName(
+        eDirC.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = Tables.customer(s, dir)
         .filter(col("c_nationkey") === 1)
         .select(concat(lit("c"), col("c_custkey")).as("seed"))
@@ -515,22 +540,32 @@ object AnalyticsQueries {
     // are pure hubs, suppliers pure authorities — the bipartite shape
     // makes the fixture self-checking), 2 rounds.
     "graph_hits" -> { (s, dir) =>
+      // r16 opt (guide §2.3 — narrower types through the shuffle): the
+      // edge set is distinct'd on the INT key pair and only surviving
+      // edges concat to node labels; the labeling is injective, so the
+      // edge set is identical while the distinct shuffles int pairs
+      // instead of ~12-char strings.
       val eDir = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       graft.ops.Graph.hits(eDir, "src", "dst", iterations = 2)
     },
 
     // L225: synchronous label propagation (2 rounds, mode label with
     // min tie-break) over the symmetrized trade graph.
     "graph_label_prop" -> { (s, dir) =>
+      // r16 opt (guide §2.3 — narrower types through the shuffle): the
+      // edge set is distinct'd on the INT key pair and only surviving
+      // edges concat to node labels; the labeling is injective, so the
+      // edge set is identical while the distinct shuffles int pairs
+      // instead of ~12-char strings.
       val eDir = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       graft.ops.Graph.labelPropagation(eDir, "src", "dst", iterations = 2)
     },
 
