@@ -363,7 +363,12 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
                   maxDocFrequency: Option[Double] = None): DataFrame = {
-    val sh = docs
+    // r16 opt: fan the (single-file) doc scan out BEFORE the tokenize/
+    // shingle explode — the whole dedup family's per-row CPU lives here,
+    // and a one-row-group input otherwise runs it in one task
+    // (Fan.out scaladoc; downstream aggs are integer counts / string
+    // minima, so partial order is immaterial).
+    val sh = Fan.out(docs)
       .select(col(idCol),
         explode(array_distinct(wordShingles(words(col(textCol)), n))).as("shingle"))
     maxDocFrequency match {

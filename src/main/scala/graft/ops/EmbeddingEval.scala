@@ -318,7 +318,10 @@ object EmbeddingEval {
           round(avg(normD(col(vecCol))), 6).as(s"__${pre}norm"))
       cent.join(agg, Seq(groupCol))
     }
-    side(ref, "ref").join(side(cur, "cur"), Seq(groupCol), "full_outer")
+    // r16 opt: reference-side centroid/norm aggregate scope-cached for
+    // stream-static reuse (see Stats.ksByGroup) — (groups × dims)-bounded.
+    OpCaches.scoped(side(ref, "ref"))
+      .join(side(cur, "cur"), Seq(groupCol), "full_outer")
       .select(col(groupCol),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),

@@ -982,7 +982,14 @@ object Stats {
           col(valueCol).cast("double").as("__v"))
         .filter(col("__v").isNotNull && col("__g").isNotNull)
         .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as(out))
-    val grid = cells(ref, "__cr").join(cells(cur, "__cc"),
+    // r16 opt (stream-static reuse): the REFERENCE side's (group, value)
+    // cells are scope-cached — in the per-micro-batch admission datacard
+    // the same reference frame is re-aggregated every batch, and Spark's
+    // CacheManager matches the canonicalized plan, so batch 2+ reads the
+    // cached cells instead of re-scanning the snapshot (the psiByGroup
+    // binned-counts pattern, applied to KS). One-shot callers pay one
+    // small cache write on a |distinct (group, value)|-bounded frame.
+    val grid = OpCaches.scoped(cells(ref, "__cr")).join(cells(cur, "__cc"),
         Seq("__g", "__v"), "full_outer")
       .select(col("__g"), col("__v"),
         coalesce(col("__cr"), lit(0L)).as("__cr"),
@@ -1027,7 +1034,9 @@ object Stats {
       df.select(col(groupCol).as("__g"), col(catCol).cast("string").as("__c"))
         .filter(col("__g").isNotNull && col("__c").isNotNull)
         .groupBy(col("__g"), col("__c")).agg(count(lit(1)).as(out))
-    val grid = cells(ref, "__cr").join(cells(cur, "__cc"),
+    // r16 opt: reference-side cells scope-cached for stream-static reuse
+    // (see ksByGroup) — |groups × categories|-bounded.
+    val grid = OpCaches.scoped(cells(ref, "__cr")).join(cells(cur, "__cc"),
         Seq("__g", "__c"), "full_outer")
       .select(col("__g"), col("__c"),
         coalesce(col("__cr"), lit(0L)).as("__cr"),

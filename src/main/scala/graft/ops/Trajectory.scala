@@ -37,7 +37,7 @@ object Trajectory {
     */
   def gridCells(df: DataFrame, userCol: String,
                 lonCol: String, latCol: String, cellDeg: Double): DataFrame =
-    df.select(col(userCol).as("doc_id"),
+    graft.ops.Fan.out(df).select(col(userCol).as("doc_id"),
       concat(
         floor(col(lonCol) / lit(cellDeg)).cast("long").cast("string"), lit(":"),
         floor(col(latCol) / lit(cellDeg)).cast("long").cast("string")).as("shingle"))
@@ -222,10 +222,15 @@ object Trajectory {
                         maxBlockRows: Option[Int] = None): DataFrame = {
     val buckUs = lit(bucketSec * 1000000L)
     val us = unix_micros(col(tsCol))
+    // r16 opt: fan the single-file event scan out before the bucket/cell
+    // projection (Fan.out scaladoc) — the blocking join's feed otherwise
+    // builds in one task; everything downstream is joins, integer counts
+    // and DISTINCT pair emission, so partial order is immaterial.
+    val df2 = graft.ops.Fan.out(df)
     // Exact bucket index: subtract the remainder first so the double
     // division is between exact multiples (a raw trunc(us / b) can land
     // a half-ulp across the integer boundary DuckDB's `//` floors to).
-    val pts = df.select(col(userCol).as("__u"),
+    val pts = df2.select(col(userCol).as("__u"),
       ((us - pmod(us, buckUs)) / buckUs).cast("long").as("__bucket"),
       concat(floor(col(lonCol) / lit(cellDeg)).cast("long").cast("string"),
         lit(":"),
