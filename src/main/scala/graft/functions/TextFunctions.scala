@@ -19,12 +19,15 @@ object TextFunctions {
 
   /** n-word shingles, 1 per starting position; empty array when the doc is
     * shorter than n (guard needed: Spark's `sequence(1,0)` DESCENDS).
+    * Round 16: native kernel ([[TextExpressions.WordShingles]]) — the
+    * higher-order transform/element_at/concat_ws chain paid a lambda
+    * dispatch per output shingle on the map-side hot path of every
+    * dedup/text query; values, empty/null semantics and the array type
+    * (containsNull) are replicated exactly and pinned by a differential
+    * property (TextExpressionsSpec).
     */
   def wordShingles(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
-      .otherwise(array().cast("array<string>"))
+    TextExpressions.wordShinglesFast(ws, n)
 
   /** First 24 bits of md5 as a BIGINT — the portable word hash.
     * Round 16: computed by the native [[HashExpressions.Md5HexLong]]
