@@ -4,6 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * ADDITIVE since r17 (the contractual line is unchanged): the same JSON
+  * is also written to bench_out.json, and a compact summary line prints
+  * after it — the full line is ~15 KB and harnesses that capture a
+  * bounded output tail were truncating it mid-JSON (r16 verdict #2).
   *
   * A warm-up pass (droppable JVM/codegen/parquet-footer costs) runs first so
   * the timings measure the queries, not first-touch initialization.
@@ -66,7 +70,27 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed-overhead ledger (stderr only): the r16 32-core session hit
+    // the driver's wall timeout (rc=124) with per-query floors summing to
+    // just ~149 s — the wall lives in the untimed hygiene and repeat runs,
+    // so the session reports where its wall actually went.
+    var releaseSec = 0.0
+    var gcSec = 0.0
+    var releaseN = 0
+    // System.gc() cadence: a FULL STW collection on the 32 GiB bench heap
+    // is the single most expensive line of the session when run after
+    // every query (~2×N_queries invocations). The round-8 lesson it fixes
+    // — ContextCleaner's weak refs lagging ~140 queries behind — only
+    // needs the gc often enough to bound the lag to a handful of queries;
+    // every 4th release keeps the bound at ≤4 queries for a quarter of
+    // the cost. SPARK_GRAFT_GC_EVERY=1 restores the old every-query
+    // behavior (cadence only — recorded seconds are untouched either way;
+    // the between-runs caches, blocking unpersist and clearCache still
+    // run every query).
+    val gcEvery = sys.env.get("SPARK_GRAFT_GC_EVERY").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(4)
     def release(): Unit = {
+      val t0 = System.nanoTime()
       // BLOCKING unpersist: async removal let a heavy query start while the
       // previous query's cached partitions still held storage memory — in
       // the 272-query round-9 session that eviction churn pushed exactly
@@ -80,13 +104,17 @@ object Bench {
         .foreach(rdd => try rdd.unpersist(blocking = true)
           catch { case _: Throwable => () })
       // Nudge the ContextCleaner: broadcast blocks / shuffle files are
-      // reclaimed only when their weak refs get GC-enqueued, and on an 8g
-      // heap that lags tens of queries behind — round-8 sentinel traces
-      // showed a reproducible 2.5× LATE-SESSION slowdown (readings 0.33 →
-      // 0.91 s after ~140 queries) from exactly this accumulation. An
-      // explicit gc between queries costs ~100 ms untimed and keeps the
-      // timed runs measuring the query, not the session's garbage.
-      System.gc()
+      // reclaimed only when their weak refs get GC-enqueued — round-8
+      // sentinel traces showed a reproducible 2.5× LATE-SESSION slowdown
+      // (readings 0.33 → 0.91 s after ~140 queries) from exactly this
+      // accumulation. Throttled to every `gcEvery`th release (see above).
+      releaseN += 1
+      if (releaseN % gcEvery == 0) {
+        val g0 = System.nanoTime()
+        System.gc()
+        gcSec += (System.nanoTime() - g0) / 1e9
+      }
+      releaseSec += (System.nanoTime() - t0) / 1e9
     }
 
     // Warm-up pass: run every query once untimed so the timed pass measures
@@ -106,10 +134,13 @@ object Bench {
         System.err.println(s"[bench] WARNING: unknown query name '$n'")))
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val sessionT0 = System.nanoTime()
+    def phaseSec = (System.nanoTime() - sessionT0) / 1e9
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       release()
     }
+    val warmupSec = phaseSec
     // Session-noise sentinel: a BASKET of cheap queries re-timed every 20
     // queries. Round 7 lost a verdict cycle to a driver session that ran
     // globally 1.6-1.7× slow (sustained machine load defeated even
@@ -152,7 +183,13 @@ object Bench {
     // Best of 3 timed runs per query (local timing noise is substantial —
     // a single whole-session GC pause has been observed to triple a
     // sub-2 s query across two consecutive runs, which would false-flag
-    // the derived 2× budget).
+    // the derived 2× budget). WALL TRIM (r16 verdict #2: the 32-core
+    // session must clear the driver's timeout with 2.5×-noise-host
+    // margin): a query whose first two runs already agree under 0.3 s
+    // keeps best-of-2 — ~210 of the 337 rows are sub-0.3 s, their 2×
+    // budgets carry a 0.25 s absolute micro-floor, and the third sample
+    // only ever defended against a single GC pause, which the min of two
+    // runs plus the second-chance re-measure already covers.
     // Caches are cleared BETWEEN queries (so query N+1 never pays or profits
     // from query N's caches) but not between the two runs of one query —
     // run 2 measures the op-cache-warm steady state, matching how a repeated
@@ -166,13 +203,22 @@ object Bench {
         sentinelPositions += idx
       }
       release()
-      val times = (1 to 3).map { _ =>
+      def runOnce(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val t1 = runOnce()
+      val t2 = runOnce()
+      val best = if (t1 < 0 || t2 < 0) -1.0
+        else if (math.max(t1, t2) < 0.3) math.min(t1, t2)
+        else {
+          val t3 = runOnce()
+          if (t3 < 0) -1.0 else math.min(math.min(t1, t2), t3)
+        }
+      name -> best
     }
+    val timedSec = phaseSec - warmupSec
     // Streaming replay throughput (r10 verdict #6): the DSv2 replay
     // source — paged cursor, admission control — previously regressed
     // invisibly because only specs exercised it. A fixed 16-trigger
@@ -226,11 +272,16 @@ object Bench {
       if (!only.forall(_.contains(replayName))) None
       else try {
         replayOnce() // untimed warm-up, matching the batch queries
-        val runs = Seq(replayOnce(), replayOnce())
-        // Throughput is computed PER RUN and the best run kept: pairing
-        // one run's max rows with another run's min wall would overstate
-        // events/s if the runs drained different row counts (a partial
-        // cursor failure).
+        // ONE timed run (was two): each replay drains the full 16-trigger
+        // session (~25 s at 32 cores), and the probe adjudicates on
+        // events/s with a keep-max history and a second-chance re-measure
+        // — a second back-to-back sample bought noise immunity the
+        // re-measure already provides, at ~86 s of session wall across
+        // the two probes (r16 verdict #2: the 32-core session timed out).
+        // Throughput is computed PER RUN: pairing one run's max rows with
+        // another run's min wall would overstate events/s if runs drained
+        // different row counts (a partial cursor failure).
+        val runs = Seq(replayOnce())
         replayEpsBest = runs.collect { case (sec, rows) if sec > 0 && rows > 0 =>
           rows / sec }.foldLeft(-1.0)(math.max)
         Some(runs.map(_._1).min)
@@ -302,7 +353,7 @@ object Bench {
       if (!only.forall(_.contains(admissionName))) None
       else try {
         admissionOnce() // untimed warm-up
-        val runs = Seq(admissionOnce(), admissionOnce())
+        val runs = Seq(admissionOnce()) // one timed run — see the replay note
         admissionEpsBest = runs.collect { case (sec, rows) if sec > 0 && rows > 0 =>
           rows / sec }.foldLeft(-1.0)(math.max)
         Some(runs.map(_._1).min)
@@ -469,7 +520,8 @@ object Bench {
     val reMeasureJson = reMeasure.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${jnum(v, 4)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${arr(failed)},"over_budget":${arr(overBudget)},""" +
       s""""over_budget_retracted":${arr(retracted)},""" +
       s""""re_measure":$reMeasureJson,""" +
@@ -478,7 +530,32 @@ object Bench {
       s""""host_factor":${jnum(hostFactor, 3)},""" +
       s""""stream_replay_events_per_sec":${jnum(replayEps, 1)},""" +
       s""""stream_admission_events_per_sec":${jnum(admissionEps, 1)},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(fullJson)
+    // The contractual line above is ~15 KB (337 per-query entries) and the
+    // driver captures only a bounded output TAIL — r13–r15 all ran green
+    // yet parsed as null because the tail cut the line mid-JSON (r16
+    // verdict #2). Two truncation-proof channels, ADDITIVE to the
+    // contract: the full line is also written to bench_out.json, and a
+    // compact self-contained summary line (fits any sane tail window)
+    // prints LAST so a tail capture always ends with parseable JSON.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullJson)
+    catch { case _: Throwable => () }
+    System.out.flush()
+    println(s"""{"metric":"total_compact","total_sec":${jnum(total, 2)},""" +
+      s""""n":${allResults.size},"failed":${arr(failed)},""" +
+      s""""over_budget":${arr(overBudget)},""" +
+      s""""noise_suspect":$noiseSuspect,""" +
+      s""""host_factor":${jnum(hostFactor, 3)},""" +
+      s""""stream_replay_events_per_sec":${jnum(replayEps, 1)},""" +
+      s""""stream_admission_events_per_sec":${jnum(admissionEps, 1)},""" +
+      s""""full_json":"bench_out.json","sf":"$sfDir"}""")
+    // Untimed-overhead ledger (stderr): where the session wall went.
+    System.err.println(f"[bench] wall ledger: warmup=$warmupSec%.1f s " +
+      f"timed=$timedSec%.1f s post=${phaseSec - warmupSec - timedSec}%.1f s " +
+      f"release=$releaseSec%.1f s (of which gc=$gcSec%.1f s, " +
+      f"n=$releaseN, every=$gcEvery) total=$phaseSec%.1f s")
     // Persist this run's timings as the next run's budget baseline,
     // KEEP-MIN per query: a session on a slower host (round-8 lesson:
     // a uniformly 1.5× session with a stable sentinel) must never relax

@@ -34,6 +34,15 @@ object HashExpressions {
 
   private val Two32 = 4294967296.0 // 2^32
 
+  /** Kernel bounds, SHARED with the call sites (r16 advice: Stats.
+    * permutationTest's `replicas <= 4096` mapped to `groups = 1024`
+    * exactly at the [[Md5ChunkUniforms]] boundary — an implicit coupling
+    * that could silently drift). One md5 digest yields 4 independent
+    * 32-bit values, so `MaxPerms = 4 * MaxGroups` by construction.
+    */
+  val MaxGroups: Int = 1024
+  val MaxPerms: Int = 4 * MaxGroups
+
   /** Column form of [[Md5HexLong]]:
     * ≡ `conv(substring(md5(s), start, len), 16, 10).cast("long")`.
     */
@@ -98,7 +107,13 @@ object HashExpressions {
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
         case (StringType, IntegerType) if right.foldable =>
-          TypeCheckResult.TypeCheckSuccess
+          // Validate the folded VALUE here too, so a bad bound surfaces as
+          // an analysis-time TypeCheckFailure instead of a raw
+          // IllegalArgumentException at codegen/execution (r16 advice).
+          val g = right.eval(null).asInstanceOf[Int]
+          if (g > 0 && g <= MaxGroups) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: groups must be in [1, $MaxGroups], got $g")
         case _ => TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects (string, foldable int), got " +
             s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
@@ -106,7 +121,8 @@ object HashExpressions {
 
     private lazy val groups: Int = {
       val g = right.eval(null).asInstanceOf[Int]
-      require(g > 0 && g <= 1024, s"$prettyName: groups in [1, 1024], got $g")
+      require(g > 0 && g <= MaxGroups,
+        s"$prettyName: groups in [1, $MaxGroups], got $g")
       g
     }
 
@@ -192,7 +208,12 @@ object HashExpressions {
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
         case (StringType, IntegerType) if right.foldable =>
-          TypeCheckResult.TypeCheckSuccess
+          // Analysis-time value validation (r16 advice) — see
+          // Md5ChunkUniforms.
+          val v = right.eval(null).asInstanceOf[Int]
+          if (v > 0 && v <= MaxPerms) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: k must be in [1, $MaxPerms], got $v")
         case _ => TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects (string, foldable int), got " +
             s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
@@ -200,7 +221,7 @@ object HashExpressions {
 
     private lazy val k: Int = {
       val v = right.eval(null).asInstanceOf[Int]
-      require(v > 0 && v <= 4096, s"$prettyName: k in [1, 4096], got $v")
+      require(v > 0 && v <= MaxPerms, s"$prettyName: k in [1, $MaxPerms], got $v")
       v
     }
 

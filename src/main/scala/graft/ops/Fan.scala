@@ -25,11 +25,15 @@ import org.apache.spark.sql.DataFrame
 object Fan {
 
   /** Fan a narrow single-file scan out to the session's parallelism;
-    * identity for multi-file inputs or when the layout can't be read.
+    * identity for multi-file inputs, for frames that report NO input files
+    * (in-memory / streaming micro-batch frames — already parallel, an
+    * unconditional round-robin exchange would be pure cost), and when the
+    * layout can't be read.
     */
   def out(df: DataFrame): DataFrame = {
-    val nFiles = try df.inputFiles.length catch { case _: Throwable => Int.MaxValue }
-    if (nFiles <= 2)
+    val nFiles = try df.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    if (nFiles >= 1 && nFiles <= 2)
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     else df
   }

@@ -27,10 +27,27 @@ object OpCaches {
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.rdd.RDD[_],
       java.lang.Boolean]())
 
-  /** Cache `df` and register it for a later [[releaseAll]]. */
+  private val canonicalLive = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
+
+  /** Cache `df` and register it for a later [[releaseAll]].
+    *
+    * Deduped by CANONICALIZED plan (r16 advice): a streaming admission
+    * loop re-derives an equivalent reference frame every micro-batch, and
+    * re-issuing `cache()` on a canonically-equal plan both grows this
+    * registry unboundedly and spams "Asked to cache already cached data"
+    * warnings per batch. When an equivalent entry is live the frame is
+    * returned UNcached — Spark's CacheManager substitutes the existing
+    * InMemoryRelation at execution anyway (its lookup is canonical-plan
+    * based, the exact mechanism that made the second cache() a no-op).
+    */
   private[graft] def scoped(df: DataFrame): DataFrame = {
-    df.cache()
-    frames.add(df)
+    val key = try df.queryExecution.analyzed.canonicalized
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (key == null || canonicalLive.putIfAbsent(key, java.lang.Boolean.TRUE) == null) {
+      df.cache()
+      frames.add(df)
+    }
     df
   }
 
@@ -94,6 +111,7 @@ object OpCaches {
       catch { case _: Throwable => () }
       cit.remove()
     }
+    canonicalLive.clear()
   }
 
   /** Number of currently-registered cached frames (for tests/monitoring). */

@@ -1111,7 +1111,9 @@ object Stats {
   def bootstrapMeanCi(df: DataFrame, keyCol: String, valueCol: String,
                       replicas: Int = 64,
                       alphaBp: Int = 500): DataFrame = {
-    require(replicas >= 8 && replicas <= 4096, "8..4096 replicas")
+    require(replicas >= 8 &&
+        replicas <= graft.functions.HashExpressions.MaxPerms,
+      s"8..${graft.functions.HashExpressions.MaxPerms} replicas")
     require(alphaBp >= 1 && alphaBp < 10000, "alpha in basis points")
     val base = df.select(col(keyCol).cast("string").as("__k"),
         col(valueCol).cast("double").as("__v"))
@@ -1572,8 +1574,12 @@ object Stats {
   def permutationTest(df: DataFrame, keyCol: String, groupCol: String,
                       valueCol: String, groupA: String, groupB: String,
                       replicas: Int = 32): DataFrame = {
-    require(replicas >= 8 && replicas <= 4096 && replicas % 4 == 0,
-      "replicas: multiple of 4 in 8..4096")
+    // Bound shared with the md5 kernel: replicas/4 uniforms per digest,
+    // so replicas = 4·groups maps to Md5ChunkUniforms' MaxGroups exactly.
+    require(replicas >= 8 &&
+        replicas <= graft.functions.HashExpressions.MaxPerms &&
+        replicas % 4 == 0,
+      s"replicas: multiple of 4 in 8..${graft.functions.HashExpressions.MaxPerms}")
     val base = df
       .filter(col(groupCol).isin(groupA, groupB) &&
         col(valueCol).isNotNull)

@@ -525,8 +525,11 @@ object AnalyticsQueries {
       // r16 opt: materialize the DIRECTED edge set once before the
       // symmetrizing union — uncheckpointed, the join+distinct derivation
       // executes twice (once per union branch) inside the op's own edge
-      // materialization. Same rows, one derivation.
-      val eDirC = eDir.localCheckpoint()
+      // materialization. Same rows, one derivation. LAZY (r16 advice):
+      // eager=true ran a real job at query-CONSTRUCTION time, so
+      // explain-only paths (ExplainDump) and any harness timing
+      // construction executed a materialization the measurement never saw.
+      val eDirC = eDir.localCheckpoint(false)
       val e = eDirC.unionByName(
         eDirC.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = Tables.customer(s, dir)

@@ -45,6 +45,12 @@ object StageProfile {
     val t0 = System.nanoTime()
     once()
     val wall = (System.nanoTime() - t0) / 1e9
+    // Listener events arrive on an async bus: drain it before reading the
+    // rows buffer, or the final stages' completions can be silently
+    // dropped (r16 advice). waitUntilEmpty is what Spark's own tests use.
+    try org.apache.spark.sql.graft.CatalystBridge.drainListenerBus(
+      spark.sparkContext, 10000)
+    catch { case _: Throwable => Thread.sleep(1000) }
     spark.sparkContext.removeSparkListener(listener)
     println(f"TOTAL $q wall=$wall%.3f s, stages=${rows.size}, " +
       f"sum(stage wall)=${rows.map(_.ms).sum / 1e3}%.3f s")

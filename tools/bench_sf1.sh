@@ -76,7 +76,7 @@ ONLY="${SPARK_GRAFT_SF1_ONLY:-$DEFAULT}"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_HISTORY=bench_history_sf1.json \
   sbt -batch "runMain graft.Bench" 2>&1 |
-  grep -E '^\[info\] \{"metric"' | sed 's/^\[info\] //' > BENCH_sf1.json
+  grep -E '^\[info\] \{"metric":"total",' | sed 's/^\[info\] //' > BENCH_sf1.json
 python3 - <<'EOF'
 import json
 j = json.load(open('BENCH_sf1.json'))
