@@ -911,14 +911,15 @@ object Similarity {
       // (subspace, code, subvector) triples for every row, assignment
       // entirely map-side; then one shuffle: mean per (s, code, pos),
       // rounded to 6 dp — the same update centroids() applies, keyed by
-      // subspace as well.
-      val sliced = base.select((0 until m).map(s =>
-        slice(col(vecCol), s * subDim + 1, subDim).as(svCol(s))): _*)
-      val tabled = sliced.select((0 until m).map(s => col(svCol(s))) ++
-        (0 until m).map(s => denseD2Table(col(svCol(s)), books(s)).as(dtCol(s))): _*)
-      val triples = tabled.select(explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"), argminCode(col(dtCol(s))).as("code"),
-          col(svCol(s)).as("sv"))): _*)).as("e"))
+      // subspace as well. r17 opt: assignment is the fused pqEncStruct
+      // kernel (one call per row) instead of m dense boxed tables +
+      // argmin scans; the sv slices remain (the update mean needs them).
+      val enc = base.select(col(vecCol),
+        pqEncStruct(col(vecCol), PqIndex(subDim, books)).as("__enc"))
+      val triples = enc.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          element_at(col("__enc").getField("codes"), s + 1).as("code"),
+          slice(col(vecCol), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
       val rows = triples
         .select(col("e.s").as("s"), col("e.code").as("code"),
           posexplode(col("e.sv")))
@@ -965,6 +966,36 @@ object Similarity {
   private def pqCodesFromTables(index: PqIndex) =
     array((0 until index.m).map(s => argminCode(col(dtCol(s)))): _*)
 
+  /** The padded per-subspace codebook matrices [[denseD2Table]] sweeps —
+    * one literal for the fused [[graft.functions.VectorExpressions.PqEncD]]
+    * kernel, padding gap labels with NaN rows EXACTLY like denseD2Table so
+    * fused codes index the same slots the query-side dense tables use.
+    */
+  private def pqMats(index: PqIndex): Seq[Seq[Seq[Double]]] =
+    index.codebooks.map { cents =>
+      val byLabel = cents.map(c => intLabel(c.label) -> c.vec).toMap
+      val subDim = cents.head.vec.size
+      (0 to byLabel.keys.max).map(l =>
+        byLabel.getOrElse(l, Seq.fill(subDim)(Double.NaN)))
+    }
+
+  /** Fused corpus-side PQ encode (guide §4 — one codegen'd kernel per row
+    * instead of m slices + m dense k-entry boxed tables + 2m table scans):
+    * `struct<codes, mind2>` per vector. Differentially pinned bit-identical
+    * to the sliced dense-table chain ([[withDenseTables]] +
+    * [[pqCodesFromTables]] + per-subspace `array_min`) in
+    * VectorExpressionsSpec, so stored codes and the oracle gates are
+    * unaffected. The QUERY side keeps its dense tables — ADC scoring needs
+    * the full table, and query batches are small by contract.
+    */
+  private def pqEncStruct(vec: org.apache.spark.sql.Column,
+                          index: PqIndex): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    CatalystBridge.column(graft.functions.VectorExpressions.PqEncD(
+      CatalystBridge.expression(vec),
+      CatalystBridge.expression(typedlit(pqMats(index)))))
+  }
+
   /** Encode every vector as its per-subspace nearest-centroid codes, plus
     * the total squared reconstruction error (the PQ quality audit).
     * Entirely map-side — the codebooks are plan-time literals; three
@@ -974,10 +1005,14 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                index: PqIndex): DataFrame = {
-    val tabled = withDenseTables(corpus, Seq(idCol), vecCol, index)
-    tabled.select(col(idCol),
-      pqCodesFromTables(index).as("codes"),
-      round((0 until index.m).map(s => array_min(col(dtCol(s)))).reduce(_ + _), 6)
+    // r17 opt: fused kernel (see pqEncStruct). recon_d2 sums the
+    // per-subspace minima left-to-right in subspace order exactly as the
+    // dense-table form did (element_at is 1-based).
+    val enc = corpus.select(col(idCol), pqEncStruct(col(vecCol), index).as("__enc"))
+    enc.select(col(idCol),
+      col("__enc").getField("codes").as("codes"),
+      round((0 until index.m).map(s =>
+        element_at(col("__enc").getField("mind2"), s + 1)).reduce(_ + _), 6)
         .as("recon_d2"))
   }
 
@@ -1071,13 +1106,11 @@ object Similarity {
       col(vecCol))
     val q = withDenseTables(probed, Seq("query_id", "cluster"), vecCol, pq)
     // Map-side projections only: codes + cluster together (no self-join);
-    // the code assignment is pqCodesFromTables — the same definition
-    // pqEncode stores.
-    val codes = withDenseTables(
-      corpus.select(col(idCol).as("cand_id"), col(clusterCol).as("cluster"),
-        col(vecCol)),
-      Seq("cand_id", "cluster"), vecCol, pq)
-      .select(col("cand_id"), col("cluster"), pqCodesFromTables(pq).as("codes"))
+    // the code assignment is the fused pqEncStruct kernel — bit-identical
+    // to the dense-table definition pqEncode stores (r17 opt, guide §4).
+    val codes = corpus
+      .select(col(idCol).as("cand_id"), col(clusterCol).as("cluster"),
+        pqEncStruct(col(vecCol), pq).getField("codes").as("codes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("cand_id"))
     codes.join(broadcast(q), Seq("cluster"))
@@ -1101,10 +1134,8 @@ object Similarity {
     */
   def pqStoreWrite(corpus: DataFrame, idCol: String, vecCol: String,
                    clusterCol: String, pq: PqIndex, path: String): Unit = {
-    val tabled = withDenseTables(
-      corpus.select(col(idCol), col(clusterCol).as("cluster"), col(vecCol)),
-      Seq(idCol, "cluster"), vecCol, pq)
-    tabled.select(col(idCol), col("cluster"), pqCodesFromTables(pq).as("codes"))
+    corpus.select(col(idCol), col(clusterCol).as("cluster"),
+        pqEncStruct(col(vecCol), pq).getField("codes").as("codes"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
   }
 
